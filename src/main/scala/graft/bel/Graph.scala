@@ -1,0 +1,88 @@
+package graft.bel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The BEL-graph layer: a property multigraph held as two DataFrames
+  * (reference builds `pybel.BELGraph`, an in-memory networkx MultiDiGraph;
+  * at 100 TB the nodes/edges DataFrames *are* the graph — SURVEY §3.3).
+  *
+  *  nodes(node_id, function, namespace, identifier, name)
+  *  edges(src, dst, relation, citation, evidence, annotations: map)
+  *
+  * Edge identity (G8, reference dedups qualified edges by hash): an
+  * explicit `edge_id` = xxhash64 over the qualifying tuple;
+  * `dropDuplicates("edge_id")` reproduces BELGraph multigraph semantics —
+  * parallel edges with different citations survive, exact duplicates don't.
+  */
+object Graph {
+
+  /** Deterministic qualified-edge identity (G8). */
+  def edgeId(src: Column, dst: Column, relation: Column,
+             citation: Column, evidence: Column): Column =
+    xxhash64(src, dst, relation, coalesce(citation, lit("")),
+      coalesce(evidence, lit("")))
+
+  def withEdgeId(edges: DataFrame): DataFrame =
+    edges.withColumn("edge_id",
+      edgeId(col("src"), col("dst"), col("relation"),
+        if (edges.columns.contains("citation")) col("citation") else lit(null),
+        if (edges.columns.contains("evidence")) col("evidence") else lit(null)))
+
+  /** BELGraph edge dedup: identical qualified edges collapse. */
+  def dedupEdges(edges: DataFrame): DataFrame =
+    withEdgeId(edges).dropDuplicates("edge_id")
+
+  /** Node set implied by an edge set. */
+  def nodesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+
+  /** A13 (reference summary_str: nodes/edges/citations/components/density,
+    * published per-source in docstrings e.g. intact.py:174-191). Returns a
+    * single-row DataFrame. Density = E / (V * (V - 1)) for a digraph. */
+  def stats(edges: DataFrame, withComponents: Boolean = false): DataFrame = {
+    val e = edges.cache()
+    val nodes = nodesOf(e).cache()
+    val v = nodes.count().toDouble
+    val nEdges = e.count()
+    val nCitations =
+      if (e.columns.contains("citation"))
+        e.select("citation").na.drop().distinct().count()
+      else 0L
+    val density = if (v > 1) nEdges / (v * (v - 1)) else 0.0
+    val nComponents =
+      if (withComponents)
+        ConnectedComponents.run(
+          e.select(col("src"), col("dst")))
+          .select("component").distinct().count()
+      else -1L
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((v.toLong, nEdges, nCitations, nComponents, density))
+      .toDF("nodes", "edges", "citations", "components", "density")
+  }
+
+  /** K8 (reference bel_manager.py:145-162): edge-list export — enumerate
+    * sorted nodes to a dense index, then rewrite edges as index pairs.
+    * `row_number` over a global sort: acceptable because node dimensions
+    * are small relative to edges; for larger node sets switch to
+    * `zipWithIndex` (no single-partition window). */
+  def indexedEdgeList(edges: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = nodesOf(edges)
+      .withColumn("node_index",
+        row_number().over(Window.orderBy(col("node"))) - 1)
+    val el = edges.alias("e")
+      .join(idx.alias("s"), col("e.src") === col("s.node"))
+      .join(idx.alias("d"), col("e.dst") === col("d.node"))
+      .select(col("s.node_index").as("src_index"),
+        col("d.node_index").as("dst_index"))
+    (idx, el)
+  }
+
+  /** K9 (reference io/automate.py:30-46): triples export shape. */
+  def triples(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("head"), col("relation"), col("dst").as("tail"))
+}

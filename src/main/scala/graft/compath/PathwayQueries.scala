@@ -1,0 +1,141 @@
+package graft.compath
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A pathway-style store: three conformed DataFrames.
+  *
+  *  - pathways(pathway_id: long, identifier: string, name: string)
+  *  - proteins(protein_id: long, hgnc_id: string, hgnc_symbol: string)
+  *  - membership(pathway_id: long, protein_id: long)   // M:N
+  *
+  * Mirrors the reference's ComPath schema contract (reference
+  * compath/mixins.py:21-85, sources/pid.py:217-256).
+  */
+final case class PathwayStore(pathways: DataFrame, proteins: DataFrame,
+                              membership: DataFrame)
+
+/** The ComPath query surface (reference compath/manager.py), re-expressed
+  * set-level: every per-row ORM loop in the reference (flagged "terribly
+  * inefficient" at compath/manager.py:196) becomes one declarative plan that
+  * Catalyst can broadcast / push down / reorder.
+  *
+  * Scale notes (100 TB design point): `pathways` and `proteins` are
+  * dimension-sized (≤ millions of rows) and always broadcastable;
+  * `membership` is the fact table and all heavy operators below shuffle it
+  * at most once, on `pathway_id`.
+  */
+final class PathwayQueries(val store: PathwayStore) {
+  import store._
+
+  // --- P-series: filters ---------------------------------------------------
+
+  /** P2 (reference compath/manager.py:238-245): unique fetch with the
+    * one-or-none contract — >1 match is an error, 0 matches is None. */
+  def getPathwayById(identifier: String): Option[org.apache.spark.sql.Row] = {
+    val rows = pathways.filter(col("identifier") === identifier).limit(2).collect()
+    require(rows.length <= 1, s"multiple pathways for identifier=$identifier")
+    rows.headOption
+  }
+
+  /** P3 (reference compath/manager.py:247-254): all pathways named `name`. */
+  def getPathwaysByName(name: String): DataFrame =
+    pathways.filter(col("name") === name)
+
+  /** P4 (reference compath/manager.py:122-137): IN-list protein fetch.
+    * For query sets beyond a few thousand symbols callers should use
+    * [[proteinsBySymbolDf]] (semi-join) instead of an IN literal. */
+  def proteinsByHgncSymbols(symbols: Seq[String]): DataFrame =
+    proteins.filter(col("hgnc_symbol").isin(symbols: _*))
+
+  /** Large-query variant: left-semi join against a query DataFrame. */
+  def proteinsBySymbolDf(symbols: DataFrame): DataFrame =
+    proteins.join(broadcast(symbols),
+      proteins("hgnc_symbol") === symbols(symbols.columns.head), "left_semi")
+
+  /** P5 (reference compath/manager.py:139-153): disjunctive substring
+    * search over proteins, with LIMIT pushdown. */
+  def searchProteins(q: String, limit: Int = 100): DataFrame =
+    proteins.filter(col("hgnc_symbol").contains(q) || col("hgnc_id").contains(q))
+      .limit(limit)
+
+  /** P6 (reference compath/manager.py:155-169): case-insensitive pathway
+    * search (ILIKE) OR identifier contains. */
+  def searchPathways(q: String, limit: Int = 100): DataFrame =
+    pathways.filter(
+      lower(col("name")).contains(q.toLowerCase) || col("identifier").contains(q))
+      .limit(limit)
+
+  // --- J-series: joins -----------------------------------------------------
+
+  /** J1 (reference compath/manager.py:289-301): pathway ⋈ membership ⋈
+    * protein, projecting one pathway col and one protein col. The dims
+    * broadcast; membership shuffles at most once. */
+  def pathwayToProtein(pathwayCol: String = "identifier",
+                       proteinCol: String = "hgnc_symbol"): DataFrame =
+    membership
+      .join(broadcast(pathways), "pathway_id")
+      .join(broadcast(proteins), "protein_id")
+      .filter(col(proteinCol).isNotNull)             // P7 (manager.py:294-301)
+      .select(col(pathwayCol), col(proteinCol))
+
+  // --- A-series: aggregations ---------------------------------------------
+
+  /** A8 (reference compath/manager.py:273-292): pathway → sorted distinct
+    * gene set, as an array column (deterministic order for oracles). */
+  def geneSets(): DataFrame =
+    pathwayToProtein().groupBy("identifier")
+      .agg(sort_array(collect_set(col("hgnc_symbol"))).as("gene_set"))
+
+  /** A9 (reference compath/manager.py:264-271): all distinct gene symbols. */
+  def allHgncSymbols(): DataFrame =
+    pathwayToProtein().select("hgnc_symbol").distinct()
+
+  /** A4 (reference compath/manager.py:303-315): pathway sizes with
+    * HAVING count > 0 (inner join makes the HAVING implicit; kept
+    * explicit for parity). */
+  def pathwaySizes(): DataFrame =
+    membership.groupBy("pathway_id")
+      .agg(countDistinct("protein_id").as("pathway_size"))
+      .filter(col("pathway_size") > 0)
+
+  /** A5 (reference compath/manager.py:317-333): protein degree — number of
+    * pathways each protein participates in. */
+  def geneDegrees(): DataFrame =
+    membership.groupBy("protein_id")
+      .agg(countDistinct("pathway_id").as("n_pathways"))
+      .filter(col("n_pathways") > 0)
+
+  /** A6 — the flagship enrichment query (reference
+    * compath/manager.py:203-236, `query_hgnc_symbols`). The reference runs
+    * an N+1 loop (one SQL query per matched pathway); here it is ONE job:
+    * semi-join matched proteins into membership, aggregate per pathway,
+    * join pathway sizes. Returns
+    * (pathway_id, identifier, name, mapped_proteins, pathway_size). */
+  def enrich(symbols: Seq[String]): DataFrame = {
+    val matched = proteinsByHgncSymbols(symbols).select("protein_id")
+    val perPathway = membership
+      .join(broadcast(matched), "protein_id")
+      .groupBy("pathway_id")
+      .agg(countDistinct("protein_id").as("mapped_proteins"))
+    perPathway
+      .join(pathwaySizes(), "pathway_id")
+      .join(broadcast(pathways), "pathway_id")
+      .select(col("pathway_id"), col("identifier"), col("name"),
+        col("mapped_proteins"), col("pathway_size"))
+  }
+
+  // --- G7: BEL export ------------------------------------------------------
+
+  /** G7 (reference compath/mixins.py:48-62, manager.py:384-394): one
+    * `partOf` edge per (protein, pathway) membership row. */
+  def toBelEdges(namespace: String): DataFrame =
+    membership
+      .join(broadcast(pathways), "pathway_id")
+      .join(broadcast(proteins), "protein_id")
+      .select(
+        concat(lit("hgnc:"), col("hgnc_symbol")).as("src"),
+        lit("partOf").as("relation"),
+        concat(lit(s"$namespace:"), col("identifier")).as("dst"))
+      .distinct()
+}

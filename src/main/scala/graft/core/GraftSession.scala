@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Design point is a 1000-executor cluster over ~100 TB; local[N] is only the
+  * test harness. Shuffle partitions default to the local core count (32 in the
+  * harness) instead of Spark's 200; on a real cluster this is overridden by
+  * AQE coalescing, which we leave enabled.
+  */
+object GraftSession {
+
+  def local(cores: Int = 32): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+
+  /** Apply the engine's standard config to any builder (cluster or local). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // permissive eval: engine semantics are null-on-miss (the reference's
+      // grounding functions return None on unmapped input, not errors)
+      .config("spark.sql.ansi.enabled", "false")
+      // mapping dimensions (xref tables, ~45k-row HGNC-scale) must broadcast
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // the events table carries TIMESTAMP(NANOS) which Spark only reads as
+      // long nanos; Tables.events re-derives a proper timestamp column
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

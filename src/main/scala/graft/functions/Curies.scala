@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CURIE / identifier surgery — the reference's per-row "expression library"
+  * (SURVEY §2.8), re-expressed as pure codegen'd Column chains (no UDFs:
+  * every function here composes `org.apache.spark.sql.functions`, so
+  * whole-stage codegen and predicate pushdown survive).
+  *
+  * Null semantics match the reference: unmapped / malformed input yields
+  * null, never an error (reference intact.py:458-510 returns None+warn).
+  */
+object Curies {
+
+  /** F1/F2 (reference intact.py:408-433): split a pipe-delimited list,
+    * trim, return the first token carrying `prefix` — or null. */
+  def firstWithPrefix(c: Column, prefix: String): Column =
+    get(filter(transform(split(c, "\\|"), t => trim(t)),
+      t => t.startsWith(prefix)), lit(0))
+
+  /** The identifier part of the first `prefix:`-token (e.g. pmid). */
+  def firstIdWithPrefix(c: Column, prefix: String): Column =
+    regexp_replace(firstWithPrefix(c, prefix), "^" + prefix, "")
+
+  /** CURIE prefix: text before the first ':' (null if no colon). */
+  def curiePrefix(c: Column): Column = {
+    val p = regexp_extract(c, "^([^:]*):(.*)$", 1)
+    when(p === "", null).otherwise(p)
+  }
+
+  /** CURIE local identifier: text after the first ':' (null if no colon). */
+  def curieIdentifier(c: Column): Column = {
+    val m = regexp_extract(c, "^([^:]*):(.*)$", 2)
+    when(curiePrefix(c).isNull, null).otherwise(m)
+  }
+
+  /** Strip surrounding double quotes (chebi CURIEs arrive quoted:
+    * `chebi:"CHEBI:15996"`, reference intact.py:472-479). */
+  def unquote(c: Column): Column = regexp_replace(c, "^\"|\"$", "")
+
+  /** F5 (reference biogrid.py:176-196): pipe-list of CURIEs → array of
+    * [prefix, identifier] structs, dropping malformed members. */
+  def xrefList(c: Column): Column =
+    filter(
+      transform(split(c, "\\|"),
+        t => struct(curiePrefix(trim(t)).as("prefix"),
+                    curieIdentifier(trim(t)).as("identifier"))),
+      s => s.getField("prefix").isNotNull)
+
+  /** F7 (reference intact.py:633-634): collapse internal whitespace. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** F11 (reference compath/mixins.py:43-46): identifiers.org URL. */
+  def identifiersOrgUrl(prefix: Column, identifier: Column): Column =
+    concat(lit("https://identifiers.org/"), prefix, lit(":"), identifier)
+
+  /** F10: strip a literal prefix if present, else pass through. */
+  def stripPrefix(c: Column, prefix: String): Column =
+    when(c.startsWith(prefix), c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
+}

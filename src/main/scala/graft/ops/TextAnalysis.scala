@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * `functions._` chains — codegen'd, no UDFs, fully pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish pre-token count: letter runs, digit runs, and single
+    * non-alphanumeric marks (the GPT-2-style pre-tokenizer shape). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Canonical whitespace-collapsed lowercase form used for fingerprints
+    * and exact dedup. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Document fingerprint: md5 of the normalized text (hex string —
+    * byte-identical across engines, so oracle-checkable). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling fingerprint (xxhash64 of normalized text) — cheaper
+    * join key than the hex md5 at 100 TB scale. */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Marker-word languages for the n-gram/stopword heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    words.map(w => size(regexp_extract_all(text, lit(s"\\b${w}\\b"), lit(0))))
+      .reduce(_ + _)
+
+  /** Language-ID heuristic: score = stopword-marker hit count per language;
+    * returns the argmax language, 'und' when nothing matched. Deterministic
+    * tie-break: higher score wins, then lexicographic language code. */
+  def langId(text: Column): Column = {
+    // argmax over (score, rank) structs; rank negated so that on score ties
+    // the lexicographically-first language code wins.
+    val ranked = langMarkers.keys.toSeq.sorted.zipWithIndex.toMap
+    val scored2 = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(markerHits(text, words).as("score"),
+        lit(-ranked(lang)).as("rank"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored2: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics (length / punctuation / stopword ratios — the
+    * classic pre-training quality signals), rounded for stability. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = length(t)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_measured", nChar)
+      .withColumn("mean_token_len",
+        round(nChar.cast("double") / nullif(nTok, lit(0)).cast("double"), 3))
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0)))
+          .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
+      .withColumn("stopword_ratio",
+        round(markerHits(t, langMarkers("en")).cast("double") /
+          nullif(nTok, lit(0)).cast("double"), 4))
+      .withColumn("alpha_ratio",
+        round(size(regexp_extract_all(t, lit("[A-Za-z]"), lit(0)))
+          .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
+  }
+
+  /** Word n-gram shingles (sorted distinct) — the dedup/Jaccard substrate. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(normalized(text), " ")
+    val count = size(words)
+    array_sort(array_distinct(
+      when(count < n, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(0), count - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))))
+  }
+}
