@@ -1,0 +1,670 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bel.{ConnectedComponents, Graph}
+import graft.compath.{PathwayQueries, PathwayStore}
+import graft.core.Tables
+import graft.functions.Curies
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** The driver-harness query registry: one entry per implemented operator
+  * from SURVEY.md §2 (+ the LLM-pipeline operators), each shaped over the
+  * `/root/testdata/sf*` tables with a DuckDB-equivalent oracle.
+  *
+  * Conventions (driver contract):
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the oracle SQL (the driver sorts columns by name before hashing);
+  *  - row order is irrelevant (driver sorts rows), but LIMIT-style queries
+  *    order on a unique key first so the *row set* is deterministic;
+  *  - doubles appear only where both engines produce bit-identical values:
+  *    exact integer-valued sums, min/max, single divisions of exact longs,
+  *    or sums of 2-decimal values rounded back to 2 decimals;
+  *  - timestamps are exported as formatted strings.
+  */
+object Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The ComPath store conformed over the TPC-H-ish tables:
+    * pathways ≙ part, proteins ≙ supplier, membership ≙ lineitem — a
+    * genuine M:N (each part ships from many suppliers and vice versa). */
+  def pathwayStore(s: SparkSession, dir: String): PathwayStore = PathwayStore(
+    pathways = t(s, dir, "part").select(
+      col("p_partkey").as("pathway_id"),
+      col("p_partkey").cast("string").as("identifier"),
+      col("p_name").as("name")),
+    proteins = t(s, dir, "supplier").select(
+      col("s_suppkey").as("protein_id"),
+      concat(lit("HGNC:"), col("s_suppkey")).as("hgnc_id"),
+      col("s_name").as("hgnc_symbol")),
+    membership = t(s, dir, "lineitem").select(
+      col("l_partkey").as("pathway_id"),
+      col("l_suppkey").as("protein_id")))
+
+  private def pq(s: SparkSession, dir: String) =
+    new PathwayQueries(pathwayStore(s, dir))
+
+  /** Flagship enrichment symbol set (supplier names; deterministic). */
+  val enrichSymbols: Seq[String] =
+    Seq(3, 7, 11, 19, 23, 42, 57, 64, 88, 91).map(i => f"Supplier#$i%09d")
+  private val enrichSymbolsSql = enrichSymbols.map(x => s"'$x'").mkString(", ")
+
+  /** BEL-style qualified edge set derived from lineitem: one edge per
+    * (part, supplier) interaction with a synthetic citation and a
+    * one-entry annotations map. */
+  private def belEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      concat(lit("p:"), col("l_partkey")).as("src"),
+      concat(lit("s:"), col("l_suppkey")).as("dst"),
+      lit("interacts").as("relation"),
+      concat(lit("pubmed:"), pmod(col("l_orderkey"), lit(1000))).as("citation"),
+      lit(null).cast("string").as("evidence"),
+      map(lit("flag"), col("l_returnflag")).as("annotations"))
+
+  // ==========================================================================
+  // Spark-side query plans
+  // ==========================================================================
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // --- P-series: projections / filters -----------------------------------
+    "p1_projection" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name")),
+    "p2_point_lookup" -> ((s, d) =>
+      t(s, d, "region").filter(col("r_regionkey") === 2).select("r_name")),
+    "p3_eq_filter" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_custkey")),
+    "p4_in_list" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")),
+    "p5_substring_or" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").contains("ring") || col("p_brand").contains("#1"))
+        .select("p_partkey", "p_name", "p_brand")),
+    "p6_ci_search" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(lower(col("p_name")).contains("ring") ||
+          col("p_type").contains("ECO"))
+        .select("p_partkey", "p_name", "p_type")),
+    "p7_notnull" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderdate").isNotNull)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+    "p9_anti_membership" -> ((s, d) =>
+      t(s, d, "part").filter(!col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey", "p_type")),
+    "p11_substr_exclusion" -> ((s, d) =>
+      t(s, d, "part").filter(!col("p_name").contains("box"))
+        .select("p_partkey", "p_name")),
+    "p12_class_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")),
+    "p13_prefix_filter" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_name").startsWith("Customer#00000001") &&
+          col("c_nationkey") === 9)
+        .select("c_custkey", "c_name")),
+
+    // --- J-series: joins ---------------------------------------------------
+    "j1_pathway_protein" -> ((s, d) =>
+      pq(s, d).pathwayToProtein("name", "hgnc_symbol")
+        .toDF("pathway", "protein")),
+    "j3_broadcast_lookup" -> ((s, d) =>
+      t(s, d, "orders").alias("o")
+        .join(broadcast(t(s, d, "customer").alias("c")),
+          col("o.o_custkey") === col("c.c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_mktsegment"))),
+    "j4_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "j5_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+    "j7_edge_index" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      Graph.indexedEdgeList(edges)._2
+    }),
+    "o4_node_index" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      Graph.indexedEdgeList(edges)._1
+    }),
+
+    // --- A-series: aggregations --------------------------------------------
+    "a1_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+    "a2_summarize" -> ((s, d) =>
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem")
+        .map(n => t(s, d, n).agg(count(lit(1)).as("n"))
+          .select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _)),
+    "a3_relation_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))
+        .unionByName(t(s, d, "orders").agg(count(lit(1)).as("n")))
+        .agg(sum("n").as("n_edges"))),
+    "a4_sizes_having" -> ((s, d) =>
+      pq(s, d).pathwaySizes().filter(col("pathway_size") > 3)),
+    "a5_degrees" -> ((s, d) => pq(s, d).geneDegrees()),
+    "a6_enrich" -> ((s, d) => pq(s, d).enrich(enrichSymbols)),
+    "a6_enrich_str" -> ((s, d) =>
+      pq(s, d).enrich(enrichSymbols)
+        .withColumn("gene_set", concat_ws(",", col("gene_set")))),
+    "a8_gene_sets" -> ((s, d) =>
+      pq(s, d).geneSets()
+        .withColumn("gene_set", concat_ws(",", col("gene_set")))),
+    "a9_distinct_symbols" -> ((s, d) => pq(s, d).allHgncSymbols()),
+    "a13_graph_stats" -> ((s, d) =>
+      Graph.stats(belEdges(s, d), withComponents = true)),
+    "a13_components" -> ((s, d) => {
+      // Component labels are internal hashes; canonicalize to the min node
+      // string per component so the oracle can reproduce them.
+      val edges = t(s, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"))
+      val cc = ConnectedComponents.run(edges)
+      val canon = cc.groupBy("component").agg(min("node").as("comp"))
+      cc.join(canon, "component").select("node", "comp")
+    }),
+    "a14_content_hash" -> ((s, d) =>
+      t(s, d, "supplier")
+        .agg(md5(concat_ws("|",
+          sort_array(collect_list(concat(col("s_name"), lit(":"),
+            col("s_nationkey")))))).as("ns_hash"))),
+    "g8_edge_identity" -> ((s, d) =>
+      Graph.dedupEdges(belEdges(s, d)).agg(count(lit(1)).as("n_edges"))),
+
+    // --- O-series: sorts / limits ------------------------------------------
+    "o1_sort_desc" -> ((s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id").asc).limit(50)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))),
+    "o2_top1" -> ((s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id").asc).limit(1)
+        .select(col("event_id"), col("event_type"))),
+    "o3_limit_search" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_name").contains("ring"))
+        .orderBy("p_partkey").limit(10)
+        .select("p_partkey", "p_name")),
+
+    // --- U1: union with provenance -----------------------------------------
+    "u1_union_sources" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(
+        lit("lineitem").as("source"),
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      val b = t(s, d, "orders").select(
+        lit("orders").as("source"),
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      a.unionByName(b).groupBy("source").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- F-series: scalar functions ----------------------------------------
+    "f1_first_prefix" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        Curies.firstWithPrefix(
+          concat_ws("|", col("c_mktsegment"),
+            concat(lit(" pubmed:"), col("c_custkey")), col("c_name")),
+          "pubmed:").as("pmid"))),
+    "f2_first_id" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        Curies.firstIdWithPrefix(
+          concat_ws("|", col("c_name"),
+            concat(lit("intact-miscore:0."), pmod(col("c_custkey"), lit(100)))),
+          "intact-miscore:").as("score"))),
+    "f5_xref_list" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+          explode(Curies.xrefList(concat_ws("|",
+            concat(lit("hgnc:"), col("c_custkey")),
+            col("c_name"),
+            concat(lit("uniprot:U"), col("c_nationkey"))))).as("x"))
+        .select(col("c_custkey"), col("x.prefix").as("prefix"),
+          col("x.identifier").as("identifier"))),
+    "f6_pmid_strict" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(3)) === 0,
+            concat(lit("pubmed:"), col("c_custkey")))
+            .otherwise(concat(lit("doi:"), col("c_custkey"))).as("raw"))
+        .filter(col("raw").startsWith("pubmed:"))
+        .select(col("c_custkey"),
+          Curies.stripPrefix(col("raw"), "pubmed:").as("pmid"))),
+    "f7_normalize_ws" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "f10_strip_prefix" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        Curies.stripPrefix(col("c_name"), "Customer#").as("stripped"))),
+    "f11_identifiers_url" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey"),
+        Curies.identifiersOrgUrl(lit("nation"), col("n_name")).as("url"))),
+
+    // --- Text analysis over documents --------------------------------------
+    "t_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+    "t_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "t_quality" -> ((s, d) =>
+      TextAnalysis.qualityMetrics(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+          "stopword_ratio", "alpha_ratio")),
+
+    // --- Dedup over documents ----------------------------------------------
+    "d_exact_dedup" -> ((s, d) =>
+      Dedup.exactSurvivors(t(s, d, "documents"))),
+    "d_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.8)),
+    "d_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashPairs(t(s, d, "documents"), n = 3, threshold = 0.8)),
+    "d_simhash" -> ((s, d) =>
+      // no oracle (engine-specific xxhash64) — rows-only check
+      t(s, d, "documents").select(col("doc_id"),
+        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("simhash"))),
+
+    // --- Similarity over embeddings ----------------------------------------
+    "s_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queriesDf, k = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+    "s_lsh_topk" -> ((s, d) => {
+      // no oracle (approximate by design) — rows-only check
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queriesDf, k = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // --- Events: windowed aggregation (batch shape of the stream op) -------
+    "w_tumbling_hour" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"))))
+
+  // ==========================================================================
+  // DuckDB oracles
+  // ==========================================================================
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Shingle CTEs shared by the dedup oracles (word 3-gram, sorted distinct
+    * — mirrors TextAnalysis.wordShingles). */
+  private val shingleCte =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $normSql AS t FROM documents
+       |), words AS (
+       |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |         ELSE list_distinct(list_transform(range(len(w) - 2),
+       |                i -> array_to_string(w[i+1:i+3], ' ')))
+       |    END AS s
+       |  FROM words
+       |), ex AS (
+       |  SELECT doc_id, unnest(s) AS shingle FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+       |)""".stripMargin
+
+  private val jaccardSql =
+    s"""$shingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.8
+       |""".stripMargin
+
+  /** Language-ID oracle: per-language marker scores, argmax with the same
+    * tie-break as TextAnalysis.langId (higher score, then lexicographically
+    * first language code — the CASE checks languages in sorted order). */
+  private val langIdSql: String = {
+    def hits(words: Seq[String]): String =
+      words.map { w =>
+        if (w.exists(_ > '⹿'))
+          s"len(regexp_extract_all(text, '$w'))"
+        else
+          s"len(regexp_extract_all(text, '\\b$w\\b'))"
+      }.mkString(" + ")
+    val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      .map { case (lang, ws) => s"${hits(ws)} AS s_$lang" }
+      .mkString(",\n    ")
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, $scores FROM documents
+       |), m AS (
+       |  SELECT doc_id, $best AS m, * FROM scored
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred
+       |FROM m
+       |""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_projection" -> "SELECT c_custkey, c_name FROM customer",
+    "p2_point_lookup" -> "SELECT r_name FROM region WHERE r_regionkey = 2",
+    "p3_eq_filter" ->
+      "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P'",
+    "p4_in_list" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+    "p5_substring_or" ->
+      ("SELECT p_partkey, p_name, p_brand FROM part " +
+        "WHERE contains(p_name, 'ring') OR contains(p_brand, '#1')"),
+    "p6_ci_search" ->
+      ("SELECT p_partkey, p_name, p_type FROM part " +
+        "WHERE contains(lower(p_name), 'ring') OR contains(p_type, 'ECO')"),
+    "p7_notnull" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "WHERE o_orderdate IS NOT NULL GROUP BY o_orderstatus"),
+    "p9_anti_membership" ->
+      ("SELECT p_partkey, p_type FROM part " +
+        "WHERE p_type NOT IN ('PROMO', 'ECONOMY')"),
+    "p11_substr_exclusion" ->
+      "SELECT p_partkey, p_name FROM part WHERE NOT contains(p_name, 'box')",
+    "p12_class_filter" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    "p13_prefix_filter" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE starts_with(c_name, 'Customer#00000001') AND c_nationkey = 9"),
+
+    "j1_pathway_protein" ->
+      ("SELECT p_name AS pathway, s_name AS protein FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey"),
+    "j3_broadcast_lookup" ->
+      ("SELECT o_orderkey, c_mktsegment FROM orders " +
+        "LEFT JOIN customer ON o_custkey = c_custkey"),
+    "j4_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+    "j5_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    "j7_edge_index" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), idx AS (
+        |  SELECT node, row_number() OVER (ORDER BY node) - 1 AS node_index
+        |  FROM nodes
+        |)
+        |SELECT s.node_index AS src_index, d.node_index AS dst_index
+        |FROM edges JOIN idx s ON edges.src = s.node
+        |JOIN idx d ON edges.dst = d.node
+        |""".stripMargin,
+    "o4_node_index" ->
+      """WITH edges AS (
+        |  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |)
+        |SELECT node, row_number() OVER (ORDER BY node) - 1 AS node_index
+        |FROM nodes
+        |""".stripMargin,
+
+    "a1_count" -> "SELECT count(*) AS n FROM lineitem",
+    "a2_summarize" ->
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem")
+        .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
+        .mkString(" UNION ALL "),
+    "a3_relation_count" ->
+      ("SELECT sum(n) AS n_edges FROM (SELECT count(*) AS n FROM lineitem " +
+        "UNION ALL SELECT count(*) AS n FROM orders)"),
+    "a4_sizes_having" ->
+      ("SELECT l_partkey AS pathway_id, " +
+        "count(DISTINCT l_suppkey) AS pathway_size FROM lineitem " +
+        "GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) > 3"),
+    "a5_degrees" ->
+      ("SELECT l_suppkey AS protein_id, " +
+        "count(DISTINCT l_partkey) AS n_pathways FROM lineitem " +
+        "GROUP BY l_suppkey HAVING count(DISTINCT l_partkey) > 0"),
+    "a6_enrich" -> enrichOracle(asString = false),
+    "a6_enrich_str" -> enrichOracle(asString = true),
+    "a8_gene_sets" ->
+      ("SELECT CAST(l_partkey AS VARCHAR) AS identifier, " +
+        "array_to_string(list_sort(list(DISTINCT s_name)), ',') AS gene_set " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY l_partkey"),
+    "a9_distinct_symbols" ->
+      ("SELECT DISTINCT s_name AS hgnc_symbol FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey"),
+    "a13_graph_stats" ->
+      """WITH edges AS (
+        |  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst,
+        |         'pubmed:' || (l_orderkey % 1000) AS citation
+        |  FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM edges
+        |    UNION SELECT dst AS u, src AS v FROM edges)
+        |  WHERE u <> v
+        |), vertices AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), cc AS (
+        |  WITH RECURSIVE walk(n, comp) AS (
+        |    SELECT node, node FROM vertices
+        |    UNION
+        |    SELECT e.v, walk.comp FROM walk JOIN und e ON walk.n = e.u
+        |  )
+        |  SELECT n, min(comp) AS comp FROM walk GROUP BY n
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM vertices) AS nodes,
+        |  (SELECT count(*) FROM edges) AS edges,
+        |  (SELECT count(DISTINCT citation) FROM edges) AS citations,
+        |  (SELECT count(DISTINCT comp) FROM cc) AS components,
+        |  CAST((SELECT count(*) FROM edges) AS DOUBLE) /
+        |    (CAST((SELECT count(*) FROM vertices) AS DOUBLE) *
+        |     (CAST((SELECT count(*) FROM vertices) AS DOUBLE) - 1))
+        |    AS density
+        |""".stripMargin,
+    "a13_components" ->
+      """WITH edges AS (
+        |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
+        |  FROM supplier
+        |), und AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM edges
+        |    UNION SELECT dst AS u, src AS v FROM edges)
+        |  WHERE u <> v
+        |), vertices AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), walk AS (
+        |  WITH RECURSIVE walk(n, comp) AS (
+        |    SELECT node, node FROM vertices
+        |    UNION
+        |    SELECT e.v, walk.comp FROM walk JOIN und e ON walk.n = e.u
+        |  )
+        |  SELECT n, comp FROM walk
+        |)
+        |SELECT n AS node, min(comp) AS comp FROM walk GROUP BY n
+        |""".stripMargin,
+    "a14_content_hash" ->
+      ("SELECT md5(array_to_string(list_sort(" +
+        "list(s_name || ':' || s_nationkey)), '|')) AS ns_hash FROM supplier"),
+    "g8_edge_identity" ->
+      ("SELECT count(*) AS n_edges FROM (SELECT DISTINCT " +
+        "'p:' || l_partkey, 's:' || l_suppkey, " +
+        "'pubmed:' || (l_orderkey % 1000), l_returnflag FROM lineitem)"),
+
+    "o1_sort_desc" ->
+      ("SELECT event_id, event_type, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 50"),
+    "o2_top1" ->
+      ("SELECT event_id, event_type FROM events " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 1"),
+    "o3_limit_search" ->
+      ("SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'ring') " +
+        "ORDER BY p_partkey LIMIT 10"),
+
+    "u1_union_sources" ->
+      ("SELECT source, count(*) AS n FROM (" +
+        "SELECT 'lineitem' AS source FROM lineitem " +
+        "UNION ALL SELECT 'orders' AS source FROM orders) GROUP BY source"),
+
+    "f1_first_prefix" ->
+      ("SELECT c_custkey, list_filter(list_transform(" +
+        "string_split(c_mktsegment || '| pubmed:' || c_custkey || '|' || c_name, '|'), " +
+        "x -> trim(x)), x -> starts_with(x, 'pubmed:'))[1] AS pmid " +
+        "FROM customer"),
+    "f2_first_id" ->
+      ("SELECT c_custkey, regexp_replace(list_filter(list_transform(" +
+        "string_split(c_name || '|intact-miscore:0.' || (c_custkey % 100), '|'), " +
+        "x -> trim(x)), x -> starts_with(x, 'intact-miscore:'))[1], " +
+        "'^intact-miscore:', '') AS score FROM customer"),
+    "f5_xref_list" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    'hgnc:' || c_custkey || '|' || c_name || '|uniprot:U' || c_nationkey
+        |    AS xs
+        |  FROM customer
+        |), ex AS (
+        |  SELECT c_custkey,
+        |    unnest(list_filter(list_transform(string_split(xs, '|'),
+        |      x -> trim(x)), x -> regexp_matches(x, '^[^:]+:'))) AS x
+        |  FROM raw
+        |)
+        |SELECT c_custkey,
+        |  regexp_extract(x, '^([^:]*):(.*)$', 1) AS prefix,
+        |  regexp_extract(x, '^([^:]*):(.*)$', 2) AS identifier
+        |FROM ex
+        |""".stripMargin,
+    "f6_pmid_strict" ->
+      ("SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS pmid FROM customer " +
+        "WHERE c_custkey % 3 = 0"),
+    "f7_normalize_ws" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "f10_strip_prefix" ->
+      ("SELECT c_custkey, CASE WHEN starts_with(c_name, 'Customer#') " +
+        "THEN substr(c_name, 10) ELSE c_name END AS stripped FROM customer"),
+    "f11_identifiers_url" ->
+      ("SELECT n_nationkey, 'https://identifiers.org/nation:' || n_name " +
+        "AS url FROM nation"),
+
+    "t_token_count" ->
+      ("SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) " +
+        "AS n_bpe FROM documents"),
+    "t_lang_id" -> langIdSql,
+    "t_quality" ->
+      ("SELECT doc_id, n_tokens, " +
+        "round(CAST(n_chars_m AS DOUBLE) / nullif(n_tokens, 0), 3) AS mean_token_len, " +
+        "round(CAST(n_punct AS DOUBLE) / nullif(n_chars_m, 0), 4) AS punct_ratio, " +
+        "round(CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio, " +
+        "round(CAST(n_alpha AS DOUBLE) / nullif(n_chars_m, 0), 4) AS alpha_ratio " +
+        "FROM (SELECT doc_id, " +
+        "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+        "len(text) AS n_chars_m, " +
+        "len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct, " +
+        "len(regexp_extract_all(text, '\\bthe\\b')) + " +
+        "len(regexp_extract_all(text, '\\ba\\b')) + " +
+        "len(regexp_extract_all(text, '\\bof\\b')) + " +
+        "len(regexp_extract_all(text, '\\band\\b')) + " +
+        "len(regexp_extract_all(text, '\\bis\\b')) AS n_stop, " +
+        "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha " +
+        "FROM documents)"),
+
+    "d_exact_dedup" ->
+      (s"SELECT md5($normSql) AS fingerprint, min(doc_id) AS survivor_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+    "d_jaccard_pairs" -> jaccardSql,
+    "d_minhash_pairs" -> jaccardSql,
+
+    "s_brute_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id, cos_raw, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_raw DESC, id) AS BIGINT)
+        |    AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, id, round(cos_raw, 6) AS cosine FROM ranked
+        |WHERE rank <= 4
+        |""".stripMargin,
+
+    "w_tumbling_hour" ->
+      ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), " +
+        "'%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events " +
+        "GROUP BY 1, 2"))
+
+  private def enrichOracle(asString: Boolean): String = {
+    val geneSet =
+      if (asString)
+        "array_to_string(list_sort(list(DISTINCT s_name)), ',') AS gene_set"
+      else "list_sort(list(DISTINCT s_name)) AS gene_set"
+    s"""WITH matched AS (
+       |  SELECT s_suppkey FROM supplier WHERE s_name IN ($enrichSymbolsSql)
+       |), per AS (
+       |  SELECT l_partkey AS pid, count(DISTINCT l_suppkey) AS mapped_proteins
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM matched)
+       |  GROUP BY l_partkey
+       |), sets AS (
+       |  SELECT l_partkey AS pid, count(DISTINCT l_suppkey) AS pathway_size,
+       |    $geneSet
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY l_partkey
+       |)
+       |SELECT per.pid AS pathway_id, CAST(per.pid AS VARCHAR) AS identifier,
+       |  p_name AS name, mapped_proteins, pathway_size, gene_set
+       |FROM per
+       |JOIN sets ON per.pid = sets.pid
+       |JOIN part ON per.pid = p_partkey
+       |""".stripMargin
+  }
+}

@@ -5,57 +5,97 @@ import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge DataFrame — the one
   * genuinely iterative algorithm the engine needs (A13; the reference calls
-  * networkx on an in-memory graph, which caps out at single-machine scale).
+  * networkx `connected_components` on an in-memory graph, which caps out at
+  * single-machine scale).
   *
-  * Algorithm: iterative minimum-label propagation. Each node starts with
-  * label = xxhash64(node); every round each node takes the min label in its
-  * closed neighborhood; stop when no label changes. Rounds are O(graph
-  * diameter); each round is one shuffle on node id. `localCheckpoint`
-  * every round truncates lineage so 20-round runs don't blow up the plan
-  * (SURVEY §7.5).
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log n) rounds on any graph, vs O(diameter) for naive min-label
+  * propagation. Each round is two shuffles on node id. This is the same
+  * algorithm GraphFrames uses for its `connectedComponents`.
   *
-  * Edges are treated as undirected (matches networkx
-  * `connected_components` on the underlying undirected view).
+  * Nodes of any orderable type are first dictionary-encoded to longs via
+  * `xxhash64` (collision probability ~n²/2⁶⁴ — negligible below ~10⁹ nodes;
+  * at that scale switch the encoding to `zipWithIndex`).
+  *
+  * Edges are treated as undirected (matches networkx on the underlying
+  * undirected view). A node whose only edge is a self-loop is still emitted
+  * as a singleton component (networkx parity).
   */
 object ConnectedComponents {
 
-  /** edges(src, dst) of any orderable type → (node, component) where
-    * `component` is the min initial label of the node's component. */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-
-    // undirected adjacency, self-loops dropped, deduped once up front
-    val adj = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b"))
+  /** edges(src, dst) of any orderable type → (node, component). `component`
+    * is an opaque label, equal for all nodes of one component. */
+  def run(edges: DataFrame, maxIterations: Int = 30): DataFrame = {
+    // All nodes, including isolated / self-loop-only ones.
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
       .distinct()
+      .withColumn("id", xxhash64(col("node")))
       .persist()
+    nodes.count() // materialize before reusing in two branches
 
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("component", xxhash64(col("node")))
+    // Undirected long-id edge set, self-loops dropped.
+    var e = edges
+      .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
       .localCheckpoint(true)
 
-    var converged = false
+    var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label per node = min over neighbors' labels
-      val neighborMin = adj
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("component")).as("neighbor_component"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("neighbor_component"),
-            col("component"))).as("component"),
-          (col("neighbor_component") < col("component")).as("changed"))
+      // Large-star: for each node u, connect every strictly-larger neighbor
+      // to the minimum of N(u) ∪ {u}.
+      val nbrs = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val largeStar = nbrs
+        .groupBy("u")
+        .agg(collect_set(col("v")).as("ns"))
+        .select(col("u"),
+          least(col("u"), array_min(col("ns"))).as("m"),
+          filter(col("ns"), n => n > col("u")).as("bigger"))
+        .select(explode(col("bigger")).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // Small-star: orient edges large→small; connect every neighbor (and u
+      // itself) of each node u to the minimum of its ≤-neighborhood.
+      val oriented = largeStar.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smallStar = oriented
+        .groupBy("u")
+        .agg(array_min(collect_set(col("v"))).as("m"),
+          collect_set(col("v")).as("ns"))
+        .select(col("m"),
+          filter(array_union(col("ns"), array(col("u"))),
+            n => n =!= col("m")).as("others"))
+        .select(explode(col("others")).as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      val nChanged = updated.filter(col("changed")).count()
-      labels = updated.drop("changed")
-      converged = nChanged == 0
+
+      // Converged when the (canonical, deduped) edge set is unchanged.
+      val before = e
+      val changed = smallStar.exceptAll(before).isEmpty &&
+        before.exceptAll(smallStar).isEmpty
+      e = smallStar
+      converged = changed
       iter += 1
     }
-    adj.unpersist()
-    labels
+
+    // At the fixpoint the edge set is a union of stars rooted at each
+    // component's min id: (u=member, v=root). Nodes absent from any edge
+    // are their own root.
+    val roots = e.select(col("u").as("id"), col("v").as("root"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("root")))
+      .groupBy("id").agg(min("root").as("root"))
+    val out = nodes.join(roots, Seq("id"), "left")
+      .select(col("node"), coalesce(col("root"), col("id")).as("component"))
+    nodes.unpersist()
+    out
   }
 
   def componentCount(edges: DataFrame): Long =

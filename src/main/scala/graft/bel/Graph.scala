@@ -17,17 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Deterministic qualified-edge identity (G8). */
+  /** Deterministic qualified-edge identity (G8). The annotations map is
+    * part of the identity (BELGraph hashes the full qualified edge incl.
+    * annotations — two edges differing only in annotations are distinct);
+    * maps are unordered, so it is canonicalized to a sorted `k=v` list
+    * before hashing. */
   def edgeId(src: Column, dst: Column, relation: Column,
-             citation: Column, evidence: Column): Column =
+             citation: Column, evidence: Column,
+             annotations: Column = lit(null)): Column = {
+    val canonicalAnnotations = coalesce(
+      concat_ws("",
+        array_sort(transform(map_entries(annotations),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))),
+      lit(""))
     xxhash64(src, dst, relation, coalesce(citation, lit("")),
-      coalesce(evidence, lit("")))
+      coalesce(evidence, lit("")), canonicalAnnotations)
+  }
 
-  def withEdgeId(edges: DataFrame): DataFrame =
+  def withEdgeId(edges: DataFrame): DataFrame = {
+    def opt(c: String): Column =
+      if (edges.columns.contains(c)) col(c) else lit(null)
+    val ann =
+      if (edges.columns.contains("annotations")) col("annotations")
+      else lit(null).cast("map<string,string>")
     edges.withColumn("edge_id",
       edgeId(col("src"), col("dst"), col("relation"),
-        if (edges.columns.contains("citation")) col("citation") else lit(null),
-        if (edges.columns.contains("evidence")) col("evidence") else lit(null)))
+        opt("citation"), opt("evidence"), ann))
+  }
 
   /** BELGraph edge dedup: identical qualified edges collapse. */
   def dedupEdges(edges: DataFrame): DataFrame =
@@ -60,20 +76,32 @@ object Graph {
       else -1L
     val spark = edges.sparkSession
     import spark.implicits._
-    Seq((v.toLong, nEdges, nCitations, nComponents, density))
+    val out = Seq((v.toLong, nEdges, nCitations, nComponents, density))
       .toDF("nodes", "edges", "citations", "components", "density")
+    nodes.unpersist()
+    e.unpersist()
+    out
   }
 
   /** K8 (reference bel_manager.py:145-162): edge-list export — enumerate
     * sorted nodes to a dense index, then rewrite edges as index pairs.
-    * `row_number` over a global sort: acceptable because node dimensions
-    * are small relative to edges; for larger node sets switch to
-    * `zipWithIndex` (no single-partition window). */
+    * Indexing is `sortWithinPartitions` over a range-partitioned sort +
+    * `zipWithIndex` — a global total order WITHOUT the single-partition
+    * `Window.orderBy` exchange (which would funnel every node through one
+    * task at 10M+ nodes). */
   def indexedEdgeList(edges: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = nodesOf(edges)
-      .withColumn("node_index",
-        row_number().over(Window.orderBy(col("node"))) - 1)
+    val spark = edges.sparkSession
+    val nodes = nodesOf(edges)
+    // orderBy = range partition + local sort; zipWithIndex assigns globally
+    // contiguous indices per partition-prefix without collapsing to 1 task.
+    val idx = spark.createDataFrame(
+      nodes.orderBy("node").rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i)
+      },
+      org.apache.spark.sql.types.StructType(
+        nodes.schema.fields :+
+          org.apache.spark.sql.types.StructField("node_index",
+            org.apache.spark.sql.types.LongType, nullable = false)))
     val el = edges.alias("e")
       .join(idx.alias("s"), col("e.src") === col("s.node"))
       .join(idx.alias("d"), col("e.dst") === col("d.node"))

@@ -118,11 +118,20 @@ final class PathwayQueries(val store: PathwayStore) {
       .join(broadcast(matched), "protein_id")
       .groupBy("pathway_id")
       .agg(countDistinct("protein_id").as("mapped_proteins"))
+    // The reference returns the full gene set per matched pathway
+    // (compath/manager.py:228-234) — joined in as a sorted array so the
+    // result is deterministic and oracle-checkable.
+    val sets = membership
+      .join(broadcast(proteins), "protein_id")
+      .groupBy("pathway_id")
+      .agg(sort_array(collect_set(col("hgnc_symbol"))).as("gene_set"),
+        countDistinct("protein_id").as("pathway_size"))
+      .filter(col("pathway_size") > 0)
     perPathway
-      .join(pathwaySizes(), "pathway_id")
+      .join(sets, "pathway_id")
       .join(broadcast(pathways), "pathway_id")
       .select(col("pathway_id"), col("identifier"), col("name"),
-        col("mapped_proteins"), col("pathway_size"))
+        col("mapped_proteins"), col("pathway_size"), col("gene_set"))
   }
 
   // --- G7: BEL export ------------------------------------------------------

@@ -1,10 +1,26 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Filesystem helpers that follow the path *scheme* (file://, hdfs://,
+  * s3a://…) through Hadoop's FileSystem API — java.nio would silently only
+  * work on the local filesystem, at odds with the 100 TB design point. */
+private[core] object Fs {
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new HPath(path)
+    val f = fs(spark, path)
+    f.exists(p) && f.listStatus(p).nonEmpty
+  }
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new HPath(path), true)
+}
 
 /** Append-only provenance log, the engine's equivalent of the reference's
   * Action table (reference models.py:40-134): every populate / failed
@@ -29,27 +45,37 @@ final class ActionLog(spark: SparkSession, path: String) {
   def storePopulateFailed(resource: String): Unit = append(resource, PopulateFailed)
   def storeDrop(resource: String): Unit = append(resource, Drop)
 
+  private def existsLog: Boolean = Fs.exists(spark, path)
+
+  /** Schema'd empty frame so the no-log-yet path behaves identically to the
+    * populated path for callers that select/order by columns. */
+  private def emptyLog: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ActionLog.schema)
+
   /** All actions, newest first (reference models.py:116-123, `Action.ls`). */
   def ls(): DataFrame =
-    if (!Files.exists(Paths.get(path))) spark.emptyDataFrame
+    if (!existsLog) emptyLog
     else spark.read.parquet(path).orderBy(col("created").desc)
 
   /** Latest action for a resource — top-1 (reference models.py:8-17). */
   def last(resource: String): Option[(String, Timestamp)] =
-    if (!Files.exists(Paths.get(path))) None
-    else spark.read.parquet(path)
-      .filter(lower(col("resource")) === resource.toLowerCase)
-      .orderBy(col("created").desc).limit(1)
-      .collect().headOption.map(r => (r.getString(1), r.getTimestamp(2)))
+    ls().filter(lower(col("resource")) === resource.toLowerCase)
+      .limit(1)
+      .collect().headOption
+      .map(r => (r.getAs[String]("action"), r.getAs[Timestamp]("created")))
 
-  def count(): Long =
-    if (!Files.exists(Paths.get(path))) 0L else spark.read.parquet(path).count()
+  def count(): Long = ls().count()
 }
 
 object ActionLog {
   val Populate = "populate"
   val PopulateFailed = "populate_failed"
   val Drop = "drop"
+
+  val schema: StructType = StructType(Seq(
+    StructField("resource", StringType),
+    StructField("action", StringType),
+    StructField("created", TimestampType)))
 }
 
 /** A registered data source — the engine's equivalent of the reference's
@@ -88,10 +114,7 @@ final class SourceContext(val spark: SparkSession, warehouse: String, module: St
 
   val actions = new ActionLog(spark, s"$warehouse/_actions")
 
-  def exists(table: String): Boolean = {
-    val p = Paths.get(tablePath(table))
-    Files.exists(p) && Files.list(p).findFirst().isPresent
-  }
+  def exists(table: String): Boolean = Fs.exists(spark, tablePath(table))
 
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
@@ -114,13 +137,7 @@ final class SourceContext(val spark: SparkSession, warehouse: String, module: St
   /** Drop all tables of a source; appends a `drop` action (reference
     * abstract_manager.py:240-247). */
   def drop(source: Source): Unit = {
-    source.tables.foreach { t =>
-      val p = Paths.get(tablePath(t))
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
-    }
+    source.tables.foreach(t => Fs.delete(spark, tablePath(t)))
     actions.storeDrop(source.moduleName)
   }
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Exact dedup is one
+  * hash-groupBy; near-dup goes through an inverted index (explode shingles →
+  * equi-join on shingle / MinHash band bucket) so candidate generation is a
+  * shuffle on a key, never a cartesian product. Candidate verification
+  * (exact Jaccard) runs only on bucket-cohabiting pairs.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: one row per distinct normalized
+    * text, keeping the smallest id as survivor.
+    * Output: (fingerprint, survivor_id, n_copies). One shuffle. */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** (id, shingles) staging frame: sorted distinct word n-gram shingles. */
+  def shingled(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * explode → self-equi-join on shingle → per-pair intersection counts →
+    * Jaccard filter. Exact (not approximate), but the join fan-out is
+    * bounded by shingle-bucket co-occurrence, not |docs|².
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = shingled(docs, n, idCol, textCol)
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` min-values over the shingle set, hash
+    * family h_i(s) = xxhash64(i, s) — deterministic across executors, no
+    * RNG state to ship. Returns an array<long> column. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** MinHash-LSH near-dup pairs: signature → `bands` band keys → equi-join
+    * on (band, band_hash) buckets → exact-Jaccard verification of bucket
+    * cohabitants. With b bands of r rows, a pair of true Jaccard j collides
+    * with prob 1-(1-j^r)^b — at (b=32, r=3), j=0.7 pairs are caught with
+    * p > 1-1e-9, so post-verification output equals exact thresholding.
+    * Candidate generation is a shuffle on band keys; never all-pairs. */
+  def minHashPairs(docs: DataFrame, n: Int, threshold: Double,
+                   bands: Int = 32, rowsPerBand: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = shingled(docs, n, idCol, textCol)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    val banded = sig.select(col("id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit
+    * position weighted by presence, sign → bit. Near-dup candidates =
+    * fingerprints at small Hamming distance (callers bucket by rotations /
+    * bit-bands as with [[minHashPairs]]). */
+  def simHash(shingles: Column): Column = {
+    // One pass over the shingles: accumulate a 64-long vote vector (+1 when
+    // bit j of xxhash64(shingle) is set, else -1), then pack vote signs into
+    // a single long. Bit positions are unrolled statically (shiftright needs
+    // a literal shift), so the whole thing stays one codegen'd aggregate.
+    val votes = aggregate(shingles, array_repeat(lit(0L), 64),
+      (acc, s) => {
+        val h = xxhash64(s)
+        val bits = array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*)
+        zip_with(acc, bits, (a, b) => a + b)
+      })
+    aggregate(votes, lit(0L), (acc, v) =>
+      shiftleft(acc, 1).bitwiseOR(when(v >= 0, lit(1L)).otherwise(lit(0L))))
+  }
+}

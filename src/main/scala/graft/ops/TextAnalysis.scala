@@ -40,9 +40,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def markerHits(text: Column, words: Seq[String]): Column =
-    words.map(w => size(regexp_extract_all(text, lit(s"\\b${w}\\b"), lit(0))))
-      .reduce(_ + _)
+  /** Marker occurrence count. Latin-script markers are word-bounded; CJK
+    * markers use plain substring counts — Java's `\b` is `\w`-based and CJK
+    * codepoints are non-word chars, so `\b的\b` can never match in running
+    * Chinese text. */
+  private[graft] def markerHits(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      val pat = if (w.exists(_ > '⹿')) w else s"\\b${w}\\b"
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
 
   /** Language-ID heuristic: score = stopword-marker hit count per language;
     * returns the argmax language, 'und' when nothing matched. Deterministic
