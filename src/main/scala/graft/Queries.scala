@@ -183,6 +183,7 @@ object Queries {
         .agg(md5(concat_ws("|",
           sort_array(collect_list(concat(col("s_name"), lit(":"),
             col("s_nationkey")))))).as("ns_hash"))),
+    "g7_bel_edges" -> ((s, d) => pq(s, d).toBelEdges("graft")),
     "g8_edge_identity" -> ((s, d) =>
       Graph.dedupEdges(belEdges(s, d)).agg(count(lit(1)).as("n_edges"))),
 
@@ -526,6 +527,10 @@ object Queries {
     "a14_content_hash" ->
       ("SELECT md5(array_to_string(list_sort(" +
         "list(s_name || ':' || s_nationkey)), '|')) AS ns_hash FROM supplier"),
+    "g7_bel_edges" ->
+      ("SELECT DISTINCT 'hgnc:' || s_name AS src, 'partOf' AS relation, " +
+        "'graft:' || l_partkey AS dst FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey"),
     "g8_edge_identity" ->
       ("SELECT count(*) AS n_edges FROM (SELECT DISTINCT " +
         "'p:' || l_partkey, 's:' || l_suppkey, " +

@@ -142,6 +142,7 @@ final class PathwayQueries(val store: PathwayStore) {
     membership
       .join(broadcast(pathways), "pathway_id")
       .join(broadcast(proteins), "protein_id")
+      .filter(col("hgnc_symbol").isNotNull) // null-skip: compath/mixins.py:35-41
       .select(
         concat(lit("hgnc:"), col("hgnc_symbol")).as("src"),
         lit("partOf").as("relation"),

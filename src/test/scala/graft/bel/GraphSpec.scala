@@ -1,0 +1,95 @@
+package graft.bel
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(String, String)]): Map[String, Set[String]] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(String, Long)].collect()
+      .groupBy(_._2).map { case (_, ns) =>
+        val set = ns.map(_._1).toSet
+        set.min -> set
+      }
+
+  test("two components + isolated self-loop singleton (networkx parity)") {
+    val comps = components(Seq(
+      ("a", "b"), ("b", "c"),       // component {a,b,c}
+      ("d", "e"),                   // component {d,e}
+      ("f", "f")))                  // self-loop only -> singleton {f}
+    assert(comps === Map(
+      "a" -> Set("a", "b", "c"),
+      "d" -> Set("d", "e"),
+      "f" -> Set("f")))
+  }
+
+  test("long path graph converges (O(log n) rounds, not O(diameter))") {
+    val n = 64
+    val path = (0 until n - 1).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val comps = components(path)
+    assert(comps.size === 1)
+    assert(comps.head._2.size === n)
+  }
+
+  test("componentCount on a star + separate edge") {
+    val edges = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("x", "y"))
+    assert(ConnectedComponents.componentCount(edges.toDF("src", "dst")) === 2)
+  }
+}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    ("a", "b", "increases", "pubmed:1", "ev1", Map("cell" -> "hela")),
+    ("a", "b", "increases", "pubmed:1", "ev1", Map("cell" -> "hela")), // dup
+    ("a", "b", "increases", "pubmed:1", "ev1", Map("cell" -> "k562")), // diff ann
+    ("a", "b", "increases", "pubmed:2", "ev1", Map("cell" -> "hela")), // diff cit
+    ("b", "c", "decreases", "pubmed:1", null.asInstanceOf[String],
+      Map.empty[String, String])
+  ).toDF("src", "dst", "relation", "citation", "evidence", "annotations")
+
+  test("G8: edge identity includes annotations — exact dups collapse, " +
+    "annotation-differing edges survive") {
+    assert(Graph.dedupEdges(base).count() === 4)
+  }
+
+  test("G8: annotation key order does not change identity") {
+    val e1 = Seq(("a", "b", "r", "c", "e", Map("x" -> "1", "y" -> "2")))
+      .toDF("src", "dst", "relation", "citation", "evidence", "annotations")
+    val e2 = Seq(("a", "b", "r", "c", "e", Map("y" -> "2", "x" -> "1")))
+      .toDF("src", "dst", "relation", "citation", "evidence", "annotations")
+    val ids = Graph.withEdgeId(e1).select("edge_id").as[Long].head() ::
+      Graph.withEdgeId(e2).select("edge_id").as[Long].head() :: Nil
+    assert(ids.distinct.size === 1)
+  }
+
+  test("A13: stats shape — nodes/edges/citations/density") {
+    val s = Graph.stats(base, withComponents = true).collect().head
+    assert(s.getAs[Long]("nodes") === 3)
+    assert(s.getAs[Long]("edges") === 5)
+    assert(s.getAs[Long]("citations") === 2)
+    assert(s.getAs[Long]("components") === 1)
+    assert(math.abs(s.getAs[Double]("density") - 5.0 / 6.0) < 1e-12)
+  }
+
+  test("K8: indexed edge list assigns dense sorted indices, no " +
+    "single-partition window in the plan") {
+    val edges = Seq(("b", "c"), ("a", "b")).toDF("src", "dst")
+    val (idx, el) = Graph.indexedEdgeList(edges)
+    val nodeIdx = idx.as[(String, Long)].collect().toMap
+    assert(nodeIdx === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val pairs = el.as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (0L, 1L)))
+    val plan = el.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "edge-list indexing must not use a window")
+  }
+
+  test("K9: triples export shape") {
+    assert(Graph.triples(base).columns.toSeq === Seq("head", "relation", "tail"))
+    assert(Graph.triples(base).count() === 5)
+  }
+}

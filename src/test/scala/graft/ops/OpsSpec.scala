@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.get(0)
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(one("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) === 4)
+    assert(one("", TextAnalysis.tokenCount(col("text"))) === 0)
+    assert(one("  ", TextAnalysis.tokenCount(col("text"))) === 0)
+    // don't, 2x  -> [don]['][t][,][2][x] = 6
+    assert(one("don't, 2x", TextAnalysis.bpeTokenCount(col("text"))) === 6)
+  }
+
+  test("normalization + fingerprint are whitespace/case-insensitive") {
+    val a = one("Hello  World", TextAnalysis.fingerprint(col("text")))
+    val b = one(" hello world ", TextAnalysis.fingerprint(col("text")))
+    val c = one("hello worlds", TextAnalysis.fingerprint(col("text")))
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("langId: latin languages via word-bounded markers") {
+    assert(one("the cat is on the mat and a dog",
+      TextAnalysis.langId(col("text"))) === "en")
+    assert(one("der Hund und die Katze ist da",
+      TextAnalysis.langId(col("text"))) === "de")
+    assert(one("xyzzy qwerty", TextAnalysis.langId(col("text"))) === "und")
+  }
+
+  test("langId: CJK markers match without word boundaries (ADVICE fix)") {
+    assert(one("我在家里的时候是最开心的", TextAnalysis.langId(col("text"))) === "zh")
+  }
+
+  test("wordShingles: sorted distinct n-grams; short text = whole text") {
+    assert(one("a b c d", TextAnalysis.wordShingles(col("text"), 3)) ===
+      Seq("a b c", "b c d"))
+    assert(one("a b", TextAnalysis.wordShingles(col("text"), 3)) === Seq("a b"))
+  }
+
+  test("quality metrics compute ratios with null-safe denominators") {
+    val r = TextAnalysis.qualityMetrics(Seq("The cat, the hat!").toDF("text"))
+      .collect().head
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(r.getAs[Double]("punct_ratio") > 0)
+    assert(r.getAs[Double]("alpha_ratio") > 0.5)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick  brown fox jumps over the lazy dog"), // exact dup modulo ws/case
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different text about spark engines here"),
+    (5L, "the quick brown fox jumps over the lazy dog")   // exact dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val surv = Dedup.exactSurvivors(docs)
+      .select("survivor_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(surv === Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("jaccard pairs find the near-dup, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH pairs equal exact jaccard pairs at high signal") {
+    val exact = Dedup.jaccardPairs(docs, n = 2, threshold = 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minHashPairs(docs, n = 2, threshold = 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: near-identical texts land at small hamming distance") {
+    val sh = docs.select(col("doc_id"),
+        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) === 0)     // identical after normalization
+    assert(hamming(sh(1L), sh(3L)) <= 16)     // near dup: close
+    assert(hamming(sh(1L), sh(4L)) > 16)      // unrelated: far
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  import graft.functions.Vectors
+
+  test("vector math: dot/norm/cosine golden values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("d"),
+      Vectors.norm(Vectors.toDouble(col("a"))).as("n"),
+      Vectors.cosine(col("a"), col("b")).as("c"),
+      Vectors.l2Distance(col("a"), col("b")).as("l2")).collect().head
+    assert(r.getAs[Double]("d") === 2.0)
+    assert(r.getAs[Double]("n") === 3.0)
+    assert(math.abs(r.getAs[Double]("c") - 2.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("l2") - 3.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is null, not error") {
+    val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(graft.functions.Vectors.cosine(col("a"), col("b")).as("c"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tiebreak") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .select("rank", "id").as[(Long, Long)].collect().sorted
+    assert(got === Array((1L, 4L), (2L, 2L))) // 4 closer than 2; self excluded
+  }
+
+  test("LSH top-k returns a subset consistent with exact ranking") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(i * 31 + j * 7) + (if (i % 2 == 0) 1.0 else -1.0)).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(2).map { case (i, v) => (i, v) }
+      .toDF("query_id", "embedding")
+    val got = Similarity.lshTopK(corpus, queries, k = 3, bands = 16,
+      bitsPerBand = 4).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Long]("rank") <= 3))
+  }
+}
