@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bel.{ConnectedComponents, Graph}
@@ -8,6 +8,7 @@ import graft.compath.{PathwayQueries, PathwayStore}
 import graft.core.Tables
 import graft.functions.Curies
 import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.{Biogrid, Intact, Tfregulons}
 
 /** The driver-harness query registry: one entry per implemented operator
   * from SURVEY.md §2 (+ the LLM-pipeline operators), each shaped over the
@@ -64,6 +65,105 @@ object Queries {
       concat(lit("pubmed:"), pmod(col("l_orderkey"), lit(1000))).as("citation"),
       lit(null).cast("string").as("evidence"),
       map(lit("flag"), col("l_returnflag")).as("annotations"))
+
+  // ==========================================================================
+  // Synthetic source inputs for the ETL/dispatch pipelines (G1-G3):
+  // deterministic MITAB/CSV frames derived from the sf tables, with the
+  // grounding dims derived by modular rules both sides can reproduce.
+  // ==========================================================================
+
+  private def mi(id: String, label: String) = s"""psi-mi:"MI:$id"($label)"""
+
+  /** 14 interaction types covering every G1 dispatch class, indexed by
+    * l_orderkey % 14 (12 = omit-list, 13 = unknown/reject). */
+  private val g1Relations: Seq[String] = Seq(
+    mi("0217", "phosphorylation reaction"),
+    mi("0883", "gtpase reaction"),
+    mi("0701", "dna strand elongation"),
+    mi("0572", "dna cleavage"),
+    mi("0902", "rna cleavage"),
+    mi("0570", "protein cleavage"),
+    mi("1355", "lipid cleavage"),
+    mi("0199", "deformylation reaction"),
+    mi("0197", "deacetylation reaction"),
+    mi("0915", "physical association"),
+    mi("0407", "direct interaction"),
+    mi("0195", "covalent binding"),
+    mi("1110", "predicted interaction"),
+    mi("9999", "bogus"))
+
+  private def caseOn(key: Column, values: Seq[String]): Column =
+    values.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, i)) => when(key === i, lit(v)).otherwise(acc)
+    }
+
+  private[graft] def intactSynthRaw(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        when(pmod(col("l_partkey"), lit(7)) === 0,
+          concat(lit("uniprotkb:P"), col("l_partkey")))
+          .when(pmod(col("l_partkey"), lit(7)) === 1,
+            concat(lit("chebi:\"CHEBI:"), col("l_partkey"), lit("\"")))
+          .when(pmod(col("l_partkey"), lit(7)) === 2,
+            concat(lit("chembl target:CHEMBL"), col("l_partkey"), lit("x")))
+          .when(pmod(col("l_partkey"), lit(7)) === 3,
+            concat(lit("intact:I"), col("l_partkey")))
+          .when(pmod(col("l_partkey"), lit(7)) === 4,
+            concat(lit("intenz:EC"), col("l_partkey")))
+          .when(pmod(col("l_partkey"), lit(7)) === 5,
+            concat(lit("intact:EBI-"), col("l_partkey")))
+          .otherwise(concat(lit("genbank:X"), col("l_partkey")))
+          .as("interactor_a"),
+        concat(lit("uniprotkb:Q"), col("l_suppkey")).as("interactor_b"),
+        caseOn(pmod(col("l_orderkey"), lit(14)), g1Relations)
+          .as("interaction_type"),
+        when(pmod(col("l_orderkey"), lit(3)) === 0,
+          concat(lit("imex:IM-1|pubmed:"), col("l_orderkey")))
+          .when(pmod(col("l_orderkey"), lit(3)) === 1,
+            concat(lit("pubmed:"), col("l_orderkey")))
+          .otherwise(lit("doi:x")).as("publication"),
+        when(pmod(col("l_linenumber"), lit(13)) === 0,
+          lit(null).cast("string"))
+          .otherwise(lit(mi("0018", "two hybrid"))).as("detection_method"),
+        lit(mi("0469", "intact")).as("source_database"),
+        concat(lit("intact-miscore:0."), pmod(col("l_orderkey"), lit(100)))
+          .as("confidence"))
+
+  private[graft] def intactSynthMappings(s: SparkSession,
+                                         d: String): Intact.Mappings = {
+    val part = t(s, d, "part"); val supp = t(s, d, "supplier")
+    val pU2e = part.filter(pmod(col("p_partkey"), lit(3)) =!= 0)
+      .select(concat(lit("P"), col("p_partkey")).as("u"),
+        (col("p_partkey") + 100000).cast("string").as("e"))
+    val sU2e = supp.filter(pmod(col("s_suppkey"), lit(4)) =!= 0)
+      .select(concat(lit("Q"), col("s_suppkey")).as("u"),
+        (col("s_suppkey") + 200000).cast("string").as("e"))
+    val pMn = part.select(concat(lit("P"), col("p_partkey")).as("u"),
+      concat(lit("MNE_P"), col("p_partkey")).as("m"))
+    val sMn = supp.select(concat(lit("Q"), col("s_suppkey")).as("u"),
+      concat(lit("MNE_Q"), col("s_suppkey")).as("m"))
+    val names = pU2e.select(col("e"), concat(lit("G"), col("e")).as("nm"))
+      .unionByName(sU2e.select(col("e"), concat(lit("G"), col("e")).as("nm")))
+    Intact.Mappings(
+      uniprotToEntrez = pU2e.unionByName(sU2e),
+      uniprotMnemonic = pMn.unionByName(sMn),
+      ncbigeneNames = names,
+      chebiNames = part.filter(pmod(col("p_partkey"), lit(2)) === 0)
+        .select(col("p_partkey").cast("string").as("c"),
+          concat(lit("CHEB_"), col("p_partkey")).as("nm")),
+      complexportal = part.filter(pmod(col("p_partkey"), lit(2)) === 1)
+        .select(concat(lit("I"), col("p_partkey")).as("i"),
+          concat(lit("CPX-"), col("p_partkey")).as("cp")),
+      reactome = part.filter(pmod(col("p_partkey"), lit(4)) === 2)
+        .select(concat(lit("I"), col("p_partkey")).as("i"),
+          concat(lit("R-"), col("p_partkey")).as("r")))
+  }
+
+  private val g1OutCols: Seq[String] = Seq(
+    "src_function", "src_namespace", "src_identifier", "src_name",
+    "relation", "dst_function", "dst_namespace", "dst_identifier",
+    "dst_name", "v_kind", "v_ns", "v_id", "v_name", "citation", "evidence",
+    "subj_name", "obj_kind", "psi_mi", "detection", "score")
 
   // ==========================================================================
   // Spark-side query plans
@@ -183,6 +283,77 @@ object Queries {
         .agg(md5(concat_ws("|",
           sort_array(collect_list(concat(col("s_name"), lit(":"),
             col("s_nationkey")))))).as("ns_hash"))),
+    // --- G1-G3: source ETL + relation dispatch over synthetic inputs -------
+    "g1_intact_bel" -> ((s, d) => {
+      val (edges, _) = Intact.toBel(
+        Intact.processed(intactSynthRaw(s, d), intactSynthMappings(s, d)))
+      edges.select(
+        col("src_function"), col("src_namespace"), col("src_identifier"),
+        col("src_name"), col("relation"), col("dst_function"),
+        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
+        element_at(col("dst_variants"), 1).getField("kind").as("v_kind"),
+        element_at(col("dst_variants"), 1).getField("namespace").as("v_ns"),
+        element_at(col("dst_variants"), 1).getField("identifier").as("v_id"),
+        element_at(col("dst_variants"), 1).getField("name").as("v_name"),
+        col("citation"), col("evidence"),
+        col("subject_modifier").getField("name").as("subj_name"),
+        col("object_modifier").getField("kind").as("obj_kind"),
+        element_at(col("annotations"), "psi-mi").as("psi_mi"),
+        element_at(col("annotations"), "intact-detection").as("detection"),
+        element_at(col("annotations"), "intact-confidence").as("score"))
+    }),
+    "g1_intact_rejects" -> ((s, d) => {
+      val (_, rejects) = Intact.toBel(
+        Intact.processed(intactSynthRaw(s, d), intactSynthMappings(s, d)))
+      rejects.agg(count(lit(1)).as("n_rejects"))
+    }),
+    "g1_unhandled_tally" -> ((s, d) =>
+      Intact.unhandledTally(intactSynthRaw(s, d))),
+    "g2_biogrid_bel" -> ((s, d) => {
+      val raw = t(s, d, "orders").select(
+        when(pmod(col("o_custkey"), lit(4)) === 0,
+          concat(lit("ncbigene:"), col("o_custkey")))
+          .when(pmod(col("o_custkey"), lit(4)) === 1,
+            concat(lit("biogrid:"), col("o_custkey")))
+          .when(pmod(col("o_custkey"), lit(4)) === 2, lit("uniprot:P0DTD2"))
+          .otherwise(concat(lit("uniprot:QX"), col("o_custkey")))
+          .as("interactor_a"),
+        concat(lit("ncbigene:"), col("o_orderkey")).as("interactor_b"),
+        caseOn(pmod(col("o_orderkey"), lit(3)), Seq(
+          mi("0794", "synthetic genetic interaction defined by inequality"),
+          mi("0915", "physical association"),
+          mi("0407", "direct interaction"))).as("interaction_type"),
+        concat(lit("pubmed:"), col("o_orderkey") + 10).as("publication"),
+        lit("m").as("detection_method"), lit("biogrid").as("source_database"),
+        lit("sc").as("confidence"))
+      val mappings = Biogrid.Mappings(
+        t(s, d, "customer").filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").cast("string").as("b"),
+            (col("c_custkey") + 7000000).cast("string").as("n")))
+      Biogrid.toBel(Biogrid.processed(raw, mappings)).select(
+        "src_function", "src_identifier", "relation", "dst_identifier",
+        "citation", "src", "dst")
+    }),
+    "g3_tfregulons_bel" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        concat(lit("TF"), col("l_suppkey")).as("tf_hgnc_symbol"),
+        concat(lit("TG"), col("l_partkey")).as("target_hgnc_symbol"),
+        (pmod(col("l_orderkey"), lit(3)) - 1).cast("int").as("effect"),
+        caseOn(pmod(col("l_orderkey"), lit(5)),
+          Seq("A", "B", "C", "D", "E")).as("score"),
+        concat(col("l_orderkey"), lit(","), col("l_orderkey") + 1)
+          .as("pmids"))
+      val hgnc = t(s, d, "supplier")
+        .filter(pmod(col("s_suppkey"), lit(10)) =!= 7)
+        .select(concat(lit("TF"), col("s_suppkey")).as("sym"),
+          concat(lit("H"), col("s_suppkey")).as("id"))
+        .unionByName(t(s, d, "part")
+          .filter(pmod(col("p_partkey"), lit(5)) =!= 0)
+          .select(concat(lit("TG"), col("p_partkey")).as("sym"),
+            concat(lit("HP"), col("p_partkey")).as("id")))
+      Tfregulons.toBel(Tfregulons.processed(raw, hgnc))
+        .select("src", "relation", "dst", "citation", "evidence")
+    }),
     "g7_bel_edges" -> ((s, d) => pq(s, d).toBelEdges("graft")),
     "g8_edge_identity" -> ((s, d) =>
       Graph.dedupEdges(belEdges(s, d)).agg(count(lit(1)).as("n_edges"))),
@@ -527,6 +698,149 @@ object Queries {
     "a14_content_hash" ->
       ("SELECT md5(array_to_string(list_sort(" +
         "list(s_name || ':' || s_nationkey)), '|')) AS ns_hash FROM supplier"),
+    "g1_intact_bel" ->
+      s"""WITH src AS (
+         |  SELECT l_partkey pk, l_suppkey sk, l_orderkey ok
+         |  FROM lineitem
+         |  WHERE l_linenumber % 13 <> 0 AND l_orderkey % 14 NOT IN (12, 13)
+         |    AND l_partkey % 7 NOT IN (5, 6)
+         |), res AS (
+         |  SELECT *,
+         |    CASE WHEN pk % 7 = 1 THEN 'Abundance'
+         |         WHEN pk % 7 = 3 AND pk % 2 = 1 THEN 'NamedComplexAbundance'
+         |         ELSE 'Protein' END AS src_function,
+         |    CASE pk % 7
+         |      WHEN 0 THEN CASE WHEN pk % 3 <> 0 THEN 'ncbigene'
+         |                       ELSE 'uniprot' END
+         |      WHEN 1 THEN 'chebi'
+         |      WHEN 2 THEN 'chembl.target'
+         |      WHEN 3 THEN CASE WHEN pk % 2 = 1 THEN 'complexportal'
+         |                       WHEN pk % 4 = 2 THEN 'reactome'
+         |                       ELSE 'intact' END
+         |      WHEN 4 THEN 'eccode' END AS src_namespace,
+         |    CASE pk % 7
+         |      WHEN 0 THEN CASE WHEN pk % 3 <> 0
+         |                       THEN CAST(pk + 100000 AS VARCHAR)
+         |                       ELSE 'P' || pk END
+         |      WHEN 1 THEN CAST(pk AS VARCHAR)
+         |      WHEN 2 THEN 'CHEMBL' || pk
+         |      WHEN 3 THEN CASE WHEN pk % 2 = 1 THEN 'CPX-' || pk
+         |                       WHEN pk % 4 = 2 THEN 'R-' || pk
+         |                       ELSE 'I' || pk END
+         |      WHEN 4 THEN 'EC' || pk END AS src_identifier,
+         |    CASE pk % 7
+         |      WHEN 0 THEN CASE WHEN pk % 3 <> 0 THEN 'G' || (pk + 100000)
+         |                       ELSE 'MNE_P' || pk END
+         |      WHEN 1 THEN CASE WHEN pk % 2 = 0 THEN 'CHEB_' || pk END
+         |      END AS src_name,
+         |    CASE WHEN sk % 4 <> 0 THEN 'ncbigene' ELSE 'uniprot' END
+         |      AS dst_namespace,
+         |    CASE WHEN sk % 4 <> 0 THEN CAST(sk + 200000 AS VARCHAR)
+         |         ELSE 'Q' || sk END AS dst_identifier0,
+         |    CASE WHEN sk % 4 <> 0 THEN 'G' || (sk + 200000)
+         |         ELSE 'MNE_Q' || sk END AS dst_name
+         |  FROM src
+         |), disp AS (
+         |  SELECT *,
+         |    CASE WHEN ok % 14 IN (0, 1, 2) THEN 'increases'
+         |         WHEN ok % 14 = 9 THEN 'association'
+         |         WHEN ok % 14 = 10 THEN 'regulates'
+         |         WHEN ok % 14 = 11 THEN 'binds'
+         |         ELSE 'decreases' END AS relation,
+         |    CASE WHEN ok % 14 IN (2, 3) THEN 'Gene'
+         |         WHEN ok % 14 = 4 THEN 'Rna'
+         |         ELSE 'Protein' END AS dst_function,
+         |    CASE WHEN ok % 14 IN (3, 4) THEN src_identifier
+         |         ELSE dst_identifier0 END AS dst_identifier,
+         |    CASE WHEN ok % 14 = 2 THEN 'gmod'
+         |         WHEN ok % 14 IN (0, 1, 6, 7, 8) THEN 'pmod' END AS v_kind,
+         |    CASE WHEN ok % 14 IN (0, 8) THEN 'bel'
+         |         WHEN ok % 14 IN (1, 2, 6, 7) THEN 'go' END AS v_ns,
+         |    CASE ok % 14 WHEN 1 THEN '0003924' WHEN 2 THEN '0022616'
+         |         WHEN 6 THEN '0016042' WHEN 7 THEN '0018256' END AS v_id,
+         |    CASE ok % 14 WHEN 0 THEN 'Ph' WHEN 1 THEN 'GTPase activity'
+         |         WHEN 2 THEN 'DNA strand elongation'
+         |         WHEN 6 THEN 'lipid catabolic process'
+         |         WHEN 7 THEN 'protein formylation'
+         |         WHEN 8 THEN 'Ac' END AS v_name,
+         |    CASE ok % 14 WHEN 1 THEN 'GTPase activity' END AS subj_name,
+         |    CASE WHEN ok % 14 = 6 THEN 'activity' END AS obj_kind,
+         |    CASE ok % 14
+         |      WHEN 0 THEN '${g1Relations(0)}' WHEN 1 THEN '${g1Relations(1)}'
+         |      WHEN 2 THEN '${g1Relations(2)}' WHEN 3 THEN '${g1Relations(3)}'
+         |      WHEN 4 THEN '${g1Relations(4)}' WHEN 5 THEN '${g1Relations(5)}'
+         |      WHEN 6 THEN '${g1Relations(6)}' WHEN 7 THEN '${g1Relations(7)}'
+         |      WHEN 8 THEN '${g1Relations(8)}' WHEN 9 THEN '${g1Relations(9)}'
+         |      WHEN 10 THEN '${g1Relations(10)}'
+         |      WHEN 11 THEN '${g1Relations(11)}' END AS psi_mi,
+         |    CASE WHEN ok % 3 IN (0, 1) THEN 'pubmed:' || ok
+         |         ELSE 'database:intact' END AS citation
+         |  FROM res
+         |)
+         |SELECT DISTINCT src_function, src_namespace, src_identifier,
+         |  src_name, relation, dst_function, dst_namespace, dst_identifier,
+         |  dst_name, v_kind, v_ns, v_id, v_name, citation,
+         |  'From IntAct' AS evidence, subj_name, obj_kind, psi_mi,
+         |  'psi-mi:"MI:0018"(two hybrid)' AS detection,
+         |  'intact-miscore:0.' || (ok % 100) AS score
+         |FROM disp
+         |""".stripMargin,
+    "g1_intact_rejects" ->
+      ("SELECT count(*) AS n_rejects FROM lineitem " +
+        "WHERE l_linenumber % 13 <> 0 AND l_orderkey % 14 = 13 " +
+        "AND l_partkey % 7 NOT IN (5, 6)"),
+    "g1_unhandled_tally" ->
+      ("SELECT 'genbank' AS prefix, count(*) AS n FROM lineitem " +
+        "WHERE l_partkey % 7 = 6"),
+    "g2_biogrid_bel" ->
+      """WITH r AS (
+        |  SELECT
+        |    CASE o_custkey % 4
+        |      WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+        |      WHEN 1 THEN CASE WHEN o_custkey % 3 <> 0
+        |                       THEN CAST(7000000 + o_custkey AS VARCHAR) END
+        |      WHEN 2 THEN '1489679' END AS src_identifier,
+        |    CAST(o_orderkey AS VARCHAR) AS dst_identifier,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Gene' ELSE 'Protein' END
+        |      AS src_function,
+        |    CASE WHEN o_orderkey % 3 = 2 THEN 'binds' ELSE 'association' END
+        |      AS relation,
+        |    substr('pubmed:' || (o_orderkey + 10), 8, 1) AS citation
+        |  FROM orders
+        |)
+        |SELECT DISTINCT src_function, src_identifier, relation,
+        |  dst_identifier, citation,
+        |  src_function || '(ncbigene:' || src_identifier || ')' AS src,
+        |  src_function || '(ncbigene:' || dst_identifier || ')' AS dst
+        |FROM r WHERE src_identifier IS NOT NULL
+        |""".stripMargin,
+    "g3_tfregulons_bel" ->
+      """WITH f AS (
+        |  SELECT l_suppkey sk, l_partkey pk, l_orderkey ok FROM lineitem
+        |  WHERE (l_orderkey % 5) IN (0, 1, 2) AND l_suppkey % 10 <> 7
+        |    AND l_partkey % 5 <> 0
+        |), q AS (
+        |  SELECT *,
+        |    'Protein(hgnc:H' || sk || ' ! TF' || sk || ')' AS tfp,
+        |    'Rna(hgnc:HP' || pk || ' ! TG' || pk || ')' AS tgtr,
+        |    'Gene(hgnc:HP' || pk || ' ! TG' || pk || ')' AS tgtg,
+        |    CASE WHEN ok % 3 = 2 THEN 'directlyIncreases'
+        |         ELSE 'directlyDecreases' END AS drel,
+        |    CASE WHEN ok % 3 = 2 THEN 'increases' ELSE 'decreases' END AS irel
+        |  FROM f WHERE ok % 3 <> 1
+        |), c AS (
+        |  SELECT *, CAST(ok AS VARCHAR) AS cit FROM q
+        |  UNION ALL SELECT *, CAST(ok + 1 AS VARCHAR) AS cit FROM q
+        |)
+        |SELECT DISTINCT 'complex(' || tfp || ', ' || tgtg || ')' AS src,
+        |  drel AS relation, tgtr AS dst, cit AS citation,
+        |  'From TFregulons' AS evidence FROM c
+        |UNION
+        |SELECT DISTINCT tfp, irel, tgtr, cit, 'From TFregulons' FROM c
+        |UNION
+        |SELECT DISTINCT tgtg, 'transcribedTo', tgtr,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM q
+        |""".stripMargin,
     "g7_bel_edges" ->
       ("SELECT DISTINCT 'hgnc:' || s_name AS src, 'partOf' AS relation, " +
         "'graft:' || l_partkey AS dst FROM lineitem " +

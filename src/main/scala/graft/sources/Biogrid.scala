@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.bel.Terms
+import graft.functions.Curies
+
+/** BioGRID MITAB pipeline (S7 + G2 + F4-F6) — reference biogrid.py.
+  *
+  * Error-channel parity: BioGRID is the STRICT source — an unknown
+  * relation raises (biogrid.py:312, uncaught in get_bel), and a
+  * non-pubmed publication raises (:199-203). Both are surfaced as driver
+  * exceptions via [[validate]] before edge construction.
+  *
+  * Faithfully replicated reference quirk: `_process_pmid` returns
+  * `s[len('pubmed:')]` — the single character at index 7, NOT the suffix
+  * (biogrid.py:203). Every pmid collapses to its first digit, which is
+  * why the published BioGRID graph has exactly 9 citations
+  * (biogrid.py:39-40). Parity beats plausibility here.
+  */
+object Biogrid {
+
+  val Evidence = "From BioGRID"
+
+  private def mi(id: String, label: String) = s"""psi-mi:"MI:$id"($label)"""
+
+  /** biogrid.py:89-109: relation → (bel relation, node function). */
+  private val rels: Seq[(String, String, String)] = Seq(
+    (mi("0794", "synthetic genetic interaction defined by inequality"),
+      "association", "Gene"),
+    (mi("0799", "additive genetic interaction defined by inequality"),
+      "association", "Gene"),
+    (mi("0796", "suppressive genetic interaction defined by inequality"),
+      "association", "Gene"),
+    (mi("0403", "colocalization"), "association", "Protein"),
+    (mi("0914", "association"), "association", "Protein"),
+    (mi("0915", "physical association"), "association", "Protein"),
+    (mi("0407", "direct interaction"), "binds", "Protein"))
+
+  def relationDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rels.toDF("psi_mi", "bel_relation", "node_fn")
+  }
+
+  /** Hand-curated remaps (biogrid.py:122-140) as literal dimension rows;
+    * null target = "tried but failed curation" (row dropped). */
+  val biogridNcbigeneRemap: Seq[(String, Option[String])] = Seq(
+    "4349295" -> None, "4349491" -> None, "4349337" -> None,
+    "4349775" -> None, "4349716" -> None, "4349853" -> None,
+    "4383869" -> None, "4383875" -> None)
+
+  val uniprotNcbigeneRemap: Seq[(String, Option[String])] = Seq(
+    "P0DTC1" -> None, "P0DTD2" -> Some("1489679"), "Q7TLC7" -> None)
+
+  /** Injected grounding: biogrid internal id → ncbigene (the reference's
+    * pyobo.sources.biogrid mapping, :112-114). */
+  final case class Mappings(biogridToNcbigene: DataFrame)
+
+  val mitabSchema: StructType = StructType(Seq(
+    StructField("interactor_a", StringType),
+    StructField("interactor_b", StringType),
+    StructField("interaction_type", StringType),
+    StructField("publication", StringType),
+    StructField("detection_method", StringType),
+    StructField("source_database", StringType),
+    StructField("confidence", StringType)))
+
+  /** S7 (biogrid.py:217-237): TSV scan, all-string dtypes. */
+  def readMitab(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true")
+      .schema(mitabSchema).csv(path)
+
+  /** F4 (biogrid.py:143-174): interactor → ncbigene id (or null). */
+  def resolveInteractor(df: DataFrame, inCol: String, out: String,
+                        m: Mappings): DataFrame = {
+    val prefix = Curies.curiePrefix(col(inCol))
+    val ident = Curies.curieIdentifier(col(inCol))
+    import df.sparkSession.implicits._
+    val bgRemap = biogridNcbigeneRemap.map { case (k, v) => (k, v.orNull) }
+      .toDF(s"${out}_bgr_key", s"${out}_bgr_val")
+    val upRemap = uniprotNcbigeneRemap.map { case (k, v) => (k, v.orNull) }
+      .toDF(s"${out}_upr_key", s"${out}_upr_val")
+    df.withColumn(s"${out}_pre", prefix).withColumn(s"${out}_id", ident)
+      .join(broadcast(m.biogridToNcbigene
+        .toDF(s"${out}_bg_key", s"${out}_bg_val")),
+        col(s"${out}_pre") === "biogrid" &&
+          col(s"${out}_id") === col(s"${out}_bg_key"), "left")
+      .join(broadcast(bgRemap),
+        col(s"${out}_pre") === "biogrid" &&
+          col(s"${out}_id") === col(s"${out}_bgr_key"), "left")
+      .join(broadcast(upRemap),
+        col(s"${out}_pre") === "uniprot" &&
+          col(s"${out}_id") === col(s"${out}_upr_key"), "left")
+      .withColumn(out,
+        when(col(s"${out}_pre") === "ncbigene", col(s"${out}_id"))
+          .when(col(s"${out}_pre") === "biogrid",
+            coalesce(col(s"${out}_bg_val"), col(s"${out}_bgr_val")))
+          .when(col(s"${out}_pre") === "uniprot", col(s"${out}_upr_val")))
+      .drop(s"${out}_pre", s"${out}_id", s"${out}_bg_key", s"${out}_bg_val",
+        s"${out}_bgr_key", s"${out}_bgr_val", s"${out}_upr_key",
+        s"${out}_upr_val")
+  }
+
+  /** F6 with the faithful off-by-one (biogrid.py:199-203): the character
+    * at index len('pubmed:'). Validity is checked in [[validate]]. */
+  def processPmid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(c, "pubmed:".length + 1, 1)
+
+  /** Strict error channels — raises like the reference does.  */
+  def validate(raw: DataFrame): Unit = {
+    val badPmid = raw.filter(!col("publication").startsWith("pubmed:"))
+      .limit(1).collect()
+    if (badPmid.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Non pubmed: ${badPmid.head.getAs[String]("publication")}")
+    val known = rels.map(_._1)
+    val badRel = raw
+      .filter(!col("interaction_type").isin(known: _*))
+      .limit(1).collect()
+    if (badRel.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Unhandled BioGrid relation: " +
+          badRel.head.getAs[String]("interaction_type"))
+  }
+
+  /** S7+F4+F6 (biogrid.py:217-237): grounded frame with pmid digit. */
+  def processed(raw: DataFrame, m: Mappings): DataFrame = {
+    validate(raw)
+    val a = resolveInteractor(raw, "interactor_a", "src_ncbigene", m)
+    resolveInteractor(a, "interactor_b", "dst_ncbigene", m)
+      .withColumn("pmid", processPmid(col("publication")))
+  }
+
+  /** G2 (biogrid.py:261-312): dispatch join → edges. Null interactors are
+    * skipped (get_bel continues on NA, :244-247). */
+  def toBel(processed: DataFrame): DataFrame = {
+    val spark = processed.sparkSession
+    val matched = processed
+      .filter(col("src_ncbigene").isNotNull && col("dst_ncbigene").isNotNull)
+      .join(broadcast(relationDim(spark)),
+        col("interaction_type") === col("psi_mi"), "inner")
+    val edges = matched.select(
+      col("node_fn").as("src_function"),
+      lit("ncbigene").as("src_namespace"),
+      col("src_ncbigene").as("src_identifier"),
+      lit(null).cast("string").as("src_name"),
+      Terms.noVariants.as("src_variants"),
+      col("bel_relation").as("relation"),
+      col("node_fn").as("dst_function"),
+      lit("ncbigene").as("dst_namespace"),
+      col("dst_ncbigene").as("dst_identifier"),
+      lit(null).cast("string").as("dst_name"),
+      Terms.noVariants.as("dst_variants"),
+      col("pmid").as("citation"),
+      lit(Evidence).as("evidence"),
+      map(
+        lit("psi-mi"), col("interaction_type"),
+        lit("biogrid-detection"), col("detection_method"),
+        lit("biogrid-source"), col("source_database"),
+        lit("biogrid-confidence"), col("confidence")).as("annotations"),
+      Terms.noModifier.as("subject_modifier"),
+      Terms.noModifier.as("object_modifier"))
+    graft.bel.Graph.dedupEdges(edges
+      .withColumn("src", Terms.termString(col("src_function"),
+        col("src_namespace"), col("src_identifier"), col("src_name"),
+        col("src_variants")))
+      .withColumn("dst", Terms.termString(col("dst_function"),
+        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
+        col("dst_variants"))))
+  }
+}
