@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.bel.{Exporters, NamespaceFiles, NamespaceSpec, NamespaceStore}
+import graft.core.{GraftSession, SourceContext, SourceRegistry}
+import graft.sources._
+
+/** The aggregate CLI (reference cli.py:34-233): drive every registered
+  * source uniformly — populate / drop / summarize / actions / sheet /
+  * belns — against a warehouse directory.
+  *
+  * Usage:
+  *   graft.Cli populate  --warehouse W --sf-dir D [--source NAME]
+  *   graft.Cli summarize --warehouse W --sf-dir D [--source NAME]
+  *   graft.Cli drop      --warehouse W --sf-dir D --source NAME
+  *   graft.Cli actions   --warehouse W
+  *   graft.Cli sheet     --warehouse W --sf-dir D --out DIR   (K10 TSV)
+  *   graft.Cli belns     --warehouse W --sf-dir D --out DIR   (K3/K6)
+  *   graft.Cli edgelist  --warehouse W --sf-dir D --out DIR   (K8)
+  */
+object Cli {
+
+  private def registry(sfDir: String): SourceRegistry = {
+    val r = new SourceRegistry
+    r.register(new CompathSource("compath",
+      ctx => Queries.pathwayStore(ctx.spark, sfDir)))
+    r.register(new IntactSource(
+      ctx => Queries.intactSynthRaw(ctx.spark, sfDir),
+      ctx => Queries.intactSynthMappings(ctx.spark, sfDir)))
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("help")
+    val opts = args.drop(1).sliding(2, 2)
+      .collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }
+      .toMap
+    val warehouse = opts.getOrElse("warehouse", "/tmp/graft-warehouse")
+    val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    lazy val spark: SparkSession = {
+      val s = GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    def ctx(module: String) = new SourceContext(spark, warehouse, module)
+    val reg = registry(sfDir)
+    def selected = opts.get("source") match {
+      case Some(n) => reg.get(n).toSeq
+      case None => reg.all
+    }
+
+    cmd match {
+      case "populate" => // cli.py:68-107
+        selected.foreach { s =>
+          println(s"populating ${s.moduleName}")
+          ctx(s.moduleName).populateWithProvenance(s)
+        }
+      case "summarize" => // cli.py:126-143, sorted output
+        selected.foreach { s =>
+          println(s"${s.moduleName.capitalize}")
+          s.summarize(ctx(s.moduleName)).toSeq.sorted.foreach {
+            case (t, n) => println(s"  $t: $n")
+          }
+        }
+      case "drop" => // cli.py:110-123
+        selected.foreach { s =>
+          println(s"dropping ${s.moduleName}")
+          ctx(s.moduleName).drop(s)
+        }
+      case "actions" => // O1: newest-first provenance listing
+        ctx("_cli").actions.ls()
+          .select(col("resource"), col("action"),
+            date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created"))
+          .collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "sheet" => // cli.py:146-160 / compath export_gene_sets (K10)
+        val out = opts.getOrElse("out", s"$warehouse/_sheets")
+        val cs = reg.get("compath").get.asInstanceOf[CompathSource]
+        val q = cs.queries(ctx("compath"))
+        Exporters.geneSetsTsv(q.geneSets(), s"$out/compath_gene_sets")
+        println(s"wrote $out/compath_gene_sets")
+      case "belns" => // K3/K6: md5-guarded namespace file export
+        val out = opts.getOrElse("out", s"$warehouse/_belns")
+        val store = new NamespaceStore(spark, s"$warehouse/_namespaces")
+        val spec = NamespaceSpec.forModule("compath")
+        val models = ctx("compath").read("pathways")
+          .select(col("identifier"), col("name"), lit("B").as("encoding"))
+        store.upload(spec, models)
+        val changed = NamespaceFiles.writeDirectory(store, spec, models, out)
+        println(s"belns export changed=$changed -> $out")
+      case "edgelist" => // K8
+        val out = opts.getOrElse("out", s"$warehouse/_export")
+        val cs = reg.get("compath").get.asInstanceOf[CompathSource]
+        val edges = cs.queries(ctx("compath")).toBelEdges("compath")
+        Exporters.edgelist(edges, out)
+        println(s"wrote $out/node_list + $out/edgelist")
+      case other =>
+        println(s"unknown command: $other")
+        println("commands: populate summarize drop actions sheet belns edgelist")
+        if (other != "help") sys.exit(2)
+    }
+    if (cmd != "help") spark.stop()
+  }
+}

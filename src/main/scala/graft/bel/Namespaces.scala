@@ -1,0 +1,215 @@
+package graft.bel
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Namespace manager (reference manager/namespace_manager.py:242-445):
+  * make / incremental-update / export of BEL namespaces.
+  *
+  * Store layout: two parquet tables under `path` —
+  *   namespaces(url, name, keyword, version)           (url is the key)
+  *   namespace_entries(namespace_url, identifier, name, encoding)
+  *
+  * Determinism: the reference hashes entries in ORM iteration order
+  * (utils.py:189-199); a distributed engine has no such order, so the
+  * content hash is defined over entries sorted by key (SURVEY §7.5) —
+  * stable across partitionings and engines.
+  */
+final case class NamespaceSpec(moduleName: String, name: String,
+                               keyword: String, url: String,
+                               hasNames: Boolean = true)
+
+object NamespaceSpec {
+  /** Reference defaults (namespace_manager.py:213-225): name/keyword/url
+    * fall back to module-name derivatives. */
+  def forModule(moduleName: String): NamespaceSpec =
+    NamespaceSpec(moduleName, moduleName, moduleName.toUpperCase,
+      s"_${moduleName.toUpperCase}")
+}
+
+final class NamespaceStore(spark: SparkSession, path: String,
+                           clock: () => String = () =>
+                             java.time.Instant.now().toString) {
+  import spark.implicits._
+
+  private val nsPath = s"$path/namespaces"
+  private val entryPath = s"$path/namespace_entries"
+
+  private def exists(p: String): Boolean = {
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+  }
+
+  def namespaces: DataFrame =
+    if (exists(nsPath)) spark.read.parquet(nsPath)
+    else Seq.empty[(String, String, String, String)]
+      .toDF("url", "name", "keyword", "version")
+
+  def entries(url: String): DataFrame =
+    if (exists(entryPath))
+      spark.read.parquet(entryPath).filter(col("namespace_url") === url)
+    else Seq.empty[(String, String, String, String)]
+      .toDF("namespace_url", "identifier", "name", "encoding")
+
+  /** The default namespace for a spec — one-or-none on url
+    * (namespace_manager.py:228-230). */
+  def get(spec: NamespaceSpec): Option[(String, String)] = {
+    val rows = namespaces.filter(col("url") === spec.url).limit(2).collect()
+    require(rows.length <= 1, s"multiple namespaces for url=${spec.url}")
+    rows.headOption.map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("version")))
+  }
+
+  /** K12 make (namespace_manager.py:242-260): insert the namespace row and
+    * all entries. `models` columns: (identifier, name, encoding). */
+  private def make(spec: NamespaceSpec, models: DataFrame): Unit = {
+    Seq((spec.url, spec.name, spec.keyword, clock()))
+      .toDF("url", "name", "keyword", "version")
+      .write.mode(SaveMode.Append).parquet(nsPath)
+    models
+      .filter(col("identifier").isNotNull)
+      .select(lit(spec.url).as("namespace_url"), col("identifier"),
+        col("name"), col("encoding"))
+      .write.mode(SaveMode.Append).parquet(entryPath)
+  }
+
+  /** A7 incremental update (namespace_manager.py:272-296): anti-join on
+    * identifier, skip entries with null names; returns (new, skipped). */
+  private def update(spec: NamespaceSpec, models: DataFrame): (Long, Long) = {
+    val existing = entries(spec.url).select(col("identifier"))
+    val fresh = models.join(existing, Seq("identifier"), "left_anti")
+    val newEntries = fresh.filter(col("name").isNotNull)
+    val skipped = fresh.filter(col("name").isNull).count()
+    val added = newEntries.count()
+    newEntries
+      .select(lit(spec.url).as("namespace_url"), col("identifier"),
+        col("name"), col("encoding"))
+      .write.mode(SaveMode.Append).parquet(entryPath)
+    (added, skipped)
+  }
+
+  /** upload_bel_namespace (namespace_manager.py:315-332). */
+  def upload(spec: NamespaceSpec, models: DataFrame,
+             doUpdate: Boolean = false): Unit =
+    get(spec) match {
+      case None => make(spec, models)
+      case Some(_) => if (doUpdate) { update(spec, models); () }
+    }
+
+  /** drop_bel_namespace (namespace_manager.py:334-345). Parquet is
+    * immutable, so drop = rewrite-without (same observable semantics). */
+  def drop(spec: NamespaceSpec): Unit = {
+    if (exists(entryPath)) {
+      val kept = spark.read.parquet(entryPath)
+        .filter(col("namespace_url") =!= spec.url)
+        .collect() // dictionary-sized by contract
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toSeq),
+        spark.read.parquet(entryPath).schema)
+        .write.mode(SaveMode.Overwrite).parquet(entryPath)
+    }
+    if (exists(nsPath)) {
+      val kept = spark.read.parquet(nsPath)
+        .filter(col("url") =!= spec.url).collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq),
+        spark.read.parquet(nsPath).schema)
+        .write.mode(SaveMode.Overwrite).parquet(nsPath)
+    }
+  }
+
+  /** A14 (utils.py:189-199): md5 over ordered `name:encoding` (or
+    * `identifier:encoding`) pairs. Ordered = sorted by the key column. */
+  def namespaceHash(models: DataFrame, useNames: Boolean = true): String = {
+    val key = if (useNames) "name" else "identifier"
+    val parts = models
+      .filter(col(key).isNotNull)
+      .select(concat(col(key), lit(":"), col("encoding")).as("kv"))
+      .orderBy("kv")
+      .as[String].collect()
+    val md = MessageDigest.getInstance("MD5")
+    parts.foreach(p => md.update(p.getBytes(StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
+/** File exports: .belns / annotation / mapping JSON / md5-guarded
+  * directory (K3-K6, namespace_manager.py:347-445). Namespaces are
+  * dictionary-sized by contract, so the files are written driver-side. */
+object NamespaceFiles {
+
+  /** K3 (write_namespace): `[Namespace]` header + `key|encoding` lines. */
+  def belns(spec: NamespaceSpec, models: DataFrame,
+            useNames: Boolean): String = {
+    val key = if (useNames) "name" else "identifier"
+    val values = models
+      .filter(col(key).isNotNull)
+      .select(concat(col(key), lit("|"), col("encoding")).as("line"))
+      .orderBy("line")
+      .collect().map(_.getString(0))
+    val header = Seq(
+      "[Namespace]",
+      s"Keyword=${spec.keyword}",
+      s"NameString=${spec.name}",
+      s"QueryValueURL=${spec.url}",
+      "",
+      "[Values]")
+    (header ++ values).mkString("", "\n", "\n")
+  }
+
+  /** K4 (write_annotation): same shape with `[AnnotationDefinition]`. */
+  def annotation(spec: NamespaceSpec, models: DataFrame): String = {
+    val values = models
+      .filter(col("name").isNotNull)
+      .select(concat(col("name"), lit("|"), col("encoding")).as("line"))
+      .orderBy("line")
+      .collect().map(_.getString(0))
+    val header = Seq(
+      "[AnnotationDefinition]",
+      s"Keyword=${spec.keyword}",
+      s"DescriptionString=${spec.name}",
+      "",
+      "[Values]")
+    (header ++ values).mkString("", "\n", "\n")
+  }
+
+  /** K5 (write_bel_namespace_mappings): identifier→name JSON, sorted. */
+  def mappingJson(models: DataFrame): String = {
+    val pairs = models
+      .filter(col("identifier").isNotNull && col("name").isNotNull)
+      .select("identifier", "name")
+      .orderBy("identifier")
+      .collect()
+      .map(r => s"""  "${r.getString(0)}": "${r.getString(1)}"""")
+    pairs.mkString("{\n", ",\n", "\n}")
+  }
+
+  /** K6 (write_directory, :388-415): md5-sidecar-guarded export. Returns
+    * false when content is unchanged (skip), true when (re)written. */
+  def writeDirectory(store: NamespaceStore, spec: NamespaceSpec,
+                     models: DataFrame, directory: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(directory))
+    val hashPath = Paths.get(directory, s"${spec.moduleName}.belns.md5")
+    val current = store.namespaceHash(models, useNames = spec.hasNames)
+    val old = if (Files.exists(hashPath))
+      Some(Files.readString(hashPath).trim) else None
+    if (old.contains(current)) return false
+    Files.writeString(hashPath, current + "\n")
+    Files.writeString(Paths.get(directory, s"${spec.moduleName}.belns"),
+      belns(spec, models, useNames = false))
+    if (spec.hasNames) {
+      Files.writeString(
+        Paths.get(directory, s"${spec.moduleName}-names.belns"),
+        belns(spec, models, useNames = true))
+      Files.writeString(
+        Paths.get(directory, s"${spec.moduleName}.belns.mapping"),
+        mappingJson(models))
+    }
+    true
+  }
+}
