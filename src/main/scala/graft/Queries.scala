@@ -468,6 +468,24 @@ object Queries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // --- Multimodal binary-column plumbing ---------------------------------
+    "mm_metadata" -> ((s, d) =>
+      graft.ops.Multimodal.metadata(
+        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")))),
+    "mm_frames" -> ((s, d) =>
+      graft.ops.Multimodal.frameSample(
+        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")),
+        frameBytes = 256, maxFrames = 4)),
+    "mm_features" -> ((s, d) =>
+      graft.ops.Multimodal.decodeFeatures(
+        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")))),
+
+    // --- Streaming-shaped: stateful sessionization (batch face) ------------
+    "w_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d))
+        .withColumn("session_start",
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))),
+
     // --- Events: windowed aggregation (batch shape of the stream op) -------
     "w_tumbling_hour" -> ((s, d) =>
       Tables.events(s, d)
@@ -955,6 +973,55 @@ object Queries {
         |WHERE rank <= 4
         |""".stripMargin,
 
+    "mm_metadata" ->
+      ("SELECT doc_id, 'application/x-' || source AS mime, " +
+        "octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5, " +
+        "sha256(text) AS content_sha256, " +
+        "CASE WHEN substring(text, 1, 1) = 't' THEN 't-class' " +
+        "WHEN substring(text, 1, 1) = 'a' THEN 'a-class' " +
+        "ELSE 'other' END AS sniffed FROM documents"),
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    least(CAST(ceil(length(text) / 256.0) AS INT), 4) AS nf
+        |  FROM documents WHERE length(text) > 0
+        |), ex AS (
+        |  SELECT doc_id, text, CAST(unnest(range(nf)) AS INT) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT doc_id, frame_idx,
+        |  length(substring(text, frame_idx * 256 + 1, 256)) AS frame_bytes,
+        |  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+        |FROM ex
+        |""".stripMargin,
+    "mm_features" ->
+      ("SELECT doc_id, [CAST(length(text) AS DOUBLE), " +
+        "CAST(ascii(substring(text, 1, 1)) AS DOUBLE), " +
+        "CAST(ascii(substring(text, length(text), 1)) AS DOUBLE), " +
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)] " +
+        "AS features FROM documents"),
+    "w_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |), l AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM e
+        |), m AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+        |    AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, seq
+        |""".stripMargin,
     "w_tumbling_hour" ->
       ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), " +
         "'%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, " +

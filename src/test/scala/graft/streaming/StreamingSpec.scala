@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  private val events = Seq(
+    Event(1, ts(0), 100, "click", 1.0),
+    Event(2, ts(10), 100, "click", 2.0),
+    Event(3, ts(120), 100, "view", 4.0),   // 110-min gap -> new session
+    Event(4, ts(5), 200, "click", 8.0))
+
+  test("batch sessionization: gap splits, per-session aggregates") {
+    val sessions = EventStreams.sessionizeBatch(events.toDF(), gapMinutes = 30)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .map(s => (s._1, s._2, s._3, s._4)).sortBy(s => (s._1, s._2.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0) === ((100L, ts(0), 2L, 3.0)))  // events 1+2
+    assert(sessions(1) === ((100L, ts(120), 1L, 4.0)))
+    assert(sessions(2) === ((200L, ts(5), 1L, 8.0)))
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) closes sessions " +
+    "on gap and agrees with batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStreams.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      val closed = spark.table("sessions").as[Session].collect()
+        .sortBy(_.user_id)
+      // user 100's first session closes because event 3 is past the gap;
+      // user 200's idle session closes via EVENT-TIME timeout once the
+      // watermark (max ts - 10 min) passes its gap deadline. User 100's
+      // second session (event 3) is still open in state.
+      assert(closed.toSeq === Seq(
+        Session(100L, ts(0), 2L, 3.0), Session(200L, ts(5), 1L, 8.0)))
+      // every streaming-closed session appears identically in the batch path
+      val batch = EventStreams.sessionizeBatch(events.toDF(), gapMinutes = 30)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+        .map(t => Session(t._1, t._2, t._3, t._4)).toSet
+      assert(closed.forall(batch.contains))
+    } finally query.stop()
+  }
+
+  test("streaming windowed counts with watermark (complete mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStreams.windowedCounts(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("wcounts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      val rows = spark.table("wcounts")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(rows === Map("click" -> 3L, "view" -> 1L))
+    } finally query.stop()
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  import graft.ops.Multimodal
+
+  private val docs = Seq(
+    (1L, "the quick brown fox", "imgsrc"),
+    (2L, "a" * 600, "audiosrc"))
+    .toDF("doc_id", "text", "source")
+
+  test("binary content + typed metadata (byte length, digests, sniff)") {
+    val m = Multimodal.metadata(Multimodal.withBinaryContent(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[String]("mime") === "application/x-imgsrc")
+    assert(m(1L).getAs[Int]("n_bytes") === 19)
+    assert(m(1L).getAs[String]("sniffed") === "t-class")
+    assert(m(2L).getAs[String]("sniffed") === "a-class")
+    assert(m(1L).getAs[String]("content_md5").matches("[0-9a-f]{32}"))
+  }
+
+  test("frame sampling: chunk count capped, per-frame sizes") {
+    val f = Multimodal.frameSample(Multimodal.withBinaryContent(docs),
+      frameBytes = 256, maxFrames = 4)
+    val byDoc = f.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), sum("frame_bytes").as("b"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc(1L) === ((1L, 19L)))
+    assert(byDoc(2L) === ((3L, 600L))) // 600 bytes -> 256+256+88
+  }
+
+  test("decodeFeatures: batched mapPartitions stub with declared schema") {
+    val feats = Multimodal.decodeFeatures(Multimodal.withBinaryContent(docs))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(feats(1L).toSeq === Seq(19.0, 't'.toDouble, 'x'.toDouble, 3.0))
+    assert(feats(2L).toSeq === Seq(600.0, 97.0, 97.0, 0.0))
+  }
+
+  test("resize stub recomputes metadata on truncated payload") {
+    val r = Multimodal.resizeStub(Multimodal.withBinaryContent(docs), 100)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("n_bytes"))
+      .toMap
+    assert(r === Map(1L -> 19, 2L -> 100))
+  }
+}
