@@ -8,7 +8,7 @@ import graft.compath.{PathwayQueries, PathwayStore}
 import graft.core.Tables
 import graft.functions.Curies
 import graft.ops.{Dedup, Similarity, TextAnalysis}
-import graft.sources.{Biogrid, Intact, Tfregulons}
+import graft.sources.{Biogrid, Go, Intact, Tfregulons}
 
 /** The driver-harness query registry: one entry per implemented operator
   * from SURVEY.md §2 (+ the LLM-pipeline operators), each shaped over the
@@ -353,6 +353,77 @@ object Queries {
             concat(lit("HP"), col("p_partkey")).as("id")))
       Tfregulons.toBel(Tfregulons.processed(raw, hgnc))
         .select("src", "relation", "dst", "citation", "evidence")
+    }),
+    "g6_go_assoc" -> ((s, d) => {
+      val assoc = t(s, d, "customer").select(
+        when(pmod(col("c_custkey"), lit(3)) === 2,
+          concat(lit("MGI:"), col("c_custkey")))
+          .otherwise(concat(lit("UniProtKB:P"), col("c_custkey")))
+          .as("source_id"),
+        col("c_name").as("source_name"),
+        when(pmod(col("c_custkey"), lit(2)) === 0, "9606")
+          .otherwise("10090").as("taxonomy_id"),
+        concat(lit("GO:"), pmod(col("c_custkey"), lit(40))).as("target_id"),
+        lit("lbl").as("target_label"), lit(false).as("negated"))
+      val u2h = t(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+        .select(concat(lit("P"), col("c_custkey")).as("u"),
+          concat(lit("H"), col("c_custkey")).as("h"))
+      val h2n = t(s, d, "customer")
+        .select(concat(lit("H"), col("c_custkey")).as("h"),
+          concat(lit("N"), col("c_custkey")).as("n"))
+      val goNames = s.range(0, 40).filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id").cast("string").as("g"),
+          concat(lit("GOTERM_"), col("id")).as("nm"))
+      Go.toBel(Go.processed(assoc, u2h, h2n), goNames)
+        .select("src", "relation", "dst", "citation")
+    }),
+    "f8_hmdd_ground" -> ((s, d) => {
+      val raw = t(s, d, "part").select(
+        when(pmod(col("p_partkey"), lit(4)) === 0,
+          concat(lit("d "), col("p_partkey")))
+          .when(pmod(col("p_partkey"), lit(4)) === 1,
+            concat(col("p_partkey"), lit(", d")))
+          .when(pmod(col("p_partkey"), lit(4)) === 2,
+            concat(col("p_partkey"), lit(", b, c")))
+          .otherwise(concat(lit("unknown"), col("p_partkey")))
+          .as("disease"))
+      val dict = t(s, d, "part")
+        .filter(pmod(col("p_partkey"), lit(3)) =!= 0)
+        .select(concat(lit("d "), col("p_partkey")).as("name"),
+          lit("mondo").as("prefix"),
+          col("p_partkey").cast("string").as("identifier"),
+          concat(lit("L"), col("p_partkey")).as("label"))
+        .unionByName(t(s, d, "part")
+          .filter(pmod(col("p_partkey"), lit(4)) === 2)
+          .select(concat(lit("c b "), col("p_partkey")).as("name"),
+            lit("doid").as("prefix"),
+            concat(lit("R"), col("p_partkey")).as("identifier"),
+            concat(lit("L2_"), col("p_partkey")).as("label")))
+      graft.sources.Hmdd.groundWithRetry(raw, dict)
+    }),
+    "g5_rhea" -> ((s, d) => {
+      val rxns = t(s, d, "orders")
+        .select(pmod(col("o_orderkey"), lit(500)).cast("string")
+          .as("reaction_id"))
+        .distinct()
+        .withColumn("equation", concat(lit("EQ_"), col("reaction_id")))
+      val parts = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(500)).cast("string").as("reaction_id"),
+        when(pmod(col("l_linenumber"), lit(2)) === 0, "L").otherwise("R")
+          .as("side"),
+        concat(lit("c"), pmod(col("l_partkey"), lit(100)))
+          .as("compound_name"),
+        when(pmod(col("l_partkey"), lit(5)) === 0,
+          lit(null).cast("string"))
+          .otherwise(col("l_partkey").cast("string")).as("chebi_id"),
+        when(pmod(col("l_partkey"), lit(3)) === 0,
+          concat(lit("rp"), col("l_partkey")))
+          .otherwise(lit(null).cast("string")).as("reactive_part"))
+      graft.sources.Rhea.reactions(rxns, parts)
+        .select(col("reaction_id"), col("name"),
+          concat_ws("|", col("reactants")).as("reactants"),
+          concat_ws("|", col("products")).as("products"))
     }),
     "g7_bel_edges" -> ((s, d) => pq(s, d).toBelEdges("graft")),
     "g8_edge_identity" -> ((s, d) =>
@@ -858,6 +929,71 @@ object Queries {
         |UNION
         |SELECT DISTINCT tgtg, 'transcribedTo', tgtr,
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM q
+        |""".stripMargin,
+    "g6_go_assoc" ->
+      ("SELECT DISTINCT " +
+        "'Protein(ncbigene:N' || c_custkey || ' ! ' || c_name || ')' AS src, " +
+        "'association' AS relation, " +
+        "'BiologicalProcess(go:' || (c_custkey % 40) || " +
+        "CASE WHEN (c_custkey % 40) % 2 = 0 " +
+        "THEN ' ! GOTERM_' || (c_custkey % 40) ELSE '' END || ')' AS dst, " +
+        "'' AS citation FROM customer " +
+        "WHERE c_custkey % 3 <> 2 AND c_custkey % 2 = 0 " +
+        "AND c_custkey % 5 <> 0"),
+    "f8_hmdd_ground" ->
+      """WITH raw AS (
+        |  SELECT p_partkey AS pk,
+        |    CASE pk % 4
+        |      WHEN 0 THEN 'd ' || pk
+        |      WHEN 1 THEN pk || ', d'
+        |      WHEN 2 THEN pk || ', b, c'
+        |      ELSE 'unknown' || pk END AS raw
+        |  FROM part
+        |)
+        |SELECT raw,
+        |  CASE WHEN pk % 4 IN (0, 1) AND pk % 3 <> 0 THEN 'mondo'
+        |       WHEN pk % 4 = 2 THEN 'doid' END AS prefix,
+        |  CASE WHEN pk % 4 IN (0, 1) AND pk % 3 <> 0
+        |         THEN CAST(pk AS VARCHAR)
+        |       WHEN pk % 4 = 2 THEN 'R' || pk END AS identifier,
+        |  CASE WHEN pk % 4 IN (0, 1) AND pk % 3 <> 0 THEN 'L' || pk
+        |       WHEN pk % 4 = 2 THEN 'L2_' || pk END AS label
+        |FROM raw
+        |""".stripMargin,
+    "g5_rhea" ->
+      """WITH parts AS (
+        |  SELECT CAST(l_orderkey % 500 AS VARCHAR) AS rid,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'L' ELSE 'R' END AS side,
+        |    'c' || (l_partkey % 100) AS compound,
+        |    CASE WHEN l_partkey % 5 = 0 THEN NULL
+        |         ELSE CAST(l_partkey AS VARCHAR) END AS chebi,
+        |    CASE WHEN l_partkey % 3 = 0 THEN 'rp' || l_partkey END AS rp
+        |  FROM lineitem
+        |), nodes AS (
+        |  SELECT rid, side, compound,
+        |    CASE WHEN chebi IS NOT NULL THEN
+        |      'a(chebi:' || chebi || ' ! ' || coalesce(rp, compound) || ')'
+        |    END AS node
+        |  FROM parts
+        |), perc AS (
+        |  SELECT rid, side, min(node) AS node FROM nodes
+        |  GROUP BY rid, side, compound
+        |  HAVING count(DISTINCT node) = 1
+        |), perr AS (
+        |  SELECT rid,
+        |    array_to_string(list_sort(list(node) FILTER (side = 'L')), '|')
+        |      AS reactants,
+        |    array_to_string(list_sort(list(node) FILTER (side = 'R')), '|')
+        |      AS products
+        |  FROM perc GROUP BY rid
+        |), rxns AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 500 AS VARCHAR) AS rid
+        |  FROM orders
+        |)
+        |SELECT rxns.rid AS reaction_id, 'EQ_' || rxns.rid AS name,
+        |  coalesce(reactants, '') AS reactants,
+        |  coalesce(products, '') AS products
+        |FROM rxns LEFT JOIN perr ON rxns.rid = perr.rid
         |""".stripMargin,
     "g7_bel_edges" ->
       ("SELECT DISTINCT 'hgnc:' || s_name AS src, 'partOf' AS relation, " +
