@@ -24,11 +24,15 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
-  /** (id, shingles) staging frame: sorted distinct word n-gram shingles. */
+  /** (id, shingles) staging frame: sorted distinct word n-gram shingles.
+    * Repartitioned by id first: a single-file parquet corpus arrives as
+    * ONE partition, which would serialize the (expensive, interpreted
+    * higher-order) shingle evaluation onto one core. */
   def shingled(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode → self-equi-join on shingle → per-pair intersection counts →
@@ -40,6 +44,7 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     val sh = shingled(docs, n, idCol, textCol)
       .select(col("id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint(true) // shared by the self-join sides + sizes
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -76,9 +81,20 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // The checkpoint MUST sit between the signature and the banding:
+    // minHashSignature is an interpreted nested higher-order function
+    // (numHashes × |shingles| hash evals per row), and Catalyst's
+    // projection collapse would otherwise inline the whole expression
+    // into EVERY band lambda (bands × recompute) and again into each
+    // self-join side. Materializing (id, shingles, sig) once makes
+    // banding a cheap slice+hash over a stored array.
     val sig = shingled(docs, n, idCol, textCol)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-    val banded = sig.select(col("id"), col("shingles"),
+      .localCheckpoint(true)
+    // band rows stay NARROW (id, band, bucket): the shingle arrays join in
+    // only after candidate-pair dedup, so the band shuffle never carries
+    // the wide arrays (at 100 TB the arrays dominate row size).
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "bucket")))
@@ -86,10 +102,11 @@ object Dedup {
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(sig.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))

@@ -195,11 +195,49 @@ object Intact {
       .schema(mitabSchema)
       .csv(path)
 
+  /** One combined lookup dimension: (kind, key) → (prefix, identifier,
+    * name), with the reference's precedence rules resolved at dim-build
+    * time (entrez-over-mnemonic for uniprot, complexportal-over-reactome
+    * for intact — intact.py:458-510). Dims are dictionary-sized, so
+    * pre-joining them costs nothing and turns the 6-joins-per-side
+    * resolution into ONE broadcast hash join per side. */
+  def combinedDim(m: Mappings): DataFrame = {
+    val uniHit = m.uniprotToEntrez.toDF("k", "e")
+      .join(m.ncbigeneNames.toDF("e2", "en"), col("e") === col("e2"), "left")
+      .select(lit("uniprotkb").as("kind"), col("k").as("key"),
+        lit("ncbigene").as("r_prefix"), col("e").as("r_id"),
+        col("en").as("r_name"))
+    val uniMiss = m.uniprotMnemonic.toDF("k", "mn")
+      .join(m.uniprotToEntrez.toDF("k2", "e"),
+        col("k") === col("k2"), "left_anti")
+      .select(lit("uniprotkb").as("kind"), col("k").as("key"),
+        lit("uniprot").as("r_prefix"), col("k").as("r_id"),
+        col("mn").as("r_name"))
+    val chebi = m.chebiNames.toDF("k", "nm")
+      .select(lit("chebi").as("kind"), col("k").as("key"),
+        lit("chebi").as("r_prefix"), col("k").as("r_id"),
+        col("nm").as("r_name"))
+    val cpx = m.complexportal.toDF("k", "c")
+      .select(lit("intact").as("kind"), col("k").as("key"),
+        lit("complexportal").as("r_prefix"), col("c").as("r_id"),
+        lit(null).cast("string").as("r_name"))
+    val reactome = m.reactome.toDF("k", "r")
+      .join(m.complexportal.toDF("k2", "c"),
+        col("k") === col("k2"), "left_anti")
+      .select(lit("intact").as("kind"), col("k").as("key"),
+        lit("reactome").as("r_prefix"), col("r").as("r_id"),
+        lit(null).cast("string").as("r_name"))
+    uniHit.unionByName(uniMiss).unionByName(chebi)
+      .unionByName(cpx).unionByName(reactome)
+  }
+
   /** F3 (intact.py:458-510): CURIE-dispatch one interactor column into
     * (prefix, identifier, name) columns `<out>_prefix/identifier/name`.
-    * Pure expressions + broadcast left joins — no UDF. */
+    * Pure expressions + ONE broadcast left join against [[combinedDim]];
+    * lookup misses fall back per kind (uniprot/chebi/intact passthrough,
+    * chembl/intenz purely syntactic, unhandled → null). */
   def resolveInteractor(df: DataFrame, inCol: String, out: String,
-                        m: Mappings): DataFrame = {
+                        dim: DataFrame): DataFrame = {
     val s = col(inCol)
     val kind = when(s.startsWith("uniprotkb:"), "uniprotkb")
       .when(s.startsWith("chebi:\"CHEBI:"), "chebi")
@@ -217,56 +255,28 @@ object Intact {
       .when(kind === "intact", Curies.stripPrefix(s, "intact:"))
       .when(kind === "intenz", Curies.stripPrefix(s, "intenz:"))
     val k = s"${out}_kind"; val r = s"${out}_raw"
-    val withJoins = df
+    val joined = df
       .withColumn(k, kind).withColumn(r, rawId)
-      .join(broadcast(m.uniprotToEntrez
-        .toDF(s"${out}_u2e_key", s"${out}_entrez")),
-        col(k) === "uniprotkb" && col(r) === col(s"${out}_u2e_key"), "left")
-      .join(broadcast(m.ncbigeneNames
-        .toDF(s"${out}_ng_key", s"${out}_ng_name")),
-        col(s"${out}_entrez") === col(s"${out}_ng_key"), "left")
-      .join(broadcast(m.uniprotMnemonic
-        .toDF(s"${out}_mn_key", s"${out}_mnemonic")),
-        col(k) === "uniprotkb" && col(r) === col(s"${out}_mn_key"), "left")
-      .join(broadcast(m.chebiNames
-        .toDF(s"${out}_ch_key", s"${out}_chebi_name")),
-        col(k) === "chebi" && col(r) === col(s"${out}_ch_key"), "left")
-      .join(broadcast(m.complexportal
-        .toDF(s"${out}_cp_key", s"${out}_cpx")),
-        col(k) === "intact" && col(r) === col(s"${out}_cp_key"), "left")
-      .join(broadcast(m.reactome
-        .toDF(s"${out}_re_key", s"${out}_reactome")),
-        col(k) === "intact" && col(r) === col(s"${out}_re_key"), "left")
+      .join(broadcast(dim.toDF(s"${out}_dk", s"${out}_key", s"${out}_rp",
+        s"${out}_ri", s"${out}_rn")),
+        col(k) === col(s"${out}_dk") && col(r) === col(s"${out}_key"),
+        "left")
+    val hit = col(s"${out}_rp").isNotNull
     val prefix =
-      when(col(k) === "uniprotkb",
-        when(col(s"${out}_entrez").isNotNull, "ncbigene").otherwise("uniprot"))
+      when(hit, col(s"${out}_rp"))
+        .when(col(k) === "uniprotkb", lit("uniprot"))
         .when(col(k) === "chebi", lit("chebi"))
         .when(col(k) === "chembl", lit("chembl.target"))
-        .when(col(k) === "intact",
-          when(col(s"${out}_cpx").isNotNull, "complexportal")
-            .when(col(s"${out}_reactome").isNotNull, "reactome")
-            .otherwise("intact"))
+        .when(col(k) === "intact", lit("intact"))
         .when(col(k) === "intenz", lit("eccode"))
-    val identifier =
-      when(col(k) === "uniprotkb",
-        coalesce(col(s"${out}_entrez"), col(r)))
-        .when(col(k) === "intact",
-          coalesce(col(s"${out}_cpx"), col(s"${out}_reactome"), col(r)))
-        .otherwise(col(r))
-    val name =
-      when(col(k) === "uniprotkb",
-        when(col(s"${out}_entrez").isNotNull, col(s"${out}_ng_name"))
-          .otherwise(col(s"${out}_mnemonic")))
-        .when(col(k) === "chebi", col(s"${out}_chebi_name"))
-    withJoins
+    val identifier = when(hit, col(s"${out}_ri")).otherwise(col(r))
+    val name = when(hit, col(s"${out}_rn"))
+    joined
       .withColumn(s"${out}_prefix", prefix)
-      .withColumn(s"${out}_identifier",
-        when(prefix.isNotNull, identifier))
+      .withColumn(s"${out}_identifier", when(prefix.isNotNull, identifier))
       .withColumn(s"${out}_name", when(prefix.isNotNull, name))
-      .drop(k, r, s"${out}_u2e_key", s"${out}_entrez", s"${out}_ng_key",
-        s"${out}_ng_name", s"${out}_mn_key", s"${out}_mnemonic",
-        s"${out}_ch_key", s"${out}_chebi_name", s"${out}_cp_key",
-        s"${out}_cpx", s"${out}_re_key", s"${out}_reactome")
+      .drop(k, r, s"${out}_dk", s"${out}_key", s"${out}_rp", s"${out}_ri",
+        s"${out}_rn")
   }
 
   /** A11: tally of unmapped CURIE prefixes (the reference's `_unhandled`
@@ -290,8 +300,9 @@ object Intact {
     val cleaned = raw
       .na.drop()
       .filter(!col("interaction_type").isin(omitInteractions: _*))
-    val groundedA = resolveInteractor(cleaned, "interactor_a", "src", m)
-    val grounded = resolveInteractor(groundedA, "interactor_b", "dst", m)
+    val dim = combinedDim(m)
+    val groundedA = resolveInteractor(cleaned, "interactor_a", "src", dim)
+    val grounded = resolveInteractor(groundedA, "interactor_b", "dst", dim)
     grounded
       .filter(col("src_prefix").isNotNull && col("dst_prefix").isNotNull)
       .withColumn("pmid",
