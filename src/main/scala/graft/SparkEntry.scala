@@ -7,9 +7,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.queries("a6_enrich")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ MoreQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-hash-specific or approximate: d_simhash, s_lsh_topk). */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    Queries.oracleSql ++ MoreQueries.oracleSql
 }

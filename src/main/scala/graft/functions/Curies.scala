@@ -59,4 +59,9 @@ object Curies {
   /** F10: strip a literal prefix if present, else pass through. */
   def stripPrefix(c: Column, prefix: String): Column =
     when(c.startsWith(prefix), c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
+
+  /** F12 (reference utils.py:65, pystow name_from_url): the final path
+    * segment of a URL. */
+  def nameFromUrl(url: Column): Column =
+    regexp_extract(url, "([^/]+)$", 1)
 }
