@@ -41,20 +41,43 @@ object Terms {
 
   /** Canonical BEL-ish term string for node identity / display, e.g.
     * `p(ncbigene:5594 ! MAPK1, pmod(Ph))`. Used as the `src`/`dst` key the
-    * Graph utilities operate on. */
+    * Graph utilities operate on.
+    *
+    * `variantSuffix` is a SCALAR string column (see [[variantSuffix1]] /
+    * [[variantsSuffix]]) rather than the variants array: rendering the
+    * array inline would need `transform`, a non-codegen higher-order
+    * function — and because projection collapse folds term rendering into
+    * the surrounding mega-Project, one such expression knocks the entire
+    * ETL stage out of whole-stage codegen. */
   def termString(function: Column, namespace: Column, identifier: Column,
-                 name: Column, variants: Column): Column = {
+                 name: Column, variantSuffix: Column = lit("")): Column = {
     val core = concat(namespace, lit(":"), coalesce(identifier, lit("")),
       when(name.isNotNull, concat(lit(" ! "), name)).otherwise(lit("")))
-    val vs = when(variants.isNotNull && size(variants) > 0,
+    concat(function, lit("("), core, coalesce(variantSuffix, lit("")),
+      lit(")"))
+  }
+
+  private def variantBody(ns: Column, id: Column, name: Column): Column =
+    when(ns === "bel", name)
+      .otherwise(concat_ws(":", ns, coalesce(id, name)))
+
+  /** Suffix for a single optional variant given as flat columns — pure
+    * scalar expressions, stays inside whole-stage codegen. */
+  def variantSuffix1(kind: Column, ns: Column, id: Column,
+                     name: Column): Column =
+    when(kind.isNotNull,
+      concat(lit(", "), kind, lit("("), variantBody(ns, id, name), lit(")")))
+      .otherwise(lit(""))
+
+  /** Suffix for a dynamic variants array (interpreted `transform` — keep
+    * OUT of hot projections; prefer [[variantSuffix1]] when the variant
+    * count is statically bounded). */
+  def variantsSuffix(variants: Column): Column =
+    when(variants.isNotNull && size(variants) > 0,
       concat(lit(", "), concat_ws(", ", transform(variants, v =>
         concat(v.getField("kind"), lit("("),
-          when(v.getField("namespace") === "bel", v.getField("name"))
-            .otherwise(concat_ws(":",
-              v.getField("namespace"),
-              coalesce(v.getField("identifier"), v.getField("name")))),
+          variantBody(v.getField("namespace"), v.getField("identifier"),
+            v.getField("name")),
           lit(")"))))))
       .otherwise(lit(""))
-    concat(function, lit("("), core, vs, lit(")"))
-  }
 }

@@ -75,11 +75,9 @@ object Go {
       Terms.noModifier.as("object_modifier"))
     graft.bel.Graph.dedupEdges(edges
       .withColumn("src", Terms.termString(col("src_function"),
-        col("src_namespace"), col("src_identifier"), col("src_name"),
-        col("src_variants")))
+        col("src_namespace"), col("src_identifier"), col("src_name")))
       .withColumn("dst", Terms.termString(col("dst_function"),
-        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
-        col("dst_variants"))))
+        col("dst_namespace"), col("dst_identifier"), col("dst_name"))))
   }
 
   /** G6 subhierarchy (go.py:108-122): is_a/part_of edges between
@@ -93,10 +91,10 @@ object Go {
       .filter(col("relation").isin("is_a", "part_of"))
       .select(
         Terms.termString(lit("BiologicalProcess"), col("child_prefix"),
-          col("child_id"), col("child_name"), Terms.noVariants).as("src"),
+          col("child_id"), col("child_name")).as("src"),
         rel.as("relation"),
         Terms.termString(lit("BiologicalProcess"), col("parent_prefix"),
-          col("parent_id"), col("parent_name"), Terms.noVariants).as("dst"))
+          col("parent_id"), col("parent_name")).as("dst"))
     edges.dropDuplicates()
   }
 }

@@ -95,10 +95,8 @@ object Hmdd {
       Terms.noModifier.as("object_modifier"))
     graft.bel.Graph.dedupEdges(edges
       .withColumn("src", Terms.termString(col("src_function"),
-        col("src_namespace"), col("src_identifier"), col("src_name"),
-        col("src_variants")))
+        col("src_namespace"), col("src_identifier"), col("src_name")))
       .withColumn("dst", Terms.termString(col("dst_function"),
-        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
-        col("dst_variants"))))
+        col("dst_namespace"), col("dst_identifier"), col("dst_name"))))
   }
 }

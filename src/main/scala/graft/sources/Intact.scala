@@ -343,28 +343,76 @@ object Intact {
       array(struct(col("v_kind").as("kind"), col("v_ns").as("namespace"),
         col("v_id").as("identifier"), col("v_name").as("name"))))
       .otherwise(Terms.noVariants)
+    val srcFn = fnOf(col("src_prefix"))
+
+    // Dedup runs on an ALL-PRIMITIVE frame: first() over struct/map
+    // columns has no mutable hash-agg buffer, so deduping after building
+    // the nested columns would force a SortAggregate over the full wide
+    // rows (measured 2-3× the whole pipeline cost at sf0.1). The nested
+    // columns are rebuilt from the surviving primitives after the dedup.
+    val flat = matched.select(
+      srcFn.as("src_function"),
+      col("src_prefix").as("src_namespace"),
+      col("src_identifier"),
+      col("src_name"),
+      col("bel_relation").as("relation"),
+      targetFn.as("dst_function"),
+      col("dst_prefix").as("dst_namespace"),
+      targetId.as("dst_identifier"),
+      col("dst_name"),
+      col("v_kind"), col("v_ns"), col("v_id"), col("v_name"),
+      col("subj_ns"), col("subj_id"), col("subj_name"),
+      col("obj_activity"),
+      // citation falls back to the database (intact.py:624-625)
+      coalesce(col("pmid"), lit("database:intact")).as("citation"),
+      col("interaction_type"), col("detection_method"),
+      col("source_database"), col("score"))
+      .withColumn("src", Terms.termString(col("src_function"),
+        col("src_namespace"), col("src_identifier"), col("src_name")))
+      .withColumn("dst", Terms.termString(col("dst_function"),
+        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
+        Terms.variantSuffix1(col("v_kind"), col("v_ns"), col("v_id"),
+          col("v_name"))))
+
+    // BELGraph dedups identical qualified edges (G8) by the hash of the
+    // full qualified edge incl. annotations. The annotations map is built
+    // from four statically-known keys, so its canonical sorted `k=v`
+    // serialization is written out literally (keys differ before '=', so
+    // value content can't reorder them); null-valued entries drop, exactly
+    // as Graph.edgeId's map canonicalization does.
+    def entry(k: String, v: Column) = concat(lit(k + "="), v)
+    val canonicalAnnotations = concat_ws("",
+      entry("intact-confidence", col("score")),
+      entry("intact-detection", col("detection_method")),
+      entry("intact-source", col("source_database")),
+      entry("psi-mi", col("interaction_type")))
+    // dropDuplicates over ALL columns, not the edge_id subset: a subset
+    // dedup needs first() over the carried columns, whose var-length agg
+    // buffers force SortAggregate; an all-columns dedup is a pure
+    // group-keys HashAggregate (with map-side partial combine). Every
+    // column here is a function of the edge-identity tuple, so the two
+    // are semantically identical.
+    val deduped = flat
+      .withColumn("edge_id", xxhash64(col("src"), col("dst"),
+        col("relation"), col("citation"), lit(Evidence),
+        canonicalAnnotations))
+      .dropDuplicates()
+
     val subjMod = when(col("subj_id").isNotNull,
       struct(lit("activity").as("kind"), col("subj_ns").as("namespace"),
         col("subj_id").as("identifier"), col("subj_name").as("name")))
       .otherwise(Terms.noModifier)
     val objMod = when(col("obj_activity"), Terms.activity())
       .otherwise(Terms.noModifier)
-    val srcFn = fnOf(col("src_prefix"))
-
-    val edges = matched.select(
-      srcFn.as("src_function"),
-      col("src_prefix").as("src_namespace"),
-      col("src_identifier"),
+    val edges = deduped.select(
+      col("src_function"), col("src_namespace"), col("src_identifier"),
       col("src_name"),
       Terms.noVariants.as("src_variants"),
-      col("bel_relation").as("relation"),
-      targetFn.as("dst_function"),
-      col("dst_prefix").as("dst_namespace"),
-      targetId.as("dst_identifier"),
+      col("relation"),
+      col("dst_function"), col("dst_namespace"), col("dst_identifier"),
       col("dst_name"),
       variants.as("dst_variants"),
-      // citation falls back to the database (intact.py:624-625)
-      coalesce(col("pmid"), lit("database:intact")).as("citation"),
+      col("citation"),
       lit(Evidence).as("evidence"),
       map(
         lit("psi-mi"), col("interaction_type"),
@@ -372,17 +420,8 @@ object Intact {
         lit("intact-source"), col("source_database"),
         lit("intact-confidence"), col("score")).as("annotations"),
       subjMod.as("subject_modifier"),
-      objMod.as("object_modifier"))
-
-    val withTerms = edges
-      .withColumn("src", Terms.termString(col("src_function"),
-        col("src_namespace"), col("src_identifier"), col("src_name"),
-        col("src_variants")))
-      .withColumn("dst", Terms.termString(col("dst_function"),
-        col("dst_namespace"), col("dst_identifier"), col("dst_name"),
-        col("dst_variants")))
-    // BELGraph dedups identical qualified edges (G8) — via edge_id, which
-    // canonicalizes the annotations map (dropDuplicates can't take MAPs).
-    (graft.bel.Graph.dedupEdges(withTerms), rejects)
+      objMod.as("object_modifier"),
+      col("src"), col("dst"), col("edge_id"))
+    (edges, rejects)
   }
 }

@@ -62,7 +62,7 @@ object Tfregulons {
 
     def term(fn: String, id: org.apache.spark.sql.Column,
              nm: org.apache.spark.sql.Column) =
-      Terms.termString(lit(fn), lit("hgnc"), id, nm, Terms.noVariants)
+      Terms.termString(lit(fn), lit("hgnc"), id, nm)
     val tfP = term("Protein", col("tf_hgnc_id"), col("tf_hgnc_symbol"))
     val tgtR = term("Rna", col("target_hgnc_id"), col("target_hgnc_symbol"))
     val tgtG = term("Gene", col("target_hgnc_id"), col("target_hgnc_symbol"))
