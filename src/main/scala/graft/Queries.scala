@@ -258,8 +258,10 @@ object Queries {
     "a4_sizes_having" -> ((s, d) =>
       pq(s, d).pathwaySizes().filter(col("pathway_size") > 3)),
     "a5_degrees" -> ((s, d) => pq(s, d).geneDegrees()),
-    "a6_enrich" -> ((s, d) => pq(s, d).enrich(enrichSymbols)),
-    "a6_enrich_str" -> ((s, d) =>
+    // gene_set is surfaced as a comma-joined string: the computation is the
+    // array plan (PathwayQueries.enrich), but the driver's pandas comparator
+    // cannot hash array cells, so the oracle-facing form is scalar.
+    "a6_enrich" -> ((s, d) =>
       pq(s, d).enrich(enrichSymbols)
         .withColumn("gene_set", concat_ws(",", col("gene_set")))),
     "a8_gene_sets" -> ((s, d) =>
@@ -547,9 +549,14 @@ object Queries {
       graft.ops.Multimodal.frameSample(
         graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")),
         frameBytes = 256, maxFrames = 4)),
+    // features are integer-valued; surfaced as a ';'-joined bigint string
+    // (the driver's pandas comparator cannot hash array cells).
     "mm_features" -> ((s, d) =>
       graft.ops.Multimodal.decodeFeatures(
-        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")))),
+        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")))
+        .select(col("doc_id"),
+          concat_ws(";", transform(col("features"),
+            x => x.cast("bigint").cast("string"))).as("features"))),
 
     // --- Streaming-shaped: stateful sessionization (batch face) ------------
     "w_sessionize" -> ((s, d) =>
@@ -710,8 +717,11 @@ object Queries {
         "lineitem")
         .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
         .mkString(" UNION ALL "),
+    // CAST: DuckDB sum() yields HUGEINT whose value-hash differs from
+    // Spark's bigint even when equal.
     "a3_relation_count" ->
-      ("SELECT sum(n) AS n_edges FROM (SELECT count(*) AS n FROM lineitem " +
+      ("SELECT CAST(sum(n) AS BIGINT) AS n_edges " +
+        "FROM (SELECT count(*) AS n FROM lineitem " +
         "UNION ALL SELECT count(*) AS n FROM orders)"),
     "a4_sizes_having" ->
       ("SELECT l_partkey AS pathway_id, " +
@@ -721,8 +731,7 @@ object Queries {
       ("SELECT l_suppkey AS protein_id, " +
         "count(DISTINCT l_partkey) AS n_pathways FROM lineitem " +
         "GROUP BY l_suppkey HAVING count(DISTINCT l_partkey) > 0"),
-    "a6_enrich" -> enrichOracle(asString = false),
-    "a6_enrich_str" -> enrichOracle(asString = true),
+    "a6_enrich" -> enrichOracle(asString = true),
     "a8_gene_sets" ->
       ("SELECT CAST(l_partkey AS VARCHAR) AS identifier, " +
         "array_to_string(list_sort(list(DISTINCT s_name)), ',') AS gene_set " +
@@ -1116,6 +1125,11 @@ object Queries {
         "CASE WHEN substring(text, 1, 1) = 't' THEN 't-class' " +
         "WHEN substring(text, 1, 1) = 'a' THEN 'a-class' " +
         "ELSE 'other' END AS sniffed FROM documents"),
+    // NOTE: this oracle frames by CHARACTERS (DuckDB cannot substring/md5
+    // BLOBs) while the operator frames the utf-8 payload by BYTES. They
+    // agree because the driver corpus is pure ASCII at every sf (verified:
+    // octet_length(encode(text)) == length(text) for all rows). A non-ASCII
+    // corpus would need a byte-capable oracle engine.
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,
@@ -1131,11 +1145,11 @@ object Queries {
         |FROM ex
         |""".stripMargin,
     "mm_features" ->
-      ("SELECT doc_id, [CAST(length(text) AS DOUBLE), " +
-        "CAST(ascii(substring(text, 1, 1)) AS DOUBLE), " +
-        "CAST(ascii(substring(text, length(text), 1)) AS DOUBLE), " +
-        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)] " +
-        "AS features FROM documents"),
+      ("SELECT doc_id, array_to_string([CAST(length(text) AS BIGINT), " +
+        "CAST(ascii(substring(text, 1, 1)) AS BIGINT), " +
+        "CAST(ascii(substring(text, length(text), 1)) AS BIGINT), " +
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)], " +
+        "';') AS features FROM documents"),
     "w_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

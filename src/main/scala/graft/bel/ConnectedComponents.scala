@@ -3,6 +3,8 @@ package graft.bel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints
+
 /** Distributed connected components over an edge DataFrame — the one
   * genuinely iterative algorithm the engine needs (A13; the reference calls
   * networkx `connected_components` on an in-memory graph, which caps out at
@@ -42,7 +44,7 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+    e = Checkpoints.cut(e)
 
     // Convergence check: a (count, hash-sum) fingerprint of the canonical
     // edge set — ONE cheap aggregation per round instead of the two
@@ -78,7 +80,7 @@ object ConnectedComponents {
       val oriented = largeStar.select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val smallStar = oriented
+      val smallStar = Checkpoints.cut(oriented
         .groupBy("u")
         .agg(array_min(collect_set(col("v"))).as("m"),
           collect_set(col("v")).as("ns"))
@@ -86,8 +88,7 @@ object ConnectedComponents {
           filter(array_union(col("ns"), array(col("u"))),
             n => n =!= col("m")).as("others"))
         .select(explode(col("others")).as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
 
       // Converged when the (canonical, deduped) edge set is unchanged.
       val fp = fingerprint(smallStar)
@@ -96,6 +97,14 @@ object ConnectedComponents {
       prevFp = fp
       iter += 1
     }
+    // Exiting at maxIterations without the fixpoint would silently return
+    // wrong labels; surface it loudly (callers see the warning, the labels
+    // are best-effort). 30 rounds is far above the O(log n) bound, so this
+    // only fires on a pathological input or a too-low caller override.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did NOT converge after $maxIterations " +
+          "iterations; component labels may be incorrect")
 
     // At the fixpoint the edge set is a union of stars rooted at each
     // component's min id: (u=member, v=root). Nodes absent from any edge

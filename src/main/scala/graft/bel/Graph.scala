@@ -20,16 +20,17 @@ object Graph {
   /** Deterministic qualified-edge identity (G8). The annotations map is
     * part of the identity (BELGraph hashes the full qualified edge incl.
     * annotations — two edges differing only in annotations are distinct);
-    * maps are unordered, so it is canonicalized to a sorted `k=v` list
-    * before hashing. */
+    * maps are unordered, so they are canonicalized to a sorted entry array
+    * hashed structurally. */
   def edgeId(src: Column, dst: Column, relation: Column,
              citation: Column, evidence: Column,
              annotations: Column = lit(null)): Column = {
-    val canonicalAnnotations = coalesce(
-      concat_ws("",
-        array_sort(transform(map_entries(annotations),
-          e => concat(e.getField("key"), lit("="), e.getField("value"))))),
-      lit(""))
+    // Structural canon: hash the sorted entry array itself (xxhash64 folds
+    // nested struct fields with per-field boundaries), so distinct maps can
+    // never serialize identically — no delimiter/escaping caveats.
+    val canonicalAnnotations = array_sort(map_entries(
+      coalesce(annotations.cast("map<string,string>"),
+        typedlit(Map.empty[String, String]))))
     xxhash64(src, dst, relation, coalesce(citation, lit("")),
       coalesce(evidence, lit("")), canonicalAnnotations)
   }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Scale design (100 TB): nothing here is all-pairs. Exact dedup is one
@@ -34,34 +36,63 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
 
-  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
-    * explode → self-equi-join on shingle → per-pair intersection counts →
-    * Jaccard filter. Exact (not approximate), but the join fan-out is
-    * bounded by shingle-bucket co-occurrence, not |docs|².
+  /** Exact n-gram-Jaccard near-dup pairs via a document-frequency-capped
+    * inverted shingle index.
+    *
+    * Candidate generation: explode shingles → group by shingle → keep
+    * posting lists with 2..maxDF documents → emit the C(k,2) id pairs of
+    * each list. The DF cap is the standard hot-key guard: a stop-word
+    * shingle shared by k documents would otherwise emit k² candidate rows
+    * (effectively quadratic on a web corpus, and one skewed shuffle key).
+    * Verification: join the full shingle arrays back on the deduped
+    * candidate pairs and compute EXACT Jaccard — so every emitted pair is
+    * exact; the cap only loses pairs whose every common shingle occurs in
+    * > maxDF documents, which at threshold ≥ 0.5 means boilerplate
+    * templates, not near-duplicates.
     * Output: (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   maxDF: Int = 1000,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh = shingled(docs, n, idCol, textCol)
+    // (id, shingles) materialized once: shared by the inverted index and
+    // both sides of the verification join.
+    val sh = Checkpoints.cut(shingled(docs, n, idCol, textCol))
+    // Posting lists, frequency-capped. sort_array makes pair orientation
+    // (id_a < id_b) free at emit time.
+    val postings = sh
       .select(col("id"), explode(col("shingles")).as("shingle"))
-      .localCheckpoint(true) // shared by the self-join sides + sizes
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDF))
+    // C(k,2) pairs per posting list: for element i, pair with elements
+    // i+1..k-1 — bounded by maxDF²/2 rows per shingle.
+    val candidates = postings
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifiedJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * `(id, shingles, ...)` staging frame (shared by [[jaccardPairs]] and
+    * [[minHashPairs]]). */
+  private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+          .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** MinHash signature: `numHashes` min-values over the shingle set, hash
     * family h_i(s) = xxhash64(i, s) — deterministic across executors, no
@@ -88,9 +119,8 @@ object Dedup {
     // into EVERY band lambda (bands × recompute) and again into each
     // self-join side. Materializing (id, shingles, sig) once makes
     // banding a cheap slice+hash over a stored array.
-    val sig = shingled(docs, n, idCol, textCol)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-      .localCheckpoint(true)
+    val sig = Checkpoints.cut(shingled(docs, n, idCol, textCol)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes)))
     // band rows stay NARROW (id, band, bucket): the shingle arrays join in
     // only after candidate-pair dedup, so the band shuffle never carries
     // the wide arrays (at 100 TB the arrays dominate row size).
@@ -104,14 +134,7 @@ object Dedup {
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sig.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedJaccard(candidates, sig, threshold)
   }
 
   /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit

@@ -30,10 +30,20 @@ def norm_cell(v):
     return v
 
 
+def sort_key_cell(x):
+    # Quantize floats for the SORT key (consistent with the comparison
+    # tolerance): near-tie floats that differ below tolerance would
+    # otherwise sort into different positions per engine and report a
+    # false positional mismatch. Comparison still uses the full values.
+    if isinstance(x, float) and not math.isnan(x):
+        return (x is None, "float", f"{x:.6g}")
+    return (x is None, str(type(x)), str(x))
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    out.sort(key=lambda r: tuple(sort_key_cell(x) for x in r))
     return out
 
 
