@@ -1,10 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{TopKAgg, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -12,13 +11,32 @@ import graft.functions.Vectors
   *  - [[bruteForceTopK]]: exact cosine top-k — the baseline. The query set
   *    is broadcast (queries are small); the corpus streams through one
   *    narrow pass, so cost is |corpus|×|queries| dot products with NO
-  *    shuffle of the corpus. Right for ≤ thousands of queries.
+  *    shuffle of the corpus.
   *  - [[lshTopK]]: hyperplane-LSH bucketed ANN — the 100 TB path. Corpus
   *    and queries are bucketed by signature band; dot products only happen
   *    within co-bucketed pairs (equi-join, shuffle on band key). Recall is
   *    tunable via bands × bits.
+  *
+  * Both re-rank through [[topKPerQuery]] — a bounded-heap Aggregator with
+  * map-side partial aggregation — never a per-query `row_number` window,
+  * which would funnel |corpus| scored rows per query into one task.
   */
 object Similarity {
+
+  /** Per-query exact top-k of a `(query_id, id, cosine)` scored frame.
+    * ObjectHashAggregate + partial merge: each task locally reduces its
+    * slice to ≤ k rows before the shuffle, so no single-task stage exists
+    * regardless of how few queries there are. Ties break (cosine desc,
+    * id asc), matching the SQL `row_number` oracle. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("cosine")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.id").as("id"), col("h.cosine").as("cosine"))
+  }
 
   /** Exact top-k neighbors per query vector by cosine similarity.
     * `queries(query_id, embedding)` is broadcast against
@@ -33,11 +51,7 @@ object Similarity {
       .select(col("q.query_id").as("query_id"),
         col(s"c.$idCol").as("id"),
         Vectors.cosine(col("q.embedding"), col(s"c.$vecCol")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** Hyperplane-LSH candidate generation + exact re-rank: `bands` signature
@@ -45,7 +59,13 @@ object Similarity {
     * for a query iff they share at least one band value. Exact cosine
     * re-ranks candidates; top-k of the candidate set is returned.
     * Approximate: recall < 1 by design; raise `bands` for recall, raise
-    * `bitsPerBand` for precision (fewer candidates). */
+    * `bitsPerBand` for precision (fewer candidates).
+    *
+    * Shuffle discipline (mirrors Dedup.minHashPairs): band rows are NARROW
+    * (id, band, bucket) — the ×bands explode and the band-key shuffle never
+    * carry the embedding arrays, which dominate row size at 100 TB. Vectors
+    * join back only after candidate-pair dedup: the corpus side by equi-join
+    * on id, the query side broadcast. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 8, bitsPerBand: Int = 8,
               idCol: String = "vec_id",
@@ -54,28 +74,28 @@ object Similarity {
       // sig is materialized in a first select so the band extraction (which
       // is unrolled statically — shiftright takes a literal shift) does not
       // duplicate the signature expression `bands` times.
-      df.select(id.as("bid"), vec.as("bvec"),
+      df.select(id.as("bid"),
           Vectors.hyperplaneSignature(vec, bands * bitsPerBand).as("sig"))
-        .select(col("bid"), col("bvec"),
+        .select(col("bid"),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * bitsPerBand)
               .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
             .as(Seq("band", "bucket")))
     }
     val cB = banded(corpus, col(idCol), col(vecCol))
-      .withColumnRenamed("bid", "id").withColumnRenamed("bvec", "cvec")
+      .withColumnRenamed("bid", "id")
     val qB = banded(queries, col("query_id"), col("embedding"))
-      .withColumnRenamed("bid", "query_id").withColumnRenamed("bvec", "qvec")
+      .withColumnRenamed("bid", "query_id")
     val cands = cB.join(qB, Seq("band", "bucket"))
       .filter(col("id") =!= col("query_id"))
-      .select("query_id", "id", "qvec", "cvec")
+      .select("query_id", "id")
       .dropDuplicates("query_id", "id")
-    val scored = cands.select(col("query_id"), col("id"),
-      Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id", "cosine")
+    val scored = cands
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")), "id")
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("qvec"))), "query_id")
+      .select(col("query_id"), col("id"),
+        Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
+    topKPerQuery(scored, k)
   }
 }
