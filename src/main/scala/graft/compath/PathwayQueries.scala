@@ -136,11 +136,12 @@ final class PathwayQueries(val store: PathwayStore) {
 
   // --- G7: BEL export ------------------------------------------------------
 
-  /** G7 (reference compath/mixins.py:48-62, manager.py:384-394): one
-    * `partOf` edge per (protein, pathway) membership row. */
-  def toBelEdges(namespace: String): DataFrame =
+  /** partOf edge build shared by [[toBelEdges]] and the J5/J6 graph
+    * enrichers: `pathwaySubset` must carry (pathway_id, identifier). */
+  private def partOfEdges(pathwaySubset: DataFrame,
+                          namespace: String): DataFrame =
     membership
-      .join(broadcast(pathways), "pathway_id")
+      .join(broadcast(pathwaySubset), "pathway_id")
       .join(broadcast(proteins), "protein_id")
       .filter(col("hgnc_symbol").isNotNull) // null-skip: compath/mixins.py:35-41
       .select(
@@ -148,4 +149,45 @@ final class PathwayQueries(val store: PathwayStore) {
         lit("partOf").as("relation"),
         concat(lit(s"$namespace:"), col("identifier")).as("dst"))
       .distinct()
+
+  /** G7 (reference compath/mixins.py:48-62, manager.py:384-394): one
+    * `partOf` edge per (protein, pathway) membership row. */
+  def toBelEdges(namespace: String): DataFrame =
+    partOfEdges(pathways, namespace)
+
+  /** J5 (reference compath/manager.py:396-409, `enrich_pathways`): for
+    * every pathway NODE already present in the graph — a node whose
+    * namespace is this module's and whose identifier is non-null — add the
+    * pathway's full membership as partOf edges. `graphNodes` columns:
+    * (namespace, identifier); extra columns ignored. The node set is
+    * dimension-sized (it came out of a graph), so both the identifier
+    * semi-join and the pathway dim broadcast. */
+  def enrichPathways(graphNodes: DataFrame, namespace: String): DataFrame = {
+    val wanted = graphNodes
+      .filter(lower(col("namespace")) === namespace.toLowerCase
+        && col("identifier").isNotNull)
+      .select("identifier").distinct()
+    partOfEdges(
+      pathways.join(broadcast(wanted), Seq("identifier"), "left_semi"),
+      namespace)
+  }
+
+  /** J6 (reference compath/manager.py:411-419, `enrich_proteins`): find
+    * every pathway containing at least one of the graph's HGNC proteins,
+    * then add each such pathway's FULL membership (not just the matched
+    * proteins) as partOf edges — the reference adds the whole pathway via
+    * `add_to_bel_graph`. `graphHgncIds`: one column of hgnc ids. */
+  def enrichProteins(graphHgncIds: DataFrame, namespace: String): DataFrame = {
+    val ids = graphHgncIds
+      .select(col(graphHgncIds.columns.head).as("hgnc_id")).distinct()
+    val matched = proteins
+      .join(broadcast(ids), Seq("hgnc_id"), "left_semi")
+      .select("protein_id")
+    val hitPathways = membership
+      .join(broadcast(matched), "protein_id")
+      .select("pathway_id").distinct()
+    partOfEdges(
+      pathways.join(hitPathways, Seq("pathway_id"), "left_semi"),
+      namespace)
+  }
 }

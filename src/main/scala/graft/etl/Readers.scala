@@ -47,6 +47,33 @@ object Readers {
     r.schema(schema).csv(path)
   }
 
+  /** S4 (downloading.py:95-122, make_zipped_df_getter): extract one named
+    * member from a landed zip archive into the landing zone — skipped when
+    * the extract already exists, same cache contract as [[ensureLanded]] —
+    * then scan it with the schema'd [[csv]] reader. Zip entries are not
+    * splittable, so the member is extracted once driver-side (the zip is a
+    * landed local file by the S1 contract); the scan of the extracted file
+    * is distributed as usual. */
+  def zippedCsv(spark: SparkSession, zipFile: String, memberPath: String,
+                extractTo: String, schema: StructType, sep: String = ",",
+                header: Boolean = true, encoding: String = "UTF-8",
+                nullValue: String = null): DataFrame = {
+    ensureLanded(spark, extractTo, { dest =>
+      val zf = new java.util.zip.ZipFile(zipFile)
+      try {
+        val entry = zf.getEntry(memberPath)
+        require(entry != null, s"member $memberPath not found in $zipFile")
+        val in = zf.getInputStream(entry)
+        val hp = new HPath(dest)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(hp, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
+        finally { in.close(); out.close() }
+      } finally zf.close()
+    })
+    csv(spark, extractTo, schema, sep, header, encoding, nullValue)
+  }
+
   /** S17: PyKEEN 3-column triples TSV (io/pykeen.py:39-50). */
   def triples(spark: SparkSession, path: String): DataFrame =
     csv(spark, path,

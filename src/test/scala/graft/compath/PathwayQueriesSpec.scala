@@ -103,4 +103,32 @@ class PathwayQueriesSpec extends SparkSpec {
     assert(edges.length === 4)
     assert(edges.forall(_.getAs[String]("relation") == "partOf"))
   }
+
+  test("J5: enrichPathways adds edges only for graph pathway nodes, " +
+    "namespace case-insensitively, null identifiers skipped") {
+    val graphNodes = Seq(
+      ("PID", "pw1"),                  // uppercase namespace still matches
+      ("pid", null.asInstanceOf[String]), // null identifier skipped
+      ("other", "pw2"),                // wrong namespace skipped
+      ("pid", "nope")                  // unknown pathway: no edges
+    ).toDF("namespace", "identifier")
+    val got = q.enrichPathways(graphNodes, "pid")
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // pw1 members with non-null symbols: TP53, BRCA1 (null-symbol skipped)
+    assert(got === Set(("hgnc:TP53", "pid:pw1"), ("hgnc:BRCA1", "pid:pw1")))
+  }
+
+  test("J6: enrichProteins adds the FULL membership of every pathway " +
+    "containing a graph protein") {
+    val ids = Seq("HGNC:3").toDF("hgnc_id") // EGFR, only in pw3
+    val got = q.enrichProteins(ids, "pid")
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(got === Set(("hgnc:EGFR", "pid:pw3")))
+    // TP53 pulls in BOTH its pathways, with their complete member lists
+    val got2 = q.enrichProteins(Seq("HGNC:1").toDF("hgnc_id"), "pid")
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(got2 === Set(
+      ("hgnc:TP53", "pid:pw1"), ("hgnc:BRCA1", "pid:pw1"),
+      ("hgnc:TP53", "pid:pw2")))
+  }
 }

@@ -135,6 +135,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Array((1L, 4L), (2L, 2L))) // 4 closer than 2; self excluded
   }
 
+  test("topKPerQuery: bounded-heap agg equals window ranking incl. ties, " +
+    "plan has no Window") {
+    // > 4k rows per query so the heap's sort-and-truncate path runs;
+    // duplicate cosines so the id tiebreak is exercised.
+    val scored = (0 until 50).flatMap(q => (0 until 200).map(i =>
+      (q.toLong, i.toLong, (i % 7).toDouble / 7.0)))
+      .toDF("query_id", "id", "cosine")
+    val k = 5
+    val got = Similarity.topKPerQuery(scored, k)
+    // reference ranking via the window the aggregator replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    val want = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>

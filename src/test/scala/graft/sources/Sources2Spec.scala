@@ -219,6 +219,43 @@ class EtlSpec extends SparkSpec {
     assert(builds === 1 && df.count() === 1)
   }
 
+  test("S4: zipped-CSV member extract + schema'd scan, cached extract") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("zip")
+    val zip = s"$dir/data.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zip))
+    zos.putNextEntry(new java.util.zip.ZipEntry("inner/d.csv"))
+    zos.write("a,b\n1,x\n2,y\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("inner/other.csv"))
+    zos.write("z\n9\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val schema = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val extract = s"$dir/d.csv"
+    val df = graft.etl.Readers.zippedCsv(spark, zip, "inner/d.csv",
+      extract, schema)
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "x"), (2, "y")))
+    // cache contract: extract exists -> the zip is not re-read (delete it
+    // and scan again)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(zip))
+    assert(graft.etl.Readers.zippedCsv(spark, zip, "inner/d.csv",
+      extract, schema).count() === 2)
+    // missing member is an explicit error
+    intercept[IllegalArgumentException] {
+      val zip2 = s"$dir/data2.zip"
+      val z2 = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zip2))
+      z2.putNextEntry(new java.util.zip.ZipEntry("x")); z2.closeEntry()
+      z2.close()
+      graft.etl.Readers.zippedCsv(spark, zip2, "nope.csv",
+        s"$dir/nope.csv", schema)
+    }
+  }
+
   test("S17: triples TSV scan") {
     val dir = tmpDir("trip")
     java.nio.file.Files.writeString(
