@@ -102,24 +102,25 @@ final class NamespaceStore(spark: SparkSession, path: String,
     }
 
   /** drop_bel_namespace (namespace_manager.py:334-345). Parquet is
-    * immutable, so drop = rewrite-without (same observable semantics). */
+    * immutable, so drop = rewrite-without: filter the dropped url out into
+    * a tmp path, then swap directories. Fully distributed — no
+    * collect-to-driver, so the same code path works when the entry table
+    * outgrows the "dictionary-sized" contract. */
   def drop(spec: NamespaceSpec): Unit = {
-    if (exists(entryPath)) {
-      val kept = spark.read.parquet(entryPath)
-        .filter(col("namespace_url") =!= spec.url)
-        .collect() // dictionary-sized by contract
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(kept.toSeq),
-        spark.read.parquet(entryPath).schema)
-        .write.mode(SaveMode.Overwrite).parquet(entryPath)
+    def rewriteWithout(path: String, keyCol: String): Unit = {
+      if (!exists(path)) return
+      val tmp = s"$path.__drop_tmp"
+      spark.read.parquet(path)
+        .filter(col(keyCol) =!= spec.url)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val hp = new HPath(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      fs.rename(new HPath(tmp), hp)
+      ()
     }
-    if (exists(nsPath)) {
-      val kept = spark.read.parquet(nsPath)
-        .filter(col("url") =!= spec.url).collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq),
-        spark.read.parquet(nsPath).schema)
-        .write.mode(SaveMode.Overwrite).parquet(nsPath)
-    }
+    rewriteWithout(entryPath, "namespace_url")
+    rewriteWithout(nsPath, "url")
   }
 
   /** A14 (utils.py:189-199): md5 over ordered `name:encoding` (or

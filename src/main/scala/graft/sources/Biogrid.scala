@@ -108,21 +108,27 @@ object Biogrid {
   def processPmid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(c, "pubmed:".length + 1, 1)
 
-  /** Strict error channels — raises like the reference does.  */
+  /** Strict error channels — raises like the reference does. One scan
+    * tags both violation kinds; pmid errors win ties, matching the
+    * reference's check order (biogrid.py:199-210). */
   def validate(raw: DataFrame): Unit = {
-    val badPmid = raw.filter(!col("publication").startsWith("pubmed:"))
-      .limit(1).collect()
-    if (badPmid.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Non pubmed: ${badPmid.head.getAs[String]("publication")}")
     val known = rels.map(_._1)
-    val badRel = raw
-      .filter(!col("interaction_type").isin(known: _*))
+    val bad = raw
+      .select(col("publication"), col("interaction_type"),
+        (!col("publication").startsWith("pubmed:")).as("bad_pmid"),
+        (!col("interaction_type").isin(known: _*)).as("bad_rel"))
+      .filter(col("bad_pmid") || col("bad_rel"))
+      .orderBy(col("bad_pmid").desc)
       .limit(1).collect()
-    if (badRel.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Unhandled BioGrid relation: " +
-          badRel.head.getAs[String]("interaction_type"))
+    bad.headOption.foreach { r =>
+      if (r.getAs[Boolean]("bad_pmid"))
+        throw new IllegalArgumentException(
+          s"Non pubmed: ${r.getAs[String]("publication")}")
+      else
+        throw new IllegalArgumentException(
+          s"Unhandled BioGrid relation: " +
+            r.getAs[String]("interaction_type"))
+    }
   }
 
   /** S7+F4+F6 (biogrid.py:217-237): grounded frame with pmid digit. */
