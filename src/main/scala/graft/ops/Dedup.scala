@@ -34,7 +34,7 @@ object Dedup {
                textCol: String = "text"): DataFrame =
     docs.repartition(col(idCol))
       .select(col(idCol).as("id"),
-        TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+        TextAnalysis.wordShingleHashes(col(textCol), n).as("shingles"))
 
   /** Exact n-gram-Jaccard near-dup pairs via a document-frequency-capped
     * inverted shingle index.
@@ -97,9 +97,23 @@ object Dedup {
   /** MinHash signature: `numHashes` min-values over the shingle set, hash
     * family h_i(s) = xxhash64(i, s) — deterministic across executors, no
     * RNG state to ship. Returns an array<long> column. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    // Carter–Wegman double hashing: each shingle STRING is hashed exactly
+    // twice; family member i is h1 + i·h2 (long arithmetic, overflow
+    // wraps harmlessly). The naive form — xxhash64(i, s) per member —
+    // re-reads every shingle's bytes numHashes times and dominated the
+    // whole dedup pipeline.
+    val hashed = transform(shingles,
+      s => struct(xxhash64(s).as("h1"), xxhash64(s, lit(1)).as("h2")))
+    // let-bind `hashed` via a 1-element transform: HOFs have no cross-
+    // lambda subexpression elimination, so referencing the expression
+    // directly inside the family loop would re-hash the strings numHashes
+    // times anyway. A lambda VARIABLE is evaluated once.
+    element_at(transform(array(hashed), hs =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hs,
+          h => h.getField("h1") + i * h.getField("h2"))))), 1)
+  }
 
   /** MinHash-LSH near-dup pairs: signature → `bands` band keys → equi-join
     * on (band, band_hash) buckets → exact-Jaccard verification of bucket

@@ -86,13 +86,38 @@ object TextAnalysis {
           .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
   }
 
+  /** Let-bind an expression as a lambda variable so lambda bodies that
+    * reference it many times evaluate it ONCE: higher-order functions have
+    * no cross-lambda subexpression elimination, so e.g. `split(text)`
+    * referenced inside a per-shingle lambda would re-split the whole
+    * document once per reference otherwise. */
+  private def bound(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   /** Word n-gram shingles (sorted distinct) — the dedup/Jaccard substrate. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(normalized(text), " ")
-    val count = size(words)
-    array_sort(array_distinct(
-      when(count < n, array(concat_ws(" ", words)))
-        .otherwise(transform(sequence(lit(0), count - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    bound(split(normalized(text), " ")) { words =>
+      val count = size(words)
+      array_sort(array_distinct(
+        when(count < n, array(concat_ws(" ", words)))
+          .otherwise(transform(sequence(lit(0), count - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))))
+    }
+
+  /** Sorted distinct 64-bit shingle HASHES — the hot-path form of
+    * [[wordShingles]] the dedup pipelines run on. Each n-gram is hashed
+    * straight off the word array (one xxhash64 over n word references),
+    * never materialized as a string, and the distinct/sort work on longs.
+    * Set semantics (and therefore Jaccard values) are identical up to
+    * 64-bit hash collisions: within any one document pair's union (~10³
+    * shingles) the collision probability is ~10⁶/2⁶⁴ ≈ 1e-13, and a single
+    * collision shifts Jaccard by ≤1/|union|. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    bound(split(normalized(text), " ")) { words =>
+      val count = size(words)
+      array_sort(array_distinct(
+        when(count < n, array(xxhash64(words)))
+          .otherwise(transform(sequence(lit(0), count - n),
+            i => xxhash64((1 to n).map(j => element_at(words, i + j)): _*)))))
+    }
 }
