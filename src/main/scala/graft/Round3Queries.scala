@@ -161,6 +161,16 @@ object Round3Queries {
           StructField("region_name", StringType))))
     }),
 
+    // --- IVF ANN in exact mode (nProbe == nList ⇒ brute force) ------------
+    "s_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.ivfTopK(emb, queriesDf, k = 4,
+        nList = 8, nProbe = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // --- J5: enrich pathway nodes already in a graph ----------------------
     "j5_graph_enrich" -> ((s, d) => {
       val k = col("p_partkey")
@@ -287,6 +297,10 @@ object Round3Queries {
   // ==========================================================================
 
   val oracleSql: Map[String, String] = Map(
+    // exact mode: IVF with nProbe == nList scores every pair, so the
+    // brute-force oracle pins it exactly
+    "s_ivf_topk" -> Queries.oracleSql("s_brute_topk"),
+
     "s6_intact_mitab" ->
       """SELECT 'uniprotkb:P' || s_suppkey AS interactor_a,
         |  'intact:EBI-' || s_suppkey AS interactor_b,

@@ -54,6 +54,62 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) ANN over cosine similarity: the corpus is
+    * partitioned once into `nList` Voronoi cells around deterministically
+    * sampled centroids; each query scores only the corpus rows of its
+    * `nProbe` nearest cells.
+    *
+    * Centroid selection is a hash-ordered corpus sample (TakeOrdered — a
+    * per-partition top-nList then driver merge, no shuffle); at 100 TB
+    * you'd refine the centroids with a few offline k-means rounds, which
+    * changes recall, not plan shape. Cell assignment is per-row arithmetic
+    * against the centroid LITERALS (a centroid set is driver-sized by
+    * construction, like any dimension): indexing is ONE narrow pass over
+    * the corpus — no explode, no shuffle, no join. Each corpus row lands
+    * in exactly one cell, so candidate pairs are already distinct, and the
+    * probe join broadcasts (query_id, cell) rows against the streaming
+    * corpus.
+    *
+    * `nProbe == nList` degrades to exact brute force (every pair scored) —
+    * that is how the correctness oracle pins this operator; recall at
+    * `nProbe < nList` is the usual IVF tradeoff. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nList: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
+      s"need 2 <= nProbe($nProbe) <= nList($nList)")
+    val cents: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nList)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def scoredCells(vec: Column): Seq[Column] = cents.toSeq.map {
+      case (cid, cvec) =>
+        struct(Vectors.cosine(vec, typedlit(cvec)).as("s"),
+          lit(cid).as("cell"))
+    }
+    // argmax via greatest() over (cosine, cell) structs — lexicographic
+    // struct ordering, ties break toward the higher cell id
+    def bestCell(vec: Column): Column =
+      greatest(scoredCells(vec): _*).getField("cell")
+    def probedCells(vec: Column): Column =
+      transform(
+        slice(reverse(array_sort(array(scoredCells(vec): _*))), 1, nProbe),
+        s => s.getField("cell"))
+    val assigned = corpus.select(col(idCol).as("id"),
+      col(vecCol).as("cvec"), bestCell(col(vecCol)).as("cell"))
+    val probes = queries.select(col("query_id"),
+      col("embedding").as("qvec"),
+      explode(probedCells(col("embedding"))).as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Hyperplane-LSH candidate generation + exact re-rank: `bands` signature
     * bands of `bitsPerBand` sign bits each; a corpus vector is a candidate
     * for a query iff they share at least one band value. Exact cosine

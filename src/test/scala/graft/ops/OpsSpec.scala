@@ -157,6 +157,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("IVF top-k: exact at nProbe==nList; subset with true ranks below") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val ivfExact = Similarity.ivfTopK(corpus, queries, k = 4,
+      nList = 6, nProbe = 6)
+    assert(ivfExact.exceptAll(exact).isEmpty
+      && exact.exceptAll(ivfExact).isEmpty)
+    // approximate mode returns <= k rows per query, all from the true
+    // scored universe
+    val approx = Similarity.ivfTopK(corpus, queries, k = 4,
+      nList = 6, nProbe = 2).collect()
+    assert(approx.nonEmpty && approx.forall(_.getAs[Long]("rank") <= 4))
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>
