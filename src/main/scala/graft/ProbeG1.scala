@@ -22,6 +22,10 @@ object ProbeG1 {
     val (edges, rejects) = graft.sources.Intact.toBel(proc)
     time("edges_dedup")(edges.count())
     time("rejects")(rejects.count())
+    val procCp = proc.localCheckpoint(true)
+    val (edges2, _) = graft.sources.Intact.toBel(procCp)
+    time("toBel_alone")(edges2.count())
+    time("toBel_alone2")(edges2.count())
     spark.stop()
   }
 }

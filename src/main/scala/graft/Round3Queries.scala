@@ -161,6 +161,28 @@ object Round3Queries {
           StructField("region_name", StringType))))
     }),
 
+    // --- Embedding-cosine near-dup: LSH bands + exact verify --------------
+    // The driver's embeddings are random (max pair cosine ≈ 0.51), so the
+    // near-dup regime is synthesized inside the query, as the G-series does
+    // for raw inputs: each vector gets a deterministically perturbed twin
+    // (+0.001·sin(7·id) on every dim) and the operator must recover
+    // exactly the (i, i+1000000) twin pairs at threshold 0.99.
+    "d_embed_pairs" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+      val perturbed = base.select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.001) * sin(col("vec_id") * 7)).as("embedding"))
+      // The gate pins PAIR RECOVERY; the cosine column is dropped because
+      // 500 near-identical doubles cannot be sorted consistently across
+      // engines (summation-order noise larger than any sort-quantization
+      // bucket and smaller than none).
+      graft.ops.Dedup.embeddingPairs(base.unionByName(perturbed),
+        threshold = 0.99)
+        .select("id_a", "id_b")
+    }),
+
     // --- IVF ANN in exact mode (nProbe == nList ⇒ brute force) ------------
     "s_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -300,6 +322,22 @@ object Round3Queries {
     // exact mode: IVF with nProbe == nList scores every pair, so the
     // brute-force oracle pins it exactly
     "s_ivf_topk" -> Queries.oracleSql("s_brute_topk"),
+
+    "d_embed_pairs" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x + 0.001 * sin(vec_id * 7)) AS v
+        |  FROM embeddings
+        |), u AS (
+        |  SELECT * FROM b UNION ALL SELECT * FROM p
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |""".stripMargin,
 
     "s6_intact_mitab" ->
       """SELECT 'uniprotkb:P' || s_suppkey AS interactor_a,

@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
 object Curies {
 
   /** F1/F2 (reference intact.py:408-433): split a pipe-delimited list,
-    * trim, return the first token carrying `prefix` — or null. */
+    * trim, return the first token carrying `prefix` — or null.
+    *
+    * Implemented as ONE codegen'd regexp (leftmost token whose
+    * whitespace-trimmed form starts with the prefix) rather than the
+    * obvious split→transform→filter chain: higher-order functions are
+    * CodegenFallback, and this function sits inside the G1/G2 grounding
+    * mega-projection — one HOF there drops the whole collapsed projection
+    * out of whole-stage codegen. */
   def firstWithPrefix(c: Column, prefix: String): Column =
-    get(filter(transform(split(c, "\\|"), t => trim(t)),
-      t => t.startsWith(prefix)), lit(0))
+    nullif(trim(regexp_extract(c,
+      "(?:^|\\|)\\s*(" + java.util.regex.Pattern.quote(prefix) + "[^|]*)",
+      1)), lit(""))
 
   /** The identifier part of the first `prefix:`-token (e.g. pmid). */
   def firstIdWithPrefix(c: Column, prefix: String): Column =

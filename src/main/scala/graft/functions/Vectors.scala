@@ -33,17 +33,39 @@ object Vectors {
     * runs and executors (no RNG state to ship). Used by SimHash-style
     * embedding LSH (near-dup + ANN bucketing).
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val vd = toDouble(vec)
-    // bit j set iff sum_i(sign(hash(j,i)) * v_i) >= 0
-    val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
-      val s = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (v, i) => when(xxhash64(j, i) % 2 === 0, v).otherwise(-v)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s >= 0, lit(1)).otherwise(lit(0))
-    })
-    // pack to a long
-    aggregate(bitCols, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    Exprs.bound(toDouble(vec)) { vd =>
+      // bit j set iff sum_i(sign(hash(j,i)) * v_i) >= 0; vd is let-bound so
+      // the elementwise double cast runs once, not once per bit
+      val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
+        val s = aggregate(
+          zip_with(vd, sequence(lit(0), size(vd) - 1),
+            (v, i) => when(xxhash64(j, i) % 2 === 0, v).otherwise(-v)),
+          lit(0.0), (acc, v) => acc + v)
+        when(s >= 0, lit(1)).otherwise(lit(0))
+      })
+      // pack to a long
+      aggregate(bitCols, lit(0L), (acc, b) => acc * 2 + b)
+    }
+
+  /** Random-hyperplane band values: `bands` buckets of `bitsPerBand` sign
+    * bits each (plane index = band·bitsPerBand + bit, so bands are
+    * independent). Returns `array<long>` of length `bands` — the LSH
+    * banding substrate for embedding near-dup and ANN: two vectors are
+    * candidates iff some band value matches. Like [[hyperplaneSignature]]
+    * but not capped at 64 total bits. */
+  def hyperplaneBands(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    Exprs.bound(toDouble(vec)) { vd =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(
+          sequence(b * bitsPerBand, (b + 1) * bitsPerBand - 1),
+          lit(0L),
+          (acc, j) => {
+            val s = aggregate(
+              zip_with(vd, sequence(lit(0), size(vd) - 1),
+                (v, i) => when(xxhash64(j, i) % 2 === 0, v).otherwise(-v)),
+              lit(0.0), (a, v) => a + v)
+            acc * 2 + when(s >= 0, 1L).otherwise(0L)
+          }))
+    }
 }

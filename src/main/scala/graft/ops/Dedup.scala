@@ -151,6 +151,46 @@ object Dedup {
     verifiedJaccard(candidates, sig, threshold)
   }
 
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH banding:
+    * two vectors are candidates iff they share at least one of `bands`
+    * sign-bit band values; candidates are verified with EXACT cosine
+    * against `threshold`.
+    *
+    * Same shuffle discipline as [[minHashPairs]]: band rows are NARROW
+    * (id, band, bucket) — vectors join back only after candidate-pair
+    * dedup, so the ×bands explode and band shuffle never carry the arrays.
+    * A pair of angle θ collides per band with prob (1-θ/π)^bitsPerBand, so
+    * at near-dup thresholds (cosine ≥ 0.9, θ ≤ 0.15π) the defaults catch
+    * pairs with P ≈ 1-1e-6 while random pairs (θ ≈ π/2) pass a band with
+    * prob 2^-bitsPerBand. Output: (id_a, id_b, cosine), id_a < id_b. */
+  def embeddingPairs(vecs: DataFrame, threshold: Double,
+                     bands: Int = 4, bitsPerBand: Int = 12,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val base = Checkpoints.cut(vecs.select(col(idCol).as("id"),
+      graft.functions.Vectors.hyperplaneBands(col(vecCol), bands,
+        bitsPerBand).as("bands")))
+    val banded = base.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val side = vecs.select(col(idCol), col(vecCol))
+    candidates
+      .join(side.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
+        "id_a")
+      .join(side.select(col(idCol).as("id_b"), col(vecCol).as("v_b")),
+        "id_b")
+      .withColumn("cosine",
+        graft.functions.Vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit
     * position weighted by presence, sign → bit. Near-dup candidates =
     * fingerprints at small Hamming distance (callers bucket by rotations /

@@ -86,13 +86,8 @@ object TextAnalysis {
           .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
   }
 
-  /** Let-bind an expression as a lambda variable so lambda bodies that
-    * reference it many times evaluate it ONCE: higher-order functions have
-    * no cross-lambda subexpression elimination, so e.g. `split(text)`
-    * referenced inside a per-shingle lambda would re-split the whole
-    * document once per reference otherwise. */
   private def bound(e: Column)(body: Column => Column): Column =
-    element_at(transform(array(e), body), 1)
+    graft.functions.Exprs.bound(e)(body)
 
   /** Word n-gram shingles (sorted distinct) — the dedup/Jaccard substrate. */
   def wordShingles(text: Column, n: Int): Column =

@@ -157,6 +157,19 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("embeddingPairs: finds perturbed twins, rejects unrelated vectors") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    val twins = base.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(_ + 0.001))
+    }
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(vecs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === (0 until 10).map(i => (i.toLong, i + 1000L)).toSet)
+  }
+
   test("IVF top-k: exact at nProbe==nList; subset with true ranks below") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
