@@ -17,6 +17,9 @@ object GraftSession {
   /** Apply the engine's standard config to any builder (cluster or local). */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.appName("graft")
+      // Catalyst extensions (SURVEY §4.3): CURIE-prefix predicate →
+      // StartsWith rewrite so it pushes into the parquet scan
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
