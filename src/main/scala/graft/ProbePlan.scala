@@ -10,6 +10,9 @@ object ProbePlan {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, dir)
     if (args.contains("explain")) df.explain("formatted")
+    if (args.contains("simple"))
+      // the simple form shows `*(n)` whole-stage-codegen span markers
+      println(df.queryExecution.executedPlan.toString)
     val t0 = System.nanoTime()
     val n = df.count()
     println(s"PROBE $name rows=$n secs=${(System.nanoTime() - t0) / 1e9}")

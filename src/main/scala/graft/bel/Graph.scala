@@ -61,13 +61,17 @@ object Graph {
     * single-row DataFrame. Density = E / (V * (V - 1)) for a digraph. */
   def stats(edges: DataFrame, withComponents: Boolean = false): DataFrame = {
     val e = edges.cache()
-    val nodes = nodesOf(e).cache()
-    val v = nodes.count().toDouble
-    val nEdges = e.count()
-    val nCitations =
-      if (e.columns.contains("citation"))
-        e.select("citation").na.drop().distinct().count()
-      else 0L
+    // one aggregation job for edge count + distinct citations (instead of
+    // one action each); the node count needs the union-distinct pass either
+    // way and CC is its own iterative job
+    val hasCitation = e.columns.contains("citation")
+    val baseAgg = e.agg(
+      count(lit(1)).as("n_edges"),
+      (if (hasCitation) countDistinct(col("citation"))
+       else lit(0L)).as("n_citations")).collect().head
+    val nEdges = baseAgg.getLong(0)
+    val nCitations = baseAgg.getLong(1)
+    val v = nodesOf(e).count().toDouble
     val density = if (v > 1) nEdges / (v * (v - 1)) else 0.0
     val nComponents =
       if (withComponents)
@@ -79,7 +83,6 @@ object Graph {
     import spark.implicits._
     val out = Seq((v.toLong, nEdges, nCitations, nComponents, density))
       .toDF("nodes", "edges", "citations", "components", "density")
-    nodes.unpersist()
     e.unpersist()
     out
   }

@@ -17,8 +17,19 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe on zero vectors (null, not error). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; null-safe on zero vectors (null, not error).
+    * Dispatches to the native codegen'd [[CosineSimilarity]] expression
+    * (bit-identical to the composed `aggregate(zip_with(...))` form, which
+    * survives as [[cosineComposed]] for cross-checking). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** The `functions`-composed cosine (interpreted HOFs) — reference
+    * implementation the native expression is property-tested against. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)
     dot(ad, bd) / nullif(norm(ad) * norm(bd), lit(0.0))
   }

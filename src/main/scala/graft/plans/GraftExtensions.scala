@@ -81,6 +81,14 @@ object CuriePrefixPushdown extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession wires
   * this by default). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CuriePrefixPushdown)
+    // SQL surface for the native cosine kernel: graft_cosine(a, b)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(children(0), children(1))))
+  }
 }
