@@ -113,10 +113,20 @@ final class NamespaceStore(spark: SparkSession, path: String,
       spark.read.parquet(path)
         .filter(col(keyCol) =!= spec.url)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
+      // Swap via rename-aside, never delete-then-rename: a crash between a
+      // delete and the rename (or a silently failed rename) must not leave
+      // the only copy of the table in tmp. Each rename's boolean result is
+      // checked — HDFS-style FileSystems signal failure by returning false.
       val hp = new HPath(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
-      fs.rename(new HPath(tmp), hp)
+      val old = new HPath(s"$path.__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(hp, old), s"drop: failed to move $path aside")
+      if (!fs.rename(new HPath(tmp), hp)) {
+        fs.rename(old, hp) // restore the live table before failing
+        throw new IllegalStateException(s"drop: failed to move $tmp -> $path")
+      }
+      fs.delete(old, true)
       ()
     }
     rewriteWithout(entryPath, "namespace_url")

@@ -17,29 +17,42 @@ object Curies {
     * trim, return the first token carrying `prefix` — or null.
     *
     * Implemented as ONE codegen'd regexp (leftmost token whose
-    * whitespace-trimmed form starts with the prefix) rather than the
-    * obvious split→transform→filter chain: higher-order functions are
+    * trimmed form starts with the prefix) rather than the obvious
+    * split→transform→filter chain: higher-order functions are
     * CodegenFallback, and this function sits inside the G1/G2 grounding
     * mega-projection — one HOF there drops the whole collapsed projection
-    * out of whole-stage codegen. */
-  def firstWithPrefix(c: Column, prefix: String): Column =
+    * out of whole-stage codegen.
+    *
+    * ` *` (not `\s*`) mirrors the reference's `trim()` space-only
+    * semantics; a prefix containing '|' can never match the `[^|]*` token
+    * body, so it is rejected up front instead of silently never matching. */
+  def firstWithPrefix(c: Column, prefix: String): Column = {
+    require(!prefix.contains("|"),
+      s"firstWithPrefix: prefix must not contain '|' (got '$prefix')")
     nullif(trim(regexp_extract(c,
-      "(?:^|\\|)\\s*(" + java.util.regex.Pattern.quote(prefix) + "[^|]*)",
+      "(?:^|\\|) *(" + java.util.regex.Pattern.quote(prefix) + "[^|]*)",
       1)), lit(""))
+  }
 
   /** The identifier part of the first `prefix:`-token (e.g. pmid). */
   def firstIdWithPrefix(c: Column, prefix: String): Column =
     regexp_replace(firstWithPrefix(c, prefix), "^" + prefix, "")
 
+  /** The CURIE split pattern. `(?s)` (DOTALL) so values with embedded
+    * newlines still match — without it `uniprotkb:a\nb` fails the match
+    * (extract returns ''), which would disagree with the
+    * CuriePrefixPushdown rewrite to StartsWith. */
+  private[graft] val CuriePattern = "(?s)^([^:]*):(.*)$"
+
   /** CURIE prefix: text before the first ':' (null if no colon). */
   def curiePrefix(c: Column): Column = {
-    val p = regexp_extract(c, "^([^:]*):(.*)$", 1)
+    val p = regexp_extract(c, CuriePattern, 1)
     when(p === "", null).otherwise(p)
   }
 
   /** CURIE local identifier: text after the first ':' (null if no colon). */
   def curieIdentifier(c: Column): Column = {
-    val m = regexp_extract(c, "^([^:]*):(.*)$", 2)
+    val m = regexp_extract(c, CuriePattern, 2)
     when(curiePrefix(c).isNull, null).otherwise(m)
   }
 

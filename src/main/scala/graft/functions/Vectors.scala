@@ -38,34 +38,29 @@ object Vectors {
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Deterministic random-hyperplane signature: `bits` sign bits, one per
-    * pseudo-random hyperplane. Hyperplane weights are derived from
-    * xxhash64(bitIndex, dimIndex) mapped to ±1 — fully deterministic across
-    * runs and executors (no RNG state to ship). Used by SimHash-style
-    * embedding LSH (near-dup + ANN bucketing).
-    */
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
-    Exprs.bound(toDouble(vec)) { vd =>
-      // bit j set iff sum_i(sign(hash(j,i)) * v_i) >= 0; vd is let-bound so
-      // the elementwise double cast runs once, not once per bit
-      val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
-        val s = aggregate(
-          zip_with(vd, sequence(lit(0), size(vd) - 1),
-            (v, i) => when(xxhash64(j, i) % 2 === 0, v).otherwise(-v)),
-          lit(0.0), (acc, v) => acc + v)
-        when(s >= 0, lit(1)).otherwise(lit(0))
-      })
-      // pack to a long
-      aggregate(bitCols, lit(0L), (acc, b) => acc * 2 + b)
-    }
-
   /** Random-hyperplane band values: `bands` buckets of `bitsPerBand` sign
     * bits each (plane index = band·bitsPerBand + bit, so bands are
     * independent). Returns `array<long>` of length `bands` — the LSH
     * banding substrate for embedding near-dup and ANN: two vectors are
-    * candidates iff some band value matches. Like [[hyperplaneSignature]]
-    * but not capped at 64 total bits. */
+    * candidates iff some band value matches. Hyperplane weights derive
+    * from xxhash64(planeIndex, dimIndex) mapped to ±1 — deterministic
+    * across runs and executors, no RNG state to ship.
+    *
+    * Dispatches to the native codegen'd [[HyperplaneBandsExpr]] (sign
+    * table hashed once per executor, one kernel call per row); the
+    * interpreted HOF form survives as [[hyperplaneBandsComposed]] for
+    * property-testing bit-equality. */
   def hyperplaneBands(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      HyperplaneBandsExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(vec),
+        bands, bitsPerBand))
+
+  /** The `functions`-composed band family (interpreted HOFs; evaluates an
+    * xxhash64 per (row, plane, dim)) — reference implementation the native
+    * expression is property-tested against. */
+  def hyperplaneBandsComposed(vec: Column, bands: Int,
+                              bitsPerBand: Int): Column =
     Exprs.bound(toDouble(vec)) { vd =>
       transform(sequence(lit(0), lit(bands - 1)), b =>
         aggregate(

@@ -39,17 +39,20 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs via a document-frequency-capped
     * inverted shingle index.
     *
-    * Candidate generation: explode shingles → group by shingle → keep
-    * posting lists with 2..maxDF documents → emit the C(k,2) id pairs of
-    * each list. The DF cap is the standard hot-key guard: a stop-word
-    * shingle shared by k documents would otherwise emit k² candidate rows
-    * (effectively quadratic on a web corpus, and one skewed shuffle key).
+    * Candidate generation: explode shingles → group by shingle → emit
+    * candidate pairs per posting list. Lists with 2..maxDF documents emit
+    * all C(k,2) id pairs; HOT lists (> maxDF documents — boilerplate
+    * shingles, but also mass-duplicated templates) emit each member
+    * paired against ONE representative (the min id) — k-1 rows instead of
+    * k², so no quadratic blowup and no skewed shuffle key, while a
+    * mass-duplicate cluster still surfaces as a verified star around its
+    * representative (every member has Jaccard ≈ 1 with the rep; the
+    * cluster is recoverable as the rep's connected component). Only
+    * non-rep pair structure WITHIN an over-cap cluster is elided — the
+    * membership itself is never silently lost.
     * Verification: join the full shingle arrays back on the deduped
-    * candidate pairs and compute EXACT Jaccard — so every emitted pair is
-    * exact; the cap only loses pairs whose every common shingle occurs in
-    * > maxDF documents, which at threshold ≥ 0.5 means boilerplate
-    * templates, not near-duplicates.
-    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+    * candidate pairs and compute EXACT Jaccard — every emitted pair is
+    * exact. Output: (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxDF: Int = 1000,
                    idCol: String = "doc_id",
@@ -57,20 +60,23 @@ object Dedup {
     // (id, shingles) materialized once: shared by the inverted index and
     // both sides of the verification join.
     val sh = Checkpoints.cut(shingled(docs, n, idCol, textCol))
-    // Posting lists, frequency-capped. sort_array makes pair orientation
-    // (id_a < id_b) free at emit time.
+    // Posting lists. sort_array makes pair orientation (id_a < id_b) and
+    // the hot-list representative (element 1) free at emit time.
     val postings = sh
       .select(col("id"), explode(col("shingles")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDF))
-    // C(k,2) pairs per posting list: for element i, pair with elements
-    // i+1..k-1 — bounded by maxDF²/2 rows per shingle.
-    val candidates = postings
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .filter(size(col("ids")) >= 2)
+    // ≤ maxDF: C(k,2) pairs (element i pairs with i+1..k-1 — bounded by
+    // maxDF²/2 rows per shingle). > maxDF: star around ids[0].
+    val pairsOfList = when(size(col("ids")) <= maxDF,
+      flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b"))))))
-        .as("p"))
+      .otherwise(transform(slice(col("ids"), lit(2), size(col("ids"))),
+        y => struct(element_at(col("ids"), 1).as("id_a"), y.as("id_b"))))
+    val candidates = postings
+      .select(explode(pairsOfList).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
     verifiedJaccard(candidates, sh, threshold)

@@ -63,12 +63,15 @@ object Similarity {
     * per-partition top-nList then driver merge, no shuffle); at 100 TB
     * you'd refine the centroids with a few offline k-means rounds, which
     * changes recall, not plan shape. Cell assignment is per-row arithmetic
-    * against the centroid LITERALS (a centroid set is driver-sized by
-    * construction, like any dimension): indexing is ONE narrow pass over
-    * the corpus — no explode, no shuffle, no join. Each corpus row lands
-    * in exactly one cell, so candidate pairs are already distinct, and the
+    * against the centroid set carried as ONE reference object inside the
+    * native [[graft.functions.NearestCells]] expression — indexing is one
+    * narrow codegen'd pass over the corpus (no explode, no shuffle, no
+    * join), and plan/generated-code size is O(1) in nList (the previous
+    * literal-unrolled `greatest`/`array_sort` shape grew O(nList·dim) and
+    * would blow Janino at production nList). Each corpus row lands in
+    * exactly one cell, so candidate pairs are already distinct, and the
     * probe join broadcasts (query_id, cell) rows against the streaming
-    * corpus.
+    * corpus. Works over `array<float>` and `array<double>` embeddings.
     *
     * `nProbe == nList` degrades to exact brute force (every pair scored) —
     * that is how the correctness oracle pins this operator; recall at
@@ -79,30 +82,28 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
       s"need 2 <= nProbe($nProbe) <= nList($nList)")
-    val cents: Array[(Long, Seq[Float])] = corpus
+    val centRows = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nList)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def scoredCells(vec: Column): Seq[Column] = cents.toSeq.map {
-      case (cid, cvec) =>
-        struct(Vectors.cosine(vec, typedlit(cvec)).as("s"),
-          lit(cid).as("cell"))
-    }
-    // argmax via greatest() over (cosine, cell) structs — lexicographic
-    // struct ordering, ties break toward the higher cell id
-    def bestCell(vec: Column): Column =
-      greatest(scoredCells(vec): _*).getField("cell")
-    def probedCells(vec: Column): Column =
-      transform(
-        slice(reverse(array_sort(array(scoredCells(vec): _*))), 1, nProbe),
-        s => s.getField("cell"))
+    val cellIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    // element type-agnostic: float arrays arrive as boxed Float, double as
+    // boxed Double — both are Number (the column side dispatches in the
+    // expression itself)
+    val cents: Seq[Seq[Double]] = centRows
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+    def cellsOf(vec: Column, p: Int): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.NearestCells(
+          org.apache.spark.sql.graft.ColumnShim.expression(vec),
+          cellIds, cents, p))
     val assigned = corpus.select(col(idCol).as("id"),
-      col(vecCol).as("cvec"), bestCell(col(vecCol)).as("cell"))
+      col(vecCol).as("cvec"),
+      element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
     val probes = queries.select(col("query_id"),
       col("embedding").as("qvec"),
-      explode(probedCells(col("embedding"))).as("cell"))
+      explode(cellsOf(col("embedding"), nProbe)).as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
@@ -126,18 +127,13 @@ object Similarity {
               bands: Int = 8, bitsPerBand: Int = 8,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    def banded(df: DataFrame, id: Column, vec: Column) = {
-      // sig is materialized in a first select so the band extraction (which
-      // is unrolled statically — shiftright takes a literal shift) does not
-      // duplicate the signature expression `bands` times.
+    def banded(df: DataFrame, id: Column, vec: Column) =
+      // all bands×bits sign bits in ONE codegen'd kernel call per row
+      // (HyperplaneBandsExpr) — no signature materialization / band
+      // extraction chain needed
       df.select(id.as("bid"),
-          Vectors.hyperplaneSignature(vec, bands * bitsPerBand).as("sig"))
-        .select(col("bid"),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("sig"), b * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
-            .as(Seq("band", "bucket")))
-    }
+        posexplode(Vectors.hyperplaneBands(vec, bands, bitsPerBand))
+          .as(Seq("band", "bucket")))
     val cB = banded(corpus, col(idCol), col(vecCol))
       .withColumnRenamed("bid", "id")
     val qB = banded(queries, col("query_id"), col("embedding"))

@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * stats. */
 object CuriePrefixPushdown extends Rule[LogicalPlan] {
 
-  private val CuriePattern = "^([^:]*):(.*)$"
+  // Must be the exact pattern Curies.curiePrefix emits — DOTALL so the
+  // extract agrees with StartsWith on values with embedded newlines
+  // (without (?s), 'uniprotkb:a\nb' fails the match → prefix null/false
+  // while StartsWith is true, and the rewrite would change results).
+  private val CuriePattern = graft.functions.Curies.CuriePattern
 
   /** Matches `regexp_extract(c, CuriePattern, 1)`. */
   private object PrefixExtract {

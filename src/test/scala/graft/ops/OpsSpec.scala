@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccard pairs: over-maxDF posting lists pair against a " +
+    "representative — mass-duplicate clusters are not silently dropped") {
+    // 10 identical docs: every shingle's DF is 10 > maxDF=5, so the old
+    // drop-the-list behavior emitted ZERO pairs (the ADVICE recall hole)
+    val cluster = (1L to 10L).map(i =>
+      (i, "massively duplicated template text body of the cluster"))
+    val other = Seq((90L, "some unrelated words entirely here to see"))
+    val pairs = Dedup.jaccardPairs((cluster ++ other).toDF("doc_id", "text"),
+        n = 3, threshold = 0.8, maxDF = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // star around the representative (min id): every member connects
+    assert(pairs === (2L to 10L).map(i => (1L, i)).toSet)
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at high signal") {
     val exact = Dedup.jaccardPairs(docs, n = 2, threshold = 0.6)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
@@ -186,6 +200,38 @@ class SimilaritySpec extends SparkSpec {
     val approx = Similarity.ivfTopK(corpus, queries, k = 4,
       nList = 6, nProbe = 2).collect()
     assert(approx.nonEmpty && approx.forall(_.getAs[Long]("rank") <= 4))
+  }
+
+  test("IVF survives production nList: 512 cells, plan size O(1), " +
+    "stays in whole-stage codegen") {
+    val vecs = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(2).toDF("query_id", "embedding")
+    val got = Similarity.ivfTopK(corpus, queries, k = 3,
+      nList = 512, nProbe = 8)
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("rank") <= 3))
+    // post-AQE final plan: the old literal-unrolled shape embedded every
+    // centroid vector in the plan (O(nList·dim) generated code); the
+    // kernel form keeps centroids in ONE reference object
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"),
+      s"nearest-cells must not fall back to interpreted eval:\n$plan")
+    assert(plan.length < 100000, s"plan grew with nList: ${plan.length}")
+  }
+
+  test("IVF accepts array<double> embeddings (ADVICE fix)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5)))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(2).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 4,
+      nList = 4, nProbe = 4)
+    assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
   }
 
   test("LSH top-k returns a subset consistent with exact ranking") {

@@ -12,7 +12,7 @@ class CuriePrefixPushdownSpec extends SparkSpec {
 
   private lazy val curies = Seq(
     "uniprotkb:P12345", "uniprotkb:Q99999", "chebi:15996", "intact:EBI-1",
-    "noprefix", ":leadingcolon", "uniprotkbX:oops", null
+    "noprefix", ":leadingcolon", "uniprotkbX:oops", "uniprotkb:a\nb", null
   ).toDF("curie")
 
   // parquet-backed so ConvertToLocalRelation doesn't fold the filter away
@@ -32,10 +32,13 @@ class CuriePrefixPushdownSpec extends SparkSpec {
   }
 
   test("rewrite preserves semantics incl. null / no-colon / empty-prefix") {
+    // embedded newline: the DOTALL extract and the StartsWith rewrite must
+    // agree (rule-on vs rule-off return the same rows)
     val got = curies
       .filter(Curies.curiePrefix(col("curie")) === "uniprotkb")
       .as[String].collect().sorted
-    assert(got === Array("uniprotkb:P12345", "uniprotkb:Q99999"))
+    assert(got === Array("uniprotkb:P12345", "uniprotkb:Q99999",
+      "uniprotkb:a\nb"))
     // literal with a colon / empty literal: rule must NOT fire (can never
     // equal a capture of [^:]*), semantics preserved either way
     assert(curies.filter(Curies.curiePrefix(col("curie")) === "a:b")

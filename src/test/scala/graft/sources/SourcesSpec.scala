@@ -182,20 +182,44 @@ class BiogridSpec extends SparkSpec {
     assert(df.select("pmid").as[String].head() === "5")
   }
 
-  test("strict: non-pubmed publication raises") {
-    intercept[IllegalArgumentException] {
-      Biogrid.processed(mitab(
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+
+  test("strict: non-pubmed publication raises (fused, single scan)") {
+    val e = intercept[Exception] {
+      Biogrid.toBel(Biogrid.processed(mitab(
         ("ncbigene:1", "ncbigene:2", mi("0914", "association"), "doi:x")),
-        mappings)
+        mappings)).collect()
     }
+    assert(messageChain(e).contains("Non pubmed: doi:x"))
+  }
+
+  test("strict: pmid check runs before the NA-interactor skip " +
+    "(biogrid.py:227 maps pmids over every row)") {
+    val e = intercept[Exception] {
+      Biogrid.toBel(Biogrid.processed(mitab(
+        ("unmappable:1", "ncbigene:2", mi("0914", "association"), "doi:x")),
+        mappings)).collect()
+    }
+    assert(messageChain(e).contains("Non pubmed: doi:x"))
   }
 
   test("strict: unknown relation raises (biogrid.py:312)") {
-    intercept[IllegalArgumentException] {
-      Biogrid.processed(mitab(
+    val e = intercept[Exception] {
+      Biogrid.toBel(Biogrid.processed(mitab(
         ("ncbigene:1", "ncbigene:2", mi("9999", "bogus"), "pubmed:1")),
-        mappings)
+        mappings)).collect()
     }
+    assert(messageChain(e).contains("Unhandled BioGrid relation"))
+  }
+
+  test("strict: unknown relation on an NA-skipped row does NOT raise " +
+    "(get_bel continues before dispatch, biogrid.py:244-247)") {
+    val edges = Biogrid.toBel(Biogrid.processed(mitab(
+      ("unmappable:1", "ncbigene:2", mi("9999", "bogus"), "pubmed:1")),
+      mappings))
+    assert(edges.count() === 0)
   }
 
   test("F4: interactor mapping — ncbigene pass, biogrid map, remap-to-null " +
