@@ -536,10 +536,9 @@ object Queries {
       Dedup.jaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.8)),
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.minHashPairs(t(s, d, "documents"), n = 3, threshold = 0.8)),
-    "d_simhash" -> ((s, d) =>
-      // no oracle (engine-specific xxhash64) — rows-only check
-      t(s, d, "documents").select(col("doc_id"),
-        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("simhash"))),
+    // simHash itself is gated by Round4Queries.d_simhash_invariant
+    // (perturbed-twin Hamming + distinctness, oracle-checked) — the raw
+    // engine-hash dump had no oracle by construction.
 
     // --- Similarity over embeddings ----------------------------------------
     "s_brute_topk" -> ((s, d) => {
@@ -549,14 +548,9 @@ object Queries {
       Similarity.bruteForceTopK(emb, queriesDf, k = 4)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
-    "s_lsh_topk" -> ((s, d) => {
-      // no oracle (approximate by design) — rows-only check
-      val emb = t(s, d, "embeddings")
-      val queriesDf = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(emb, queriesDf, k = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-    }),
+    // lshTopK is gated by Round4Queries.s_lsh_recall (twin-recovery
+    // recall vs brute force ≥ 0.95, oracle-checked) — the raw approximate
+    // top-k had no oracle by construction.
 
     // --- Multimodal binary-column plumbing ---------------------------------
     "mm_metadata" -> ((s, d) =>

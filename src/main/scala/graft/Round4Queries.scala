@@ -1,0 +1,276 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.core.{SourceContext, Tables}
+
+/** Round-4 harness registrations: the oracle sweep of the remaining
+  * unit-only §2 operators (K7 nodelink, S3 csv, S5 json, S1/S18 cache
+  * contracts, K1/K2 table lifecycle), the §7.6 incremental-populate merge
+  * (batch face of the streaming seam), and the quality gates for the two
+  * formerly-`no_oracle` approximate operators (LSH ANN recall vs brute
+  * force; SimHash perturbed-twin Hamming invariant).
+  *
+  * File/warehouse fixtures are driver-side landing-zone writes at
+  * plan-build time (dimension-sized by contract), as in Round3Queries.
+  */
+object Round4Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def sfTag(d: String): String = new java.io.File(d).getName
+
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
+
+  private def writeText(path: String, content: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    path
+  }
+
+  private def lines(df: DataFrame): Seq[String] =
+    df.orderBy(col(df.columns.head)).collect().map(_.getString(0)).toSeq
+
+  // ==========================================================================
+  // Registrations
+  // ==========================================================================
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- K7: nodelink dump — real writer, then read the JSON back --------
+    "k7_nodelink" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"),
+        lit("interacts").as("relation")).distinct()
+      val dir = s"/tmp/graft_k7_${sfTag(d)}"
+      rmrf(s, dir)
+      graft.bel.Exporters.nodelink(edges, dir)
+      val nodes = s.read
+        .schema(StructType(Seq(StructField("id", StringType))))
+        .json(s"$dir/nodes")
+        .select(lit("node").as("kind"), col("id").as("a"),
+          lit("").as("b"), lit("").as("rel"))
+      val links = s.read
+        .schema(StructType(Seq(StructField("source", StringType),
+          StructField("target", StringType),
+          StructField("relation", StringType))))
+        .json(s"$dir/links")
+        .select(lit("link").as("kind"), col("source").as("a"),
+          col("target").as("b"), col("relation").as("rel"))
+      nodes.unionByName(links)
+    }),
+
+    // --- S3: schema'd CSV scan — non-default sep + nullValue --------------
+    "s3_csv_reader" -> ((s, d) => {
+      val body = lines(t(s, d, "nation").select(concat_ws(";",
+        col("n_nationkey"), col("n_name"),
+        when(col("n_regionkey") === 0, "NA").otherwise(col("n_regionkey"))
+      ).as("l")))
+      val path = writeText(s"/tmp/graft_s3_${sfTag(d)}.csv",
+        ("k;name;region" +: body).mkString("", "\n", "\n"))
+      graft.etl.Readers.csv(s, path,
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("name", StringType),
+          StructField("region", StringType))),
+        sep = ";", nullValue = "NA")
+    }),
+
+    // --- S5: schema'd JSON-lines scan -------------------------------------
+    "s5_json_reader" -> ((s, d) => {
+      val body = lines(t(s, d, "region").select(concat(
+        lit("{\"rid\":"), col("r_regionkey"),
+        lit(",\"rname\":\""), col("r_name"), lit("\"}")).as("l")))
+      val path = writeText(s"/tmp/graft_s5_${sfTag(d)}.json",
+        body.mkString("", "\n", "\n"))
+      graft.etl.Readers.json(s, path,
+        StructType(Seq(StructField("rid", LongType),
+          StructField("rname", StringType))))
+    }),
+
+    // --- S1/S2 + S18: landing-cache and derived-artifact contracts --------
+    "s1_s18_cache" -> ((s, d) => {
+      val dir = s"/tmp/graft_s1_${sfTag(d)}"
+      rmrf(s, dir)
+      var fetches = 0
+      val landing = s"$dir/landed.txt"
+      def fetch(p: String): Unit = { fetches += 1; writeText(p, "payload"); () }
+      val first = graft.etl.Readers.ensureLanded(s, landing, fetch)
+      val second = graft.etl.Readers.ensureLanded(s, landing, fetch)
+      var builds = 0
+      val artifact = s"$dir/artifact"
+      def build(): DataFrame = {
+        builds += 1
+        t(s, d, "region").select(col("r_regionkey"))
+      }
+      val n1 = graft.etl.Readers.cachedOrBuild(s, artifact)(() => build()).count()
+      val n2 = graft.etl.Readers.cachedOrBuild(s, artifact)(() => build()).count()
+      import s.implicits._
+      Seq((first, second, fetches, builds, n1 == n2))
+        .toDF("first_fetch", "second_fetch", "n_fetches", "n_builds",
+          "stable_rows")
+    }),
+
+    // --- K1/K2: DDL + batch write + drop lifecycle with provenance --------
+    "k1_k2_table_lifecycle" -> ((s, d) => {
+      val wh = s"/tmp/graft_k1k2_${sfTag(d)}"
+      rmrf(s, wh)
+      val ctx = new SourceContext(s, wh, "toy")
+      val toy = new graft.core.Source {
+        override def moduleName: String = "toy"
+        override def tables: Seq[String] = Seq("model")
+        // the reference's canonical 5-row toy source (tests/constants.py:17)
+        override def populate(c: SourceContext): Unit = {
+          import c.spark.implicits._
+          c.write("model",
+            (1 to 5).map(i => (s"MODEL:$i", i.toString * 5))
+              .toDF("test_id", "name"))
+        }
+      }
+      val before = toy.isPopulated(ctx)
+      ctx.populateWithProvenance(toy)
+      val after = toy.isPopulated(ctx)
+      val n = ctx.read("model").count()
+      ctx.drop(toy)
+      val dropped = !ctx.exists("model")
+      val acts = ctx.actions.ls().select("action").collect()
+        .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+      import s.implicits._
+      Seq((before, after, n, dropped,
+        acts.getOrElse("populate", 0), acts.getOrElse("drop", 0)))
+        .toDF("before_populate", "after_populate", "n_rows", "dropped",
+          "n_populate_actions", "n_drop_actions")
+    }),
+
+    // --- Quality gate for LSH ANN (was `no_oracle` s_lsh_topk) -----------
+    // Driver embeddings are random (nearest non-self cosine ≈ 0.5), which
+    // is NOT the regime LSH serves — so the gate synthesizes the near-dup
+    // regime exactly like d_embed_pairs: every vector gets a perturbed
+    // twin, the true top-1 of each query IS its twin, and lshTopK must
+    // recover ≥ 95% of brute-force's top-1 picks. Probed recall on the
+    // driver corpora: 16/16 at sf0.01 and sf0.1.
+    "s_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+      val twins = base.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.001) * sin(col("vec_id") * 7)).as("embedding"))
+      val corpus = base.unionByName(twins)
+      val qs = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val brute = graft.ops.Similarity.bruteForceTopK(corpus, qs, k = 1)
+        .select("query_id", "id")
+      val lsh = graft.ops.Similarity.lshTopK(corpus, qs, k = 1)
+        .select("query_id", "id")
+      val hit = brute.join(lsh, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = brute.agg(count(lit(1)).as("n_true"))
+      hit.crossJoin(tot).select(
+        (col("n_hit").cast("double") / col("n_true") >= 0.95)
+          .as("recall_ok"))
+    }),
+
+    // --- Quality gate for SimHash (was `no_oracle` d_simhash) -------------
+    // Perturbed-twin invariant: appending ONE token (one extra shingle)
+    // must move the 64-bit fingerprint far less than chance — probed max
+    // twin Hamming is 13 (sf0.01) / 17 (sf0.1) vs ~32 for random pairs,
+    // so the gate pins ≤ 24. Discrimination: ≥ 90% of documents keep
+    // distinct fingerprints (probed 499/500 and 4982/5000) — a collapsed
+    // or near-constant hash fails.
+    "d_simhash_invariant" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def sh(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        graft.ops.Dedup.simHash(
+          graft.ops.TextAnalysis.wordShingles(col("text"), 3)).as("h"))
+      val base = sh(docs)
+      val twin = sh(docs.select(col("doc_id"),
+        concat(col("text"), lit(" graftmarker")).as("text")))
+      val twinOk = base.withColumnRenamed("h", "h1")
+        .join(twin.withColumnRenamed("h", "h2"), "doc_id")
+        .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("ham"))
+        .agg((max("ham") <= 24).as("twins_close"))
+      val distinctOk = base.agg(
+        (countDistinct(col("h")).cast("double") / count(lit(1)) >= 0.9)
+          .as("discriminative"))
+      twinOk.crossJoin(distinctOk)
+    }),
+
+    // --- §7.6 incremental populate: batch face of the streamed merge ------
+    "k1_incremental_merge" -> ((s, d) => {
+      val wh = s"/tmp/graft_incmerge_${sfTag(d)}"
+      rmrf(s, wh)
+      val ctx = new SourceContext(s, wh, "inc")
+      val sup = t(s, d, "supplier").select(
+        concat(lit("I"), col("s_suppkey")).as("identifier"),
+        col("s_name").as("name"))
+      def merge(batch: DataFrame): Long =
+        graft.streaming.IncrementalPopulate.mergeBatch(
+          ctx, "inc", "entries", Seq("identifier"), batch)
+      // three overlapping batches; anti-join must land each key once
+      merge(sup.filter(pmod(col("identifier").substr(lit(2), lit(10))
+        .cast("long"), lit(2)) === 0))
+      merge(sup.filter(pmod(col("identifier").substr(lit(2), lit(10))
+        .cast("long"), lit(3)) === 0))
+      merge(sup)
+      ctx.read("entries").select("identifier", "name")
+    }))
+
+  // ==========================================================================
+  // DuckDB oracles
+  // ==========================================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "k7_nodelink" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem
+        |)
+        |SELECT 'node' AS kind, node AS a, '' AS b, '' AS rel FROM (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))
+        |UNION ALL
+        |SELECT 'link' AS kind, src AS a, dst AS b, 'interacts' AS rel
+        |FROM edges
+        |""".stripMargin,
+
+    "s3_csv_reader" ->
+      ("SELECT CAST(n_nationkey AS INT) AS k, n_name AS name, " +
+        "CASE WHEN n_regionkey = 0 THEN NULL " +
+        "ELSE CAST(n_regionkey AS VARCHAR) END AS region FROM nation"),
+
+    "s5_json_reader" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS rid, r_name AS rname " +
+        "FROM region"),
+
+    "s1_s18_cache" ->
+      ("SELECT true AS first_fetch, false AS second_fetch, " +
+        "CAST(1 AS INT) AS n_fetches, CAST(1 AS INT) AS n_builds, " +
+        "true AS stable_rows"),
+
+    "k1_k2_table_lifecycle" ->
+      ("SELECT false AS before_populate, true AS after_populate, " +
+        "CAST(5 AS BIGINT) AS n_rows, true AS dropped, " +
+        "CAST(1 AS INT) AS n_populate_actions, " +
+        "CAST(1 AS INT) AS n_drop_actions"),
+
+    "k1_incremental_merge" ->
+      "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier",
+
+    "s_lsh_recall" -> "SELECT true AS recall_ok",
+
+    "d_simhash_invariant" ->
+      "SELECT true AS twins_close, true AS discriminative")
+}

@@ -8,10 +8,13 @@ object SparkEntry {
     Queries.queries("a6_enrich")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ MoreQueries.queries ++ Round3Queries.queries
+    Queries.queries ++ MoreQueries.queries ++ Round3Queries.queries ++
+      Round4Queries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (engine-hash-specific or approximate: d_simhash, s_lsh_topk). */
+    * the same parquet tables. Every registered query has an oracle: the
+    * two approximate/engine-hash ops are gated via boolean invariant
+    * queries (s_lsh_recall, d_simhash_invariant) instead of raw dumps. */
   def oracleSql: Map[String, String] =
-    Queries.oracleSql ++ MoreQueries.oracleSql ++ Round3Queries.oracleSql
+    Queries.oracleSql ++ MoreQueries.oracleSql ++ Round3Queries.oracleSql ++
+      Round4Queries.oracleSql
 }

@@ -74,6 +74,13 @@ object Readers {
     csv(spark, extractTo, schema, sep, header, encoding, nullValue)
   }
 
+  /** S5: JSON-lines scan with explicit schema (downloading.py:48-65,
+    * make_json_getter — the reference json.loads a landed file; here the
+    * scan is distributed and never schema-inferred). */
+  def json(spark: SparkSession, path: String,
+           schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S17: PyKEEN 3-column triples TSV (io/pykeen.py:39-50). */
   def triples(spark: SparkSession, path: String): DataFrame =
     csv(spark, path,

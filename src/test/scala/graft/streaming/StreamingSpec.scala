@@ -57,6 +57,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental populate: streamed anti-join merge equals batch " +
+    "distinct; one Action row per landing batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = tmpDir("incpop")
+    val ctx = new graft.core.SourceContext(spark, wh, "inc")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS().toDF("id", "name")
+    val query = IncrementalPopulate.run(stream, ctx, "inc", "entries",
+      keyCols = Seq("id"), checkpoint = s"$wh/_ckpt")
+    try {
+      // three micro-batches with overlapping keys and an in-batch dup
+      mem.addData((1L, "a"), (2L, "b"), (2L, "b"))
+      query.processAllAvailable()
+      mem.addData((2L, "b2"), (3L, "c")) // 2 already landed: first wins
+      query.processAllAvailable()
+      mem.addData((1L, "a"), (2L, "b")) // fully stale batch: no-op
+      query.processAllAvailable()
+      val got = ctx.read("entries").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // stream result == one-shot batch merge of the union
+      val wh2 = tmpDir("incpop_batch")
+      val ctx2 = new graft.core.SourceContext(spark, wh2, "inc")
+      IncrementalPopulate.mergeBatch(ctx2, "inc", "entries", Seq("id"),
+        Seq((1L, "a"), (2L, "b"), (2L, "b"), (2L, "b2"), (3L, "c"),
+          (1L, "a")).toDF("id", "name"))
+      val batchGot = ctx2.read("entries").as[(Long, String)].collect().toSet
+      // batch dedup keeps ONE row per key; values agree on the kept keys
+      assert(batchGot.map(_._1) === got.map(_._1))
+      // provenance: batches 1 and 2 landed rows -> 2 populate actions;
+      // batch 3 was a no-op
+      val acts = ctx.actions.ls()
+        .filter(col("resource") === "inc").collect()
+      assert(acts.length === 2)
+      assert(acts.forall(_.getAs[String]("action") === "populate"))
+    } finally query.stop()
+  }
+
   test("streaming windowed counts with watermark (complete mode)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Event]
