@@ -154,6 +154,22 @@ object Round4Queries {
           "n_populate_actions", "n_drop_actions")
     }),
 
+    // --- K13: ER diagram from StructType metadata -------------------------
+    "k13_er_diagram" -> ((s, d) => {
+      val store = Queries.pathwayStore(s, d)
+      import graft.bel.Exporters.ErRelation
+      val text = graft.bel.Exporters.erDiagram(
+        Seq("pathway" -> store.pathways.schema,
+          "protein" -> store.proteins.schema,
+          "membership" -> store.membership.schema),
+        Seq(ErRelation("membership", "pathway_id", "pathway", "pathway_id"),
+          ErRelation("membership", "protein_id", "protein", "protein_id")),
+        Map("pathway" -> "pathway_id", "protein" -> "protein_id"))
+      import s.implicits._
+      text.stripSuffix("\n").split("\n", -1).toSeq
+        .zipWithIndex.map { case (l, i) => (i, l) }.toDF("lineno", "line")
+    }),
+
     // --- Quality gate for LSH ANN (was `no_oracle` s_lsh_topk) -----------
     // Driver embeddings are random (nearest non-self cosine ≈ 0.5), which
     // is NOT the regime LSH serves — so the gate synthesizes the near-dup
@@ -268,6 +284,32 @@ object Round4Queries {
 
     "k1_incremental_merge" ->
       "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier",
+
+    "k13_er_diagram" -> {
+      val lines = Seq(
+        "[membership]",
+        "  pathway_id {label:\"bigint\"}",
+        "  protein_id {label:\"bigint\"}",
+        "",
+        "[pathway]",
+        "  *pathway_id {label:\"bigint\"}",
+        "  identifier {label:\"string\"}",
+        "  name {label:\"string\"}",
+        "",
+        "[protein]",
+        "  *protein_id {label:\"bigint\"}",
+        "  hgnc_id {label:\"string\"}",
+        "  hgnc_symbol {label:\"string\"}",
+        "",
+        "pathway 1--* membership",
+        "",
+        "protein 1--* membership")
+      lines.zipWithIndex
+        .map { case (l, i) => s"(${i}, '${l.replace("'", "''")}')" }
+        .mkString(
+          "SELECT CAST(i AS INT) AS lineno, l AS line FROM (VALUES ",
+          ", ", ") t(i, l)")
+    },
 
     "s_lsh_recall" -> "SELECT true AS recall_ok",
 

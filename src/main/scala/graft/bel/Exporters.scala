@@ -2,6 +2,7 @@ package graft.bel
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Graph exporters (K7-K10; reference bel_manager.py:129-162,
   * io/automate.py:30-69, compath/manager.py:339-362).
@@ -48,5 +49,34 @@ object Exporters {
     geneSets
       .select(col(key), explode(col("gene_set")).as("hgnc_symbol"))
       .write.mode(SaveMode.Overwrite).option("sep", "\t").csv(directory)
+  }
+
+  /** K13: a foreign-key edge for the ER diagram — `fromTable.fromCol`
+    * references `toTable.toCol` (an M:N association table carries two). */
+  final case class ErRelation(fromTable: String, fromCol: String,
+                              toTable: String, toCol: String)
+
+  /** K13 ER-diagram export (reference cli.py:236-254 renders each
+    * source's SQLAlchemy base with eralchemy): the engine's fixed
+    * code-declared schemas are `StructType`s, so the diagram derives from
+    * them — emitted in eralchemy's own intermediate ER-markdown format
+    * (`[table]` blocks, `*`-prefixed keys, `{label:"type"}` column types,
+    * `1--*` cardinality lines), deterministic via sorted tables/columns.
+    * Text, not an image: zero-egress, diffable, and renderable by any
+    * eralchemy-compatible tool downstream. */
+  def erDiagram(tables: Seq[(String, StructType)],
+                relations: Seq[ErRelation],
+                primaryKeys: Map[String, String] = Map.empty): String = {
+    val tableBlocks = tables.sortBy(_._1).map { case (name, schema) =>
+      val cols = schema.fields.map { f =>
+        val star = if (primaryKeys.get(name).contains(f.name)) "*" else ""
+        s"""  $star${f.name} {label:"${f.dataType.catalogString}"}"""
+      }
+      (s"[$name]" +: cols.toSeq).mkString("\n")
+    }
+    val relLines = relations
+      .map(r => s"${r.toTable} 1--* ${r.fromTable}")
+      .distinct.sorted
+    (tableBlocks ++ relLines).mkString("", "\n\n", "\n")
   }
 }

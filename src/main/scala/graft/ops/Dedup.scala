@@ -100,10 +100,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-  /** MinHash signature: `numHashes` min-values over the shingle set, hash
-    * family h_i(s) = xxhash64(i, s) — deterministic across executors, no
-    * RNG state to ship. Returns an array<long> column. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+  /** MinHash signature: `numHashes` min-values over the shingle set,
+    * Carter–Wegman double hashing — deterministic across executors, no
+    * RNG state to ship. Returns an array<long> column.
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.MinHashSigExpr]] (one compiled loop per row); the
+    * interpreted HOF form survives as [[minHashSignatureComposed]] for
+    * property-testing bit-equality. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.MinHashSigExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(shingles),
+        numHashes))
+
+  /** The `functions`-composed MinHash family — reference implementation
+    * the native expression is property-tested against. */
+  def minHashSignatureComposed(shingles: Column, numHashes: Int): Column = {
     // Carter–Wegman double hashing: each shingle STRING is hashed exactly
     // twice; family member i is h1 + i·h2 (long arithmetic, overflow
     // wraps harmlessly). The naive form — xxhash64(i, s) per member —

@@ -106,8 +106,20 @@ object TextAnalysis {
     * Set semantics (and therefore Jaccard values) are identical up to
     * 64-bit hash collisions: within any one document pair's union (~10³
     * shingles) the collision probability is ~10⁶/2⁶⁴ ≈ 1e-13, and a single
-    * collision shifts Jaccard by ≤1/|union|. */
+    * collision shifts Jaccard by ≤1/|union|.
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.WordShingleHashesExpr]] (one compiled pass per
+    * row); the interpreted HOF form survives as
+    * [[wordShingleHashesComposed]] for property-testing bit-equality. */
   def wordShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.WordShingleHashesExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
+  /** The `functions`-composed shingle-hash family — reference
+    * implementation the native expression is property-tested against. */
+  def wordShingleHashesComposed(text: Column, n: Int): Column =
     bound(split(normalized(text), " ")) { words =>
       val count = size(words)
       array_sort(array_distinct(
