@@ -38,13 +38,16 @@ object ConnectedComponents {
     nodes.count() // materialize before reusing in two branches
 
     // Undirected long-id edge set, self-loops dropped.
-    var e = edges
+    // Eager cuts: measured FASTER than letting the fingerprint action
+    // materialize a lazy checkpoint (the loop's self-union reads each
+    // round's frame twice, and eager blocks are in place before both
+    // branches scan).
+    var e = Checkpoints.cut(edges
       .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-    e = Checkpoints.cut(e)
+      .distinct())
 
     // Convergence check: a (count, hash-sum) fingerprint of the canonical
     // edge set — ONE cheap aggregation per round instead of the two
@@ -57,14 +60,16 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var converged = e.isEmpty
-    var prevFp = if (converged) (0L, 0L) else fingerprint(e)
+    var prevFp = fingerprint(e) // also materializes the initial cut
+    var converged = prevFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
       // Large-star: for each node u, connect every strictly-larger neighbor
       // to the minimum of N(u) ∪ {u}.
       val nbrs = e.select(col("u"), col("v"))
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // No trailing distinct: small-star's collect_set dedupes anyway, so
+      // a distinct here would only add a third shuffle per round.
       val largeStar = nbrs
         .groupBy("u")
         .agg(collect_set(col("v")).as("ns"))
@@ -73,7 +78,6 @@ object ConnectedComponents {
           filter(col("ns"), n => n > col("u")).as("bigger"))
         .select(explode(col("bigger")).as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
 
       // Small-star: orient edges large→small; connect every neighbor (and u
       // itself) of each node u to the minimum of its ≤-neighborhood.

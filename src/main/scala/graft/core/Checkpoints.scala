@@ -14,14 +14,24 @@ object Checkpoints {
 
   /** Materialize `df` and cut its lineage, reliably when [[ConfKey]] is
     * set, locally otherwise. */
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cut(df, eager = true)
+
+  /** Lineage cut whose materialization rides the CALLER's next action
+    * instead of an eager job of its own. NOTE: measured SLOWER than
+    * [[cut]] for the connected-components loop (the next round reads the
+    * frame through a self-union, and un-materialized blocks get computed
+    * concurrently by both branches) — prefer [[cut]] unless the frame is
+    * read exactly once. */
+  def cutLazy(df: DataFrame): DataFrame = cut(df, eager = false)
+
+  private def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+        df.checkpoint(eager = eager)
+      case None => df.localCheckpoint(eager = eager)
     }
   }
 }
