@@ -76,28 +76,79 @@ object Similarity {
     * `nProbe == nList` degrades to exact brute force (every pair scored) —
     * that is how the correctness oracle pins this operator; recall at
     * `nProbe < nList` is the usual IVF tradeoff. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nList: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
-      s"need 2 <= nProbe($nProbe) <= nList($nList)")
-    val centRows = corpus
+  private def cellsOfCol(vec: Column, cellIds: Seq[Long],
+                         cents: Seq[Seq[Double]], p: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graft.ColumnShim.expression(vec),
+        cellIds, cents, p))
+
+  /** Deterministic hash-ordered centroid sample: nList (cellId, vector)
+    * pairs via TakeOrdered — per-partition top-nList, driver merge, no
+    * shuffle. Element type-agnostic: float arrays arrive as boxed Float,
+    * double as boxed Double — both are Number. */
+  private def sampleCentroids(corpus: DataFrame, nList: Int, idCol: String,
+                              vecCol: String): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nList)
       .collect()
-    val cellIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
-    // element type-agnostic: float arrays arrive as boxed Float, double as
-    // boxed Double — both are Number (the column side dispatches in the
-    // expression itself)
-    val cents: Seq[Seq[Double]] = centRows
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+    (rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq)
+  }
+
+  /** Lloyd (k-means) refinement of IVF centroids — the offline
+    * index-build step a production corpus wants before [[ivfTopK]]
+    * (better-balanced Voronoi cells → higher recall at a given nProbe).
+    *
+    * Scale shape per iteration: ONE narrow assignment pass (the
+    * [[graft.functions.NearestCells]] kernel, no join/shuffle of the
+    * corpus), then a per-(cell, dim) mean via posexplode + groupBy — the
+    * shuffle carries only (cell, dim, partial sum/count) rows after
+    * map-side combine, i.e. at most nList·dim rows per task, never the
+    * corpus. Cells that lose every member keep their previous centroid.
+    * Returns driver-sized (cellIds, centroids) — dimension-table scale by
+    * construction, like the sample it refines. */
+  def refineCentroids(corpus: DataFrame, nList: Int, iterations: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): (Seq[Long], Seq[Seq[Double]]) = {
+    var (ids, cents) = sampleCentroids(corpus, nList, idCol, vecCol)
+    for (_ <- 1 to iterations) {
+      val means = corpus
+        .select(
+          element_at(cellsOfCol(col(vecCol), ids, cents, 1), 1).as("cell"),
+          posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("sx") / col("n")).as("m")))), s => s.getField("m"))
+          .as("mean"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Double](1).toSeq)
+        .toMap
+      cents = ids.zip(cents).map { case (id, old) =>
+        means.getOrElse(id, old)
+      }
+    }
+    (ids, cents)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nList: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              refineIterations: Int = 0): DataFrame = {
+    require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
+      s"need 2 <= nProbe($nProbe) <= nList($nList)")
+    val (cellIds, cents) =
+      if (refineIterations > 0)
+        refineCentroids(corpus, nList, refineIterations, idCol, vecCol)
+      else sampleCentroids(corpus, nList, idCol, vecCol)
     def cellsOf(vec: Column, p: Int): Column =
-      org.apache.spark.sql.graft.ColumnShim.column(
-        graft.functions.NearestCells(
-          org.apache.spark.sql.graft.ColumnShim.expression(vec),
-          cellIds, cents, p))
+      cellsOfCol(vec, cellIds, cents, p)
     val assigned = corpus.select(col(idCol).as("id"),
       col(vecCol).as("cvec"),
       element_at(cellsOf(col(vecCol), 1), 1).as("cell"))

@@ -222,6 +222,31 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.length < 100000, s"plan grew with nList: ${plan.length}")
   }
 
+  test("k-means refinement: refined IVF at nProbe=1 is exact on " +
+    "well-separated clusters") {
+    // 3 tight clusters on orthogonal axes; within-cluster cosine ~1,
+    // cross-cluster ~0 — after Lloyd refinement each cluster owns one
+    // cell, so probing a single cell already yields the exact top-k
+    val dims = 8
+    val vecs = (0 until 180).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(dims)(j =>
+        (if (j == c) 10.0 else 0.0) + 0.01 * math.cos(i * 7 + j))
+      (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(6).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+    val refined = Similarity.ivfTopK(corpus, queries, k = 3,
+      nList = 3, nProbe = 1, refineIterations = 3)
+    assert(refined.exceptAll(exact).isEmpty
+      && exact.exceptAll(refined).isEmpty)
+    // the refined centroids are driver-sized and aligned with cells
+    val (ids, cents) = Similarity.refineCentroids(corpus, nList = 3,
+      iterations = 2)
+    assert(ids.length === 3 && cents.forall(_.length === dims))
+  }
+
   test("IVF accepts array<double> embeddings (ADVICE fix)") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5)))
