@@ -81,6 +81,32 @@ class CuriesSpec extends SparkSpec {
     }
   }
 
+  test("property: firstWithPrefix == the split/trim/startsWith composed " +
+    "form it optimizes (ADVICE drift guard)") {
+    // the reference semantics (intact.py:408-418): split on '|', trim
+    // SPACES, first token starting with the prefix
+    def reference(s: String, prefix: String): String =
+      s.split("\\|", -1).iterator
+        .map(t => t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
+        .find(_.startsWith(prefix)).orNull
+    val tokG = Gen.oneOf(
+      Gen.alphaNumStr.map(x => s"pubmed:$x"),
+      Gen.alphaNumStr.map(x => s"doi:$x"),
+      Gen.alphaNumStr,
+      Gen.const(" pubmed:space-led"),
+      Gen.const("\tpubmed:tab-led"), // tab is NOT trimmed (space-only trim)
+      Gen.const("pubmed: inner spaced "),
+      Gen.const(""))
+    forAll(Gen.nonEmptyListOf(tokG).map(_.mkString("|")), n = 120) { s =>
+      assert(eval1(s, Curies.firstWithPrefix(col("c"), "pubmed:")) ===
+        reference(s, "pubmed:"), s"input: '$s'")
+    }
+    // a prefix containing '|' can never match the token body — rejected
+    intercept[IllegalArgumentException] {
+      Curies.firstWithPrefix(col("c"), "a|b")
+    }
+  }
+
   test("F5: xrefList drops malformed members, keeps order") {
     val got = Seq("hgnc:5|plainword|uniprot:P1| chebi:X ")
       .toDF("c")
