@@ -16,6 +16,9 @@ object ProbePlan {
     val t0 = System.nanoTime()
     val n = df.count()
     println(s"PROBE $name rows=$n secs=${(System.nanoTime() - t0) / 1e9}")
+    if (args.contains("final"))
+      // post-AQE plan: shows which SortMergeJoins converted to broadcast
+      println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -101,12 +101,20 @@ object Pid {
         "controls-production-of", "consumption-controlled-by",
         "controls-state-change-of", "catalysis-precedes"), "regulates")
 
+    // resolvedNodes is the node set of ONE NDEx network — dimension-sized
+    // by the domain contract (the reference holds the entire CX response
+    // in memory, pid.py:66-106), so both endpoint joins broadcast: the
+    // edge×citation explode side streams without a shuffle. The frame is
+    // materialized ONCE first — the two broadcasts carry different
+    // projections, so without the cut each would recompute the whole
+    // resolve pipeline (no exchange reuse across broadcast builds).
+    val rn = graft.core.Checkpoints.cut(resolvedNodes)
     val joined = edges
       .join(citsFixed, Seq("edge_id"), "left")
-      .join(resolvedNodes.select(col("node_id").as("s"),
-        col("terms").as("src_terms")), Seq("s"))
-      .join(resolvedNodes.select(col("node_id").as("t"),
-        col("terms").as("dst_terms")), Seq("t"))
+      .join(broadcast(rn.select(col("node_id").as("s"),
+        col("terms").as("src_terms"))), Seq("s"))
+      .join(broadcast(rn.select(col("node_id").as("t"),
+        col("terms").as("dst_terms"))), Seq("t"))
       .withColumn("relation", rel)
       .filter(col("relation").isNotNull) // unhandled types logged+skipped
       .withColumn("citation_list",
