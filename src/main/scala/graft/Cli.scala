@@ -100,9 +100,25 @@ object Cli {
         val edges = cs.queries(ctx("compath")).toBelEdges("compath")
         Exporters.edgelist(edges, out)
         println(s"wrote $out/node_list + $out/edgelist")
+      case "er" => // K13 (cli.py:236-254): per-source ER diagram text
+        val out = opts.getOrElse("out", s"$warehouse/_er")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        val store = Queries.pathwayStore(spark, sfDir)
+        import graft.bel.Exporters.ErRelation
+        val text = Exporters.erDiagram(
+          Seq("pathway" -> store.pathways.schema,
+            "protein" -> store.proteins.schema,
+            "membership" -> store.membership.schema),
+          Seq(ErRelation("membership", "pathway_id", "pathway", "pathway_id"),
+            ErRelation("membership", "protein_id", "protein", "protein_id")),
+          Map("pathway" -> "pathway_id", "protein" -> "protein_id"))
+        val f = java.nio.file.Paths.get(out, "compath_erd.er")
+        java.nio.file.Files.writeString(f, text)
+        println(s"wrote $f")
       case other =>
         println(s"unknown command: $other")
-        println("commands: populate summarize drop actions sheet belns edgelist")
+        println("commands: populate summarize drop actions sheet belns " +
+          "edgelist er")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()
