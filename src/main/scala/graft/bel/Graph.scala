@@ -98,8 +98,13 @@ object Graph {
     val nodes = nodesOf(edges)
     // orderBy = range partition + local sort; zipWithIndex assigns globally
     // contiguous indices per partition-prefix without collapsing to 1 task.
+    // The sorted RDD is cached first: zipWithIndex runs a per-partition
+    // count job over it, and the src/dst joins evaluate it again — without
+    // the cache the full union-distinct-sort pipeline runs three times.
+    val sortedRdd = nodes.orderBy("node").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.createDataFrame(
-      nodes.orderBy("node").rdd.zipWithIndex().map { case (r, i) =>
+      sortedRdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), i)
       },
       org.apache.spark.sql.types.StructType(
