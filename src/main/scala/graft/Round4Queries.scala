@@ -43,6 +43,11 @@ object Round4Queries {
   private def lines(df: DataFrame): Seq[String] =
     df.orderBy(col(df.columns.head)).collect().map(_.getString(0)).toSeq
 
+  /** One bucketed-table write per (session, sf dir) — reruns (bench n=2,
+    * verify) reuse the warehouse tables instead of re-shuffling them. */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+
   // ==========================================================================
   // Registrations
   // ==========================================================================
@@ -152,6 +157,32 @@ object Round4Queries {
         acts.getOrElse("populate", 0), acts.getOrElse("drop", 0)))
         .toDF("before_populate", "after_populate", "n_rows", "dropped",
           "n_populate_actions", "n_drop_actions")
+    }),
+
+    // --- J1 over co-bucketed warehouse tables -----------------------------
+    // The §4.3 partitioning story made real: membership and pathway tables
+    // written bucketed by the join key join with NO exchange on either
+    // side (BucketingSpec pins the plan; this query pins the results).
+    // Bucketed once per (session, sf) — the write is the amortized cost.
+    "j1_bucketed_join" -> ((s, d) => {
+      val tag = sfTag(d).replace(".", "_")
+      bucketMemo.computeIfAbsent((s, d), { _ =>
+        graft.core.Bucketing.writeBucketed(
+          t(s, d, "lineitem").select(
+            col("l_partkey").as("pathway_id"),
+            col("l_suppkey").as("protein_id")),
+          s"bkt_membership_$tag", s"/tmp/graft_bkt_$tag/membership",
+          "pathway_id", buckets = 8)
+        graft.core.Bucketing.writeBucketed(
+          t(s, d, "part").select(
+            col("p_partkey").as("pathway_id"), col("p_name").as("name")),
+          s"bkt_pathways_$tag", s"/tmp/graft_bkt_$tag/pathways",
+          "pathway_id", buckets = 8)
+      })
+      graft.core.Bucketing.read(s, s"bkt_membership_$tag")
+        .join(graft.core.Bucketing.read(s, s"bkt_pathways_$tag"),
+          "pathway_id")
+        .select(col("name").as("pathway"), col("protein_id"))
     }),
 
     // --- K13: ER diagram from StructType metadata -------------------------
@@ -284,6 +315,10 @@ object Round4Queries {
 
     "k1_incremental_merge" ->
       "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier",
+
+    "j1_bucketed_join" ->
+      ("SELECT p_name AS pathway, l_suppkey AS protein_id FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey"),
 
     "k13_er_diagram" -> {
       val lines = Seq(
