@@ -82,10 +82,13 @@ final class PathwayQueries(val store: PathwayStore) {
   // --- A-series: aggregations ---------------------------------------------
 
   /** A8 (reference compath/manager.py:273-292): pathway → sorted distinct
-    * gene set, as an array column (deterministic order for oracles). */
+    * gene set, as an array column (deterministic order for oracles).
+    * Salted two-phase aggregation: a hub pathway's member set no longer
+    * funnels through one reducer (see [[graft.core.Skew]]). */
   def geneSets(): DataFrame =
-    pathwayToProtein().groupBy("identifier")
-      .agg(sort_array(collect_set(col("hgnc_symbol"))).as("gene_set"))
+    graft.core.Skew.saltedCollectSet(pathwayToProtein(),
+      keys = Seq("identifier"), valueCol = "hgnc_symbol",
+      outCol = "gene_set")
 
   /** A9 (reference compath/manager.py:264-271): all distinct gene symbols. */
   def allHgncSymbols(): DataFrame =
