@@ -627,8 +627,10 @@ object Queries {
 
   /** Language-ID oracle: per-language marker scores, argmax with the same
     * tie-break as TextAnalysis.langId (higher score, then lexicographically
-    * first language code — the CASE checks languages in sorted order). */
-  private val langIdSql: String = {
+    * first language code — the CASE checks languages in sorted order).
+    * `private[graft]`: Round4Queries embeds it as a subquery in the
+    * curation-pipeline oracle. */
+  private[graft] val langIdSql: String = {
     def hits(words: Seq[String]): String =
       words.map { w =>
         if (w.exists(_ > '⹿'))

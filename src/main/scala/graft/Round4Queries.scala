@@ -255,6 +255,21 @@ object Round4Queries {
       twinOk.crossJoin(distinctOk)
     }),
 
+    // --- End-to-end corpus curation: the LLM ops composed -----------------
+    // quality filter → exact-dedup survivors → language filter — one
+    // declarative plan, each stage an operator this engine already gates
+    // individually. The pipeline a training-data pass actually runs.
+    "t_curate_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = graft.ops.TextAnalysis.qualityMetrics(docs)
+        .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
+      val survivors = graft.ops.Dedup.exactSurvivors(docs)
+        .select(col("survivor_id").as("doc_id"))
+      quality.join(survivors, Seq("doc_id"), "left_semi")
+        .filter(graft.ops.TextAnalysis.langId(col("text")) === "en")
+        .select("doc_id", "n_tokens")
+    }),
+
     // --- §7.6 incremental populate: batch face of the streamed merge ------
     "k1_incremental_merge" -> ((s, d) => {
       val wh = s"/tmp/graft_incmerge_${sfTag(d)}"
@@ -315,6 +330,26 @@ object Round4Queries {
 
     "k1_incremental_merge" ->
       "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier",
+
+    "t_curate_pipeline" ->
+      s"""WITH qm AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
+         |      len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         |      / nullif(len(text), 0), 4) AS alpha_ratio
+         |  FROM documents
+         |), surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |)
+         |SELECT qm.doc_id, qm.n_tokens
+         |FROM qm
+         |JOIN surv ON qm.doc_id = surv.doc_id
+         |JOIN (${Queries.langIdSql}) lang ON qm.doc_id = lang.doc_id
+         |WHERE qm.n_tokens >= 10 AND qm.alpha_ratio >= 0.5
+         |  AND lang.lang_pred = 'en'
+         |""".stripMargin,
 
     "j1_bucketed_join" ->
       ("SELECT p_name AS pathway, l_suppkey AS protein_id FROM lineitem " +

@@ -134,7 +134,9 @@ final class NamespaceStore(spark: SparkSession, path: String,
   }
 
   /** A14 (utils.py:189-199): md5 over ordered `name:encoding` (or
-    * `identifier:encoding`) pairs. Ordered = sorted by the key column. */
+    * `identifier:encoding`) pairs. Ordered = sorted by the key column.
+    * Driver-side by the dictionary-size contract; for tables that outgrow
+    * it, [[contentFingerprint64]] is the distributed path. */
   def namespaceHash(models: DataFrame, useNames: Boolean = true): String = {
     val key = if (useNames) "name" else "identifier"
     val parts = models
@@ -145,6 +147,25 @@ final class NamespaceStore(spark: SparkSession, path: String,
     val md = MessageDigest.getInstance("MD5")
     parts.foreach(p => md.update(p.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The 100 TB form of the A14 change-detection hash: an ORDER-FREE
+    * content fingerprint — count + commutative sum of per-entry xxhash64 —
+    * computed in ONE distributed aggregation with no sort and no
+    * collect-to-driver. Not byte-compatible with the reference's md5 (the
+    * md5 stays for sidecar parity at dictionary scale), but it has the
+    * same contract: equal multisets of `key:encoding` pairs ⇔ equal
+    * fingerprints (up to a ~2⁻⁶⁴ collision), so skip-if-unchanged export
+    * guards work unmodified against tables of any size. */
+  def contentFingerprint64(models: DataFrame,
+                           useNames: Boolean = true): (Long, Long) = {
+    val key = if (useNames) "name" else "identifier"
+    val r = models
+      .filter(col(key).isNotNull)
+      .agg(count(lit(1)),
+        sum(xxhash64(concat(col(key), lit(":"), col("encoding")))))
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 }
 

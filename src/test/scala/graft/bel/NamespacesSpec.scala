@@ -92,6 +92,23 @@ class NamespacesSpec extends SparkSpec {
     val belns = java.nio.file.Paths.get(dir, "test.belns")
     assert(java.nio.file.Files.exists(belns))
   }
+
+  test("A14 at scale: order-free fingerprint is partitioning-invariant " +
+    "and content-sensitive") {
+    val store = new NamespaceStore(spark, tmpDir("ns"), () => "v1")
+    val a = store.contentFingerprint64(models5)
+    // same rows, different physical order/partitioning -> same fingerprint
+    val shuffled = models5.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(5)
+    assert(store.contentFingerprint64(shuffled) === a)
+    // content change -> different fingerprint
+    assert(store.contentFingerprint64(models9) !== a)
+    // null-named rows are excluded, matching namespaceHash's filter
+    val withNull = models5.unionByName(
+      Seq((null.asInstanceOf[String], null.asInstanceOf[String], "B"))
+        .toDF("identifier", "name", "encoding"))
+    assert(store.contentFingerprint64(withNull) === a)
+  }
 }
 
 class ExportersSpec extends SparkSpec {
