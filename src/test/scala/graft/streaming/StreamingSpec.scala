@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native kernels run unchanged in streaming plans and agree with " +
+    "batch (fingerprint / langId / simhash / shingle hashes)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der Hund und die Katze ist da"),
+      (3L, ""))
+    def analyzed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("sh"),
+      size(TextAnalysis.wordShingleHashes(col("text"), 2)).as("n_shingles"))
+    val mem = MemoryStream[(Long, String)]
+    val query = analyzed(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kernels")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      query.processAllAvailable()
+      val stream = spark.table("kernels").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = analyzed(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(stream === batch)
+      assert(stream(1L)(1) === "en" && stream(2L)(1) === "de")
+    } finally query.stop()
+  }
+
   test("streaming windowed counts with watermark (complete mode)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Event]
