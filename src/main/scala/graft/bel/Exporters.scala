@@ -13,17 +13,20 @@ import org.apache.spark.sql.types.StructType
 object Exporters {
 
   /** K7 nodelink JSON (reference to_nodelink_gz): the graph as two
-    * JSON-lines datasets, `<dir>/nodes` and `<dir>/links` (distributed —
-    * a single .gz file would bottleneck on one writer at 100 TB). Node
-    * ids are the canonical term strings. */
+    * gzip'd JSON-lines datasets, `<dir>/nodes` and `<dir>/links`
+    * (distributed, one .json.gz per partition — the reference's single
+    * .gz file would bottleneck on one writer at 100 TB; readers take the
+    * directory transparently). Node ids are the canonical term strings. */
   def nodelink(edges: DataFrame, directory: String): Unit = {
     Graph.nodesOf(edges)
       .select(col("node").as("id"))
-      .write.mode(SaveMode.Overwrite).json(s"$directory/nodes")
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .json(s"$directory/nodes")
     edges
       .select(col("src").as("source"), col("dst").as("target"),
         col("relation"))
-      .write.mode(SaveMode.Overwrite).json(s"$directory/links")
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .json(s"$directory/links")
   }
 
   /** K8 edge-list + node-list export (bel_manager.py:145-162): dense
