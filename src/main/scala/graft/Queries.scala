@@ -610,7 +610,8 @@ object Queries {
        |  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
        |)""".stripMargin
 
-  private val jaccardSql =
+  // private[graft]: Round4Queries embeds it in the near-dup-survivor oracle
+  private[graft] val jaccardSql =
     s"""$shingleCte,
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c

@@ -255,6 +255,13 @@ object Round4Queries {
       twinOk.crossJoin(distinctOk)
     }),
 
+    // --- Near-dup clusters + survivor per cluster -------------------------
+    // The actual dedup deliverable: LSH pairs closed under transitivity by
+    // distributed connected components, min-id survivor per component.
+    "d_neardup_survivors" -> ((s, d) =>
+      graft.ops.Dedup.nearDupSurvivors(t(s, d, "documents"),
+        n = 3, threshold = 0.8)),
+
     // --- End-to-end corpus curation: the LLM ops composed -----------------
     // quality filter → exact-dedup survivors → language filter — one
     // declarative plan, each stage an operator this engine already gates
@@ -330,6 +337,25 @@ object Round4Queries {
 
     "k1_incremental_merge" ->
       "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier",
+
+    "d_neardup_survivors" ->
+      s"""WITH pairs AS (${Queries.jaccardSql}),
+         |und AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+         |), verts AS (
+         |  SELECT DISTINCT u AS n FROM und
+         |), walk AS (
+         |  WITH RECURSIVE w(n, comp) AS (
+         |    SELECT n, n FROM verts
+         |    UNION
+         |    SELECT e.v, w.comp FROM w JOIN und e ON w.n = e.u
+         |  )
+         |  SELECT n, min(comp) AS comp FROM w GROUP BY n
+         |)
+         |SELECT d.doc_id, coalesce(walk.comp, d.doc_id) AS survivor_id
+         |FROM documents d LEFT JOIN walk ON d.doc_id = walk.n
+         |""".stripMargin,
 
     "t_curate_pipeline" ->
       s"""WITH qm AS (

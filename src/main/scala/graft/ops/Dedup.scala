@@ -210,6 +210,35 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** The dedup DELIVERABLE on top of [[minHashPairs]]: near-duplicate
+    * CLUSTERS and a survivor per cluster. Pair emission alone under-counts
+    * — near-duplication is transitive in practice (a~b, b~c ⇒ one
+    * template family even when a!~c misses the threshold) — so the pair
+    * graph is closed with the distributed connected-components algorithm
+    * and each document maps to the minimum id of its component (itself
+    * when it has no near-dup). Output: one row per input document,
+    * (idCol, survivor_id); keep rows where the two are equal, route the
+    * rest to review/drop.
+    *
+    * Scale: pairs are LSH-banded (never all-pairs), CC is the O(log n)
+    * large/small-star loop over ONLY the paired ids (a tiny subgraph of
+    * the corpus), and the final mapping is one left join. */
+  def nearDupSurvivors(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val pairs = minHashPairs(docs, n, threshold, idCol = idCol,
+      textCol = textCol)
+    val cc = graft.bel.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val canon = cc.groupBy("component").agg(min("node").as("survivor_id"))
+    val mapped = cc.join(canon, "component")
+      .select(col("node").as(idCol), col("survivor_id"))
+    docs.select(col(idCol))
+      .join(mapped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("survivor_id"), col(idCol)).as("survivor_id"))
+  }
+
   /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit
     * position weighted by presence, sign → bit. Near-dup candidates =
     * fingerprints at small Hamming distance (callers bucket by rotations /

@@ -101,6 +101,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("nearDupSurvivors: transitive closure over pair graph, min-id " +
+    "survivor, singletons survive alone") {
+    val surv = Dedup.nearDupSurvivors(docs, n = 3, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // 1,2,5 are exact dups and 3 is a near dup of them -> one cluster
+    // rooted at 1; 4 is unrelated -> survives alone
+    assert(surv === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L))
+  }
+
   test("simhash: near-identical texts land at small hamming distance") {
     val sh = docs.select(col("doc_id"),
         Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("h"))
