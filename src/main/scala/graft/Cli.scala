@@ -100,6 +100,18 @@ object Cli {
         val edges = cs.queries(ctx("compath")).toBelEdges("compath")
         Exporters.edgelist(edges, out)
         println(s"wrote $out/node_list + $out/edgelist")
+      case "nodelink" => // K7 (cli.py:302-328 write path): gzip'd JSON dump
+        val out = opts.getOrElse("out", s"$warehouse/_export/nodelink")
+        val cs = reg.get("compath").get.asInstanceOf[CompathSource]
+        Exporters.nodelink(
+          cs.queries(ctx("compath")).toBelEdges("compath"), out)
+        println(s"wrote $out/nodes + $out/links")
+      case "triples" => // K9 (io/automate.py:30-46): KG-embedding TSV
+        val out = opts.getOrElse("out", s"$warehouse/_export/triples")
+        val cs = reg.get("compath").get.asInstanceOf[CompathSource]
+        Exporters.triples(
+          cs.queries(ctx("compath")).toBelEdges("compath"), out)
+        println(s"wrote $out")
       case "er" => // K13 (cli.py:236-254): per-source ER diagram text
         val out = opts.getOrElse("out", s"$warehouse/_er")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -118,7 +130,7 @@ object Cli {
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
-          "edgelist er")
+          "edgelist nodelink triples er")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()

@@ -262,6 +262,20 @@ object Round4Queries {
       graft.ops.Dedup.nearDupSurvivors(t(s, d, "documents"),
         n = 3, threshold = 0.8)),
 
+    // --- Embedding-space near-dup survivors (same twin construction as
+    // d_embed_pairs, Round3Queries) — each perturbed twin must map to its
+    // base vector, every base vector to itself.
+    "d_embed_survivors" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+      val perturbed = base.select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.001) * sin(col("vec_id") * 7)).as("embedding"))
+      graft.ops.Dedup.embeddingNearDupSurvivors(
+        base.unionByName(perturbed), threshold = 0.99)
+    }),
+
     // --- End-to-end corpus curation: the LLM ops composed -----------------
     // quality filter → exact-dedup survivors → language filter — one
     // declarative plan, each stage an operator this engine already gates
@@ -356,6 +370,16 @@ object Round4Queries {
          |SELECT d.doc_id, coalesce(walk.comp, d.doc_id) AS survivor_id
          |FROM documents d LEFT JOIN walk ON d.doc_id = walk.n
          |""".stripMargin,
+
+    // sound because d_embed_pairs already pins the pair set to EXACTLY the
+    // (i, i+1e6) twins (hash-equal to the exact all-pairs cosine oracle at
+    // τ=0.99; max base-pair cosine ≈ 0.51), so components are the twin
+    // pairs and the survivor is always the base id.
+    "d_embed_survivors" ->
+      ("SELECT vec_id, vec_id AS survivor_id FROM embeddings " +
+        "UNION ALL " +
+        "SELECT vec_id + 1000000 AS vec_id, vec_id AS survivor_id " +
+        "FROM embeddings"),
 
     "t_curate_pipeline" ->
       s"""WITH qm AS (

@@ -225,15 +225,33 @@ object Dedup {
     * the corpus), and the final mapping is one left join. */
   def nearDupSurvivors(docs: DataFrame, n: Int, threshold: Double,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val pairs = minHashPairs(docs, n, threshold, idCol = idCol,
-      textCol = textCol)
+                       textCol: String = "text"): DataFrame =
+    survivorsFromPairs(docs,
+      minHashPairs(docs, n, threshold, idCol = idCol, textCol = textCol),
+      idCol)
+
+  /** [[nearDupSurvivors]] in embedding space: hyperplane-LSH cosine pairs
+    * ([[embeddingPairs]]) closed under transitivity, min-id survivor per
+    * component. */
+  def embeddingNearDupSurvivors(vecs: DataFrame, threshold: Double,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame =
+    survivorsFromPairs(vecs,
+      embeddingPairs(vecs, threshold, idCol = idCol, vecCol = vecCol),
+      idCol)
+
+  /** Shared survivor mapping: close a (id_a, id_b) near-dup pair graph
+    * with distributed connected components (over ONLY the paired ids) and
+    * map every row of `all` to the minimum id of its component — itself
+    * when unpaired. */
+  private def survivorsFromPairs(all: DataFrame, pairs: DataFrame,
+                                 idCol: String): DataFrame = {
     val cc = graft.bel.ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val canon = cc.groupBy("component").agg(min("node").as("survivor_id"))
     val mapped = cc.join(canon, "component")
       .select(col("node").as(idCol), col("survivor_id"))
-    docs.select(col(idCol))
+    all.select(col(idCol))
       .join(mapped, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("survivor_id"), col(idCol)).as("survivor_id"))
