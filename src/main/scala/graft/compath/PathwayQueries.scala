@@ -83,12 +83,14 @@ final class PathwayQueries(val store: PathwayStore) {
 
   /** A8 (reference compath/manager.py:273-292): pathway → sorted distinct
     * gene set, as an array column (deterministic order for oracles).
-    * Salted two-phase aggregation: a hub pathway's member set no longer
-    * funnels through one reducer (see [[graft.core.Skew]]). */
+    * Plain one-shuffle collect_set: pathway membership is domain-bounded
+    * (no pathway has more than a few thousand genes), so the hot-key
+    * regime [[graft.core.Skew.saltedCollectSet]] exists for — unbounded
+    * value cardinality per key — cannot occur here, and the salted form's
+    * second shuffle would be pure overhead. */
   def geneSets(): DataFrame =
-    graft.core.Skew.saltedCollectSet(pathwayToProtein(),
-      keys = Seq("identifier"), valueCol = "hgnc_symbol",
-      outCol = "gene_set")
+    pathwayToProtein().groupBy("identifier")
+      .agg(sort_array(collect_set(col("hgnc_symbol"))).as("gene_set"))
 
   /** A9 (reference compath/manager.py:264-271): all distinct gene symbols. */
   def allHgncSymbols(): DataFrame =

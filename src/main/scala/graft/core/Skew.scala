@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * groups by HASH OF THE VALUE — deterministic (no RNG state), and equal
   * values land in the same bucket, so the partials of one key are
   * DISJOINT and recombine without a cross-bucket distinct.
+  *
+  * When to reach for these: keys whose VALUE CARDINALITY is unbounded by
+  * the domain — per-shingle posting lists on a web corpus, per-user event
+  * sets, per-token document lists. When the per-key set is domain-bounded
+  * (e.g. genes per pathway), plain collect_set is one shuffle cheaper and
+  * the right default.
   */
 object Skew {
 
