@@ -48,6 +48,10 @@ object Round4Queries {
   private val bucketMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
 
+  /** One IVF index build per (session, sf dir) — index once, query many. */
+  private val ivfIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+
   // ==========================================================================
   // Registrations
   // ==========================================================================
@@ -199,6 +203,18 @@ object Round4Queries {
       import s.implicits._
       text.stripSuffix("\n").split("\n", -1).toSeq
         .zipWithIndex.map { case (l, i) => (i, l) }.toDF("lineno", "line")
+    }),
+
+    // --- Persisted IVF index: partition-pruned probing, exact-mode oracle -
+    "s_ivf_index_topk" -> ((s, d) => {
+      val path = s"/tmp/graft_ivfidx_${sfTag(d)}"
+      ivfIndexMemo.computeIfAbsent((s, d), { _ =>
+        graft.ops.IvfIndex.build(t(s, d, "embeddings"), path, nList = 8)
+      })
+      val queriesDf = t(s, d, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.IvfIndex.topK(s, path, queriesDf, k = 4, nProbe = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
     }),
 
     // --- Quality gate for LSH ANN (was `no_oracle` s_lsh_topk) -----------
@@ -430,6 +446,9 @@ object Round4Queries {
           "SELECT CAST(i AS INT) AS lineno, l AS line FROM (VALUES ",
           ", ", ") t(i, l)")
     },
+
+    // exact mode (nProbe == nList): every cell probed ⇒ brute-force oracle
+    "s_ivf_index_topk" -> Queries.oracleSql("s_brute_topk"),
 
     "s_lsh_recall" -> "SELECT true AS recall_ok",
 

@@ -76,8 +76,8 @@ object Similarity {
     * `nProbe == nList` degrades to exact brute force (every pair scored) —
     * that is how the correctness oracle pins this operator; recall at
     * `nProbe < nList` is the usual IVF tradeoff. */
-  private def cellsOfCol(vec: Column, cellIds: Seq[Long],
-                         cents: Seq[Seq[Double]], p: Int): Column =
+  private[ops] def cellsOfCol(vec: Column, cellIds: Seq[Long],
+                              cents: Seq[Seq[Double]], p: Int): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       graft.functions.NearestCells(
         org.apache.spark.sql.graft.ColumnShim.expression(vec),
@@ -87,8 +87,9 @@ object Similarity {
     * pairs via TakeOrdered — per-partition top-nList, driver merge, no
     * shuffle. Element type-agnostic: float arrays arrive as boxed Float,
     * double as boxed Double — both are Number. */
-  private def sampleCentroids(corpus: DataFrame, nList: Int, idCol: String,
-                              vecCol: String): (Seq[Long], Seq[Seq[Double]]) = {
+  private[ops] def sampleCentroids(corpus: DataFrame, nList: Int,
+                                   idCol: String, vecCol: String)
+      : (Seq[Long], Seq[Seq[Double]]) = {
     val rows = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(xxhash64(col(idCol)))

@@ -268,6 +268,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
   }
 
+  test("IvfIndex: persisted index matches brute force in exact mode and " +
+    "PRUNES partitions at low nProbe") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("query_id", "embedding")
+    val path = tmpDir("ivfindex")
+    IvfIndex.build(corpus, path, nList = 8)
+    // exact mode: probing every cell == brute force
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val viaIndex = IvfIndex.topK(spark, path, queries, k = 4, nProbe = 8)
+    assert(viaIndex.exceptAll(exact).isEmpty
+      && exact.exceptAll(viaIndex).isEmpty)
+    // low-probe mode: the scan must read only the probed cells' files
+    val pruned = IvfIndex.topK(spark, path, queries, k = 4, nProbe = 1)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe filter must land in PartitionFilters:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>
