@@ -214,6 +214,20 @@ class BiogridSpec extends SparkSpec {
     assert(messageChain(e).contains("Unhandled BioGrid relation"))
   }
 
+  test("fused validation: constructing the BioGRID pipeline launches NO " +
+    "job (the old validate ran an eager scan per pipeline)") {
+    def allJobs: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = allJobs
+    val edges = Biogrid.toBel(Biogrid.processed(mitab(
+      ("ncbigene:1", "ncbigene:2", mi("0914", "association"), "pubmed:11")),
+      mappings))
+    assert(allJobs === before,
+      "pipeline construction must be fully lazy — validation rides the " +
+        "main pass, not a separate eager job")
+    assert(edges.count() === 1)
+  }
+
   test("strict: unknown relation on an NA-skipped row does NOT raise " +
     "(get_bel continues before dispatch, biogrid.py:244-247)") {
     val edges = Biogrid.toBel(Biogrid.processed(mitab(
