@@ -75,9 +75,9 @@ object Graph {
     val density = if (v > 1) nEdges / (v * (v - 1)) else 0.0
     val nComponents =
       if (withComponents)
-        ConnectedComponents.run(
-          e.select(col("src"), col("dst")))
-          .select("component").distinct().count()
+        // count-only fast path: stays in the hashed-id domain, no label
+        // materialization (ConnectedComponents.componentCount)
+        ConnectedComponents.componentCount(e.select(col("src"), col("dst")))
       else -1L
     val spark = edges.sparkSession
     import spark.implicits._
