@@ -333,7 +333,7 @@ object Intact {
       broadcast(relationDim(spark)),
       withNorm("norm_relation") === col("psi_mi"), "left")
     val rejects = joined.filter(col("bel_relation").isNull)
-      .select(processed.columns.map(col): _*)
+      .select(processed.columns.toIndexedSeq.map(col): _*)
 
     val matched = joined.filter(col("bel_relation").isNotNull)
     val targetFn = coalesce(col("target_fn"), fnOf(col("dst_prefix")))
