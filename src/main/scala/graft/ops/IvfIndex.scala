@@ -31,9 +31,14 @@ object IvfIndex {
         Similarity.refineCentroids(corpus, nList, refineIterations, idCol,
           vecCol)
       else Similarity.sampleCentroids(corpus, nList, idCol, vecCol)
+    // normalized column names in the index layout (vec_id, embedding,
+    // cell) regardless of the input frame's names — topK reads them back
+    // by these names
     corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("cell",
-        element_at(Similarity.cellsOfCol(col(vecCol), cellIds, cents, 1), 1))
+        element_at(
+          Similarity.cellsOfCol(col("embedding"), cellIds, cents, 1), 1))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/corpus")

@@ -110,7 +110,13 @@ object Similarity {
     * map-side combine, i.e. at most nList·dim rows per task, never the
     * corpus. Cells that lose every member keep their previous centroid.
     * Returns driver-sized (cellIds, centroids) — dimension-table scale by
-    * construction, like the sample it refines. */
+    * construction, like the sample it refines.
+    *
+    * Determinism note: the per-dimension means are floating sums whose
+    * accumulation order varies with partitioning, so refined centroids
+    * can differ in final ulps run-to-run. Harmless for ANN recall (cell
+    * boundaries move by ~1e-16) — which is why exact-mode oracle queries
+    * pin the UNREFINED sample path, which is bit-deterministic. */
   def refineCentroids(corpus: DataFrame, nList: Int, iterations: Int = 3,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): (Seq[Long], Seq[Seq[Double]]) = {
