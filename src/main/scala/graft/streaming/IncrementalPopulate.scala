@@ -29,7 +29,13 @@ object IncrementalPopulate {
     * provenance). Returns the number of appended rows. */
   def mergeBatch(ctx: SourceContext, resource: String, table: String,
                  keyCols: Seq[String], batch: DataFrame): Long = {
-    val deduped = batch.dropDuplicates(keyCols)
+    // null merge keys are dropped: a null key never matches the anti-join
+    // (SQL null semantics), so such rows would re-append on EVERY batch —
+    // and the reference's incremental update skips null-keyed entries too
+    // (namespace_manager.py:281-285).
+    val keyed = keyCols.foldLeft(batch)((df, k) =>
+      df.filter(col(k).isNotNull))
+    val deduped = keyed.dropDuplicates(keyCols)
     val fresh =
       if (ctx.exists(table))
         deduped.join(

@@ -268,6 +268,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
   }
 
+  test("property: NearestCells kernel ranking == reference cosine sort " +
+    "(score desc, cell id desc ties)") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val rnd = new scala.util.Random(17)
+    val cents = (0 until 12).map(_ =>
+      Array.fill(6)(rnd.nextGaussian())).toIndexedSeq
+    val cellIds = (0 until 12).map(c => (c * 7 + 3).toLong)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val got = vecs.select(col("id"), ColumnShim.column(
+        graft.functions.NearestCells(ColumnShim.expression(col("v")),
+          cellIds, cents.map(_.toSeq), 5)).as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // reference ranking in plain Scala
+    val byId = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    byId.foreach { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val want = cents.zipWithIndex
+        .map { case (c, i) => (cos(vd, c), cellIds(i)) }
+        .sortBy { case (s, cid) => (-s, -cid) }
+        .take(5).map(_._2)
+      assert(got(id) === want, s"vector $id")
+    }
+  }
+
   test("IvfIndex: persisted index matches brute force in exact mode and " +
     "PRUNES partitions at low nProbe") {
     val vecs = (0 until 200).map { i =>

@@ -91,6 +91,20 @@ class StreamingSpec extends SparkSpec {
         .filter(col("resource") === "inc").collect()
       assert(acts.length === 2)
       assert(acts.forall(_.getAs[String]("action") === "populate"))
+      // null-keyed rows are dropped, not re-appended every batch
+      val wh3 = tmpDir("incpop_nullkey")
+      val ctx3 = new graft.core.SourceContext(spark, wh3, "inc")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType)))
+      val withNull = spark.createDataFrame(
+        java.util.Arrays.asList(Row(7L, "x"), Row(null, "ghost")), schema)
+      IncrementalPopulate.mergeBatch(ctx3, "inc", "entries", Seq("id"),
+        withNull)
+      IncrementalPopulate.mergeBatch(ctx3, "inc", "entries", Seq("id"),
+        withNull)
+      assert(ctx3.read("entries").count() === 1)
     } finally query.stop()
   }
 
