@@ -9,12 +9,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
 
 import graft.core.{SourceContext, Tables}
 
-/** Round-4 harness registrations: the oracle sweep of the remaining
-  * unit-only §2 operators (K7 nodelink, S3 csv, S5 json, S1/S18 cache
-  * contracts, K1/K2 table lifecycle), the §7.6 incremental-populate merge
-  * (batch face of the streaming seam), and the quality gates for the two
-  * formerly-`no_oracle` approximate operators (LSH ANN recall vs brute
-  * force; SimHash perturbed-twin Hamming invariant).
+/** Round-4 harness registrations:
+  *  - the oracle sweep of the remaining unit-only §2 operators (K7
+  *    nodelink round-trip, S3 csv / S5 json readers, S1/S18 cache
+  *    contracts, K1/K2 table lifecycle, K13 ER diagram);
+  *  - the §7.6 incremental-populate merge (batch face of the streaming
+  *    seam);
+  *  - quality gates for the two formerly-`no_oracle` approximate
+  *    operators (LSH ANN recall vs brute force; SimHash perturbed-twin
+  *    Hamming invariant);
+  *  - the scale-machinery faces: co-bucketed exchange-free join,
+  *    persisted partition-pruned IVF index;
+  *  - the composed deliverables: near-dup survivor clustering (text +
+  *    embedding) and the end-to-end corpus-curation pipeline.
   *
   * File/warehouse fixtures are driver-side landing-zone writes at
   * plan-build time (dimension-sized by contract), as in Round3Queries.
