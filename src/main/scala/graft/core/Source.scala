@@ -116,6 +116,16 @@ final class SourceContext(val spark: SparkSession, warehouse: String, module: St
 
   def exists(table: String): Boolean = Fs.exists(spark, tablePath(table))
 
+  /** Warehouse path of `table` — exposed for writers that must manage the
+    * files through the session catalog (bucket specs live in the catalog,
+    * not in parquet footers). */
+  def pathOf(table: String): String = tablePath(table)
+
+  /** Session-catalog identifier under which `table` is registered when it
+    * is maintained as a BUCKETED table. */
+  def catalogName(table: String): String =
+    s"graft_${module}_$table".replaceAll("[^A-Za-z0-9_]", "_")
+
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
   def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit =

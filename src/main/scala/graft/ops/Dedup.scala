@@ -27,14 +27,22 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** (id, shingles) staging frame: sorted distinct word n-gram shingles.
-    * Repartitioned by id first: a single-file parquet corpus arrives as
-    * ONE partition, which would serialize the (expensive, interpreted
-    * higher-order) shingle evaluation onto one core. */
+    *
+    * Repartitioned by id ONLY when the scan is under-parallel (fewer
+    * partitions than the cluster's default parallelism): a single-file
+    * parquet corpus arrives as one partition, which would serialize the
+    * shingle evaluation onto one core — but a 100 TB corpus already scans
+    * with thousands of partitions, and an unconditional repartition there
+    * is a full-corpus shuffle bought for nothing. */
   def shingled(docs: DataFrame, n: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
-    docs.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        TextAnalysis.wordShingleHashes(col(textCol), n).as("shingles"))
+               textCol: String = "text"): DataFrame = {
+    val floor = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < floor) docs.repartition(col(idCol))
+      else docs
+    spread.select(col(idCol).as("id"),
+      TextAnalysis.wordShingleHashes(col(textCol), n).as("shingles"))
+  }
 
   /** Exact n-gram-Jaccard near-dup pairs via a document-frequency-capped
     * inverted shingle index.

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+
+import graft.SparkSpec
+import graft.functions.Vectors
+
+/** Every native kernel must stay inside whole-stage codegen at production
+  * parameter sizes — a kernel that silently trips into interpreted
+  * `CodegenFallback` (e.g. generated code past Janino limits at a large
+  * nList / bit count) would drop the hot path out of Tungsten exactly where
+  * the 100 TB corpus pays for it. Two checks per kernel: the expression
+  * type itself is not a CodegenFallback, and an executed plan places the
+  * kernel's projection inside a WholeStageCodegen span. */
+class CodegenGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed (a plain local Seq would be folded into a
+  // LocalTableScan by ConvertToLocalRelation, leaving no codegen span
+  // to inspect — the opposite of the production scan shape)
+  private lazy val vecs: DataFrame = {
+    val p = s"${tmpDir("cg_vecs")}/v"
+    (0 until 64).map(i => (i.toLong,
+      Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(p)
+    spark.read.parquet(p)
+  }
+
+  private lazy val docs: DataFrame = {
+    val p = s"${tmpDir("cg_docs")}/d"
+    (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta $i epsilon"))
+      .toDF("doc_id", "text").write.parquet(p)
+    spark.read.parquet(p)
+  }
+
+  /** Execute and require that some WholeStageCodegen subtree contains the
+    * kernel (visible by its prettyName in the span's plan string). */
+  private def assertCodegenSpan(df: DataFrame, kernel: String): Unit = {
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val spans = executed.collect { case w: WholeStageCodegenExec => w }
+    assert(spans.exists(_.toString.contains(kernel)),
+      s"$kernel not inside any WholeStageCodegen span:\n$executed")
+  }
+
+  test("NearestCells at nList=512 codegens (no fallback)") {
+    val cellIds = (0L until 512L).toSeq
+    val cents = Seq.tabulate(512)(c =>
+      Seq.tabulate(16)(j => math.cos(c * 31 + j)))
+    val col512 = Similarity.cellsOfCol(col("embedding"), cellIds, cents, 4)
+    assert(!ColumnShim.expression(col512).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(vecs.select(col("vec_id"), col512.as("cells")),
+      "graft_nearest_cells")
+  }
+
+  test("HyperplaneBands at 256 total bits codegens (no fallback)") {
+    val c = Vectors.hyperplaneBands(col("embedding"), 16, 16)
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(vecs.select(col("vec_id"), c.as("bands")),
+      "graft_hyperplane_bands")
+  }
+
+  test("WordShingleHashes codegens (no fallback)") {
+    val c = TextAnalysis.wordShingleHashes(col("text"), 3)
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(docs.select(col("doc_id"), c.as("sh")),
+      "graft_word_shingle_hashes")
+  }
+
+  test("MinHashSig at 128 hashes codegens (no fallback)") {
+    val c = Dedup.minHashSignature(
+      TextAnalysis.wordShingleHashes(col("text"), 3), 128)
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(docs.select(col("doc_id"), c.as("sig")),
+      "graft_minhash_sig")
+  }
+
+  test("CosineSimilarity codegens (no fallback)") {
+    val c = Vectors.cosine(col("embedding"), col("embedding"))
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(vecs.select(col("vec_id"), c.as("cos")),
+      "graft_cosine")
+  }
+}

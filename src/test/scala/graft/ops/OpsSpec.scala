@@ -110,6 +110,21 @@ class DedupSpec extends SparkSpec {
     assert(surv === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L))
   }
 
+  test("shingled repartitions only under-parallel inputs") {
+    // plan-shape assertion (AQE re-coalesces tiny shuffles, so partition
+    // COUNTS don't witness the decision; the added shuffle operator does).
+    // shingled's own spread is a BY-EXPRESSION repartition — distinct from
+    // the wide fixture's repartition(8), which is a plain Repartition node.
+    def spreads(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.nonEmpty
+    // one partition < defaultParallelism(4): spread before shingling
+    assert(spreads(Dedup.shingled(docs.coalesce(1), n = 2)))
+    // already-parallel input: no shuffle paid
+    assert(!spreads(Dedup.shingled(docs.repartition(8), n = 2)))
+  }
+
   test("simhash: near-identical texts land at small hamming distance") {
     val sh = docs.select(col("doc_id"),
         Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("h"))
