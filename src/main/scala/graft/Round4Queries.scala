@@ -213,10 +213,18 @@ object Round4Queries {
     }),
 
     // --- Persisted IVF index: partition-pruned probing, exact-mode oracle -
+    // Built on 3/4 of the corpus, GROWN to full via IvfIndex.append — the
+    // exact-mode oracle then also gates the incremental-append path (a
+    // dropped/duplicated/rewritten row would break the brute-force hash).
     "s_ivf_index_topk" -> ((s, d) => {
       val path = s"/tmp/graft_ivfidx_${sfTag(d)}"
       ivfIndexMemo.computeIfAbsent((s, d), { _ =>
-        graft.ops.IvfIndex.build(t(s, d, "embeddings"), path, nList = 8)
+        val emb = t(s, d, "embeddings")
+        graft.ops.IvfIndex.build(emb.filter(col("vec_id") % 4 =!= 0), path,
+          nList = 8)
+        graft.ops.IvfIndex.append(s, path,
+          emb.filter(col("vec_id") % 4 === 0))
+        ()
       })
       val queriesDf = t(s, d, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
@@ -315,16 +323,21 @@ object Round4Queries {
     }),
 
     // --- §7.6 incremental populate: batch face of the streamed merge ------
+    // Bucketed target (production shape): the per-batch anti-join reads the
+    // existing keys through the bucketed catalog scan and shuffles only the
+    // incoming batch (plan pinned in StreamingSpec).
     "k1_incremental_merge" -> ((s, d) => {
-      val wh = s"/tmp/graft_incmerge_${sfTag(d)}"
+      val tag = sfTag(d).replace(".", "_")
+      val wh = s"/tmp/graft_incmerge_$tag"
       rmrf(s, wh)
-      val ctx = new SourceContext(s, wh, "inc")
+      val ctx = new SourceContext(s, wh, s"inc_$tag")
+      s.sql(s"DROP TABLE IF EXISTS ${ctx.catalogName("entries")}")
       val sup = t(s, d, "supplier").select(
         concat(lit("I"), col("s_suppkey")).as("identifier"),
         col("s_name").as("name"))
       def merge(batch: DataFrame): Long =
         graft.streaming.IncrementalPopulate.mergeBatch(
-          ctx, "inc", "entries", Seq("identifier"), batch)
+          ctx, "inc", "entries", Seq("identifier"), batch, buckets = 8)
       // three overlapping batches; anti-join must land each key once
       merge(sup.filter(pmod(col("identifier").substr(lit(2), lit(10))
         .cast("long"), lit(2)) === 0))

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.SourceContext
+
+/** Round-6 harness registrations — the two production paths no driver
+  * check touched before this round:
+  *
+  *  - `s_ivf_refined_recall`: the k-means-refined centroid path
+  *    ([[graft.ops.Similarity.refineCentroids]]) — the path
+  *    `IvfIndex.build(refineIterations > 0)` exposes to users — gated on a
+  *    clustered twin corpus: refined recall vs brute force must be at
+  *    least the unrefined sample path's recall at equal nProbe, and above
+  *    an absolute floor.
+  *  - `w_incremental_populate`: the STREAM face of the §7.6 incremental
+  *    merge (foreachBatch → mergeBatch) driven through a MemoryStream with
+  *    overlapping micro-batches, landing into a bucketed target; oracle =
+  *    the same supplier SQL as the batch face, so both faces are
+  *    driver-checked row/schema/hash-equal.
+  */
+object Round6Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def sfTag(d: String): String = new java.io.File(d).getName
+
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
+
+  /** Clustered corpus in the regime ANN serves (same construction as
+    * s_lsh_recall / d_embed_pairs): every base vector gets a perturbed
+    * twin, so each query's true nearest non-self neighbor IS its twin. */
+  private def twinCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+    val twins = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"),
+        x => x + lit(0.001) * sin(col("vec_id") * 7)).as("embedding"))
+    base.unionByName(twins)
+  }
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- Refined-IVF recall gate ------------------------------------------
+    // nProbe << nList so cell assignment actually decides recall; the gate
+    // holds because a twin sits ~1e-3 from its query and therefore in the
+    // query's own top-probed Voronoi cell under EITHER centroid set.
+    "s_ivf_refined_recall" -> ((s, d) => {
+      val corpus = twinCorpus(t(s, d, "embeddings"))
+      val qs = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val truth = graft.ops.Similarity.bruteForceTopK(corpus, qs, k = 1)
+        .select("query_id", "id")
+      def hits(refineIterations: Int): DataFrame =
+        truth.join(
+          graft.ops.Similarity.ivfTopK(corpus, qs, k = 1,
+            nList = 8, nProbe = 2, refineIterations = refineIterations)
+            .select("query_id", "id"),
+          Seq("query_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      val refined = hits(3).select(col("n").as("n_refined"))
+      val unrefined = hits(0).select(col("n").as("n_unrefined"))
+      val total = truth.agg(count(lit(1)).as("n_true"))
+      refined.crossJoin(unrefined).crossJoin(total).select(
+        (col("n_refined") >= col("n_unrefined")).as("refined_not_worse"),
+        (col("n_refined").cast("double") / col("n_true") >= 0.95)
+          .as("refined_recall_ok"))
+    }),
+
+    // --- Stream face of the incremental merge -----------------------------
+    "w_incremental_populate" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = sfTag(d).replace(".", "_")
+      val wh = s"/tmp/graft_incstream_$tag"
+      rmrf(s, wh)
+      val ctx = new SourceContext(s, wh, s"incs_$tag")
+      s.sql(s"DROP TABLE IF EXISTS ${ctx.catalogName("entries")}")
+      val sup = t(s, d, "supplier").select(
+        concat(lit("I"), col("s_suppkey")).as("identifier"),
+        col("s_name").as("name"))
+      // supplier is dimension-sized by contract — collectable to feed the
+      // MemoryStream (the stream SOURCE is the test harness; the merge
+      // itself stays distributed)
+      val rows = sup.as[(String, String)].collect().toSeq
+      def keyOf(r: (String, String)): Long = r._1.stripPrefix("I").toLong
+      val mem = MemoryStream[(String, String)]
+      val q = graft.streaming.IncrementalPopulate.run(
+        mem.toDS().toDF("identifier", "name"), ctx, "incs", "entries",
+        keyCols = Seq("identifier"), checkpoint = s"$wh/_ckpt", buckets = 8)
+      try {
+        // three overlapping micro-batches; the anti-join must land each
+        // key exactly once across the whole stream
+        mem.addData(rows.filter(keyOf(_) % 2 == 0): _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(keyOf(_) % 3 == 0): _*)
+        q.processAllAvailable()
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ctx.read("entries").select("identifier", "name")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "s_ivf_refined_recall" ->
+      "SELECT true AS refined_not_worse, true AS refined_recall_ok",
+
+    "w_incremental_populate" ->
+      "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier")
+}

@@ -335,6 +335,42 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("IvfIndex.append: no rewrite of existing files, exact-mode parity " +
+    "over the grown corpus, staleness vs build baseline") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val (oldHalf, newHalf) = vecs.partition(_._1 % 2 == 0)
+    val path = tmpDir("ivfappend")
+    IvfIndex.build(oldHalf.toDF("vec_id", "embedding"), path, nList = 8)
+    def corpusFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/corpus"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val before = corpusFiles()
+    val stats = IvfIndex.append(spark, path,
+      newHalf.toDF("vec_id", "embedding"))
+    assert(stats.appended === 100L)
+    // same-distribution append: the frozen centroids still fit (tiny drift)
+    assert(math.abs(stats.staleness) < 0.2,
+      s"unexpected staleness ${stats.staleness}")
+    // existing files are untouched (same paths, same sizes) — append-only
+    val after = corpusFiles()
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      "append rewrote existing corpus files")
+    assert(after.size > before.size, "append added no files")
+    // exact mode over the GROWN corpus equals brute force over all rows
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val viaIndex = IvfIndex.topK(spark, path, queries, k = 4, nProbe = 8)
+    assert(viaIndex.exceptAll(exact).isEmpty
+      && exact.exceptAll(viaIndex).isEmpty)
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>

@@ -108,6 +108,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bucketed merge target: anti-join never shuffles the existing-keys " +
+    "side (the 100 TB side)") {
+    val wh = tmpDir("incpop_bkt")
+    val ctx = new graft.core.SourceContext(spark, wh, "incb")
+    spark.sql(s"DROP TABLE IF EXISTS ${ctx.catalogName("entries")}")
+    val b1 = (1L to 200L).map(i => (i, s"n$i")).toDF("id", "name")
+    assert(IncrementalPopulate.mergeBatch(ctx, "incb", "entries", Seq("id"),
+      b1, buckets = 4) === 200L)
+    val b2 = (150L to 300L).map(i => (i, s"n$i")).toDF("id", "name")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // no broadcast (pin the sort-merge shape a 100 TB target gets) and
+      // no AQE (so the executed plan's exchanges are directly collectable)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fresh = IncrementalPopulate.freshRows(ctx, "entries", Seq("id"),
+        b2, buckets = 4)
+      fresh.collect()
+      val plan = fresh.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty, s"expected a file scan of the target:\n$plan")
+      // the bucketed scan must expose hash partitioning on the merge key...
+      assert(scans.exists(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]),
+        s"target scan does not expose bucketing:\n$plan")
+      // ...and the only shuffle in the whole merge plan is the BATCH side's
+      // dedup — nothing re-shuffles the existing keys
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1,
+        s"expected at most the batch-side shuffle, got ${shuffles.size}:\n$plan")
+      assert(shuffles.forall(!_.toString.contains("parquet")),
+        s"a shuffle reads the existing target:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // result parity: overlapping batch lands only the 100 new keys, and the
+    // table stays readable as plain parquet
+    assert(IncrementalPopulate.mergeBatch(ctx, "incb", "entries", Seq("id"),
+      b2, buckets = 4) === 100L)
+    assert(ctx.read("entries").count() === 300L)
+    // idempotent replay (stream recovery): fully-stale batch is a no-op
+    assert(IncrementalPopulate.mergeBatch(ctx, "incb", "entries", Seq("id"),
+      b2, buckets = 4) === 0L)
+  }
+
   test("native kernels run unchanged in streaming plans and agree with " +
     "batch (fingerprint / langId / simhash / shingle hashes)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
