@@ -246,4 +246,41 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(r === Map(1L -> 19, 2L -> 100))
   }
+
+  test("parsePpm: golden literal P6 bytes decode to known pixel stats") {
+    // hand-written 2x1 image, raster (10,20,30),(40,50,60) — pins the
+    // parser against the real format independently of ppmEncode
+    val golden = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.parsePpm(golden) === ((2, 1, 50L, 70L, 90L)))
+    // comments + CRLF/tab whitespace anywhere in the header grammar
+    val commented = ("P6 # trailing\n# full comment line\n\t3\r\n1 " +
+      "# width height\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    assert(Multimodal.parsePpm(commented) === ((3, 1, 12L, 15L, 18L)))
+    // high bytes must read unsigned
+    val high = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, -128, 0)
+    assert(Multimodal.parsePpm(high) === ((1, 1, 255L, 128L, 0L)))
+    // malformed inputs fail loudly, not silently
+    intercept[IllegalArgumentException](
+      Multimodal.parsePpm("P5\n1 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](0)))
+    intercept[IllegalArgumentException](
+      Multimodal.parsePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3)))
+  }
+
+  test("ppmEncode -> decodePpm roundtrip matches the closed-form stats") {
+    val stats = Multimodal.decodePpm(Multimodal.ppmEncode(docs))
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (d <- Seq(1L, 2L)) {
+      val w = 4 + (d % 5).toInt; val h = 3 + (d % 4).toInt
+      val expR = (0 until w * h).map(k => (d * 31 + k * 7) % 256).sum
+      val expG = (0 until w * h).map(k => (d * 31 + k * 7 + 53) % 256).sum
+      val expB = (0 until w * h).map(k => (d * 31 + k * 7 + 106) % 256).sum
+      assert(stats(d) === ((d, w, h, expR, expG, expB)))
+    }
+  }
 }
