@@ -27,35 +27,47 @@ import graft.core.Checkpoints
 object ConnectedComponents {
 
   /** Undirected long-id edge set, self-loops dropped, canonical (max,min)
-    * orientation, deduped, lineage-cut. */
+    * orientation, deduped. NOT cut here — the caller fuses the cut with
+    * its fingerprint observation. */
   private def hashedEdges(edges: DataFrame): DataFrame =
-    // Eager cut: measured FASTER than letting the fingerprint action
-    // materialize a lazy checkpoint (the loop's self-union reads each
-    // round's frame twice, and eager blocks are in place before both
-    // branches scan).
-    Checkpoints.cut(edges
-      .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v"))
+    canonicalize(edges
+      .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v")))
+
+  /** (u,v) long edges → self-loop-free, canonical (max,min), deduped. */
+  private def canonicalize(ehash: DataFrame): DataFrame =
+    ehash
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct())
+      .distinct()
+
+  // Unique observation names across all loops in one SparkSession.
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Eager lineage cut + convergence fingerprint in ONE job: the
+    * (count, hash-sum) metrics ride the checkpoint-materialization action
+    * as a `Dataset.observe` side-band instead of a second aggregation job
+    * over the cut frame. (Eager cut itself: measured FASTER than letting a
+    * downstream action materialize a lazy checkpoint — the loop's
+    * self-union reads each round's frame twice, and eager blocks are in
+    * place before both branches scan.) Collision probability ~2^-64 per
+    * round; the fingerprint is over the canonicalized (max,min) edge set,
+    * so orientation can't alias. */
+  private def cutWithFingerprint(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"cc_fp_${obsSeq.incrementAndGet()}")
+    val cut = Checkpoints.cut(df.observe(obs,
+      count(lit(1)).as("n"), sum(xxhash64(col("u"), col("v"))).as("h")))
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    val h = m("h") match { case null => 0L; case x => x.asInstanceOf[Long] }
+    (cut, (n, h))
+  }
 
   /** Run the alternating-star loop to its fixpoint: returns the star edge
     * set (u = member, v = component-root = min id of the component). */
   private def starFixpoint(e0: DataFrame, maxIterations: Int): DataFrame = {
-    // Convergence check: a (count, hash-sum) fingerprint of the canonical
-    // edge set — ONE cheap aggregation per round instead of the two
-    // exceptAll joins (4 shuffles/round) a set-equality check would cost.
-    // Collision probability ~2^-64 per round; the fingerprint is over the
-    // canonicalized (max,min) edge set, so orientation can't alias.
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v"))))
-        .collect().head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-
-    var e = e0
-    var prevFp = fingerprint(e) // also materializes the initial cut
+    var (e, prevFp) = cutWithFingerprint(e0)
     var converged = prevFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -79,7 +91,7 @@ object ConnectedComponents {
       val oriented = largeStar.select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val smallStar = Checkpoints.cut(oriented
+      val (smallStar, fp) = cutWithFingerprint(oriented
         .groupBy("u")
         .agg(array_min(collect_set(col("v"))).as("m"),
           collect_set(col("v")).as("ns"))
@@ -90,7 +102,6 @@ object ConnectedComponents {
         .distinct())
 
       // Converged when the (canonical, deduped) edge set is unchanged.
-      val fp = fingerprint(smallStar)
       e = smallStar
       converged = fp == prevFp
       prevFp = fp
@@ -138,15 +149,28 @@ object ConnectedComponents {
     * one star, so the count is |distinct roots| plus the nodes that appear
     * in no (self-loop-free) edge at all. Saves ~1/3 of the A13 graph-stats
     * wall time vs `run(...).select("component").distinct.count`. */
-  def componentCount(edges: DataFrame, maxIterations: Int = 30): Long = {
-    val e = starFixpoint(hashedEdges(edges), maxIterations)
-    val starRoots = e.select(col("v")).distinct()
+  def componentCount(edges: DataFrame, maxIterations: Int = 30): Long =
+    componentCountHashed(
+      edges.select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v")),
+      maxIterations)
+
+  /** [[componentCount]] over edges ALREADY dictionary-encoded to long ids
+    * (columns `u`, `v`) — lets a caller that needs the hashed frame for
+    * other aggregates (e.g. [[Graph.stats]]) hash and cache it once. */
+  private[graft] def componentCountHashed(ehash: DataFrame,
+                                          maxIterations: Int = 30): Long = {
+    val e = starFixpoint(canonicalize(ehash), maxIterations)
     val starMembers = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
-    val ids = edges.select(xxhash64(col("src")).as("id"))
-      .unionByName(edges.select(xxhash64(col("dst")).as("id")))
+    val ids = ehash.select(col("u").as("id"))
+      .unionByName(ehash.select(col("v").as("id")))
       .distinct()
-    val singletons = ids.join(starMembers, Seq("id"), "left_anti").count()
-    starRoots.count() + singletons
+    // root count and singleton count in ONE action (1-row × 1-row cross
+    // join of the two aggregates) instead of two separate count jobs
+    val row = e.agg(countDistinct(col("v")).as("n_roots"))
+      .crossJoin(ids.join(starMembers, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_singletons")))
+      .collect().head
+    row.getLong(0) + row.getLong(1)
   }
 }

@@ -60,30 +60,40 @@ object Graph {
     * published per-source in docstrings e.g. intact.py:174-191). Returns a
     * single-row DataFrame. Density = E / (V * (V - 1)) for a digraph. */
   def stats(edges: DataFrame, withComponents: Boolean = false): DataFrame = {
-    val e = edges.cache()
-    // one aggregation job for edge count + distinct citations (instead of
-    // one action each); the node count needs the union-distinct pass either
-    // way and CC is its own iterative job
-    val hasCitation = e.columns.contains("citation")
-    val baseAgg = e.agg(
-      count(lit(1)).as("n_edges"),
-      (if (hasCitation) countDistinct(col("citation"))
-       else lit(0L)).as("n_citations")).collect().head
+    // Work in the xxhash64 long domain from the first touch: ONE narrow
+    // projection hashes endpoints + citation, the cached frame is 24
+    // bytes/row instead of three strings, and every downstream pass — the
+    // single fused count/node/citation aggregation AND the CC star loop —
+    // scans and shuffles longs only. Distinct counts are therefore
+    // hash-cardinalities: exact below ~10⁹ values (collision ~n²/2⁶⁴),
+    // the same contract the CC label encoding already carries; above that,
+    // switch the encoding to zipWithIndex. Null endpoints are not counted
+    // as nodes (BEL edges never have them).
+    val hasCitation = edges.columns.contains("citation")
+    val eh = edges.select(
+      xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v"),
+      (if (hasCitation) xxhash64(col("citation"))
+       else lit(null).cast("long")).as("c")).cache()
+    val baseAgg = eh
+      .select(explode(array(col("u"), col("v"))).as("node"), col("c"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        countDistinct(col("node")).as("n_nodes"),
+        countDistinct(col("c")).as("n_citations")).collect().head
     val nEdges = baseAgg.getLong(0)
-    val nCitations = baseAgg.getLong(1)
-    val v = nodesOf(e).count().toDouble
+    val nCitations = baseAgg.getLong(2)
+    val v = baseAgg.getLong(1).toDouble
     val density = if (v > 1) nEdges / (v * (v - 1)) else 0.0
     val nComponents =
       if (withComponents)
-        // count-only fast path: stays in the hashed-id domain, no label
-        // materialization (ConnectedComponents.componentCount)
-        ConnectedComponents.componentCount(e.select(col("src"), col("dst")))
+        // count-only fast path: no label materialization, reuses the
+        // already-hashed cached frame
+        ConnectedComponents.componentCountHashed(eh.select(col("u"), col("v")))
       else -1L
     val spark = edges.sparkSession
     import spark.implicits._
     val out = Seq((v.toLong, nEdges, nCitations, nComponents, density))
       .toDF("nodes", "edges", "citations", "components", "density")
-    e.unpersist()
+    eh.unpersist()
     out
   }
 
