@@ -89,6 +89,34 @@ object TextAnalysis {
   private def bound(e: Column)(body: Column => Column): Column =
     graft.functions.Exprs.bound(e)(body)
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS algorithm). Hash every k-char gram of the normalized
+    * text, slide a w-hash window, select each window's MINIMUM hash.
+    * The winnowing guarantee: any substring match of length ≥ w + k - 1
+    * between two documents shares at least one selected fingerprint, so
+    * partial overlap / contamination is detectable from plain set
+    * intersection — no positional alignment, unlike the whole-document
+    * [[fingerprint]]. Selected density ≈ 2/(w+1) of all grams. Returns a
+    * sorted distinct `array<bigint>`; pure codegen'd composition (the
+    * per-window `slice`+`array_min` is O(w) per gram — fine for document
+    * corpora; an O(1)-amortized monotonic-deque native Expression is the
+    * upgrade path if w grows large). Texts shorter than k or w collapse
+    * to a single whole-text / min-gram fingerprint. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    bound(normalized(text)) { t =>
+      val nGrams = length(t) - (k - 1)
+      bound(when(nGrams < 1, array(xxhash64(t)))
+        .otherwise(transform(sequence(lit(1), nGrams),
+          i => xxhash64(t.substr(i, lit(k)))))) { grams =>
+        val nWins = size(grams) - (w - 1)
+        array_sort(array_distinct(
+          when(nWins < 1, array(array_min(grams)))
+            .otherwise(transform(sequence(lit(1), nWins),
+              j => array_min(slice(grams, j, lit(w)))))))
+      }
+    }
+
   /** Word n-gram shingles (sorted distinct) — the dedup/Jaccard substrate. */
   def wordShingles(text: Column, n: Int): Column =
     bound(split(normalized(text), " ")) { words =>

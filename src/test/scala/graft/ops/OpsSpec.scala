@@ -26,6 +26,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("winnowing: guarantee, density, degenerate inputs") {
+    def fps(text: String): Seq[Long] =
+      one(text, TextAnalysis.winnowFingerprints(col("text")))
+        .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // identical (modulo normalization) texts → identical fingerprint sets
+    assert(fps(base) === fps("  THE quick  brown fox jumps over " +
+      "the lazy dog again and again "))
+    // winnowing guarantee: an inserted prefix keeps shared-substring
+    // fingerprints — overlap must be large, not merely nonempty
+    val shifted = fps("xyzzy quux " + base)
+    val inter = fps(base).toSet.intersect(shifted.toSet).size.toDouble
+    val union = fps(base).toSet.union(shifted.toSet).size.toDouble
+    assert(inter / union > 0.5, s"shift overlap ${inter / union}")
+    // unrelated text shares (essentially) nothing
+    val other = fps("completamente distinto en otro idioma sin solapamiento")
+    assert(fps(base).toSet.intersect(other.toSet).isEmpty)
+    // density ≈ 2/(w+1) of grams, far below one-per-gram
+    assert(fps(base).size < base.length - 7)
+    // shorter than k → single whole-text hash; sorted distinct output
+    assert(fps("tiny").size === 1)
+    assert(fps(base) === fps(base).sorted)
+  }
+
   test("langId: latin languages via word-bounded markers") {
     assert(one("the cat is on the mat and a dog",
       TextAnalysis.langId(col("text"))) === "en")
