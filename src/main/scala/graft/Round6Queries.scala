@@ -76,6 +76,45 @@ object Round6Queries {
           .as("refined_recall_ok"))
     }),
 
+    // --- Real multimodal codec: binary-PPM decode gate --------------------
+    // ppmEncode builds REAL netpbm P6 blobs whose pixels are a pure
+    // function of doc_id; decodePpm then parses the actual format (magic,
+    // comment line, dimensions, maxval, raster) inside the batched
+    // mapPartitions. The oracle recomputes the expected per-channel sums
+    // arithmetically, never seeing the bytes — a header-offset or
+    // channel-interleave bug in the decoder breaks the hash.
+    "mm_decode_ppm" -> ((s, d) =>
+      graft.ops.Multimodal.decodePpm(
+        graft.ops.Multimodal.ppmEncode(t(s, d, "documents")))),
+
+    // --- Winnowing fingerprint gate ---------------------------------------
+    // Gates the MOSS winnowing guarantee on the real corpus: a document
+    // with an inserted prefix must keep most of its selected fingerprints
+    // (every shared substring ≥ w+k-1 chars shares a fingerprint), while
+    // unrelated adjacent-id documents stay near-disjoint. Fingerprint
+    // VALUES are engine hashes (xxhash64) — invariant-gated like
+    // d_simhash_invariant, not value-dumped.
+    "t_winnow_invariant" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      def jacc(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+      val fp = t(s, d, "documents").filter(length(col("text")) >= 100)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fp"),
+          TextAnalysis.winnowFingerprints(
+            concat(lit("xyzzy quux "), col("text"))).as("fp_shift"))
+      val shifted = fp.agg(
+        min(jacc(col("fp"), col("fp_shift"))).as("min_shift"))
+      val nextDoc = fp.select((col("doc_id") - 1).as("doc_id"),
+        col("fp").as("fp_next"))
+      val cross = fp.join(nextDoc, "doc_id")
+        .agg(avg(jacc(col("fp"), col("fp_next"))).as("avg_cross"))
+      shifted.crossJoin(cross).select(
+        (col("min_shift") >= 0.6).as("shift_overlap_ok"),
+        (col("avg_cross") <= 0.2).as("cross_low_ok"))
+    }),
+
     // --- Stream face of the incremental merge -----------------------------
     "w_incremental_populate" -> ((s, d) => {
       import s.implicits._
@@ -113,6 +152,24 @@ object Round6Queries {
   val oracleSql: Map[String, String] = Map(
     "s_ivf_refined_recall" ->
       "SELECT true AS refined_not_worse, true AS refined_recall_ok",
+
+    "t_winnow_invariant" ->
+      "SELECT true AS shift_overlap_ok, true AS cross_low_ok",
+
+    "mm_decode_ppm" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS k
+        |  FROM dims
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((doc_id * 31 + k * 7) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 31 + k * 7 + 53) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 31 + k * 7 + 106) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3
+        |""".stripMargin,
 
     "w_incremental_populate" ->
       "SELECT 'I' || s_suppkey AS identifier, s_name AS name FROM supplier")
