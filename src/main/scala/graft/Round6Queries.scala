@@ -87,6 +87,34 @@ object Round6Queries {
       graft.ops.Multimodal.decodePpm(
         graft.ops.Multimodal.ppmEncode(t(s, d, "documents")))),
 
+    // --- Product-quantization recall gate ---------------------------------
+    // PQ-ADC with exact re-rank must recover each query's true nearest
+    // neighbor (its planted twin) and encode every row to exactly M
+    // codes. Code VALUES depend on the trained codebooks — invariant-
+    // gated, like the other approximate ops.
+    "s_pq_recall" -> ((s, d) => {
+      import graft.ops.ProductQuantization
+      val corpus = twinCorpus(t(s, d, "embeddings"))
+      val qs = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val truth = graft.ops.Similarity.bruteForceTopK(corpus, qs, k = 1)
+        .select("query_id", "id")
+      val cb = ProductQuantization.train(corpus, m = 8, k = 16,
+        iterations = 4)
+      val pq = ProductQuantization.adcTopK(corpus, cb, qs, k = 1,
+        rerankFrom = 32).select("query_id", "id")
+      val hits = truth.join(pq, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val total = truth.agg(count(lit(1)).as("n_true"))
+      val codesOk = ProductQuantization.encode(corpus, cb)
+        .agg(min(size(col("codes"))).as("mn"),
+          max(size(col("codes"))).as("mx"))
+      hits.crossJoin(total).crossJoin(codesOk).select(
+        (col("n_hit").cast("double") / col("n_true") >= 0.9)
+          .as("pq_recall_ok"),
+        (col("mn") === 8 && col("mx") === 8).as("pq_codes_ok"))
+    }),
+
     // --- Winnowing fingerprint gate ---------------------------------------
     // Gates the MOSS winnowing guarantee on the real corpus: a document
     // with an inserted prefix must keep most of its selected fingerprints
@@ -113,6 +141,44 @@ object Round6Queries {
       shifted.crossJoin(cross).select(
         (col("min_shift") >= 0.6).as("shift_overlap_ok"),
         (col("avg_cross") <= 0.2).as("cross_low_ok"))
+    }),
+
+    // --- Watermarked streaming dedup --------------------------------------
+    // Every event arrives twice in one micro-batch and the whole feed is
+    // then replayed in a second batch; dropDuplicatesWithinWatermark must
+    // land each key exactly once (bounded state — watermark-evicted keys
+    // re-arrive only as late rows, which the operator drops). Oracle =
+    // the distinct row set itself.
+    "w_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = sfTag(d).replace(".", "_")
+      val ev = graft.core.Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      // 1-in-20 deterministic subset: dimension-sized by construction, so
+      // collectable to feed the MemoryStream (the stream SOURCE is the
+      // test harness; the dedup itself stays distributed)
+      val rows = ev.as[(Long, java.sql.Timestamp, Long, String, Double)]
+        .collect().toSeq
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val out = graft.streaming.EventStreams.dedupStream(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("event_id"))
+      val sink = s"w_stream_dedup_$tag"
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(rows ++ rows: _*)
+        q.processAllAvailable()
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
     }),
 
     // --- Stream face of the incremental merge -----------------------------
@@ -153,8 +219,16 @@ object Round6Queries {
     "s_ivf_refined_recall" ->
       "SELECT true AS refined_not_worse, true AS refined_recall_ok",
 
+    "s_pq_recall" ->
+      "SELECT true AS pq_recall_ok, true AS pq_codes_ok",
+
     "t_winnow_invariant" ->
       "SELECT true AS shift_overlap_ok, true AS cross_low_ok",
+
+    "w_stream_dedup" ->
+      ("SELECT event_id, strftime(CAST(ts AS TIMESTAMP), " +
+        "'%Y-%m-%d %H:%M:%S') AS ts, user_id, event_type, value " +
+        "FROM events WHERE event_id % 20 = 0"),
 
     "mm_decode_ppm" ->
       """WITH dims AS (

@@ -45,6 +45,19 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked streaming dedup — the stream face of exact dedup:
+    * duplicate keys arriving within the watermark horizon are dropped
+    * with BOUNDED state (a key's state is evicted once the watermark
+    * passes its event time; plain streaming `dropDuplicates` would hold
+    * every key ever seen — unbounded at 100 TB). First arrival wins, so
+    * with exact-copy duplicates the output is the distinct row set.
+    * Batch twin: `dropDuplicates(keys)`. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stateful sessionization via flatMapGroupsWithState: a session is a
     * run of events per user with gaps < `gapMinutes`. Emits one row per
     * CLOSED session. Idle sessions close on EVENT-TIME timeout — the

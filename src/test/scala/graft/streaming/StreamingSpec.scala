@@ -30,6 +30,26 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2) === ((200L, ts(5), 1L, 8.0)))
   }
 
+  test("dedupStream: duplicate keys within and across batches land once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val query = EventStreams.dedupStream(
+      mem.toDS().toDF("id", "ts", "v"), Seq("id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // same-batch duplicate of id=1, then a cross-batch replay of id=2
+      mem.addData((1L, ts(0), "a"), (1L, ts(0), "a"), (2L, ts(1), "b"))
+      query.processAllAvailable()
+      mem.addData((2L, ts(1), "b"), (3L, ts(2), "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("dedup_stream")
+      .as[(Long, Timestamp, String)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._3)).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions " +
     "on gap and agrees with batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
