@@ -89,4 +89,25 @@ class CodegenGuardSpec extends SparkSpec {
     assertCodegenSpan(vecs.select(col("vec_id"), c.as("cos")),
       "graft_cosine")
   }
+
+  test("PQ encode is one narrow codegen'd pass; ADC joins broadcast only") {
+    val cb = ProductQuantization.train(vecs, m = 4, k = 8, iterations = 2,
+      sampleSize = 64)
+    // encode: NearestCells per subspace inside a codegen span, no shuffle
+    val enc = ProductQuantization.encode(vecs, cb)
+    assertCodegenSpan(enc, "graft_nearest_cells")
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "PQ encode must not shuffle")
+    // ADC scoring: the only joins are broadcast (tables + candidates +
+    // query vectors) — no shuffle of the corpus
+    val queries = vecs.limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = ProductQuantization.adcTopK(vecs, cb, queries, k = 2,
+      rerankFrom = 8)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"ADC plan must join via broadcast only:\n$plan")
+  }
 }

@@ -219,6 +219,41 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("product quantization: codes shape, determinism, ADC recovers " +
+    "nearest neighbors") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantization.train(corpus, m = 4, k = 8, iterations = 4,
+      sampleSize = 120)
+    assert(cb.books.length === 4 && cb.subDim === 4)
+    assert(cb.books.forall(b => b.nonEmpty && b.length <= 8))
+    // deterministic: retraining on the same corpus gives the same books
+    assert(cb === ProductQuantization.train(corpus, m = 4, k = 8,
+      iterations = 4, sampleSize = 120))
+    val codes = ProductQuantization.encode(corpus, cb)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length === 120)
+    assert(codes.forall(c => c._2.length === 4 &&
+      c._2.forall(x => x >= 0 && x < 8)))
+    // ADC + exact re-rank finds each query's true nearest neighbor: the
+    // planted twin at distance ~1e-3
+    val twins = (0 until 8).map(i => (i + 1000L,
+      corpus.as[(Long, Array[Float])].collect().find(_._1 == i).get._2
+        .map(x => x + 0.001f)))
+    val full = corpus.unionByName(twins.toDF("vec_id", "embedding"))
+    val queries = full.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cbFull = ProductQuantization.train(full, m = 4, k = 8,
+      iterations = 4, sampleSize = 200)
+    val got = ProductQuantization.adcTopK(full, cbFull, queries, k = 1,
+      rerankFrom = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().toMap
+    val hits = (0L until 8L).count(q => got.get(q).contains(q + 1000L))
+    assert(hits >= 7, s"twin recall $hits/8")
+  }
+
   test("embeddingPairs: finds perturbed twins, rejects unrelated vectors") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 30).map(i =>
