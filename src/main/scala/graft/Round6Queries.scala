@@ -25,6 +25,9 @@ import graft.core.SourceContext
 object Round6Queries {
   private type Q = (SparkSession, String) => DataFrame
 
+  private val ivfadcMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.load(s, dir, name)
 
@@ -86,6 +89,36 @@ object Round6Queries {
     "mm_decode_ppm" -> ((s, d) =>
       graft.ops.Multimodal.decodePpm(
         graft.ops.Multimodal.ppmEncode(t(s, d, "documents")))),
+
+    // --- IVFADC recall gate -----------------------------------------------
+    // The full composition: build a persisted index carrying PQ codes
+    // (grown via append so the appended-row encode path is exercised
+    // too), then query through partition-pruned ADC + exact re-rank.
+    // Twin top-1 recovery ≥ 0.9 at nProbe << nList.
+    "s_ivfadc_recall" -> ((s, d) => {
+      val corpus = twinCorpus(t(s, d, "embeddings"))
+      val path = s"/tmp/graft_ivfadc_${sfTag(d).replace(".", "_")}"
+      ivfadcMemo.computeIfAbsent((s, d), { _ =>
+        rmrf(s, path)
+        graft.ops.IvfIndex.build(corpus.filter(col("vec_id") % 5 =!= 0),
+          path, nList = 8, pqM = 8, pqK = 16)
+        graft.ops.IvfIndex.append(s, path,
+          corpus.filter(col("vec_id") % 5 === 0))
+        ()
+      })
+      val qs = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val truth = graft.ops.Similarity.bruteForceTopK(corpus, qs, k = 1)
+        .select("query_id", "id")
+      val got = graft.ops.IvfIndex.topKAdc(s, path, qs, k = 1, nProbe = 2,
+        rerankFrom = 32).select("query_id", "id")
+      val hits = truth.join(got, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val total = truth.agg(count(lit(1)).as("n_true"))
+      hits.crossJoin(total).select(
+        (col("n_hit").cast("double") / col("n_true") >= 0.9)
+          .as("ivfadc_recall_ok"))
+    }),
 
     // --- Product-quantization recall gate ---------------------------------
     // PQ-ADC with exact re-rank must recover each query's true nearest
@@ -218,6 +251,9 @@ object Round6Queries {
   val oracleSql: Map[String, String] = Map(
     "s_ivf_refined_recall" ->
       "SELECT true AS refined_not_worse, true AS refined_recall_ok",
+
+    "s_ivfadc_recall" ->
+      "SELECT true AS ivfadc_recall_ok",
 
     "s_pq_recall" ->
       "SELECT true AS pq_recall_ok, true AS pq_codes_ok",

@@ -30,11 +30,19 @@ object IvfIndex {
 
   /** Cluster and persist the corpus under `path`: `corpus/` partitioned
     * by cell id, `centroids/` as (cell, centroid) rows, `stats/` with the
-    * build-time fit baseline [[append]] measures drift against. */
+    * build-time fit baseline [[append]] measures drift against.
+    *
+    * `pqM > 0` additionally trains product-quantization codebooks
+    * ([[ProductQuantization.train]]) and stores each row's M-byte code
+    * array in the layout plus the books under `pq_books/` — the IVFADC
+    * composition: [[topKAdc]] then scores probed partitions from the
+    * compact `codes` column (M small ints vs 4d vector bytes) and fetches
+    * embeddings only for the re-rank survivors. */
   def build(corpus: DataFrame, path: String, nList: Int,
             refineIterations: Int = 0,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): Unit = {
+            vecCol: String = "embedding",
+            pqM: Int = 0, pqK: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (cellIds, cents) =
@@ -45,11 +53,26 @@ object IvfIndex {
     // normalized column names in the index layout (vec_id, embedding,
     // cell) regardless of the input frame's names — topK reads them back
     // by these names
-    corpus
+    val base = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("cell",
         element_at(
           Similarity.cellsOfCol(col("embedding"), cellIds, cents, 1), 1))
+    val encoded =
+      if (pqM <= 0) base
+      else {
+        val cb = ProductQuantization.train(corpus, pqM, pqK,
+          idCol = idCol, vecCol = vecCol)
+        cb.books.zipWithIndex
+          .flatMap { case (book, mi) => book.zipWithIndex.map { case (cw, j) =>
+            (mi, j, cb.subDim, cw) } }
+          .toDF("m", "j", "sub_dim", "codeword")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_books")
+        base.withColumn("codes",
+          ProductQuantization.codesCol(col("embedding"), cb))
+      }
+    encoded
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/corpus")
@@ -63,6 +86,27 @@ object IvfIndex {
     Seq((fit._1, fit._2)).toDF("n_rows", "mean_assign_cosine")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** PQ codebooks of the index, if it was built with `pqM > 0` —
+    * driver-sized by contract (k·d doubles). */
+  private def readBooks(
+      spark: SparkSession,
+      path: String): Option[ProductQuantization.Codebooks] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq_books")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(s"$path/pq_books").collect()
+      val subDim = rows.head.getInt(2)
+      val byM = rows.groupBy(_.getInt(0))
+      val books = (0 until byM.keys.max + 1).map { mi =>
+        byM(mi).sortBy(_.getInt(1))
+          .map(_.getSeq[Number](3).map(_.doubleValue()).toSeq).toSeq
+      }
+      Some(ProductQuantization.Codebooks(books.length, books.head.length,
+        subDim, books))
+    }
   }
 
   /** (cell, centroid) rows of the index — driver-sized by contract. */
@@ -102,11 +146,18 @@ object IvfIndex {
              vecCol: String = "embedding"): AppendStats = {
     import spark.implicits._
     val (cellIds, cents) = readCentroids(spark, path)
-    val assigned = newVecs
+    val base = newVecs
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("cell",
         element_at(
           Similarity.cellsOfCol(col("embedding"), cellIds, cents, 1), 1))
+    // a PQ-bearing index encodes appended rows with the FROZEN books —
+    // appending without codes would surface as null codes in topKAdc
+    val assigned = readBooks(spark, path) match {
+      case Some(cb) => base.withColumn("codes",
+        ProductQuantization.codesCol(col("embedding"), cb))
+      case None => base
+    }
     assigned.write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(s"$path/corpus")
@@ -114,6 +165,55 @@ object IvfIndex {
     val baseline = spark.read.parquet(s"$path/stats")
       .select(col("mean_assign_cosine")).as[Double].head()
     AppendStats(n, fit, baseline)
+  }
+
+  /** IVFADC query (the FAISS-style composition of partition pruning and
+    * product quantization): probe cells as a PARTITION filter, score the
+    * probed rows from the compact `codes` column against broadcast ADC
+    * tables, then fetch embeddings for only the ADC top-`rerankFrom`
+    * candidates and re-rank by exact cosine.
+    *
+    * Scan economics at 100 TB: the heavy pass reads (vec_id, codes) — M
+    * small ints per row instead of the 4d-byte embedding (≈32× fewer
+    * scan bytes at M=8, d=64 float) — on top of reading only
+    * nProbe/nList of the partitions; the embedding column is touched
+    * only for the Q·rerankFrom candidate rows of the re-rank join. */
+  def topKAdc(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+              nProbe: Int, rerankFrom: Int = 32): DataFrame = {
+    import spark.implicits._
+    val cb = readBooks(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no pq_books/ — build the index with pqM > 0 for topKAdc"))
+    val (cellIds, cents) = readCentroids(spark, path)
+    val probes = queries.select(col("query_id"),
+      explode(Similarity.cellsOfCol(col("embedding"), cellIds, cents,
+        nProbe)).as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qdf = ProductQuantization.distTables(queries, cb)
+      .toDF("query_id", "dtab")
+    val scored = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        (-ProductQuantization.adcScore(col("codes"), col("dtab")))
+          .as("cosine"))
+    val cand = Similarity.topKPerQuery(scored, rerankFrom)
+      .select(col("query_id"), col("id"))
+    val qvecs = broadcast(queries.select(col("query_id"),
+      col("embedding").as("qvec")))
+    val exact = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("id"), col("embedding"))
+      .join(broadcast(cand), Seq("id"))
+      .join(qvecs, Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        graft.functions.Vectors.cosine(col("qvec"), col("embedding"))
+          .as("cosine"))
+    Similarity.topKPerQuery(exact, k)
   }
 
   /** Top-k per query against a built index. `nProbe == nList` degrades to

@@ -120,13 +120,11 @@ object ProductQuantization {
     * the other top-k operators: (query_id, rank, id, cosine) — with
     * `rerankFrom == 0` the `cosine` column is the NEGATED ADC squared
     * distance (bigger = closer), not a cosine. */
-  def adcTopK(corpus: DataFrame, cb: Codebooks, queries: DataFrame, k: Int,
-              rerankFrom: Int = 0, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // per-query distance tables: driver arithmetic on driver-sized queries
-    val tables: Seq[(Long, Seq[Seq[Double]])] = queries
+  /** Per-query ADC distance tables: `(query_id, M×K partial squared
+    * distances)` — driver arithmetic over driver-sized queries. */
+  private[ops] def distTables(queries: DataFrame,
+                              cb: Codebooks): Seq[(Long, Seq[Seq[Double]])] =
+    queries
       .select(col("query_id").cast("long"), Vectors.toDouble(col("embedding")))
       .collect()
       .map { r =>
@@ -138,14 +136,25 @@ object ProductQuantization {
         }
         (r.getLong(0), tab)
       }.toSeq
-    val qdf = tables.toDF("query_id", "dtab")
+
+  /** ADC distance of a code array against a query's broadcast table:
+    * M array lookups, summed. */
+  private[ops] def adcScore(codes: Column, dtab: Column): Column =
+    aggregate(zip_with(codes, dtab, (c, t) => element_at(t, c + 1)),
+      lit(0.0d), _ + _)
+
+  def adcTopK(corpus: DataFrame, cb: Codebooks, queries: DataFrame, k: Int,
+              rerankFrom: Int = 0, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = distTables(queries, cb).toDF("query_id", "dtab")
     val coded = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("cvec"), codesCol(col(vecCol), cb).as("codes"))
     val scored = coded.crossJoin(broadcast(qdf))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), col("cvec"),
-        aggregate(zip_with(col("codes"), col("dtab"),
-          (c, t) => element_at(t, c + 1)), lit(0.0d), _ + _).as("adc"))
+        adcScore(col("codes"), col("dtab")).as("adc"))
     if (rerankFrom <= 0)
       Similarity.topKPerQuery(
         scored.select(col("query_id"), col("id"), (-col("adc")).as("cosine")),

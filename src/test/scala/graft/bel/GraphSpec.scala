@@ -38,6 +38,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("x", "y"))
     assert(ConnectedComponents.componentCount(edges.toDF("src", "dst")) === 2)
   }
+
+  test("RELIABLE-checkpoint path: the observe-fused fingerprint still " +
+    "fires (no hang) and labels match the local path") {
+    // the loop's convergence metrics ride the checkpoint action — this
+    // pins that Dataset.checkpoint(eager) delivers Observation metrics
+    // like localCheckpoint does, with spark.graft.checkpointDir set
+    val key = graft.core.Checkpoints.ConfKey
+    spark.conf.set(key, tmpDir("cc_reliable"))
+    try {
+      val comps = components(Seq(("a", "b"), ("b", "c"), ("d", "e")))
+      assert(comps === Map("a" -> Set("a", "b", "c"), "d" -> Set("d", "e")))
+    } finally spark.conf.unset(key)
+  }
 }
 
 class GraphSpec extends SparkSpec {

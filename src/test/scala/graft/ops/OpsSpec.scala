@@ -430,6 +430,38 @@ class SimilaritySpec extends SparkSpec {
       && exact.exceptAll(viaIndex).isEmpty)
   }
 
+  test("IvfIndex IVFADC: codes persisted at build AND append, exact-mode " +
+    "re-rank parity, partition pruning preserved") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val (oldHalf, newHalf) = vecs.partition(_._1 % 2 == 0)
+    val path = tmpDir("ivfadc")
+    IvfIndex.build(oldHalf.toDF("vec_id", "embedding"), path, nList = 8,
+      pqM = 4, pqK = 8)
+    IvfIndex.append(spark, path, newHalf.toDF("vec_id", "embedding"))
+    // every row (built AND appended) carries a full non-null code array
+    val codes = spark.read.parquet(s"$path/corpus").select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length === 200)
+    assert(codes.forall(_._2.length === 4), "appended rows missing codes")
+    // exact-mode: probe all cells, re-rank from everything -> brute force
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val viaAdc = IvfIndex.topKAdc(spark, path, queries, k = 4, nProbe = 8,
+      rerankFrom = 200)
+    assert(viaAdc.exceptAll(exact).isEmpty
+      && exact.exceptAll(viaAdc).isEmpty)
+    // pruned probe keeps the partition filter on the code scan
+    val pruned = IvfIndex.topKAdc(spark, path, queries, k = 4, nProbe = 1,
+      rerankFrom = 16)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe filter must land in PartitionFilters:\n$plan")
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>
