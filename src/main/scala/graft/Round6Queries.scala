@@ -148,6 +148,12 @@ object Round6Queries {
         (col("mn") === 8 && col("mx") === 8).as("pq_codes_ok"))
     }),
 
+    // --- Repetition quality signals (value-exact oracle) ------------------
+    "t_repetition" -> ((s, d) =>
+      graft.ops.TextAnalysis.repetitionMetrics(
+        t(s, d, "documents").select(col("doc_id"), col("text")))
+        .drop("text")),
+
     // --- Winnowing fingerprint gate ---------------------------------------
     // Gates the MOSS winnowing guarantee on the real corpus: a document
     // with an inserted prefix must keep most of its selected fingerprints
@@ -260,6 +266,37 @@ object Round6Queries {
 
     "t_winnow_invariant" ->
       "SELECT true AS shift_overlap_ok, true AS cross_low_ok",
+
+    "t_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS t
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+        |), ex AS (
+        |  SELECT doc_id, unnest(w) AS word FROM words
+        |), wc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c) - count(*) AS BIGINT) AS ndup, max(c) AS mx
+        |  FROM (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        |  FROM words, unnest(range(1, len(w))) AS t(i)
+        |), bgc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+        |    CAST(sum(c) - count(*) AS BIGINT) AS nbdup
+        |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT w.doc_id, CAST(w.n AS INT) AS n_words,
+        |  round(w.ndup * 1.0 / w.n, 4) AS dup_word_frac,
+        |  coalesce(round(b.nbdup * 1.0 / nullif(b.nb, 0), 4), 0.0)
+        |    AS dup_bigram_frac,
+        |  round(w.mx * 1.0 / w.n, 4) AS max_word_freq_frac
+        |FROM wc w LEFT JOIN bgc b USING (doc_id)
+        |""".stripMargin,
 
     "w_stream_dedup" ->
       ("SELECT event_id, strftime(CAST(ts AS TIMESTAMP), " +

@@ -89,6 +89,58 @@ object TextAnalysis {
   private def bound(e: Column)(body: Column => Column): Column =
     graft.functions.Exprs.bound(e)(body)
 
+  /** Repetition quality signals — the tie-free core of the Gopher /
+    * MassiveText repetition filters (Rae et al. 2021): highly repetitive
+    * documents (boilerplate, keyword stuffing, degenerate generations)
+    * are the classic pre-training rejects. All metrics are duplication
+    * FRACTIONS, so they are deterministic across engines (no
+    * most-frequent-item tie-breaking):
+    *
+    *  - `dup_word_frac`: fraction of word occurrences beyond each word's
+    *    first — (n - distinct)/n;
+    *  - `dup_bigram_frac`: same over adjacent word bigrams (0 for
+    *    single-word docs);
+    *  - `max_word_freq_frac`: occurrences of the most frequent word / n —
+    *    computed as the longest equal-run of the SORTED word array via a
+    *    single `aggregate` fold (O(n log n), no per-distinct-word rescan).
+    *
+    * One narrow codegen-friendly chain per row; no explode, no shuffle. */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val round4 = (c: Column) => round(c, 4)
+    val metrics = bound(split(normalized(col(textCol)), " ")) { words =>
+      val n = size(words)
+      val nDup = (n - size(array_distinct(words))).cast("double")
+      val bigrams = when(n < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), n - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      val bgDup = bound(bigrams) { bg =>
+        val nb = size(bg)
+        when(nb < 1, lit(0.0)).otherwise(
+          (nb - size(array_distinct(bg))).cast("double") / nb)
+      }
+      // longest equal-run of the sorted array == max occurrence count
+      val maxFreq = bound(array_sort(words)) { sorted =>
+        aggregate(sorted,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+      }
+      struct(n.as("n_words"),
+        round4(nDup / n).as("dup_word_frac"),
+        round4(bgDup).as("dup_bigram_frac"),
+        round4(maxFreq.cast("double") / n).as("max_word_freq_frac"))
+    }
+    df.withColumn("_rep", metrics)
+      .select(df.columns.map(col) :+ col("_rep.n_words") :+
+        col("_rep.dup_word_frac") :+ col("_rep.dup_bigram_frac") :+
+        col("_rep.max_word_freq_frac"): _*)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
     * — the MOSS algorithm). Hash every k-char gram of the normalized

@@ -26,6 +26,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("repetition metrics: golden fractions, single-word and clean docs") {
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat"), // 8 words
+      (2L, "unique words only here"),
+      (3L, "spam"),
+      (4L, "go go go go"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(df).drop("text")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 8 words, 5 distinct (the×3, cat×2) → dup 3/8; bigrams 7
+    // with "the cat" twice → dup 1/7; max freq "the" 3/8
+    assert(got(1L) === ((1L, 8, 0.375, 0.1429, 0.375)))
+    assert(got(2L) === ((2L, 4, 0.0, 0.0, 0.25)))
+    assert(got(3L) === ((3L, 1, 0.0, 0.0, 1.0)))
+    // doc 4: all same word → dup 3/4; bigrams all "go go" → dup 2/3
+    assert(got(4L) === ((4L, 4, 0.75, 0.6667, 1.0)))
+  }
+
   test("winnowing: guarantee, density, degenerate inputs") {
     def fps(text: String): Seq[Long] =
       one(text, TextAnalysis.winnowFingerprints(col("text")))
