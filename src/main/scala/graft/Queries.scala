@@ -592,7 +592,8 @@ object Queries {
 
   /** Shingle CTEs shared by the dedup oracles (word 3-gram, sorted distinct
     * — mirrors TextAnalysis.wordShingles). */
-  private val shingleCte =
+  // private[graft]: Round6Queries embeds it in the contamination oracle
+  private[graft] val shingleCte =
     s"""WITH norm AS (
        |  SELECT doc_id, $normSql AS t FROM documents
        |), words AS (

@@ -148,6 +148,35 @@ object Round6Queries {
         (col("mn") === 8 && col("mx") === 8).as("pq_codes_ok"))
     }),
 
+    // --- PII/noise redaction (value-exact oracle) -------------------------
+    // Markers are appended to every row so the URL/email/digit patterns
+    // are exercised on the whole corpus, not just rows that happen to
+    // contain them; both engines apply the same ASCII patterns.
+    "t_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.TextAnalysis.redact(concat(col("text"),
+          lit(" contact user@example.com via https://example.com/a?b=1" +
+            " ref 12345678 ok 123")))
+          .as("redacted"))),
+
+    // --- Benchmark decontamination (probe-shingle semi-join) --------------
+    // The n-gram contamination check a training pipeline runs against an
+    // eval set: docs 0-4 stand in for the benchmark; every other doc is
+    // scored by how many distinct probe 3-grams it contains. The probe
+    // side is DISTINCT + broadcast (eval sets are dimension-sized); the
+    // corpus side is one explode + broadcast-hash join, no shuffle of
+    // the corpus.
+    "t_contamination" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val sh = t(s, d, "documents").select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
+      val probe = sh.filter(col("doc_id") < 5).select("shingle").distinct()
+      sh.filter(col("doc_id") >= 5)
+        .join(broadcast(probe), Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"))
+    }),
+
     // --- Repetition quality signals (value-exact oracle) ------------------
     "t_repetition" -> ((s, d) =>
       graft.ops.TextAnalysis.repetitionMetrics(
@@ -266,6 +295,25 @@ object Round6Queries {
 
     "t_winnow_invariant" ->
       "SELECT true AS shift_overlap_ok, true AS cross_low_ok",
+
+    "t_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user@example.com via https://example.com/a?b=1" +
+        " ref 12345678 ok 123', " +
+        "'\\bhttps?://[^\\s]+', '<URL>', 'g'), " +
+        "'\\b[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}\\b', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{6,}\\b', '<NUM>', 'g') AS redacted FROM documents"),
+
+    "t_contamination" ->
+      s"""${Queries.shingleCte},
+         |probe AS (
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id < 5
+         |)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM ex e JOIN probe p USING (shingle)
+         |WHERE e.doc_id >= 5
+         |GROUP BY 1
+         |""".stripMargin,
 
     "t_repetition" ->
       """WITH norm AS (

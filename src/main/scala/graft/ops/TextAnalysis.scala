@@ -89,6 +89,20 @@ object TextAnalysis {
   private def bound(e: Column)(body: Column => Column): Column =
     graft.functions.Exprs.bound(e)(body)
 
+  /** PII / noise redaction — the standard scrub pass before training:
+    * URLs, email addresses, and long digit runs (ids, phone numbers)
+    * are replaced with stable placeholder tokens. Patterns are
+    * case-sensitive ASCII (identical semantics under Java regex and
+    * RE2-family engines — no engine-specific flags), applied URL-first
+    * so an address inside a URL is not half-rewritten. Pure codegen'd
+    * `regexp_replace` chain. */
+  def redact(text: Column): Column = {
+    val urls = regexp_replace(text, "\\bhttps?://[^\\s]+", "<URL>")
+    val emails = regexp_replace(urls,
+      "\\b[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}\\b", "<EMAIL>")
+    regexp_replace(emails, "\\b[0-9]{6,}\\b", "<NUM>")
+  }
+
   /** Repetition quality signals — the tie-free core of the Gopher /
     * MassiveText repetition filters (Rae et al. 2021): highly repetitive
     * documents (boilerplate, keyword stuffing, degenerate generations)

@@ -26,6 +26,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("redact: urls, emails, long digit runs; short numbers survive") {
+    val got = one("mail me at a.b+c@mail.example.org or " +
+      "http://x.io/p?q=1#frag - id 9876543210, year 2026, pin 123456",
+      TextAnalysis.redact(col("text")))
+    assert(got === "mail me at <EMAIL> or <URL> - id <NUM>, " +
+      "year 2026, pin <NUM>")
+    // URL applied first: an email-looking string inside a URL is not
+    // half-rewritten
+    assert(one("see https://x.io/u@v.com rest",
+      TextAnalysis.redact(col("text"))) === "see <URL> rest")
+  }
+
   test("repetition metrics: golden fractions, single-word and clean docs") {
     val df = Seq(
       (1L, "the cat sat on the mat the cat"), // 8 words
