@@ -57,6 +57,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === ((4L, 4, 0.75, 0.6667, 1.0)))
   }
 
+  test("winnowing property: docs sharing a substring of length >= w+k-1 " +
+    "share a fingerprint (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic Gen loop (scalatestplus bridge absent offline — same
+    // pattern as CuriesSpec)
+    val lower = Gen.listOfN(40, Gen.alphaLowerChar).map(_.mkString)
+    val shared = Gen.listOfN(15, Gen.alphaLowerChar).map(_.mkString)
+    (1 to 30).foreach { i =>
+      val params = Gen.Parameters.default
+      val (a, b, c, s) = (for {
+        a <- lower; b <- lower; c <- lower; s <- shared
+      } yield (a, b, c, s)).apply(params, Seed(i.toLong)).get
+      // k=8, w=4 -> any shared run of >= 11 chars guarantees a shared
+      // selected fingerprint; s is 15 chars embedded in unrelated noise
+      val fps = Seq((1L, s"$a $s $b"), (2L, s"$c $s $a"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fp"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+        s"seed $i: no shared fingerprint for shared substring '$s'")
+    }
+  }
+
   test("winnowing: guarantee, density, degenerate inputs") {
     def fps(text: String): Seq[Long] =
       one(text, TextAnalysis.winnowFingerprints(col("text")))
