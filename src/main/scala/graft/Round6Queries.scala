@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 
 import graft.core.SourceContext
 
-/** Round-6 harness registrations — the two production paths no driver
-  * check touched before this round:
+/** Round-6 harness registrations.
   *
+  * Production paths no driver check touched before this round:
   *  - `s_ivf_refined_recall`: the k-means-refined centroid path
   *    ([[graft.ops.Similarity.refineCentroids]]) — the path
   *    `IvfIndex.build(refineIterations > 0)` exposes to users — gated on a
@@ -21,6 +21,17 @@ import graft.core.SourceContext
   *    overlapping micro-batches, landing into a bucketed target; oracle =
   *    the same supplier SQL as the batch face, so both faces are
   *    driver-checked row/schema/hash-equal.
+  *
+  * New round-6 operators, each gated here:
+  *  - `mm_decode_ppm`: the REAL binary-PPM codec
+  *    ([[graft.ops.Multimodal.decodePpm]]) against an arithmetic oracle;
+  *  - `s_pq_recall` / `s_ivfadc_recall`: product quantization and the
+  *    persisted IVFADC composition ([[graft.ops.ProductQuantization]],
+  *    [[graft.ops.IvfIndex.topKAdc]]);
+  *  - `w_stream_dedup`: watermarked bounded-state streaming dedup;
+  *  - `t_winnow_invariant` / `t_repetition` / `t_redact` /
+  *    `t_contamination`: winnowing fingerprints, Gopher-style repetition
+  *    fractions, PII redaction, and probe-shingle decontamination.
   */
 object Round6Queries {
   private type Q = (SparkSession, String) => DataFrame
