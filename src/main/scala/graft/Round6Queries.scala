@@ -188,6 +188,26 @@ object Round6Queries {
         .agg(count(lit(1)).as("n_hit"))
     }),
 
+    // --- Curation pipeline v2: + repetition filter ------------------------
+    // The round-4 pipeline (quality → exact-dedup → lang) extended with
+    // the Gopher-style repetition cut — one declarative plan end-to-end;
+    // thresholds chosen to split the synthetic corpus meaningfully
+    // (dup_word_frac median ≈ 0.54, max_word_freq_frac median ≈ 0.09).
+    "t_curate_v2" -> ((s, d) => {
+      import graft.ops.{Dedup, TextAnalysis}
+      val docs = t(s, d, "documents")
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
+      val rep = TextAnalysis.repetitionMetrics(quality)
+        .filter(col("dup_word_frac") <= 0.5 &&
+          col("max_word_freq_frac") <= 0.12)
+      val survivors = Dedup.exactSurvivors(docs)
+        .select(col("survivor_id").as("doc_id"))
+      rep.join(survivors, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .select("doc_id", "n_tokens", "dup_word_frac")
+    }),
+
     // --- Repetition quality signals (value-exact oracle) ------------------
     "t_repetition" -> ((s, d) =>
       graft.ops.TextAnalysis.repetitionMetrics(
@@ -324,6 +344,45 @@ object Round6Queries {
          |FROM ex e JOIN probe p USING (shingle)
          |WHERE e.doc_id >= 5
          |GROUP BY 1
+         |""".stripMargin,
+
+    "t_curate_v2" ->
+      s"""WITH qm AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
+         |      len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         |      / nullif(len(text), 0), 4) AS alpha_ratio
+         |  FROM documents
+         |), norm AS (
+         |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |    AS t
+         |  FROM documents
+         |), words AS (
+         |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+         |), ex AS (
+         |  SELECT doc_id, unnest(w) AS word FROM words
+         |), wc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c) - count(*) AS BIGINT) AS ndup, max(c) AS mx
+         |  FROM (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), rep AS (
+         |  SELECT doc_id, round(ndup * 1.0 / n, 4) AS dup_word_frac,
+         |    round(mx * 1.0 / n, 4) AS mxf
+         |  FROM wc
+         |), surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |)
+         |SELECT qm.doc_id, qm.n_tokens, rep.dup_word_frac
+         |FROM qm
+         |JOIN rep USING (doc_id)
+         |JOIN surv ON qm.doc_id = surv.doc_id
+         |JOIN (${Queries.langIdSql}) lang ON qm.doc_id = lang.doc_id
+         |WHERE qm.n_tokens >= 10 AND qm.alpha_ratio >= 0.5
+         |  AND rep.dup_word_frac <= 0.5 AND rep.mxf <= 0.12
+         |  AND lang.lang_pred = 'en'
          |""".stripMargin,
 
     "t_repetition" ->
