@@ -164,12 +164,23 @@ object TextAnalysis {
     * partial overlap / contamination is detectable from plain set
     * intersection — no positional alignment, unlike the whole-document
     * [[fingerprint]]. Selected density ≈ 2/(w+1) of all grams. Returns a
-    * sorted distinct `array<bigint>`; pure codegen'd composition (the
-    * per-window `slice`+`array_min` is O(w) per gram — fine for document
-    * corpora; an O(1)-amortized monotonic-deque native Expression is the
-    * upgrade path if w grows large). Texts shorter than k or w collapse
-    * to a single whole-text / min-gram fingerprint. */
+    * sorted distinct `array<bigint>`. Texts shorter than k or w collapse
+    * to a single whole-text / min-gram fingerprint.
+    *
+    * Dispatches to the native codegen'd
+    * [[graft.functions.WinnowExpr]] (monotonic-deque window minima, O(1)
+    * amortized per gram); the composed HOF form survives as
+    * [[winnowFingerprintsComposed]] for property-testing bit-equality. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.WinnowExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), k, w))
+
+  /** The `functions`-composed winnowing family — reference implementation
+    * the native expression is property-tested against (per-window
+    * `slice`+`array_min`, O(w) per gram). */
+  def winnowFingerprintsComposed(text: Column, k: Int = 8,
+                                 w: Int = 4): Column =
     bound(normalized(text)) { t =>
       val nGrams = length(t) - (k - 1)
       bound(when(nGrams < 1, array(xxhash64(t)))
