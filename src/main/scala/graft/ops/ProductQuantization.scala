@@ -137,9 +137,19 @@ object ProductQuantization {
         (r.getLong(0), tab)
       }.toSeq
 
-  /** ADC distance of a code array against a query's broadcast table:
-    * M array lookups, summed. */
+  /** ADC distance of a code array against a query's broadcast table: M
+    * array lookups, summed. Dispatches to the native codegen'd
+    * [[graft.functions.AdcScore]]; the composed HOF form survives as
+    * [[adcScoreComposed]] for property-testing bit-equality. */
   private[ops] def adcScore(codes: Column, dtab: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.AdcScore(
+        org.apache.spark.sql.graft.ColumnShim.expression(codes),
+        org.apache.spark.sql.graft.ColumnShim.expression(dtab)))
+
+  /** The `functions`-composed ADC family — reference implementation the
+    * native expression is property-tested against. */
+  private[graft] def adcScoreComposed(codes: Column, dtab: Column): Column =
     aggregate(zip_with(codes, dtab, (c, t) => element_at(t, c + 1)),
       lit(0.0d), _ + _)
 

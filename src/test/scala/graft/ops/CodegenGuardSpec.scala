@@ -90,6 +90,35 @@ class CodegenGuardSpec extends SparkSpec {
       "graft_cosine")
   }
 
+  test("AdcScore codegens (no fallback)") {
+    val cb = ProductQuantization.train(vecs, m = 4, k = 8, iterations = 2,
+      sampleSize = 64)
+    val coded = {
+      val p = s"${tmpDir("cg_adc")}/c"
+      vecs.select(col("vec_id"),
+        ProductQuantization.codesCol(col("embedding"), cb).as("codes"))
+        .withColumn("dtab", typedlit(Seq.fill(4)(Seq.fill(8)(0.5))))
+        .write.parquet(p)
+      spark.read.parquet(p)
+    }
+    val c = {
+      import org.apache.spark.sql.graft.ColumnShim
+      ColumnShim.column(graft.functions.AdcScore(
+        ColumnShim.expression(col("codes")),
+        ColumnShim.expression(col("dtab"))))
+    }
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(coded.select(col("vec_id"), c.as("adc")),
+      "graft_adc_score")
+  }
+
+  test("Winnow codegens (no fallback)") {
+    val c = TextAnalysis.winnowFingerprints(col("text"))
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(docs.select(col("doc_id"), c.as("fp")),
+      "graft_winnow")
+  }
+
   test("PQ encode is one narrow codegen'd pass; ADC joins broadcast only") {
     val cb = ProductQuantization.train(vecs, m = 4, k = 8, iterations = 2,
       sampleSize = 64)
