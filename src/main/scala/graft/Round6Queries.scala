@@ -280,6 +280,84 @@ object Round6Queries {
         col("user_id"), col("event_type"), col("value"))
     }),
 
+    // --- Stream face of the tumbling-window aggregation -------------------
+    // Same subset as w_stream_dedup, fed in two time-ordered batches;
+    // complete-mode memory sink = the final window table, oracle = the
+    // batch w_tumbling_hour SQL over the subset. Both faces of §2.10's
+    // windowed aggregation are now driver-checked.
+    "w_stream_windows" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = sfTag(d).replace(".", "_")
+      val rows = graft.core.Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+        .orderBy("ts")
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = graft.streaming.EventStreams.windowedCounts(
+        mem.toDS().toDF("ts", "event_type", "value"))
+      val sink = s"w_stream_windows_$tag"
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable()
+        mem.addData(h2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // --- Stream face of sessionization ------------------------------------
+    // Real events in batch 1; two far-future sentinel batches then march
+    // the watermark forward so every real session hits its event-time
+    // timeout and is EMITTED (append mode only ever emits closed
+    // sessions). Sentinel users are filtered out; oracle = the batch
+    // w_sessionize SQL over the subset.
+    "w_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.EventStreams.Event
+      val tag = sfTag(d).replace(".", "_")
+      // second-truncated feed: the stream sessionizer compares millisecond
+      // gaps, the SQL oracle compares floor-second epochs — on whole-
+      // second timestamps the two predicates are identical (the batch
+      // face w_sessionize casts to long seconds for the same reason)
+      val real = graft.core.Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event].collect().toSeq
+      val maxTs = real.map(_.ts.getTime).max
+      def sentinel(days: Int): Event = Event(-days.toLong,
+        new java.sql.Timestamp(maxTs + days * 86400000L), -1L, "s", 0.0)
+      val mem = MemoryStream[Event]
+      val out = graft.streaming.EventStreams.sessionizeStream(mem.toDS())
+      val sink = s"w_stream_sessions_$tag"
+      s.catalog.dropTempView(sink)
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(real: _*)
+        q.processAllAvailable()
+        mem.addData(sentinel(10))
+        q.processAllAvailable()
+        mem.addData(sentinel(20))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0).select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+    }),
+
     // --- Stream face of the incremental merge -----------------------------
     "w_incremental_populate" -> ((s, d) => {
       import s.implicits._
@@ -420,6 +498,36 @@ object Round6Queries {
       ("SELECT event_id, strftime(CAST(ts AS TIMESTAMP), " +
         "'%Y-%m-%d %H:%M:%S') AS ts, user_id, event_type, value " +
         "FROM events WHERE event_id % 20 = 0"),
+
+    "w_stream_windows" ->
+      ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), " +
+        "'%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events " +
+        "WHERE event_id % 20 = 0 GROUP BY 1, 2"),
+
+    "w_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_id % 20 = 0
+        |), l AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM e
+        |), m AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+        |    AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, seq
+        |""".stripMargin,
 
     "mm_decode_ppm" ->
       """WITH dims AS (
