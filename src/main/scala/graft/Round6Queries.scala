@@ -330,7 +330,7 @@ object Round6Queries {
       // second timestamps the two predicates are identical (the batch
       // face w_sessionize casts to long seconds for the same reason)
       val real = graft.core.Tables.events(s, d)
-        .filter(col("event_id") % 20 === 0)
+        .filter(col("event_id") % 50 === 0)
         .select(col("event_id"),
           date_trunc("second", col("ts").cast("timestamp")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
@@ -508,7 +508,7 @@ object Round6Queries {
     "w_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-        |  WHERE event_id % 20 = 0
+        |  WHERE event_id % 50 = 0
         |), l AS (
         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM e
