@@ -159,6 +159,15 @@ object Round6Queries {
         (col("mn") === 8 && col("mx") === 8).as("pq_codes_ok"))
     }),
 
+    // --- Policy-based exact-dedup survivors -------------------------------
+    // "Keep the best copy": per duplicate cluster the longest text wins
+    // (smallest id on ties) — the quality-aware complement to
+    // d_exact_dedup's min-id policy. Value-exact oracle via the same
+    // md5-fingerprint clusters with a row_number policy ordering.
+    "d_survivor_policy" -> ((s, d) =>
+      graft.ops.Dedup.exactSurvivorsBy(t(s, d, "documents"),
+        length(col("text")))),
+
     // --- PII/noise redaction (value-exact oracle) -------------------------
     // Markers are appended to every row so the URL/email/digit patterns
     // are exercised on the whole corpus, not just rows that happen to
@@ -404,6 +413,25 @@ object Round6Queries {
 
     "t_winnow_invariant" ->
       "SELECT true AS shift_overlap_ok, true AS cross_low_ok",
+
+    "d_survivor_policy" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS fingerprint,
+        |    length(text) AS score
+        |  FROM documents
+        |), r AS (
+        |  SELECT fingerprint, doc_id, score,
+        |    row_number() OVER (PARTITION BY fingerprint
+        |      ORDER BY score DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY fingerprint) AS n_copies
+        |  FROM f
+        |)
+        |SELECT fingerprint, doc_id AS survivor_id,
+        |  CAST(score AS DOUBLE) AS score, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1
+        |""".stripMargin,
 
     "t_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +

@@ -26,6 +26,23 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Exact-dup survivor selection with a POLICY: per duplicate cluster
+    * keep the row MAXIMIZING a caller-supplied score (quality signal,
+    * length, recency), smallest id on ties — "keep the best copy"
+    * instead of [[exactSurvivors]]'s "keep the first copy". One
+    * hash-groupBy with an orderable-struct max: map-side combinable, no
+    * window, no second pass. */
+  def exactSurvivorsBy(docs: DataFrame, score: Column,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol).cast("long").as("id"), score.cast("double").as("score"))
+      .groupBy("fingerprint")
+      .agg(max(struct(col("score"), (-col("id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fingerprint"), (-col("best.neg_id")).as("survivor_id"),
+        col("best.score").as("score"), col("n_copies"))
+
   /** (id, shingles) staging frame: sorted distinct word n-gram shingles.
     *
     * Repartitioned by id ONLY when the scan is under-parallel (fewer

@@ -136,6 +136,19 @@ class TextAnalysisSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("exactSurvivorsBy: highest score wins the cluster, min id on ties") {
+    val docs = Seq(
+      (1L, "same text", 10.0), (2L, "same  TEXT ", 30.0), // dup cluster
+      (3L, "same text", 30.0),                            // score tie w/ 2
+      (4L, "unique here", 5.0))
+      .toDF("doc_id", "text", "w")
+    val got = graft.ops.Dedup.exactSurvivorsBy(docs, col("w"))
+      .select("survivor_id", "score", "n_copies")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    // cluster {1,2,3}: max score 30 shared by 2 and 3 -> min id 2 wins
+    assert(got === Array((2L, 30.0, 3L), (4L, 5.0, 1L)))
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "The quick  brown fox jumps over the lazy dog"), // exact dup modulo ws/case
