@@ -50,6 +50,20 @@ object Round6Queries {
     if (fs.exists(hp)) { fs.delete(hp, true); () }
   }
 
+  /** Run `body` with a scoped shuffle-partition count, restoring the
+    * session value after. The MemoryStream gate feeds are dimension-sized
+    * by construction, but a streaming query's STATE STORE is partitioned
+    * by this setting at query start — 32 state-store commits per
+    * micro-batch for a 2k-row harness feed is pure fixed overhead. (A
+    * production stream sizes this to its real key cardinality.) */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)
+                                      (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Clustered corpus in the regime ANN serves (same construction as
     * s_lsh_recall / d_embed_pairs): every base vector gets a perturbed
     * twin, so each query's true nearest non-self neighbor IS its twin. */
@@ -257,7 +271,7 @@ object Round6Queries {
     // land each key exactly once (bounded state — watermark-evicted keys
     // re-arrive only as late rows, which the operator drops). Oracle =
     // the distinct row set itself.
-    "w_stream_dedup" -> ((s, d) => {
+    "w_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val tag = sfTag(d).replace(".", "_")
@@ -294,7 +308,7 @@ object Round6Queries {
     // complete-mode memory sink = the final window table, oracle = the
     // batch w_tumbling_hour SQL over the subset. Both faces of §2.10's
     // windowed aggregation are now driver-checked.
-    "w_stream_windows" -> ((s, d) => {
+    "w_stream_windows" -> ((s, d) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val tag = sfTag(d).replace(".", "_")
@@ -329,7 +343,7 @@ object Round6Queries {
     // timeout and is EMITTED (append mode only ever emits closed
     // sessions). Sentinel users are filtered out; oracle = the batch
     // w_sessionize SQL over the subset.
-    "w_stream_sessions" -> ((s, d) => {
+    "w_stream_sessions" -> ((s, d) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import graft.streaming.EventStreams.Event
@@ -368,7 +382,7 @@ object Round6Queries {
     }),
 
     // --- Stream face of the incremental merge -----------------------------
-    "w_incremental_populate" -> ((s, d) => {
+    "w_incremental_populate" -> ((s, d) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val tag = sfTag(d).replace(".", "_")
