@@ -118,8 +118,24 @@ object TextAnalysis {
     *    computed as the longest equal-run of the SORTED word array via a
     *    single `aggregate` fold (O(n log n), no per-distinct-word rescan).
     *
-    * One narrow codegen-friendly chain per row; no explode, no shuffle. */
+    * One narrow pass per row; no explode, no shuffle. Dispatches to the
+    * native codegen'd [[graft.functions.RepetitionStatsExpr]] (single
+    * hash pass per row); the composed HOF form survives as
+    * [[repetitionMetricsComposed]] for property-testing bit-equality. */
   def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val metrics = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.RepetitionStatsExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(textCol))))
+    df.withColumn("_rep", metrics)
+      .select(df.columns.map(col) :+ col("_rep.n_words") :+
+        col("_rep.dup_word_frac") :+ col("_rep.dup_bigram_frac") :+
+        col("_rep.max_word_freq_frac"): _*)
+  }
+
+  /** The `functions`-composed repetition family — reference
+    * implementation the native expression is property-tested against. */
+  def repetitionMetricsComposed(df: DataFrame,
+                                textCol: String = "text"): DataFrame = {
     val round4 = (c: Column) => round(c, 4)
     val metrics = bound(split(normalized(col(textCol)), " ")) { words =>
       val n = size(words)

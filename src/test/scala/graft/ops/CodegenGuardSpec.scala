@@ -119,6 +119,14 @@ class CodegenGuardSpec extends SparkSpec {
       "graft_winnow")
   }
 
+  test("RepetitionStats codegens (no fallback)") {
+    val c = ColumnShim.column(graft.functions.RepetitionStatsExpr(
+      ColumnShim.expression(col("text"))))
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(docs.select(col("doc_id"), c.as("rep")),
+      "graft_repetition_stats")
+  }
+
   test("PQ encode is one narrow codegen'd pass; ADC joins broadcast only") {
     val cb = ProductQuantization.train(vecs, m = 4, k = 8, iterations = 2,
       sampleSize = 64)
