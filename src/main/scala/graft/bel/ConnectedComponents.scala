@@ -164,6 +164,7 @@ object ConnectedComponents {
       .unionByName(e.select(col("v").as("id"))).distinct()
     val ids = ehash.select(col("u").as("id"))
       .unionByName(ehash.select(col("v").as("id")))
+      .filter(col("id").isNotNull) // null endpoint = no node (Graph.stats)
       .distinct()
     // root count and singleton count in ONE action (1-row × 1-row cross
     // join of the two aggregates) instead of two separate count jobs

@@ -67,12 +67,16 @@ object Graph {
     // scans and shuffles longs only. Distinct counts are therefore
     // hash-cardinalities: exact below ~10⁹ values (collision ~n²/2⁶⁴),
     // the same contract the CC label encoding already carries; above that,
-    // switch the encoding to zipWithIndex. Null endpoints are not counted
-    // as nodes (BEL edges never have them).
+    // switch the encoding to zipWithIndex. NULLs are hashed to NULL
+    // explicitly (xxhash64(NULL) would return its seed, a COUNTABLE long)
+    // so countDistinct skips them exactly as it does over the raw columns:
+    // a null citation is no citation, a null endpoint is no node.
+    def hashOrNull(c: Column): Column =
+      when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
     val hasCitation = edges.columns.contains("citation")
     val eh = edges.select(
-      xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v"),
-      (if (hasCitation) xxhash64(col("citation"))
+      hashOrNull(col("src")).as("u"), hashOrNull(col("dst")).as("v"),
+      (if (hasCitation) hashOrNull(col("citation"))
        else lit(null).cast("long")).as("c")).cache()
     val baseAgg = eh
       .select(explode(array(col("u"), col("v"))).as("node"), col("c"))

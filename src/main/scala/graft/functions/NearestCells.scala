@@ -6,17 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Per-row IVF cell probing, shared by eval and codegen: cosine against
-  * every centroid, then the `nProbe` best cell ids by (cosine desc,
-  * cell id desc) — the same tie order the old `greatest`/`array_sort`
-  * struct plan produced. Centroids live in DATA (one broadcast-referenced
-  * object), not in the plan: the previous shape unrolled one `typedlit`
-  * per centroid, so generated-code size grew O(nList·dim) and production
-  * nList (thousands) would blow Janino. Here plan size is O(1) in nList.
+/** Per-row IVF cell probing, shared by eval and codegen: score against
+  * every centroid (cosine by default, negated squared-L2 with `useL2` —
+  * product quantization MUST assign with the same L2 metric its Lloyd
+  * training and ADC tables use, or codes misrank), then the `nProbe` best
+  * cell ids by (score desc, cell id desc) — the same tie order the old
+  * `greatest`/`array_sort` struct plan produced. Centroids live in DATA
+  * (one broadcast-referenced object), not in the plan: the previous shape
+  * unrolled one `typedlit` per centroid, so generated-code size grew
+  * O(nList·dim) and production nList (thousands) would blow Janino. Here
+  * plan size is O(1) in nList.
   */
 final class NearestCellsKernel(cellIds: Array[Long],
                                cents: Array[Array[Double]],
-                               nProbe: Int) extends Serializable {
+                               nProbe: Int,
+                               useL2: Boolean) extends Serializable {
 
   def compute(vec: ArrayData, isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
@@ -33,7 +37,17 @@ final class NearestCellsKernel(cellIds: Array[Long],
     while (c < m) {
       val ct = cents(c)
       if (ct.length != n) scores(c) = Double.NegativeInfinity
-      else {
+      else if (useL2) {
+        // negated squared Euclidean distance: argmax(score) == argmin(L2).
+        // No normalization — zero-norm vectors are ordinary points here.
+        var d2 = 0.0
+        var k = 0
+        while (k < n) {
+          val d = v(k) - ct(k); d2 += d * d
+          k += 1
+        }
+        scores(c) = -d2
+      } else {
         var dot = 0.0; var nx = 0.0; var ny = 0.0
         var k = 0
         while (k < n) {
@@ -83,7 +97,8 @@ final class NearestCellsKernel(cellIds: Array[Long],
   * rather than plan literals. */
 case class NearestCells(child: Expression, cellIds: Seq[Long],
                         centroids: Seq[Seq[Double]],
-                        nProbe: Int) extends UnaryExpression {
+                        nProbe: Int,
+                        useL2: Boolean = false) extends UnaryExpression {
 
   require(cellIds.length == centroids.length && centroids.nonEmpty,
     "cellIds and centroids must align and be non-empty")
@@ -104,7 +119,7 @@ case class NearestCells(child: Expression, cellIds: Seq[Long],
 
   @transient private lazy val kernel =
     new NearestCellsKernel(cellIds.toArray, centroids.map(_.toArray).toArray,
-      nProbe)
+      nProbe, useL2)
 
   override def nullSafeEval(input: Any): Any =
     kernel.compute(input.asInstanceOf[ArrayData], isFloat)

@@ -43,11 +43,14 @@ object ProductQuantization {
   }
 
   /** Deterministic driver-side Lloyd: hash-ordered distinct init, fixed
-    * iteration order — same sample, same codebook, every run. */
+    * iteration order — same sample, same codebook, every run. The distinct
+    * is by CONTENT (Array equality is reference equality, so a raw
+    * `.distinct` on Array[Double] would be a no-op and duplicate sample
+    * vectors would seed duplicate centroids that never separate). */
   private def lloyd(pts: Array[Array[Double]], k: Int,
                     iters: Int): Seq[Seq[Double]] = {
-    val init = pts.distinct.take(k)
-    var cents: Array[Seq[Double]] = init.map(_.toSeq)
+    val init = pts.map(_.toSeq).distinct.take(k)
+    var cents: Array[Seq[Double]] = init
     for (_ <- 1 to iters) {
       val sums = Array.fill(cents.length)(
         new Array[Double](pts.head.length))
@@ -99,12 +102,20 @@ object ProductQuantization {
     * vector (the kernel is float/double-agnostic, so the raw array is
     * sliced directly — a `transform`-based cast would be a HOF and drop
     * the projection out of whole-stage codegen). Narrow, O(1) plan size
-    * in K. */
+    * in K.
+    *
+    * Assignment metric is L2 (`useL2 = true`), matching [[lloyd]] training
+    * and the ADC tables' squared-Euclidean distances — Jégou's algorithm
+    * requires one metric end-to-end, and a cosine argmax here would pick a
+    * codeword that is NOT the L2-nearest whenever codeword norms differ,
+    * systematically misranking ADC candidates. Cosine remains the metric
+    * for the IVF cell probe, which ranks by cosine by contract. */
   def codesCol(vec: Column, cb: Codebooks): Column =
     array((0 until cb.m).map { mi =>
       element_at(Similarity.cellsOfCol(
         slice(vec, mi * cb.subDim + 1, cb.subDim),
-        (0L until cb.k.toLong).toSeq, cb.books(mi), 1), 1).cast("int")
+        (0L until cb.k.toLong).toSeq, cb.books(mi), 1, useL2 = true), 1)
+        .cast("int")
     }: _*)
 
   /** Encode the corpus: (id, codes) — the compact form a production

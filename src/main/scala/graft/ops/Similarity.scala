@@ -77,11 +77,12 @@ object Similarity {
     * that is how the correctness oracle pins this operator; recall at
     * `nProbe < nList` is the usual IVF tradeoff. */
   private[ops] def cellsOfCol(vec: Column, cellIds: Seq[Long],
-                              cents: Seq[Seq[Double]], p: Int): Column =
+                              cents: Seq[Seq[Double]], p: Int,
+                              useL2: Boolean = false): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       graft.functions.NearestCells(
         org.apache.spark.sql.graft.ColumnShim.expression(vec),
-        cellIds, cents, p))
+        cellIds, cents, p, useL2))
 
   /** Deterministic hash-ordered centroid sample: nList (cellId, vector)
     * pairs via TakeOrdered — per-partition top-nList, driver merge, no

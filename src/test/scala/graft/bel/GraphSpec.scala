@@ -89,6 +89,18 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("density") - 5.0 / 6.0) < 1e-12)
   }
 
+  test("A13: NULL citations are skipped by the distinct count " +
+    "(xxhash64-domain counting must not count NULL as the hash seed)") {
+    val e = Seq(
+      ("a", "b", "r", "pubmed:1"),
+      ("b", "c", "r", null.asInstanceOf[String]),
+      ("c", "d", "r", null.asInstanceOf[String])
+    ).toDF("src", "dst", "relation", "citation")
+    val s = Graph.stats(e).collect().head
+    assert(s.getAs[Long]("citations") === 1) // not 2: NULL is no citation
+    assert(s.getAs[Long]("nodes") === 4)
+  }
+
   test("K8: indexed edge list assigns dense sorted indices, no " +
     "single-partition window in the plan") {
     val edges = Seq(("b", "c"), ("a", "b")).toDF("src", "dst")
