@@ -562,12 +562,23 @@ object Queries {
         frameBytes = 256, maxFrames = 4)),
     // features are integer-valued; surfaced as a ';'-joined bigint string
     // (the driver's pandas comparator cannot hash array cells).
-    "mm_features" -> ((s, d) =>
-      graft.ops.Multimodal.decodeFeatures(
-        graft.ops.Multimodal.withBinaryContent(t(s, d, "documents")))
+    // MIXED corpus: odd doc_ids carry utf-8 text payloads (byte-stat
+    // fallback features), even doc_ids carry REAL binary-PPM blobs that
+    // must route through the magic-byte dispatch to the netpbm codec —
+    // the oracle recomputes the pixel-derived features arithmetically,
+    // so a dispatch or decode bug on either path breaks the hash.
+    "mm_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val textSide = graft.ops.Multimodal.withBinaryContent(
+          docs.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("content"))
+      val ppmSide = graft.ops.Multimodal.ppmEncode(
+        docs.filter(col("doc_id") % 2 === 0))
+      graft.ops.Multimodal.decodeFeatures(textSide.unionByName(ppmSide))
         .select(col("doc_id"),
           concat_ws(";", transform(col("features"),
-            x => x.cast("bigint").cast("string"))).as("features"))),
+            x => x.cast("bigint").cast("string"))).as("features"))
+    }),
 
     // --- Streaming-shaped: stateful sessionization (batch face) ------------
     "w_sessionize" -> ((s, d) =>
@@ -1160,11 +1171,31 @@ object Queries {
         |FROM ex
         |""".stripMargin,
     "mm_features" ->
-      ("SELECT doc_id, array_to_string([CAST(length(text) AS BIGINT), " +
-        "CAST(ascii(substring(text, 1, 1)) AS BIGINT), " +
-        "CAST(ascii(substring(text, length(text), 1)) AS BIGINT), " +
-        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)], " +
-        "';') AS features FROM documents"),
+      """WITH txt AS (
+        |  SELECT doc_id, array_to_string([CAST(length(text) AS BIGINT),
+        |    CAST(ascii(substring(text, 1, 1)) AS BIGINT),
+        |    CAST(ascii(substring(text, length(text), 1)) AS BIGINT),
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)],
+        |    ';') AS features
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS k
+        |  FROM dims
+        |), ppm AS (
+        |  SELECT doc_id, array_to_string([CAST(max(w) AS BIGINT),
+        |    CAST(max(h) AS BIGINT),
+        |    CAST(sum((doc_id * 31 + k * 7) % 256)
+        |       + sum((doc_id * 31 + k * 7 + 53) % 256)
+        |       + sum((doc_id * 31 + k * 7 + 106) % 256) AS BIGINT),
+        |    CAST(max(w) * max(h) AS BIGINT)], ';') AS features
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT doc_id, features FROM txt
+        |UNION ALL SELECT doc_id, features FROM ppm
+        |""".stripMargin,
     "w_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

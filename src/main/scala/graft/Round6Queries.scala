@@ -50,18 +50,21 @@ object Round6Queries {
     if (fs.exists(hp)) { fs.delete(hp, true); () }
   }
 
-  /** Run `body` with a scoped shuffle-partition count, restoring the
-    * session value after. The MemoryStream gate feeds are dimension-sized
-    * by construction, but a streaming query's STATE STORE is partitioned
-    * by this setting at query start — 32 state-store commits per
-    * micro-batch for a 2k-row harness feed is pure fixed overhead. (A
-    * production stream sizes this to its real key cardinality.) */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)
-                                      (body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  /** Run `body` against a CHILD session (shared SparkContext + catalog,
+    * isolated SQLConf) whose shuffle-partition count is scoped to `n`. The
+    * MemoryStream gate feeds are dimension-sized by construction, but a
+    * streaming query's STATE STORE is partitioned by this setting at query
+    * start — 32 state-store commits per micro-batch for a 2k-row harness
+    * feed is pure fixed overhead. (A production stream sizes this to its
+    * real key cardinality.) A child session, not a set/restore on the
+    * caller's conf: mutating the session-global value would silently
+    * re-plan any concurrently-running query on 8 partitions and the
+    * restore would race. */
+  private[graft] def withShufflePartitions[A](s: SparkSession, n: Int)
+                                             (body: SparkSession => A): A = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(scoped)
   }
 
   /** Clustered corpus in the regime ANN serves (same construction as
@@ -271,11 +274,11 @@ object Round6Queries {
     // land each key exactly once (bounded state — watermark-evicted keys
     // re-arrive only as late rows, which the operator drops). Oracle =
     // the distinct row set itself.
-    "w_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    "w_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val tag = sfTag(d).replace(".", "_")
-      val ev = graft.core.Tables.events(s, d)
+      val ev = graft.core.Tables.events(ss, d)
         .filter(col("event_id") % 20 === 0)
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
@@ -289,7 +292,7 @@ object Round6Queries {
         mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"),
         Seq("event_id"))
       val sink = s"w_stream_dedup_$tag"
-      s.catalog.dropTempView(sink)
+      ss.catalog.dropTempView(sink)
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -298,7 +301,7 @@ object Round6Queries {
         mem.addData(rows: _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).select(col("event_id"),
+      ss.table(sink).select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     }),
@@ -308,11 +311,11 @@ object Round6Queries {
     // complete-mode memory sink = the final window table, oracle = the
     // batch w_tumbling_hour SQL over the subset. Both faces of §2.10's
     // windowed aggregation are now driver-checked.
-    "w_stream_windows" -> ((s, d) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    "w_stream_windows" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val tag = sfTag(d).replace(".", "_")
-      val rows = graft.core.Tables.events(s, d)
+      val rows = graft.core.Tables.events(ss, d)
         .filter(col("event_id") % 20 === 0)
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
           col("value"))
@@ -322,7 +325,7 @@ object Round6Queries {
       val out = graft.streaming.EventStreams.windowedCounts(
         mem.toDS().toDF("ts", "event_type", "value"))
       val sink = s"w_stream_windows_$tag"
-      s.catalog.dropTempView(sink)
+      ss.catalog.dropTempView(sink)
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
@@ -332,7 +335,7 @@ object Round6Queries {
         mem.addData(h2: _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).select(
+      ss.table(sink).select(
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
     }),
@@ -343,16 +346,16 @@ object Round6Queries {
     // timeout and is EMITTED (append mode only ever emits closed
     // sessions). Sentinel users are filtered out; oracle = the batch
     // w_sessionize SQL over the subset.
-    "w_stream_sessions" -> ((s, d) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    "w_stream_sessions" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       import graft.streaming.EventStreams.Event
       val tag = sfTag(d).replace(".", "_")
       // second-truncated feed: the stream sessionizer compares millisecond
       // gaps, the SQL oracle compares floor-second epochs — on whole-
       // second timestamps the two predicates are identical (the batch
       // face w_sessionize casts to long seconds for the same reason)
-      val real = graft.core.Tables.events(s, d)
+      val real = graft.core.Tables.events(ss, d)
         .filter(col("event_id") % 50 === 0)
         .select(col("event_id"),
           date_trunc("second", col("ts").cast("timestamp")).as("ts"),
@@ -364,7 +367,7 @@ object Round6Queries {
       val mem = MemoryStream[Event]
       val out = graft.streaming.EventStreams.sessionizeStream(mem.toDS())
       val sink = s"w_stream_sessions_$tag"
-      s.catalog.dropTempView(sink)
+      ss.catalog.dropTempView(sink)
       val q = out.toDF().writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -375,22 +378,22 @@ object Round6Queries {
         mem.addData(sentinel(20))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).filter(col("user_id") >= 0).select(col("user_id"),
+      ss.table(sink).filter(col("user_id") >= 0).select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("n_events"), round(col("total_value"), 2).as("total_value"))
     }),
 
     // --- Stream face of the incremental merge -----------------------------
-    "w_incremental_populate" -> ((s, d) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    "w_incremental_populate" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val tag = sfTag(d).replace(".", "_")
       val wh = s"/tmp/graft_incstream_$tag"
-      rmrf(s, wh)
-      val ctx = new SourceContext(s, wh, s"incs_$tag")
-      s.sql(s"DROP TABLE IF EXISTS ${ctx.catalogName("entries")}")
-      val sup = t(s, d, "supplier").select(
+      rmrf(ss, wh)
+      val ctx = new SourceContext(ss, wh, s"incs_$tag")
+      ss.sql(s"DROP TABLE IF EXISTS ${ctx.catalogName("entries")}")
+      val sup = t(ss, d, "supplier").select(
         concat(lit("I"), col("s_suppkey")).as("identifier"),
         col("s_name").as("name"))
       // supplier is dimension-sized by contract — collectable to feed the

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 harness registrations — the remaining ungated production paths
+  * plus the SimHash pair-generation operator that completes the dedup
+  * family:
+  *
+  *  - `w_file_stream`: the FILE-BASED streaming source
+  *    ([[graft.streaming.EventStreams.readStream]]) — the production entry
+  *    point of the streaming layer, previously exercised by no gate (every
+  *    other stream gate feeds a MemoryStream). Drives the real events
+  *    parquet through the watermarked window aggregation; oracle = the
+  *    batch SQL, so the `ts div 1000` microsecond conversion and schema
+  *    are now driver-checked.
+  *  - `d_simhash_pairs`: Hamming-band candidate generation over SimHash
+  *    fingerprints ([[graft.ops.Dedup.simHashPairs]]) with a DETERMINISTIC
+  *    completeness gate: by the pigeonhole band guarantee every planted
+  *    pair within the Hamming radius MUST be recovered — checked exactly,
+  *    not statistically.
+  *  - `mm_decode_rejects`: the corrupt-blob side output of the PPM codec
+  *    ([[graft.ops.Multimodal.decodePpmRejects]]) over deliberately
+  *    corrupted blobs with oracle-predictable stable reason codes.
+  *  - `s_ivf_staleness`: the index-drift metric
+  *    ([[graft.ops.IvfIndex.AppendStats.staleness]]) must be monotone in
+  *    distribution drift: appending shifted vectors scores strictly staler
+  *    than appending in-distribution vectors.
+  */
+object Round7Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def sfTag(d: String): String = new java.io.File(d).getName
+
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
+
+  /** (staleness of a same-distribution append, staleness of a shifted
+    * append) — memoized per (session, sf dir): two index builds per run. */
+  private val stalenessMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- File-based stream source gate --------------------------------------
+    // The production streaming entry point: real parquet files, not a
+    // MemoryStream. One micro-batch ingests every existing file; the
+    // complete-mode window table must equal the batch aggregation over the
+    // same data (w_tumbling_hour's shape, full corpus).
+    "w_file_stream" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        val tag = sfTag(d).replace(".", "_")
+        val out = graft.streaming.EventStreams.windowedCounts(
+          graft.streaming.EventStreams.readStream(ss, d))
+        val sink = s"w_file_stream_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(sink).select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+      }),
+
+    // --- SimHash Hamming-band pairs: deterministic completeness gate --------
+    // Corpus = documents + exact-duplicate twins (Hamming 0 by
+    // construction) + one-token-appended twins (small but varying
+    // Hamming). Soundness: every emitted pair is within the radius
+    // (re-verified here from scratch fingerprints). Completeness: every
+    // planted twin pair that IS within the radius must be emitted — the
+    // band pigeonhole makes this exact, so the gate is a hard boolean,
+    // not a recall estimate. Non-vacuity: the exact twins guarantee at
+    // least |documents| planted in-radius pairs.
+    "d_simhash_pairs" -> ((s, d) => {
+      import graft.ops.{Dedup, TextAnalysis}
+      val maxHamming = 3
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text")))
+      val got = Dedup.simHashPairs(corpus, n = 3, maxHamming = maxHamming)
+      val fp = docs.select(col("doc_id"),
+        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("fp"))
+      val fpTwin = corpus.filter(col("doc_id") >= 1000000)
+        .select(col("doc_id"),
+          Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("fp"))
+      val planted = fp.alias("a")
+        .join(fpTwin.alias("b"),
+          col("b.doc_id") % 1000000 === col("a.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("ham"))
+        .filter(col("ham") <= maxHamming)
+      val missing = planted.join(got, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val sound = got.agg(
+        coalesce(max(col("hamming")), lit(0)).as("max_ham"))
+      missing.crossJoin(nPlanted).crossJoin(nDocs).crossJoin(sound).select(
+        (col("n_missing") === 0).as("planted_all_recovered"),
+        (col("n_planted") >= col("n_docs")).as("planted_nonvacuous"),
+        (col("max_ham") <= maxHamming).as("pairs_within_radius"))
+    }),
+
+    // --- PPM corrupt-blob side output ---------------------------------------
+    // Every 7th blob gets its magic overwritten, every 7th+1 loses its
+    // raster tail; the reject stream must carry exactly those doc_ids with
+    // the stable reason codes the oracle predicts, and no clean row may
+    // leak into it.
+    "mm_decode_rejects" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val blobs = Multimodal.ppmEncode(t(s, d, "documents"))
+      val corrupted = blobs.withColumn("content",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("X".getBytes("US-ASCII")),
+            col("content").substr(lit(2), length(col("content")))))
+          .when(col("doc_id") % 7 === 1,
+            col("content").substr(lit(1), length(col("content")) - 10))
+          .otherwise(col("content")))
+      Multimodal.decodePpmRejects(corrupted)
+    }),
+
+    // --- Index staleness is monotone in drift --------------------------------
+    // The index is built on a CLUSTERED corpus (8 tight Voronoi-friendly
+    // clusters derived from anchor vectors — the regime an IVF index
+    // serves; on an isotropic corpus mean-assign-cosine is ~0.2 for ANY
+    // distribution, so no drift metric could move). Appending more
+    // in-cluster members must read ≈ no drift; appending the RAW
+    // isotropic vectors (off this index's manifold) must read decisively
+    // stale — rebuild triggers hang off this separation.
+    "s_ivf_staleness" -> ((s, d) => {
+      import s.implicits._
+      val (same, shifted) = stalenessMemo.computeIfAbsent((s, d), { _ =>
+        val emb = t(s, d, "embeddings").select(col("vec_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+        val anchors = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("k"), col("embedding").as("anchor")))
+        // cluster key from vec_id div 2: independent of the even/odd
+        // build/append split below, so BOTH halves cover all 8 clusters
+        // (a plain vec_id % 8 would send even ids to even clusters only —
+        // the "in-distribution" append would then be genuine drift)
+        val clustered = emb.filter(col("vec_id") >= 8)
+          .withColumn("k", expr("(vec_id div 2) % 8"))
+          .join(anchors, "k")
+          .select(col("vec_id"),
+            zip_with(col("anchor"), col("embedding"),
+              (a, x) => a + lit(0.05) * x).as("embedding"))
+        val base = clustered.filter(col("vec_id") % 2 === 0)
+        val addIn = clustered.filter(col("vec_id") % 2 === 1)
+        val addOff = emb.filter(col("vec_id") >= 8 && col("vec_id") % 2 === 1)
+        val tag = sfTag(d).replace(".", "_")
+        def stalenessOf(suffix: String, rows: DataFrame): Double = {
+          val path = s"/tmp/graft_staleness_${tag}_$suffix"
+          rmrf(s, path)
+          graft.ops.IvfIndex.build(base, path, nList = 8)
+          graft.ops.IvfIndex.append(s, path, rows).staleness
+        }
+        (stalenessOf("same", addIn), stalenessOf("off", addOff))
+      })
+      Seq((same, shifted)).toDF("st_same", "st_off").select(
+        (col("st_off") > col("st_same") + 0.3).as("drift_separates"),
+        (abs(col("st_same")) < 0.05).as("in_dist_near_zero"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "w_file_stream" ->
+      ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), " +
+        "'%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+
+    "d_simhash_pairs" ->
+      ("SELECT true AS planted_all_recovered, true AS planted_nonvacuous, " +
+        "true AS pairs_within_radius"),
+
+    "mm_decode_rejects" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'bad_magic' " +
+        "ELSE 'truncated' END AS reason FROM documents WHERE doc_id % 7 <= 1"),
+
+    "s_ivf_staleness" ->
+      "SELECT true AS drift_separates, true AS in_dist_near_zero")
+}

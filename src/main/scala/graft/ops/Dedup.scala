@@ -282,10 +282,56 @@ object Dedup {
         coalesce(col("survivor_id"), col(idCol)).as("survivor_id"))
   }
 
+  /** SimHash Hamming-band near-dup pairs — the candidate-generation
+    * operator over [[simHash]] fingerprints (Manku, Jain, Das Sarma:
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07): split the
+    * 64-bit fingerprint into `maxHamming + 1` bit-bands; by pigeonhole,
+    * any pair within Hamming distance `maxHamming` leaves at least one
+    * band untouched, so bucketing on (band, band value) has GUARANTEED
+    * recall at the exact-verification threshold — output is precisely the
+    * pair set at Hamming ≤ maxHamming, like [[jaccardPairs]]'s exactness.
+    *
+    * Same shuffle discipline as [[minHashPairs]]: band rows are NARROW
+    * (id, band, bucket); fingerprints join back only after candidate-pair
+    * dedup, and verification is one codegen'd `bit_count(xor)`. Default
+    * maxHamming=3 → 4 bands of 16 bits: a band key has 2¹⁶ values, so
+    * bucket lists stay selective at corpus scale (the WWW'07 operating
+    * point); raising maxHamming widens bands' recall guarantee but
+    * coarsens buckets — beyond ~7 prefer [[minHashPairs]].
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def simHashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands >= 2 && bands <= 64, s"need 1 <= maxHamming($maxHamming) <= 63")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val fp = Checkpoints.cut(docs.select(col(idCol).as("id"),
+      simHash(TextAnalysis.wordShingles(col(textCol), n)).as("fp")))
+    val banded = fp.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit
     * position weighted by presence, sign → bit. Near-dup candidates =
-    * fingerprints at small Hamming distance (callers bucket by rotations /
-    * bit-bands as with [[minHashPairs]]). */
+    * fingerprints at small Hamming distance (bucketed into bit-bands by
+    * [[simHashPairs]]). */
   def simHash(shingles: Column): Column = {
     // One pass over the shingles: accumulate a 64-long vote vector (+1 when
     // bit j of xxhash64(shingle) is set, else -1), then pack vote signs into

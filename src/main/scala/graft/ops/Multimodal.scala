@@ -74,22 +74,43 @@ object Multimodal {
     * `batchSize` so a real codec can amortize per-call setup, and the
     * output schema is declared up front.
     *
-    * STUB: the decode body is a deterministic fake (byte statistics) —
-    * real deployments replace ONLY `decodeStub` with the codec call.
-    * Features: [n_bytes, first_byte, last_byte, n_space_bytes]. */
+    * Magic-byte dispatch, the shape of a real PNG/JPEG/RIFF codec mux:
+    * a `P6` blob routes through the REAL netpbm parser ([[parsePpm]]) and
+    * yields pixel-derived features [width, height, sum of all channel
+    * samples, n_pixels]; anything else (formats whose libraries are not
+    * in this container) falls back to the deterministic byte statistics
+    * of [[decodeStub]] — [n_bytes, first_byte, last_byte, n_space_bytes].
+    * A malformed P6 blob falls back rather than failing the batch. */
   def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
     val in = df.select(col(idCol).cast("long").as("doc_id"), col("content"))
       .as(Encoders.product[MmIn])
     val out = in.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
         // a real implementation decodes the whole batch in one codec call
-        batch.iterator.map(r => MmFeat(r.doc_id, decodeStub(r.content)))
+        batch.iterator.map { r =>
+          val feats =
+            if (isPpm(r.content))
+              try {
+                val (w, h, sr, sg, sb) = parsePpm(r.content)
+                Array(w.toDouble, h.toDouble, (sr + sg + sb).toDouble,
+                  (w.toLong * h).toDouble)
+              } catch { case _: IllegalArgumentException =>
+                decodeStub(r.content) }
+            else decodeStub(r.content)
+          MmFeat(r.doc_id, feats)
+        }
       }
     }(Encoders.product[MmFeat])
     out.toDF()
   }
+
+  /** P6 magic sniff: 'P', '6', then a whitespace byte (the only legal
+    * third byte of a binary-PPM header). */
+  private def isPpm(bytes: Array[Byte]): Boolean =
+    bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6' &&
+      (bytes(2) == ' ' || bytes(2) == '\n' || bytes(2) == '\r' ||
+        bytes(2) == '\t' || bytes(2) == '#')
 
   final case class MmPpmStats(doc_id: Long, width: Int, height: Int,
                               sum_r: Long, sum_g: Long, sum_b: Long)
@@ -124,13 +145,24 @@ object Multimodal {
     }(Encoders.product[MmIn]).toDF()
   }
 
+  final case class MmPpmRow(doc_id: Long, ok: Boolean, width: Int,
+                            height: Int, sum_r: Long, sum_g: Long,
+                            sum_b: Long, reason: String)
+
   /** REAL codec: batched binary-PPM (P6) decode over the `content` column
     * — the same `mapPartitions` shape as [[decodeFeatures]], but the body
     * parses the actual public image format and the emitted statistics are
     * functions of the decoded pixels (width, height, per-channel sums).
-    * Integer outputs by design: exact across engines, hash-stable. */
-  def decodePpm(df: DataFrame, idCol: String = "doc_id",
-                batchSize: Int = 64): DataFrame = {
+    * Integer outputs by design: exact across engines, hash-stable.
+    *
+    * Malformed blobs do NOT fail the job (at 100 TB one corrupt object
+    * would otherwise kill hours of work): each row decodes under try, and
+    * failures become reject rows carrying a stable reason code — the same
+    * try→side-output shape the G1 IntAct dispatch uses for unparseable
+    * rows. [[decodePpm]] returns the decoded stats; [[decodePpmRejects]]
+    * returns (doc_id, reason) for the corrupt rows. */
+  private def decodePpmAll(df: DataFrame, idCol: String,
+                           batchSize: Int): org.apache.spark.sql.Dataset[MmPpmRow] = {
     val in = df.select(col(idCol).cast("long").as("doc_id"), col("content"))
       .as(Encoders.product[MmIn])
     in.mapPartitions { iter =>
@@ -138,18 +170,47 @@ object Multimodal {
         // one codec "session" per batch (where a real libjpeg/ffmpeg call
         // would amortize init); each row parses independently
         batch.iterator.map { r =>
-          val (w, h, sr, sg, sb) = parsePpm(r.content)
-          MmPpmStats(r.doc_id, w, h, sr, sg, sb)
+          try {
+            val (w, h, sr, sg, sb) = parsePpm(r.content)
+            MmPpmRow(r.doc_id, ok = true, w, h, sr, sg, sb, null)
+          } catch {
+            case e: PpmException =>
+              MmPpmRow(r.doc_id, ok = false, 0, 0, 0L, 0L, 0L, e.code)
+            case _: RuntimeException =>
+              MmPpmRow(r.doc_id, ok = false, 0, 0, 0L, 0L, 0L, "malformed")
+          }
         }
       }
-    }(Encoders.product[MmPpmStats]).toDF()
+    }(Encoders.product[MmPpmRow])
   }
+
+  def decodePpm(df: DataFrame, idCol: String = "doc_id",
+                batchSize: Int = 64): DataFrame =
+    decodePpmAll(df, idCol, batchSize)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
+  /** The corrupt-blob side output of [[decodePpm]]: (doc_id, reason) with
+    * reason ∈ {bad_magic, bad_dims, bad_maxval, truncated, malformed}. */
+  def decodePpmRejects(df: DataFrame, idCol: String = "doc_id",
+                       batchSize: Int = 64): DataFrame =
+    decodePpmAll(df, idCol, batchSize)
+      .filter(!col("ok"))
+      .select(col("doc_id"), col("reason"))
+
+  /** Decode failure with a STABLE reason code (an oracle can predict the
+    * code; exception messages carry engine-specific detail). Extends
+    * IllegalArgumentException so callers treating parse failure generically
+    * keep working. */
+  final class PpmException(val code: String, detail: String)
+    extends IllegalArgumentException(s"$code: $detail")
 
   /** P6 parser: magic, `#` comments, whitespace-separated width / height /
     * maxval, ONE whitespace byte, then `w*h*3` raw bytes. Returns
-    * (width, height, sumR, sumG, sumB). Throws on malformed input — at
-    * scale, wrap the call site with a try→side-output if the corpus can
-    * contain corrupt blobs. */
+    * (width, height, sumR, sumG, sumB). Throws [[PpmException]] on
+    * malformed input — [[decodePpm]] routes those rows to the reject side
+    * output instead of failing the job. */
   private[graft] def parsePpm(
       bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
     var i = 0
@@ -167,17 +228,25 @@ object Multimodal {
       while (i < bytes.length && !isWs(bytes(i))) i += 1
       new String(bytes, s, i - s, "US-ASCII")
     }
+    def fail(code: String, detail: String): Nothing =
+      throw new PpmException(code, detail)
+    def intToken(): Int = {
+      val t = token()
+      try t.toInt catch { case _: NumberFormatException =>
+        fail("malformed", s"non-numeric header token '$t'") }
+    }
     val magic = token()
-    require(magic == "P6", s"not a binary PPM (magic '$magic')")
-    val w = token().toInt
-    val h = token().toInt
-    val maxval = token().toInt
-    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-    require(maxval > 0 && maxval < 256,
-      s"unsupported maxval $maxval (only 1-byte samples)")
+    if (magic != "P6") fail("bad_magic", s"not a binary PPM (magic '$magic')")
+    val w = intToken()
+    val h = intToken()
+    val maxval = intToken()
+    if (w <= 0 || h <= 0) fail("bad_dims", s"bad dimensions ${w}x$h")
+    if (maxval <= 0 || maxval >= 256)
+      fail("bad_maxval", s"unsupported maxval $maxval (only 1-byte samples)")
     i += 1 // exactly one whitespace byte separates maxval from raster
-    require(bytes.length - i >= w * h * 3,
-      s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - i}")
+    if (bytes.length - i < w * h * 3)
+      fail("truncated",
+        s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - i}")
     var sr = 0L; var sg = 0L; var sb = 0L
     var k = 0
     while (k < w * h) {

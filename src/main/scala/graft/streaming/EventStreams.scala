@@ -25,11 +25,44 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            n_events: Long, total_value: Double)
 
-  /** File-based streaming source over an events parquet directory. */
+  /** Per-event payload the sessionizer actually needs (ts + value) — the
+    * state never stores event ids/types, so a state row costs 16 bytes per
+    * buffered TAIL event, and most of the open session is not buffered at
+    * all (see [[SessionAgg]]). */
+  final case class TailEv(ts: java.sql.Timestamp, value: Double)
+
+  /** Compacted open-session state: O(1) running aggregates for the FROZEN
+    * prefix (events at ts < the watermark — no future row can land among
+    * them, Spark drops sub-watermark input before the state function) plus
+    * only the watermark-horizon TAIL (events at ts ≥ the watermark, which
+    * late arrivals can still interleave with and gap-split).
+    *
+    * An always-active key — a bot, a scraper, a hot service account whose
+    * gap never exceeds the session gap — therefore holds state bounded by
+    * (watermark delay × its event rate), NOT by its session length: the
+    * previous `GroupState[List[Event]]` kept the entire open session and
+    * grew without bound on such keys. Invariants: the frozen prefix exists
+    * iff `frozen_n > 0`; consecutive gaps inside frozen∪tail are ≤ gap by
+    * construction (splits happen before folding). */
+  final case class SessionAgg(session_start: java.sql.Timestamp,
+                              frozen_last: java.sql.Timestamp,
+                              frozen_n: Long, frozen_total: Double,
+                              tail: List[TailEv])
+
+  /** File-based streaming source over an events parquet path — the
+    * production entry point of the streaming layer (new files landing
+    * under the path become micro-batches). `basePath` is pinned to the
+    * parent so the source accepts both a directory of part files and a
+    * single-file corpus: for a NON-glob path FileStreamSource force-sets
+    * `basePath` to the path itself, which must then be a directory — the
+    * exact-match `{...}` glob sidesteps that while matching only the
+    * events table. `ts div 1000` converts the raw long-nanosecond column
+    * to a microsecond timestamp in integer arithmetic, mirroring
+    * [[graft.core.Tables.events]]. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(Tables.events)
-      .parquet(s"$dir/events.parquet")
+      .parquet(s"$dir/{events.parquet}")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000"))
           .cast(org.apache.spark.sql.types.TimestampType))
@@ -71,46 +104,101 @@ object EventStreams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
+      .flatMapGroupsWithState[SessionAgg, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, rows, state: GroupState[List[Event]]) =>
+        case (userId, rows, state: GroupState[SessionAgg]) =>
           if (state.hasTimedOut) {
-            val sessions = closeSessions(userId,
-              state.getOption.getOrElse(Nil), gapMs, flushAll = true)
+            // the buffered open session timed out whole (frozen∪tail is one
+            // session by invariant): emit its aggregate and drop the state
+            val out = state.getOption.map { agg =>
+              Session(userId, agg.session_start,
+                agg.frozen_n + agg.tail.size,
+                agg.frozen_total + agg.tail.map(_.value).sum)
+            }
             state.remove()
-            sessions._1.iterator
+            out.iterator
           } else {
-            val buffered = state.getOption.getOrElse(Nil) ++ rows.toList
-            val (closed, open) = closeSessions(userId, buffered, gapMs,
-              flushAll = false)
-            if (open.nonEmpty) {
-              state.update(open)
-              val lastTs = open.map(_.ts.getTime).max
-              state.setTimeoutTimestamp(
-                math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            } else state.remove()
-            closed.iterator
+            val incoming = rows.map(e => TailEv(e.ts, e.value)).toList
+            val (closed, open) = advance(state.getOption, incoming,
+              state.getCurrentWatermarkMs(), gapMs)
+            open match {
+              case Some(agg) =>
+                state.update(agg)
+                val lastTs = agg.tail.lastOption.map(_.ts.getTime)
+                  .getOrElse(agg.frozen_last.getTime)
+                state.setTimeoutTimestamp(
+                  math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.map(c => Session(userId, c._1, c._2, c._3)).iterator
           }
       }
   }
 
-  /** Split a user's buffered events into closed sessions + the still-open
-    * tail. Deterministic given the event list. */
-  private def closeSessions(userId: Long, events: List[Event], gapMs: Long,
-                            flushAll: Boolean): (List[Session], List[Event]) = {
-    if (events.isEmpty) return (Nil, Nil)
-    val sorted = events.sortBy(_.ts.getTime)
-    val groups = sorted.tail.foldLeft(List(List(sorted.head))) {
-      case (acc @ current :: rest, e) =>
-        if (e.ts.getTime - current.head.ts.getTime > gapMs)
-          List(e) :: acc
-        else (e :: current) :: rest
+  /** One sessionizer step, pure and unit-testable: merge the state's tail
+    * with the batch's events, close every gap-separated session except the
+    * last, then COMPACT the open remainder — events older than the
+    * watermark fold into the O(1) frozen aggregates (no future input can
+    * interleave with them), events newer stay buffered as the tail.
+    * Returns (closed sessions as (start, n, total), next state). */
+  private[streaming] def advance(prior: Option[SessionAgg],
+                                 incoming: List[TailEv],
+                                 watermarkMs: Long, gapMs: Long)
+      : (List[(java.sql.Timestamp, Long, Double)], Option[SessionAgg]) = {
+    val merged = (prior.map(_.tail).getOrElse(Nil) ++ incoming)
+      .sortBy(_.ts.getTime)
+    val closed = List.newBuilder[(java.sql.Timestamp, Long, Double)]
+    // does the frozen prefix connect to the merged events? (inserting an
+    // event can only SHRINK gaps, so this is decidable from merged.head)
+    var frozen = prior.filter(_.frozen_n > 0)
+    frozen match {
+      case Some(f) if merged.nonEmpty &&
+          merged.head.ts.getTime - f.frozen_last.getTime > gapMs =>
+        closed += ((f.session_start, f.frozen_n, f.frozen_total))
+        frozen = None
+      case _ => ()
+    }
+    // gap-split the merged tail into session groups
+    val groups = merged.foldLeft(List.empty[List[TailEv]]) {
       case (Nil, e) => List(List(e))
+      case (acc @ current :: rest, e) =>
+        if (e.ts.getTime - current.head.ts.getTime > gapMs) List(e) :: acc
+        else (e :: current) :: rest
     }.map(_.reverse).reverse
-    val (closed, open) = if (flushAll) (groups, Nil)
-    else (groups.dropRight(1), groups.last)
-    (closed.map(g => Session(userId, g.head.ts, g.size.toLong,
-      g.map(_.value).sum)), open)
+    // frozen (if connected) extends into groups.head; every group but the
+    // last closes now — same emit semantics as buffering the full session
+    val openGroup: List[TailEv] = groups match {
+      case Nil => Nil
+      case gs =>
+        val toClose = gs.dropRight(1)
+        toClose.zipWithIndex.foreach { case (g, i) =>
+          frozen match {
+            case Some(f) if i == 0 =>
+              closed += ((f.session_start, f.frozen_n + g.size,
+                f.frozen_total + g.map(_.value).sum))
+              frozen = None
+            case _ =>
+              closed += ((g.head.ts, g.size.toLong, g.map(_.value).sum))
+          }
+        }
+        gs.last
+    }
+    // compact: fold the sub-watermark prefix of the open group into the
+    // frozen aggregates (ts order, so the float-sum order matches batch)
+    val (foldable, keep) = openGroup.span(_.ts.getTime < watermarkMs)
+    val next = (frozen, foldable, keep) match {
+      case (None, Nil, Nil) => None
+      case (f, fe, k) =>
+        val start = f.map(_.session_start)
+          .getOrElse((fe ++ k).head.ts)
+        val frozenLast = fe.lastOption.map(_.ts)
+          .orElse(f.map(_.frozen_last)).getOrElse(start)
+        Some(SessionAgg(start, frozenLast,
+          f.map(_.frozen_n).getOrElse(0L) + fe.size,
+          f.map(_.frozen_total).getOrElse(0.0) + fe.map(_.value).sum,
+          k))
+    }
+    (closed.result(), next)
   }
 
   /** Batch sessionization with identical semantics — lag/gap analysis via

@@ -163,6 +163,24 @@ class DedupSpec extends SparkSpec {
     assert(surv === Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("simHashPairs: exact dups recovered (Hamming 0), in-radius pairs " +
+    "guaranteed by the band pigeonhole, out-of-radius pairs excluded") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The quick  brown fox jumps over the LAZY dog"), // normalized dup
+      (3L, "completely different text about spark engines here"),
+      (4L, "completely different text about spark engines here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(corpus, n = 3, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // normalized dup + exact dup both sit at Hamming 0
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.contains((3L, 4L, 0)))
+    // unrelated docs are ~32 bits apart: never within radius 3
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("jaccard pairs find the near-dup, not the unrelated doc") {
     val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

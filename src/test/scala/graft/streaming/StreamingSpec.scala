@@ -77,6 +77,67 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizer per-key state is bounded by the watermark horizon, " +
+    "not by session length (always-active key)") {
+    import EventStreams.{SessionAgg, TailEv}
+    // a bot that fires every minute for a week: one never-ending session.
+    // The old List[Event] state grew one entry per event; the compacted
+    // state must hold only the ≥-watermark tail + O(1) aggregates.
+    val gapMs = 30 * 60000L
+    val wmDelayMs = 10 * 60000L
+    val batchSize = 100
+    val nEvents = 10080 // minutes in a week
+    var state: Option[SessionAgg] = None
+    var closed = List.empty[(Timestamp, Long, Double)]
+    var prevBatchMax = Long.MinValue
+    (0 until nEvents).grouped(batchSize).foreach { minutes =>
+      val wm = if (prevBatchMax == Long.MinValue) 0L
+        else prevBatchMax - wmDelayMs // Spark: wm from the PREVIOUS batch
+      val batch = minutes.map(m => TailEv(ts(m.toLong), 1.0)).toList
+      val (c, next) = EventStreams.advance(state, batch, wm, gapMs)
+      closed = closed ++ c
+      state = next
+      prevBatchMax = batch.last.ts.getTime
+      val tailLen = state.map(_.tail.size).getOrElse(0)
+      // tail ≤ current batch + the horizon's worth of prior events
+      assert(tailLen <= batchSize + wmDelayMs / 60000L + 1,
+        s"state tail grew past the horizon: $tailLen")
+    }
+    assert(closed.isEmpty) // the gap never fired: still one open session
+    val agg = state.get
+    assert(agg.session_start === ts(0))
+    assert(agg.frozen_n + agg.tail.size === nEvents.toLong)
+    assert(math.abs(agg.frozen_total + agg.tail.map(_.value).sum
+      - nEvents.toDouble) < 1e-9)
+  }
+
+  test("sessionizer advance: splits, closed emits and compaction agree " +
+    "with the full-buffer semantics") {
+    import EventStreams.{SessionAgg, TailEv}
+    val gapMs = 30 * 60000L
+    // batch 1: two sessions split by a 110-minute gap; watermark 0 -> no fold
+    val b1 = List(TailEv(ts(0), 1.0), TailEv(ts(10), 2.0),
+      TailEv(ts(120), 4.0))
+    val (c1, s1) = EventStreams.advance(None, b1, 0L, gapMs)
+    assert(c1 === List((ts(0), 2L, 3.0)))
+    assert(s1.get.tail.map(_.ts) === List(ts(120)))
+    assert(s1.get.frozen_n === 0L)
+    // batch 2: continues the open session; watermark past ts(125) folds
+    // the old tail into the frozen aggregates
+    val b2 = List(TailEv(ts(125), 8.0), TailEv(ts(140), 16.0))
+    val (c2, s2) = EventStreams.advance(s1, b2, ts(130).getTime, gapMs)
+    assert(c2.isEmpty)
+    val agg = s2.get
+    assert(agg.session_start === ts(120))
+    assert(agg.frozen_n === 2L && agg.frozen_total === 12.0) // 120,125 fold
+    assert(agg.tail === List(TailEv(ts(140), 16.0)))
+    // batch 3: a >gap event closes frozen+tail as ONE session
+    val b3 = List(TailEv(ts(300), 32.0))
+    val (c3, s3) = EventStreams.advance(s2, b3, ts(290).getTime, gapMs)
+    assert(c3 === List((ts(120), 3L, 28.0)))
+    assert(s3.get.session_start === ts(300))
+  }
+
   test("incremental populate: streamed anti-join merge equals batch " +
     "distinct; one Action row per landing batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -289,6 +350,46 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.parsePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++
         Array[Byte](1, 2, 3)))
+  }
+
+  test("decodeFeatures magic-byte dispatch: P6 blobs route through the " +
+    "real codec, other payloads keep the byte-stat fallback") {
+    val mixed = Multimodal.ppmEncode(docs.filter(col("doc_id") === 1))
+      .unionByName(Multimodal.withBinaryContent(
+        docs.filter(col("doc_id") === 2)).select("doc_id", "content"))
+    val feats = Multimodal.decodeFeatures(mixed)
+      .as[(Long, Array[Double])].collect().toMap
+    // doc 1 is a real P6 blob: w=4+1%5=5, h=3+1%4=4, all-channel pixel sum
+    val (w, h) = (5, 4)
+    val sumAll = (0 until w * h)
+      .flatMap(k => Seq(0, 53, 106).map(c => (31 + k * 7 + c) % 256)).sum
+    assert(feats(1L).toSeq === Seq(5.0, 4.0, sumAll.toDouble, 20.0))
+    // doc 2 is utf-8 text: the stub's [n_bytes, first, last, n_spaces]
+    assert(feats(2L).toSeq === Seq(600.0, 97.0, 97.0, 0.0))
+  }
+
+  test("decodePpm side-outputs corrupt blobs with stable reason codes " +
+    "instead of failing the job") {
+    val blobs = Multimodal.ppmEncode(docs) // ids 1, 2
+    val corrupted = blobs.withColumn("content",
+      when(col("doc_id") === 1L,
+        concat(lit("X".getBytes("US-ASCII")),
+          col("content").substr(lit(2), length(col("content")))))
+        .otherwise(col("content").substr(lit(1),
+          length(col("content")) - 10)))
+    val rejects = Multimodal.decodePpmRejects(corrupted)
+      .as[(Long, String)].collect().toMap
+    assert(rejects === Map(1L -> "bad_magic", 2L -> "truncated"))
+    // the stats face of the same frame emits nothing (all rows corrupt) …
+    assert(Multimodal.decodePpm(corrupted).count() === 0L)
+    // … and clean rows still decode alongside rejects
+    val half = blobs.withColumn("content",
+      when(col("doc_id") === 1L, col("content").substr(lit(1),
+        length(col("content")) - 10)).otherwise(col("content")))
+    assert(Multimodal.decodePpm(half).select("doc_id")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(Multimodal.decodePpmRejects(half).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "truncated")))
   }
 
   test("ppmEncode -> decodePpm roundtrip matches the closed-form stats") {
