@@ -272,7 +272,7 @@ object Round4Queries {
       val docs = t(s, d, "documents")
       def sh(df: DataFrame): DataFrame = df.select(col("doc_id"),
         graft.ops.Dedup.simHash(
-          graft.ops.TextAnalysis.wordShingles(col("text"), 3)).as("h"))
+          graft.ops.TextAnalysis.wordShingleHashes(col("text"), 3)).as("h"))
       val base = sh(docs)
       val twin = sh(docs.select(col("doc_id"),
         concat(col("text"), lit(" graftmarker")).as("text")))

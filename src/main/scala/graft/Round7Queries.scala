@@ -90,10 +90,10 @@ object Round7Queries {
           concat(col("text"), lit(" graftmarker")).as("text")))
       val got = Dedup.simHashPairs(corpus, n = 3, maxHamming = maxHamming)
       val fp = docs.select(col("doc_id"),
-        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("fp"))
+        Dedup.simHash(TextAnalysis.wordShingleHashes(col("text"), 3)).as("fp"))
       val fpTwin = corpus.filter(col("doc_id") >= 1000000)
         .select(col("doc_id"),
-          Dedup.simHash(TextAnalysis.wordShingles(col("text"), 3)).as("fp"))
+          Dedup.simHash(TextAnalysis.wordShingleHashes(col("text"), 3)).as("fp"))
       val planted = fp.alias("a")
         .join(fpTwin.alias("b"),
           col("b.doc_id") % 1000000 === col("a.doc_id"))

@@ -27,19 +27,22 @@ import graft.core.Checkpoints
 object ConnectedComponents {
 
   /** Undirected long-id edge set, self-loops dropped, canonical (max,min)
-    * orientation, deduped. NOT cut here — the caller fuses the cut with
-    * its fingerprint observation. */
+    * orientation. NOT deduplicated and NOT cut: the first star round's
+    * `collect_set` dedupes per neighborhood anyway, so a pre-loop
+    * `distinct` would buy nothing but one extra full-edge-set shuffle and
+    * one extra materialization — the two most expensive jobs of the whole
+    * loop, since every later round runs on the (much smaller) star set. */
   private def hashedEdges(edges: DataFrame): DataFrame =
     canonicalize(edges
       .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v")))
 
-  /** (u,v) long edges → self-loop-free, canonical (max,min), deduped. */
+  /** (u,v) long edges → self-loop-free, canonical (max,min). Pure
+    * projection — no shuffle. */
   private def canonicalize(ehash: DataFrame): DataFrame =
     ehash
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
 
   // Unique observation names across all loops in one SparkSession.
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -64,48 +67,68 @@ object ConnectedComponents {
     (cut, (n, h))
   }
 
+  /** One large-star + small-star round (Kiveris et al., SoCC'14).
+    * Large-star: for each node u, connect every strictly-larger neighbor
+    * to the minimum of N(u) ∪ {u}. Small-star: orient edges large→small;
+    * connect every neighbor (and u itself) of each node u to the minimum
+    * of its ≤-neighborhood. No trailing distinct after large-star:
+    * small-star's collect_set dedupes anyway, so a distinct there would
+    * only add a third shuffle per round. */
+  private def starRound(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val largeStar = nbrs
+      .groupBy("u")
+      .agg(collect_set(col("v")).as("ns"))
+      .select(col("u"),
+        least(col("u"), array_min(col("ns"))).as("m"),
+        filter(col("ns"), n => n > col("u")).as("bigger"))
+      .select(explode(col("bigger")).as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    val oriented = largeStar.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    oriented
+      .groupBy("u")
+      .agg(array_min(collect_set(col("v"))).as("m"),
+        collect_set(col("v")).as("ns"))
+      .select(col("m"),
+        filter(array_union(col("ns"), array(col("u"))),
+          n => n =!= col("m")).as("others"))
+      .select(explode(col("others")).as("u"), col("m").as("v"))
+      .distinct()
+  }
+
   /** Run the alternating-star loop to its fixpoint: returns the star edge
-    * set (u = member, v = component-root = min id of the component). */
+    * set (u = member, v = component-root = min id of the component).
+    *
+    * Two job-count fusions (the loop cost at toy/driver scale is jobs ×
+    * fixed overhead; at cluster scale the same fusions remove full-edge-
+    * set shuffles):
+    *  - NO pre-loop cut/fingerprint of the input: round 1's `collect_set`
+    *    dedupes the raw canonical edges, so the old distinct+materialize
+    *    of the FULL edge set — the two most expensive jobs, every later
+    *    round being star-set-sized — is fused into round 1's shuffle.
+    *  - TWO rounds per lineage cut + fingerprint check, halving the job
+    *    count at the price of at most one extra (idempotent) round after
+    *    the fixpoint. Correct because the alternating-star potential is
+    *    monotone — no 2-cycle can alias the pairwise fingerprint — and a
+    *    star set is a fixpoint of BOTH rounds. Within a pair the first
+    *    round's self-union ends in an exchange, which Spark's
+    *    ReuseExchange deduplicates, not recomputes. */
   private def starFixpoint(e0: DataFrame, maxIterations: Int): DataFrame = {
-    var (e, prevFp) = cutWithFingerprint(e0)
-    var converged = prevFp._1 == 0L
+    var e = e0
+    var prevFp: (Long, Long) = null
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // Large-star: for each node u, connect every strictly-larger neighbor
-      // to the minimum of N(u) ∪ {u}.
-      val nbrs = e.select(col("u"), col("v"))
-        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      // No trailing distinct: small-star's collect_set dedupes anyway, so
-      // a distinct here would only add a third shuffle per round.
-      val largeStar = nbrs
-        .groupBy("u")
-        .agg(collect_set(col("v")).as("ns"))
-        .select(col("u"),
-          least(col("u"), array_min(col("ns"))).as("m"),
-          filter(col("ns"), n => n > col("u")).as("bigger"))
-        .select(explode(col("bigger")).as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-
-      // Small-star: orient edges large→small; connect every neighbor (and u
-      // itself) of each node u to the minimum of its ≤-neighborhood.
-      val oriented = largeStar.select(
-        greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val (smallStar, fp) = cutWithFingerprint(oriented
-        .groupBy("u")
-        .agg(array_min(collect_set(col("v"))).as("m"),
-          collect_set(col("v")).as("ns"))
-        .select(col("m"),
-          filter(array_union(col("ns"), array(col("u"))),
-            n => n =!= col("m")).as("others"))
-        .select(explode(col("others")).as("u"), col("m").as("v"))
-        .distinct())
-
-      // Converged when the (canonical, deduped) edge set is unchanged.
-      e = smallStar
-      converged = fp == prevFp
+      val (next, fp) = cutWithFingerprint(starRound(starRound(e)))
+      // Converged when the (canonical, deduped) edge set is unchanged; an
+      // empty star set (empty/self-loop-only input) is trivially fixed.
+      e = next
+      converged = fp == prevFp || fp._1 == 0L
       prevFp = fp
-      iter += 1
+      iter += 2
     }
     // Exiting at maxIterations without the fixpoint would silently return
     // wrong labels; surface it loudly (callers see the warning, the labels

@@ -307,7 +307,7 @@ object Dedup {
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val fp = Checkpoints.cut(docs.select(col(idCol).as("id"),
-      simHash(TextAnalysis.wordShingles(col(textCol), n)).as("fp")))
+      simHash(TextAnalysis.wordShingleHashes(col(textCol), n)).as("fp")))
     val banded = fp.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
@@ -328,18 +328,32 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** SimHash 64-bit text fingerprint: per-shingle xxhash64, sum ±1 per bit
-    * position weighted by presence, sign → bit. Near-dup candidates =
+  /** SimHash 64-bit text fingerprint over shingle HASHES (the
+    * [[TextAnalysis.wordShingleHashes]] substrate — already xxhash64
+    * outputs, so the votes come straight off the hash bits): sum ±1 per
+    * bit position weighted by presence, sign → bit. Near-dup candidates =
     * fingerprints at small Hamming distance (bucketed into bit-bands by
-    * [[simHashPairs]]). */
-  def simHash(shingles: Column): Column = {
-    // One pass over the shingles: accumulate a 64-long vote vector (+1 when
-    // bit j of xxhash64(shingle) is set, else -1), then pack vote signs into
-    // a single long. Bit positions are unrolled statically (shiftright needs
-    // a literal shift), so the whole thing stays one codegen'd aggregate.
-    val votes = aggregate(shingles, array_repeat(lit(0L), 64),
+    * [[simHashPairs]]).
+    *
+    * Dispatches to the native codegen'd [[graft.functions.SimHashExpr]]
+    * (one compiled loop per row); the interpreted HOF form survives as
+    * [[simHashComposed]] for property-testing bit-equality. */
+  def simHash(shingleHashes: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(shingleHashes)))
+
+  /** The `functions`-composed SimHash — reference implementation the
+    * native expression is property-tested against. */
+  private[graft] def simHashComposed(shingleHashes: Column): Column = {
+    // One pass over the shingle hashes: accumulate a 64-long vote vector
+    // (+1 when bit j of the hash is set, else -1), then pack vote signs
+    // into a single long. Bit positions are unrolled statically
+    // (shiftright needs a literal shift). NULL elements contribute the
+    // engine seed, like composed xxhash64 over a null child.
+    val votes = aggregate(shingleHashes, array_repeat(lit(0L), 64),
       (acc, s) => {
-        val h = xxhash64(s)
+        val h = coalesce(s, lit(42L))
         val bits = array((0 until 64).map(j =>
           when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L))): _*)

@@ -127,6 +127,14 @@ class CodegenGuardSpec extends SparkSpec {
       "graft_repetition_stats")
   }
 
+  test("SimHash over native shingle hashes codegens (no fallback)") {
+    val c = Dedup.simHash(
+      graft.ops.TextAnalysis.wordShingleHashes(col("text"), 3))
+    assert(!ColumnShim.expression(c).isInstanceOf[CodegenFallback])
+    assertCodegenSpan(docs.select(col("doc_id"), c.as("sh")),
+      "graft_simhash")
+  }
+
   test("PQ encode is one narrow codegen'd pass; ADC joins broadcast only") {
     val cb = ProductQuantization.train(vecs, m = 4, k = 8, iterations = 2,
       sampleSize = 64)

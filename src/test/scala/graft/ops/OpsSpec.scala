@@ -238,7 +238,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: near-identical texts land at small hamming distance") {
     val sh = docs.select(col("doc_id"),
-        Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("h"))
+        Dedup.simHash(TextAnalysis.wordShingleHashes(col("text"), 2)).as("h"))
       .as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(2L)) === 0)     // identical after normalization

@@ -250,7 +250,7 @@ class StreamingSpec extends SparkSpec {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
       TextAnalysis.langId(col("text")).as("lang"),
-      Dedup.simHash(TextAnalysis.wordShingles(col("text"), 2)).as("sh"),
+      Dedup.simHash(TextAnalysis.wordShingleHashes(col("text"), 2)).as("sh"),
       size(TextAnalysis.wordShingleHashes(col("text"), 2)).as("n_shingles"))
     val mem = MemoryStream[(Long, String)]
     val query = analyzed(mem.toDS().toDF("doc_id", "text"))
