@@ -19,6 +19,11 @@ import graft.sources._
   *   graft.Cli sheet     --warehouse W --sf-dir D --out DIR   (K10 TSV)
   *   graft.Cli belns     --warehouse W --sf-dir D --out DIR   (K3/K6)
   *   graft.Cli edgelist  --warehouse W --sf-dir D --out DIR   (K8)
+  *
+  * LLM-pipeline extension layer (mirrors the registered t_curate_v2 /
+  * s_ivfadc_recall operators):
+  *   graft.Cli curate-v2 --sf-dir D --out DIR
+  *   graft.Cli ivfadc    --sf-dir D --out DIR [--k K] [--nprobe P]
   */
 object Cli {
 
@@ -127,10 +132,39 @@ object Cli {
         val f = java.nio.file.Paths.get(out, "compath_erd.er")
         java.nio.file.Files.writeString(f, text)
         println(s"wrote $f")
+      case "curate-v2" => // the t_curate_v2 pipeline as a batch job
+        val out = opts.getOrElse("out", s"$warehouse/_curated")
+        import graft.ops.{Dedup, TextAnalysis}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val quality = TextAnalysis.qualityMetrics(docs)
+          .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
+        val rep = TextAnalysis.repetitionMetrics(quality)
+          .filter(col("dup_word_frac") <= 0.5 &&
+            col("max_word_freq_frac") <= 0.12)
+        val survivors = Dedup.exactSurvivors(docs)
+          .select(col("survivor_id").as("doc_id"))
+        val curated = rep.join(survivors, Seq("doc_id"), "left_semi")
+          .filter(TextAnalysis.langId(col("text")) === "en")
+          .select("doc_id", "n_tokens", "dup_word_frac")
+        curated.write.mode("overwrite").parquet(out)
+        println(s"curated ${spark.read.parquet(out).count()} documents -> $out")
+      case "ivfadc" => // build a persisted IVFADC index, run a query batch
+        val out = opts.getOrElse("out", s"$warehouse/_ivfadc")
+        val k = opts.getOrElse("k", "4").toInt
+        val nProbe = opts.getOrElse("nprobe", "2").toInt
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        graft.ops.IvfIndex.build(emb, out, nList = 8, pqM = 8, pqK = 16)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val hits = graft.ops.IvfIndex.topKAdc(spark, out, queries, k = k,
+          nProbe = nProbe)
+        hits.orderBy("query_id", "rank").collect()
+          .foreach(r => println(r.mkString("\t")))
+        println(s"index at $out (nList=8, pqM=8); ${hits.count()} hits")
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
-          "edgelist nodelink triples er")
+          "edgelist nodelink triples er curate-v2 ivfadc")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()
