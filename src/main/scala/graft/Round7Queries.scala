@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *    ([[graft.ops.IvfIndex.AppendStats.staleness]]) must be monotone in
   *    distribution drift: appending shifted vectors scores strictly staler
   *    than appending in-distribution vectors.
+  *
+  * Plus the training-shard staging layer ([[graft.ops.TrainingPrep]]),
+  * every face value-exact against the DuckDB oracle:
+  *  - `d_hash_split`: deterministic md5-hash train/val/test assignment;
+  *  - `t_lm_score`: CCNet-style unigram LM quality score with a capped
+  *    broadcast vocabulary and OOV floor;
+  *  - `t_pack`: per-shard greedy contiguous sequence packing into
+  *    fixed-token-budget bins.
   */
 object Round7Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -130,6 +138,32 @@ object Round7Queries {
       Multimodal.decodePpmRejects(corrupted)
     }),
 
+    // --- Deterministic train/val/test split (value-exact oracle) ------------
+    // Leakage-free reproducible assignment by id hash — md5 hex is
+    // byte-identical across engines, so the oracle recomputes every
+    // label exactly.
+    "d_hash_split" -> ((s, d) =>
+      graft.ops.TrainingPrep.hashSplit(t(s, d, "documents"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
+    // --- Unigram LM quality score (value-exact oracle) ----------------------
+    // CCNet-style reference-model scoring, self-referenced here; the
+    // vocabulary cap is set well below the corpus vocabulary so the OOV
+    // floor path is exercised on real rows.
+    "t_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.TrainingPrep.lmScore(docs, docs, vocabSize = 500)
+    }),
+
+    // --- Sequence packing (value-exact oracle) -------------------------------
+    // Per-shard greedy contiguous packing into 512-token bins via
+    // windowed prefix sums — partitioned by shard, never a global
+    // single-partition window.
+    "t_pack" -> ((s, d) =>
+      graft.ops.TrainingPrep.packSequences(t(s, d, "documents"),
+        budgetTokens = 512, shards = 8)),
+
     // --- Index staleness is monotone in drift --------------------------------
     // The index is built on a CLUSTERED corpus (8 tight Voronoi-friendly
     // clusters derived from anchor vectors — the regime an IVF index
@@ -187,5 +221,55 @@ object Round7Queries {
         "ELSE 'truncated' END AS reason FROM documents WHERE doc_id % 7 <= 1"),
 
     "s_ivf_staleness" ->
-      "SELECT true AS drift_separates, true AS in_dist_near_zero")
+      "SELECT true AS drift_separates, true AS in_dist_near_zero",
+
+    "d_hash_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000) / 1000000.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
+        |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM u
+        |""".stripMargin,
+
+    "t_lm_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS t
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM norm
+        |), wc AS (
+        |  SELECT word, count(*) AS c FROM ex GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS total FROM wc
+        |), top AS (
+        |  SELECT word, ln(c / total) AS logp FROM wc, tot
+        |  ORDER BY c DESC, word ASC LIMIT 500
+        |)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(-coalesce(logp, ln(1.0 / total))), 4) AS lm_score
+        |FROM ex LEFT JOIN top USING (word), tot
+        |GROUP BY doc_id
+        |""".stripMargin,
+
+    "t_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
+        |      len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |    AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin, n_tokens
+        |FROM c
+        |""".stripMargin)
 }

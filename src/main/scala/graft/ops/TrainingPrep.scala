@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators that stage a curated corpus into training shards — the last
+  * mile of a large-scale training-data pipeline, after dedup/quality
+  * filtering and before the trainer reads bytes:
+  *
+  *  - [[hashSplit]]: deterministic, leakage-free train/val/test
+  *    assignment by content-independent id hash;
+  *  - [[lmScore]]: CCNet-style (Wenzek et al., LREC 2020) language-model
+  *    quality score — here a unigram model with a capped broadcast
+  *    vocabulary, the degree that stays one narrow plan on Spark;
+  *  - [[packSequences]]: greedy contiguous sequence packing into
+  *    fixed-token-budget bins, per shard (how real pipelines pack — a
+  *    GLOBAL packing order would need a single-partition window, the
+  *    exact funnel the edge-index export avoids).
+  *
+  * All pure `functions._` chains — codegen'd, no UDFs, oracle-exact.
+  */
+object TrainingPrep {
+
+  /** Deterministic split assignment: uniform [0,1) draw from the first 8
+    * hex digits of md5(id), thresholded by cumulative weights. Properties
+    * a training pipeline needs and `rand()` does not give:
+    * REPRODUCIBLE (same id → same split, any run, any partitioning),
+    * LEAKAGE-FREE under reprocessing (a re-crawled doc keeps its split,
+    * so eval never contaminates train across dataset versions), and
+    * oracle-exact (md5 hex is byte-identical across engines).
+    * Output: input columns + `split`. Narrow — no shuffle, no state. */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Double)],
+                idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $splits")
+    val u = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val first = when(u < cums.head, splits.head._1)
+    val label = splits.tail.zip(cums.tail).dropRight(1)
+      .foldLeft(first) { case (acc, ((name, _), cum)) =>
+        acc.when(u < cum, name)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn("split", label)
+  }
+
+  /** Unigram log-prob quality score against a reference corpus (CCNet's
+    * filter, at the model degree that stays declarative): lower = more
+    * like the reference. p(w) = count(w)/total over the reference, with
+    * the vocabulary CAPPED at the `vocabSize` most frequent words (count
+    * desc, word asc — deterministic) so the probability table is a
+    * broadcast dimension no matter the corpus size; out-of-vocabulary
+    * words score at the 1/total floor.
+    *
+    * Scale shape: reference counts are one explode + hash-groupBy with
+    * map-side combine; the top-V cut is a TakeOrdered (per-partition
+    * top-V, driver merge — V is driver-sized by contract); scoring is
+    * explode → BROADCAST join → per-doc average whose partial
+    * aggregation collapses each partition's word rows to one row per doc
+    * before the shuffle. The reference corpus is never joined
+    * shuffle-side. Output: (idCol, n_words, lm_score), score = mean
+    * -ln p(w) rounded to 4dp. */
+  def lmScore(docs: DataFrame, reference: DataFrame, vocabSize: Int = 50000,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    def words(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(TextAnalysis.normalized(col(textCol)),
+        " ")).as("word"): _*)
+    val counts = words(reference).groupBy("word")
+      .agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c")).collect().head.getLong(0).toDouble
+    val probs = counts
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word"), log(col("c").cast("double") / total).as("logp"))
+    val floor = math.log(1.0 / total)
+    words(docs, col(idCol))
+      .join(broadcast(probs), Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
+  }
+
+  /** Greedy contiguous sequence packing: documents are sharded by id,
+    * ordered within each shard, and assigned to fixed-token-budget bins
+    * by exclusive prefix sum — bin = floor(tokens_before / budget). The
+    * window partitions by shard, so the sort is per-shard (range
+    * partition + local sort), never a single-partition global window; at
+    * 100 TB each shard packs independently, exactly how production
+    * packers shard the work. A document longer than the budget keeps the
+    * packing contiguous (it spans its bin's budget and the next bin
+    * starts after it) rather than being split — token-level splitting is
+    * the tokenizer's job downstream.
+    * Output: (idCol, shard, bin, n_tokens). */
+  def packSequences(docs: DataFrame, budgetTokens: Int, shards: Int = 64,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    docs.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
+  }
+}
