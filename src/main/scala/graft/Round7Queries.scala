@@ -147,6 +147,15 @@ object Round7Queries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    // --- Deterministic domain-mixing resampler (value-exact oracle) ---------
+    // src0 upsampled 2.5x, src1 downsampled to 0.5x, src2 dropped, the
+    // rest kept at 1x — every copy count is a pure function of
+    // (source weight, md5(doc_id)), so the oracle reproduces the exact
+    // multiset.
+    "d_mix_resample" -> ((s, d) =>
+      graft.ops.TrainingPrep.resampleBySource(t(s, d, "documents"),
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
+
     // --- Unigram LM quality score (value-exact oracle) ----------------------
     // CCNet-style reference-model scoring, self-referenced here; the
     // vocabulary cap is set well below the corpus vocabulary so the OOV
@@ -233,6 +242,24 @@ object Round7Queries {
         |SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
         |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
         |FROM u
+        |""".stripMargin,
+
+    "d_mix_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000) / 1000000.0 AS u
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END
+        |      AS INT) AS n
+        |  FROM w
+        |)
+        |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS INT) AS copy
+        |FROM n WHERE n > 0
         |""".stripMargin,
 
     "t_lm_score" ->

@@ -22,20 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
-  /** Deterministic split assignment: uniform [0,1) draw from the first 8
-    * hex digits of md5(id), thresholded by cumulative weights. Properties
-    * a training pipeline needs and `rand()` does not give:
-    * REPRODUCIBLE (same id → same split, any run, any partitioning),
-    * LEAKAGE-FREE under reprocessing (a re-crawled doc keeps its split,
-    * so eval never contaminates train across dataset versions), and
-    * oracle-exact (md5 hex is byte-identical across engines).
+  /** Deterministic uniform [0,1) draw from the first 8 hex digits of
+    * md5(id) — the content-independent randomness source [[hashSplit]]
+    * and [[resampleBySource]] share. Unlike `rand()`: REPRODUCIBLE (same
+    * id → same value, any run, any partitioning) and oracle-exact (md5
+    * hex is byte-identical across engines). */
+  private def hashUniform(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8),
+      16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Deterministic split assignment: [[hashUniform]] thresholded by
+    * cumulative weights. Properties a training pipeline needs: same id →
+    * same split in every run, and LEAKAGE-FREE under reprocessing (a
+    * re-crawled doc keeps its split, so eval never contaminates train
+    * across dataset versions).
     * Output: input columns + `split`. Narrow — no shuffle, no state. */
   def hashSplit(df: DataFrame, splits: Seq[(String, Double)],
                 idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $splits")
-    val u = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
-      16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
+    val u = hashUniform(col(idCol))
     val cums = splits.scanLeft(0.0)(_ + _._2).tail
     val first = when(u < cums.head, splits.head._1)
     val label = splits.tail.zip(cums.tail).dropRight(1)
@@ -44,6 +50,35 @@ object TrainingPrep {
       }
       .otherwise(splits.last._1)
     df.withColumn("split", label)
+  }
+
+  /** Deterministic domain-mixing resampler: each document is emitted
+    * `floor(w)` times plus one more for a [[hashUniform]]-chosen w−⌊w⌋
+    * fraction of its source's documents, where w is the source's mixing
+    * weight (the Gopher/Llama-style domain reweighting step, made
+    * reproducible: the same doc gets the same copy count every run, so a
+    * resumed or re-sharded run sees the identical mixture). Weight 0
+    * drops the source; fractional weights downsample it.
+    *
+    * Scale shape: narrow — the weight lookup is a literal map, the copy
+    * fan-out is `explode(sequence(...))` per row; no shuffle, no state,
+    * and skew from a heavily-upweighted source stays spread across the
+    * scan's partitions. Output: (idCol, sourceCol, copy 1..n). */
+  def resampleBySource(df: DataFrame, weights: Map[String, Double],
+                       defaultWeight: Double = 1.0,
+                       sourceCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    val wt = coalesce(element_at(typedlit(weights), col(sourceCol)),
+      lit(defaultWeight))
+    val u = hashUniform(col(idCol))
+    val n = (floor(wt) +
+      when(u < wt - floor(wt), 1.0).otherwise(0.0)).cast("int")
+    df.select(col(idCol), col(sourceCol), n.as("n"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1), col("n"))).as("copy"))
   }
 
   /** Unigram log-prob quality score against a reference corpus (CCNet's

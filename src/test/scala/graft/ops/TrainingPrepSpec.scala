@@ -23,6 +23,28 @@ class TrainingPrepSpec extends SparkSpec {
       TrainingPrep.hashSplit(ids, Seq("a" -> 0.5)))
   }
 
+  test("resampleBySource: integer copies + deterministic fractional part, " +
+    "zero weight drops the source") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", "t"))
+      .toDF("doc_id", "source", "text")
+    val weights = Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0)
+    val got = TrainingPrep.resampleBySource(docs, weights)
+      .as[(Long, String, Int)].collect()
+    val bySource = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("src0") === 200)            // exactly 2 copies each
+    assert(!bySource.contains("src2"))          // dropped
+    assert(bySource("src3") === 100)            // default weight 1.0
+    val frac = bySource("src1").toDouble / 100  // ~half survive
+    assert(frac > 0.3 && frac < 0.7, s"src1 kept fraction $frac")
+    // reproducible: identical multiset on re-run
+    val again = TrainingPrep.resampleBySource(docs, weights)
+      .as[(Long, String, Int)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // copy indices are 1..n per doc
+    assert(got.filter(_._2 == "src0").groupBy(_._1)
+      .forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2)))
+  }
+
   test("lmScore: golden unigram scores incl. the OOV floor") {
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     // reference counts: a=2, b=1, c=1, total=4
