@@ -111,6 +111,67 @@ class StreamingSpec extends SparkSpec {
       - nEvents.toDouble) < 1e-9)
   }
 
+  test("sessionizer advance: randomized multi-batch equivalence with the " +
+    "batch face under bounded out-of-order arrival") {
+    import EventStreams.{SessionAgg, TailEv}
+    val gapMs = 30 * 60000L
+    val wmDelayMs = 10 * 60000L
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      // random event times over ~10 hours with occasional >gap holes
+      var t = 0L
+      val times = (0 until 150).map { _ =>
+        t += (if (rnd.nextInt(10) == 0) gapMs + 60000L + rnd.nextInt(600000)
+              else rnd.nextInt(8 * 60000)).toLong
+        t
+      }
+      val events = times.map(m => TailEv(ts(0), 0.0).copy(
+        ts = new Timestamp(1700000000000L + m), value = rnd.nextInt(10) + 1.0))
+      // arrival order: bounded shuffle — an event may arrive up to
+      // wmDelay early/late relative to its neighbors (Spark drops rows
+      // below the watermark, so lateness stays inside the delay)
+      val arrival = events.sortBy(e => e.ts.getTime + rnd.nextInt(wmDelayMs.toInt) - wmDelayMs / 2)
+      var state: Option[SessionAgg] = None
+      var closed = List.empty[(Timestamp, Long, Double)]
+      var maxSeen = Long.MinValue
+      arrival.grouped(25).foreach { batchRaw =>
+        val wm = if (maxSeen == Long.MinValue) 0L else maxSeen - wmDelayMs
+        val batch = batchRaw.filter(_.ts.getTime >= wm).toList // late-drop
+        val (c, next) = EventStreams.advance(state, batch, wm, gapMs)
+        closed = closed ++ c
+        state = next
+        maxSeen = math.max(maxSeen, batchRaw.map(_.ts.getTime).max)
+      }
+      // flush: the timeout path emits the remaining open session whole
+      state.foreach { agg =>
+        closed = closed :+ ((agg.session_start,
+          agg.frozen_n + agg.tail.size,
+          agg.frozen_total + agg.tail.map(_.value).sum))
+      }
+      // reference: full-buffer batch sessionization over delivered events
+      val delivered = {
+        // replay the same late-drop the stream applied
+        var seen = Long.MinValue
+        val kept = List.newBuilder[TailEv]
+        arrival.grouped(25).foreach { b =>
+          val wm = if (seen == Long.MinValue) 0L else seen - wmDelayMs
+          kept ++= b.filter(_.ts.getTime >= wm)
+          seen = math.max(seen, b.map(_.ts.getTime).max)
+        }
+        kept.result()
+      }
+      val sorted = delivered.sortBy(_.ts.getTime)
+      val expected = sorted.tail.foldLeft(
+        List(List(sorted.head))) { case (acc @ cur :: rest, e) =>
+          if (e.ts.getTime - cur.head.ts.getTime > gapMs) List(e) :: acc
+          else (e :: cur) :: rest
+        }.map(_.reverse).reverse
+        .map(g => (g.head.ts, g.size.toLong, g.map(_.value).sum))
+      assert(closed.sortBy(_._1.getTime) === expected,
+        s"seed $seed: stream/batch mismatch")
+    }
+  }
+
   test("sessionizer advance: splits, closed emits and compaction agree " +
     "with the full-buffer semantics") {
     import EventStreams.{SessionAgg, TailEv}
