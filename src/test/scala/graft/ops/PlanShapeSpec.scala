@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the SCALE-CRITICAL physical shapes of the training-prep operators
+  * — the properties that make them survive a 100× scale-up, which a
+  * value-level oracle cannot see: a narrow op silently gaining a shuffle,
+  * a broadcast dimension silently becoming a shuffle join, or a per-shard
+  * window collapsing to a single global partition would all still return
+  * correct rows. AQE is disabled per-test so the executed plan's
+  * exchanges are directly collectable (same posture as the bucketed-merge
+  * shape test). */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = {
+    val p = s"${tmpDir("ps_docs")}/d"
+    (0 until 256).map(i => (i.toLong, s"src${i % 4}",
+      s"alpha beta gamma delta $i epsilon zeta"))
+      .toDF("doc_id", "source", "text").write.parquet(p)
+    spark.read.parquet(p)
+  }
+
+  private def executed(df: DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("hashSplit and resampleBySource are narrow: zero exchanges") {
+    withoutAqe {
+      for (df <- Seq(
+        TrainingPrep.hashSplit(docs,
+          Seq("train" -> 0.9, "test" -> 0.1)).select("doc_id", "split"),
+        TrainingPrep.resampleBySource(docs, Map("src0" -> 2.5)))) {
+        val plan = executed(df)
+        assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"narrow op gained a shuffle:\n$plan")
+      }
+    }
+  }
+
+  test("packSequences shuffles ONCE, on shard — never a global " +
+    "single-partition window sort") {
+    withoutAqe {
+      val plan = executed(TrainingPrep.packSequences(docs, 64, shards = 8))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1, s"expected one shard shuffle:\n$plan")
+      assert(shuffles.head.outputPartitioning.numPartitions > 1,
+        s"window collapsed to a single partition:\n$plan")
+      assert(shuffles.head.toString.contains("shard"),
+        s"shuffle is not on the shard key:\n$plan")
+    }
+  }
+
+  test("lmScore: vocabulary joins BROADCAST (reference corpus never " +
+    "shuffle-joined), scoring aggregates map-side before one doc shuffle") {
+    withoutAqe {
+      val plan = executed(TrainingPrep.lmScore(docs, docs, vocabSize = 16))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"vocab join is not broadcast:\n$plan")
+      assert(plan.collect { case e: BroadcastExchangeExec => e }.nonEmpty)
+      // exchanges: word-count groupBy (build side) + doc_id groupBy — and
+      // nothing else (no shuffle join, no global sort for the top-V cut,
+      // which must be a TakeOrdered)
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 2, s"unexpected exchange count:\n$plan")
+      assert(plan.toString.contains("TakeOrderedAndProject"),
+        s"vocab cap is not a TakeOrdered:\n$plan")
+    }
+  }
+
+  test("simHashPairs: candidate generation is an equi-join on band " +
+    "buckets — no cartesian product anywhere") {
+    withoutAqe {
+      val plan = executed(Dedup.simHashPairs(docs, n = 2, maxHamming = 3))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian product in the pair plan:\n$plan")
+    }
+  }
+}
