@@ -89,22 +89,25 @@ object TrainingPrep {
     * broadcast dimension no matter the corpus size; out-of-vocabulary
     * words score at the 1/total floor.
     *
-    * Scale shape: reference counts are one explode + hash-groupBy with
-    * map-side combine; the top-V cut is a TakeOrdered (per-partition
-    * top-V, driver merge — V is driver-sized by contract); scoring is
-    * explode → BROADCAST join → per-doc average whose partial
-    * aggregation collapses each partition's word rows to one row per doc
-    * before the shuffle. The reference corpus is never joined
-    * shuffle-side. Output: (idCol, n_words, lm_score), score = mean
-    * -ln p(w) rounded to 4dp. */
+    * Scale shape: reference counts are ONE explode + hash-groupBy pass
+    * with map-side combine, materialized (lineage cut) at
+    * vocabulary size so the total and the top-V cut both read the
+    * counts, not the corpus — the reference corpus is scanned exactly
+    * once; the top-V cut is a TakeOrdered (per-partition top-V, driver
+    * merge — V is driver-sized by contract); scoring is explode →
+    * BROADCAST join → per-doc average whose partial aggregation
+    * collapses each partition's word rows to one row per doc before the
+    * shuffle. The reference corpus is never joined shuffle-side.
+    * Output: (idCol, n_words, lm_score), score = mean -ln p(w) rounded
+    * to 4dp. */
   def lmScore(docs: DataFrame, reference: DataFrame, vocabSize: Int = 50000,
               idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     def words(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+ explode(split(TextAnalysis.normalized(col(textCol)),
         " ")).as("word"): _*)
-    val counts = words(reference).groupBy("word")
-      .agg(count(lit(1)).as("c"))
+    val counts = graft.core.Checkpoints.cut(
+      words(reference).groupBy("word").agg(count(lit(1)).as("c")))
     val total = counts.agg(sum("c")).collect().head.getLong(0).toDouble
     val probs = counts
       .orderBy(col("c").desc, col("word").asc)

@@ -70,11 +70,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
         s"vocab join is not broadcast:\n$plan")
       assert(plan.collect { case e: BroadcastExchangeExec => e }.nonEmpty)
-      // exchanges: word-count groupBy (build side) + doc_id groupBy — and
-      // nothing else (no shuffle join, no global sort for the top-V cut,
-      // which must be a TakeOrdered)
+      // exchanges: ONLY the doc_id groupBy — the word counts are a
+      // materialized (lineage-cut) frame behind the TakeOrdered, so no
+      // shuffle join, no global sort for the top-V cut, and no re-scan
+      // of the reference corpus appears in the scoring plan
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.size === 2, s"unexpected exchange count:\n$plan")
+      assert(shuffles.size === 1, s"unexpected exchange count:\n$plan")
       assert(plan.toString.contains("TakeOrderedAndProject"),
         s"vocab cap is not a TakeOrdered:\n$plan")
     }
