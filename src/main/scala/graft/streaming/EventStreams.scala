@@ -59,9 +59,11 @@ object EventStreams {
     * events table. `ts div 1000` converts the raw long-nanosecond column
     * to a microsecond timestamp in integer arithmetic, mirroring
     * [[graft.core.Tables.events]]. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
+  def readStream(spark: SparkSession, dir: String,
+                 options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .schema(Tables.events)
+      .options(options)
       .parquet(s"$dir/{events.parquet}")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000"))
