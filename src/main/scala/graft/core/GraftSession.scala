@@ -34,4 +34,16 @@ object GraftSession {
       // long nanos; Tables.events re-derives a proper timestamp column
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Production streaming posture: RocksDB-backed state stores. The
+    * default HDFS-backed provider keeps every key's state resident in
+    * executor memory — even with the sessionizer's O(1)-compacted per-key
+    * state, production KEY CARDINALITY (millions of users × stateful
+    * operators) makes memory-resident state an OOM budget, while RocksDB
+    * spills to local disk with changelog checkpointing. Not the harness
+    * default only because per-batch RocksDB overhead dwarfs the
+    * dimension-sized test feeds. */
+  def withRocksDbState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

@@ -364,6 +364,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful operators run unchanged on the RocksDB state store " +
+    "(production provider — disk-spilling, not memory-resident)") {
+    // same conf GraftSession.withRocksDbState sets at build time, scoped
+    // to a child session here (the provider is read at query start)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = scoped.sqlContext
+    import scoped.implicits._
+    val mem = MemoryStream[Event]
+    val query = EventStreams.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("rocks_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      val closed = scoped.table("rocks_sessions").as[Session].collect()
+        .sortBy(_.user_id)
+      assert(closed.toSeq === Seq(
+        Session(100L, ts(0), 2L, 3.0), Session(200L, ts(5), 1L, 8.0)))
+      // the state operator really ran on RocksDB, not the HDFS default
+      val metrics = query.lastProgress.stateOperators
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics: ${metrics.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming windowed counts with watermark (complete mode)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Event]
