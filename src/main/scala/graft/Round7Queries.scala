@@ -138,6 +138,17 @@ object Round7Queries {
       Multimodal.decodePpmRejects(corrupted)
     }),
 
+    // --- Real PPM downscale, verified through the real decoder --------------
+    // resize -> decode composition over real P6 bytes: nearest-neighbor
+    // 2x subsampling keeps pixels at even (row, col), so the oracle can
+    // recompute the resized image's per-channel sums arithmetically from
+    // the pixel formula — a header re-encode or stride bug breaks the
+    // hash.
+    "mm_resize_ppm" -> ((s, d) =>
+      graft.ops.Multimodal.decodePpm(
+        graft.ops.Multimodal.resizePpm(
+          graft.ops.Multimodal.ppmEncode(t(s, d, "documents")), factor = 2))),
+
     // --- Deterministic train/val/test split (value-exact oracle) ------------
     // Leakage-free reproducible assignment by id hash — md5 hex is
     // byte-identical across engines, so the oracle recomputes every
@@ -231,6 +242,27 @@ object Round7Queries {
 
     "s_ivf_staleness" ->
       "SELECT true AS drift_separates, true AS in_dist_near_zero",
+
+    "mm_resize_ppm" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS k
+        |  FROM dims
+        |), kept AS (
+        |  SELECT doc_id,
+        |    CAST((w + 1) // 2 AS INT) AS width,
+        |    CAST((h + 1) // 2 AS INT) AS height,
+        |    doc_id * 31 + k * 7 AS base
+        |  FROM px WHERE (k % w) % 2 = 0 AND (k // w) % 2 = 0
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(sum(base % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((base + 53) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((base + 106) % 256) AS BIGINT) AS sum_b
+        |FROM kept GROUP BY 1, 2, 3
+        |""".stripMargin,
 
     "d_hash_split" ->
       """WITH u AS (

@@ -265,6 +265,79 @@ object Multimodal {
     if (bytes.nonEmpty) (bytes.last & 0xff).toDouble else -1.0,
     bytes.count(_ == ' '.toByte).toDouble)
 
+  /** REAL image downscale for binary PPM: nearest-neighbor subsampling by
+    * integer `factor` (keep pixels at even multiples of the factor in both
+    * axes), re-encoded as a VALID P6 blob — so the output feeds straight
+    * back into [[decodePpm]] / [[decodeFeatures]] / any P6 consumer. The
+    * batched `mapPartitions` + try→reject shape matches [[decodePpm]];
+    * corrupt inputs surface on its reject side, they do not kill the job.
+    * Output: (doc_id, content) with dims ceil(w/factor) × ceil(h/factor). */
+  def resizePpm(df: DataFrame, factor: Int, idCol: String = "doc_id",
+                batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"need factor($factor) >= 1")
+    val in = df.select(col(idCol).cast("long").as("doc_id"), col("content"))
+      .as(Encoders.product[MmIn])
+    in.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          try Some(MmIn(r.doc_id, subsamplePpm(r.content, factor)))
+          catch { case _: IllegalArgumentException => None }
+        }
+      }
+    }(Encoders.product[MmIn]).toDF()
+  }
+
+  /** Parse a P6 blob and re-encode every `factor`-th pixel (both axes). */
+  private def subsamplePpm(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val (w, h, rasterAt) = ppmHeader(bytes)
+    val w2 = (w + factor - 1) / factor
+    val h2 = (h + factor - 1) / factor
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var oy = 0
+    while (oy < h2) {
+      var ox = 0
+      while (ox < w2) {
+        val src = rasterAt + ((oy * factor) * w + ox * factor) * 3
+        val dst = header.length + (oy * w2 + ox) * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src + 2)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Header-only P6 parse: (width, height, raster offset). Shares the
+    * grammar and failure codes with [[parsePpm]]. */
+  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    // parsePpm validates the full blob (incl. raster length); re-walk the
+    // header to find the raster offset
+    parsePpm(bytes)
+    var i = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+    def token(): String = {
+      var scanning = true
+      while (scanning) {
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+        if (i < bytes.length && bytes(i) == '#')
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        else scanning = false
+      }
+      val s = i
+      while (i < bytes.length && !isWs(bytes(i))) i += 1
+      new String(bytes, s, i - s, "US-ASCII")
+    }
+    token() // magic
+    val w = token().toInt
+    val h = token().toInt
+    token() // maxval
+    (w, h, i + 1)
+  }
+
   /** "Resize" shape: recompute metadata after a transform — here a
     * truncation standing in for image downscale (narrow op). */
   def resizeStub(df: DataFrame, maxBytes: Int,

@@ -516,6 +516,30 @@ class MultimodalSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, "truncated")))
   }
 
+  test("resizePpm: nearest-neighbor 2x subsample re-encodes valid P6 " +
+    "whose decode matches the kept-pixel arithmetic") {
+    val resized = Multimodal.decodePpm(
+      Multimodal.resizePpm(Multimodal.ppmEncode(docs), factor = 2))
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (d <- Seq(1L, 2L)) {
+      val w = 4 + (d % 5).toInt; val h = 3 + (d % 4).toInt
+      val kept = for {
+        row <- 0 until h if row % 2 == 0
+        colI <- 0 until w if colI % 2 == 0
+      } yield row * w + colI
+      def ch(c: Int) = kept.map(k => (d * 31 + k * 7 + c * 53) % 256).sum
+      assert(resized(d) ===
+        ((d, (w + 1) / 2, (h + 1) / 2, ch(0), ch(1), ch(2))))
+    }
+    // a corrupt blob is skipped by resize (no job failure, no output row)
+    val corrupt = Multimodal.ppmEncode(docs).withColumn("content",
+      when(col("doc_id") === 1L, lit("junk".getBytes("US-ASCII")))
+        .otherwise(col("content")))
+    assert(Multimodal.resizePpm(corrupt, 2).select("doc_id")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("ppmEncode -> decodePpm roundtrip matches the closed-form stats") {
     val stats = Multimodal.decodePpm(Multimodal.ppmEncode(docs))
       .as[(Long, Int, Int, Long, Long, Long)].collect()
