@@ -184,6 +184,52 @@ object Round7Queries {
       graft.ops.TrainingPrep.packSequences(t(s, d, "documents"),
         budgetTokens = 512, shards = 8)),
 
+    // --- BM25 full-text ranking (value-exact oracle) -------------------------
+    // Every formula input (tf, df, dl, N, avgdl) is integer-derived, so
+    // the 4-dp score is engine-independent — the oracle recomputes the
+    // whole Okapi pipeline in SQL.
+    "t_bm25" -> ((s, d) =>
+      graft.ops.TextSearch.bm25(t(s, d, "documents"),
+        Seq("spark", "vector", "stream"))),
+
+    // --- Substring-level duplicate spans (value-exact oracle) ----------------
+    // Corpus = documents + whole-document twins for the even half, so the
+    // interval merge is exercised on full-document spans while natural
+    // cross-document 5-gram repeats yield partial spans. The oracle
+    // recomputes positions from string grams; the engine runs on 64-bit
+    // gram hashes — identical output up to hash collisions.
+    "d_dup_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.duplicateSpans(corpus, n = 5)
+    }),
+
+    // --- Sketch profile error contract ---------------------------------------
+    // The one-pass HLL++/KLL profile must sit within its advertised error
+    // of the exact answers on every key — checked per key, reported as
+    // hard booleans.
+    "a15_sketch_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val approx = graft.ops.Profile.sketchProfile(
+        ev, "event_type", "user_id", "value")
+      val exact = ev.groupBy("event_type").agg(
+        countDistinct("user_id").as("nd_exact"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.95)").as("p95_exact"))
+      approx.join(exact, "event_type").agg(
+        max(abs(col("n_distinct_approx") - col("nd_exact")) /
+          col("nd_exact")).as("nd_err"),
+        max(abs(col("p50_approx") - col("p50_exact")) /
+          abs(col("p50_exact"))).as("p50_err"),
+        max(abs(col("p95_approx") - col("p95_exact")) /
+          abs(col("p95_exact"))).as("p95_err")
+      ).select((col("nd_err") < 0.05).as("distinct_within_rsd"),
+        (col("p50_err") < 0.02).as("p50_within_eps"),
+        (col("p95_err") < 0.02).as("p95_within_eps"))
+    }),
+
     // --- Index staleness is monotone in drift --------------------------------
     // The index is built on a CLUSTERED corpus (8 tight Voronoi-friendly
     // clusters derived from anchor vectors — the regime an IVF index
@@ -242,6 +288,73 @@ object Round7Queries {
 
     "s_ivf_staleness" ->
       "SELECT true AS drift_separates, true AS in_dist_near_zero",
+
+    "a15_sketch_profile" ->
+      ("SELECT true AS distinct_within_rsd, true AS p50_within_eps, " +
+        "true AS p95_within_eps"),
+
+    "t_bm25" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS t
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, t, len(string_split(t, ' ')) AS dl FROM norm
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM d
+        |), ex AS (
+        |  SELECT doc_id, dl, unnest(string_split(t, ' ')) AS word FROM d
+        |), tf AS (
+        |  SELECT doc_id, dl, word, count(*) AS tf FROM ex
+        |  WHERE word IN ('spark', 'vector', 'stream') GROUP BY 1, 2, 3
+        |), idf AS (
+        |  SELECT word, ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |  FROM tf, stats GROUP BY word, n
+        |)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  round(sum(idf * tf * 2.2 /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN idf USING (word), stats
+        |GROUP BY doc_id
+        |""".stripMargin,
+
+    "d_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0
+        |), norm AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      ' ') AS w
+        |  FROM corpus
+        |), p AS (
+        |  SELECT doc_id, w, CAST(unnest(range(len(w) - 4)) AS BIGINT) AS pos
+        |  FROM norm WHERE len(w) >= 5
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 5], ' ')
+        |    AS gram
+        |  FROM p
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2
+        |), m AS (
+        |  SELECT doc_id, pos FROM g JOIN dup USING (gram)
+        |), s AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER win IS NULL
+        |      OR pos > lag(pos) OVER win + 5 THEN 1 ELSE 0 END AS new_span
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM s
+        |)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 4 AS span_end, count(*) AS n_grams
+        |FROM sp GROUP BY doc_id, span_id
+        |""".stripMargin,
 
     "mm_resize_ppm" ->
       """WITH dims AS (

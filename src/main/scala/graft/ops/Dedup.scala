@@ -343,6 +343,67 @@ object Dedup {
       graft.functions.SimHashExpr(
         org.apache.spark.sql.graft.ColumnShim.expression(shingleHashes)))
 
+  /** Positional word n-gram hashes: UNLIKE [[TextAnalysis.wordShingleHashes]]
+    * (sorted distinct SET semantics for Jaccard), this keeps every gram at
+    * its word offset — the substrate substring-level dedup needs. Documents
+    * shorter than n words contribute no grams. Narrow, one pass. */
+  private[graft] def posGramHashes(text: Column, n: Int): Column =
+    graft.functions.Exprs.bound(
+      split(TextAnalysis.normalized(text), " ")) { words =>
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => xxhash64((1 to n).map(j => element_at(words, i + j)): _*)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
+  /** Substring-level duplicate spans (the operator behind Lee et al.:
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    * — suffix-array substring dedup, re-expressed relationally): a word
+    * position is DUPLICATED when the n-gram starting there occurs at least
+    * `minCount` times anywhere in the corpus (across documents or repeated
+    * within one); runs of duplicated positions merge into maximal spans,
+    * the unit a pipeline cuts out of training text.
+    *
+    * Relational shape instead of a suffix array: positional gram hashes
+    * (narrow pass) → one hash-groupBy for corpus-frequency (map-side
+    * combined; the 100 TB analogue of the suffix array's duplicate scan) →
+    * equi-join marks duplicated positions → per-document interval merge
+    * under a (doc)-partitioned window — never a global sort, never
+    * all-pairs. Two grams merge when their word intervals overlap or
+    * touch (next start ≤ prev start + n).
+    *
+    * Output: (idCol, span_start, span_end, n_grams) — word offsets,
+    * 0-based inclusive; span_end = last covered word. Exact up to 64-bit
+    * gram-hash collisions (~k²/2⁶⁵ for k distinct grams). */
+  def duplicateSpans(docs: DataFrame, n: Int = 5, minCount: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 1 && minCount >= 2, s"need n >= 1, minCount >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = Checkpoints.cut(docs
+      .select(col(idCol).as("id"),
+        posexplode(posGramHashes(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("gram")
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
   /** The `functions`-composed SimHash — reference implementation the
     * native expression is property-tested against. */
   private[graft] def simHashComposed(shingleHashes: Column): Column = {

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based corpus profiling — the dataset-statistics pass a pipeline
+  * runs BEFORE committing to a curation recipe (per-domain cardinalities,
+  * value distributions, volume): at 100 TB these must come from one-pass
+  * mergeable sketches, not exact operators.
+  *
+  * Why sketches are the scale choice here and nowhere else in the repo:
+  * `countDistinct` inside a grouped aggregation plans an EXPAND + a
+  * second shuffle keyed on (group, value) — at corpus scale that is a
+  * full re-shuffle of the fact table per distinct column. The HLL++
+  * (`approx_count_distinct`) and KLL-quantile (`approx_percentile`)
+  * aggregates instead carry O(1)-size mergeable state through the normal
+  * partial-aggregation path: one map-side pass, one narrow merge, bounded
+  * error the profile's consumers tolerate by design. The registered gate
+  * (`a15_sketch_profile`) pins that error contract against the exact
+  * answers at test scale.
+  */
+object Profile {
+
+  /** Per-key profile: row volume, approximate distinct count of `idCol`
+    * (HLL++, default rsd 5%), approximate p50/p95 of `valueCol`
+    * (quantile sketch, accuracy 1e4). One pass, map-side combinable.
+    * Output: (keyCol, n, n_distinct_approx, p50_approx, p95_approx). */
+  def sketchProfile(df: DataFrame, keyCol: String, idCol: String,
+                    valueCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(idCol).as("n_distinct_approx"),
+        percentile_approx(col(valueCol),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("pcts"))
+      .select(col(keyCol), col("n"), col("n_distinct_approx"),
+        element_at(col("pcts"), 1).as("p50_approx"),
+        element_at(col("pcts"), 2).as("p95_approx"))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance ranking over a document corpus — the retrieval
+  * face of the text layer (used for corpus exploration, eval-set mining,
+  * and quality-by-query auditing in training-data pipelines):
+  *
+  *  - [[bm25]]: Okapi BM25 (Robertson & Walker, SIGIR 1994; the TREC-3
+  *    formulation with the standard k1/b parameterization) over the same
+  *    whitespace token stream the rest of the text layer uses
+  *    ([[TextAnalysis.normalized]]), so a scored document is scored on
+  *    exactly the words dedup and LM-scoring saw.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - the query-term filter is an `isin` over a driver-sized literal list,
+  *    applied BEFORE any shuffle — non-matching words never leave the
+  *    scan's partitions, so the term-frequency groupBy shuffles only
+  *    (doc, query-term) rows, map-side combined;
+  *  - document frequencies are a second-level aggregation over that tiny
+  *    tf frame (≤ |terms| rows out), never a second corpus scan;
+  *  - per-term idf weights join back as a BROADCAST of ≤ |terms| rows;
+  *  - corpus stats (N, avgdl) are one column-pruned scalar aggregation
+  *    (two longs to the driver — the same posture as lmScore's
+  *    vocabulary total), not a per-row join input.
+  */
+object TextSearch {
+
+  /** BM25 scores for every document matching at least one query term.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative
+    * Lucene-style idf.
+    *
+    * `dl` is the document's whitespace token count over the normalized
+    * text; `avgdl` its corpus mean. Deterministic and oracle-exact: every
+    * input to the formula (tf, df, dl, N, avgdl) is integer-derived, so
+    * the 4-dp rounded score is engine-independent.
+    *
+    * Output: (idCol, n_terms_hit, bm25), one row per matching document. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val dl: Column = size(split(TextAnalysis.normalized(col(textCol)), " "))
+    // one corpus pass: per-doc length + the query-term token stream
+    val hits = docs
+      .select(col(idCol).as("id"), dl.cast("long").as("dl"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats are dimension-sized scalars (two longs) by contract —
+    // the same driver-side posture as lmScore's vocabulary total
+    val stats = docs.agg(count(lit(1)).as("n"), sum(dl).as("toks"))
+      .collect().head
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getLong(1).toDouble / n
+    // document frequencies: second-level aggregate over the tf frame
+    // (≤ |terms| rows out), broadcast back as the idf dimension
+    val idf = hits.groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .select(col("word"),
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"))
+    val perTerm = hits.join(broadcast(idf), "word")
+      .select(col("id"),
+        (col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("s"))
+    perTerm.groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), round(sum("s"), 4).as("bm25"))
+      .select(col("id").as(idCol), col("n_terms_hit"), col("bm25"))
+  }
+}

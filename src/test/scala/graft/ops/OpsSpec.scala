@@ -245,6 +245,85 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) <= 16)     // near dup: close
     assert(hamming(sh(1L), sh(4L)) > 16)      // unrelated: far
   }
+
+  test("duplicateSpans: cross-document repeated run merges into one " +
+    "maximal span per document; unique text emits nothing") {
+    val corpus = Seq(
+      // docs 1 and 2 share the 8-word run "a b c d e f g h"
+      (1L, "a b c d e f g h unique1 tail1 x1 y1"),
+      (2L, "prefix2 q r s a b c d e f g h suffix2 z2 w2"),
+      (3L, "totally distinct words nine ten eleven twelve etc"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, n = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: duplicated 5-grams start at words 0..3 -> span words 0..7
+    // doc 2: the run sits at words 4..11 -> grams 4..7 -> span words 4..11
+    assert(spans === Set((1L, 0L, 7L, 4L), (2L, 4L, 11L, 4L)))
+  }
+
+  test("duplicateSpans: within-document repetition counts toward " +
+    "minCount; far-apart repeats stay separate spans") {
+    val corpus = Seq(
+      (1L, "x1 x2 x3 x4 x5 mid1 mid2 mid3 mid4 mid5 mid6 x1 x2 x3 x4 x5"),
+      (2L, "too short"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, n = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 5-gram "x1..x5" occurs at word 0 and word 11 in the SAME doc:
+    // start gap 11 > n=5, so two separate whole-gram spans
+    assert(spans === Set((1L, 0L, 4L, 1L), (1L, 11L, 15L, 1L)))
+  }
+}
+
+class TextSearchSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("bm25: golden scores against the hand-computed Okapi formula") {
+    val docs = Seq(
+      (1L, "spark spark engine"), // dl 3, tf(spark)=2
+      (2L, "vector db"),          // dl 2, tf(vector)=1
+      (3L, "the plain text"))     // no query term
+      .toDF("doc_id", "text")
+    val got = TextSearch.bm25(docs, Seq("spark", "vector"))
+      .as[(Long, Long, Double)].collect().toSet
+    // N=3, avgdl=8/3, df=1 each: idf = ln(1 + 2.5/1.5) = 0.980829...
+    // doc1: 0.980829*2*2.2 / (2 + 1.2*(0.25 + 0.75*3/(8/3))) = 1.30284
+    // doc2: 0.980829*1*2.2 / (1 + 1.2*(0.25 + 0.75*2/(8/3))) = 1.09257
+    assert(got === Set((1L, 1L, 1.3028), (2L, 1L, 1.0926)))
+  }
+
+  test("bm25: rarer term outranks common term at equal tf") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
+      (4L, "rare gamma"))
+      .toDF("doc_id", "text")
+    val s = TextSearch.bm25(docs, Seq("alpha", "rare"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    // df(alpha)=3, df(rare)=1, all dl equal: the rare-term doc wins
+    assert(s(4L) > s(1L))
+  }
+}
+
+class ProfileSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("sketchProfile: HLL distinct and quantile sketch sit within " +
+    "advertised error of exact answers") {
+    val rows = for (k <- Seq("a", "b"); i <- 1 to 2000)
+      yield (k, (i % 500).toLong, i.toDouble)
+    val df = rows.toDF("event_type", "user_id", "value")
+    val got = graft.ops.Profile
+      .sketchProfile(df, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("a", "b"))
+    got.values.foreach { case (_, n, nd, p50, p95) =>
+      assert(n === 2000L)
+      assert(math.abs(nd - 500L) <= 25)          // 5% rsd
+      assert(math.abs(p50 - 1000.0) <= 40.0)     // 2% of the 1..2000 range
+      assert(math.abs(p95 - 1900.0) <= 40.0)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
