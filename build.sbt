@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full query suite JIT-compiles thousands of generated classes
+  // (one whole-stage-codegen class per stage per query); the JVM default
+  // 240m code cache fills near the end of the run, the JIT shuts off,
+  // and later CPU-bound work runs interpreted ~10x slower.
+  "-XX:ReservedCodeCacheSize=512m",
 )

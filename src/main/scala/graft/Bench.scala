@@ -24,7 +24,13 @@ object Bench {
     // warm the JVM/codegen on the FIRST query of the timed (sorted) order,
     // so warm-up is deterministic and the first timed query doesn't pay
     // first-job classloading
+    // optional comma-separated allowlist for isolated re-measurement of a
+    // few queries while tuning (absent/empty = run everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     try sorted.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     val results = sorted.map { case (name, fn) =>
