@@ -24,6 +24,9 @@ import graft.sources._
   * s_ivfadc_recall operators):
   *   graft.Cli curate-v2 --sf-dir D --out DIR
   *   graft.Cli ivfadc    --sf-dir D --out DIR [--k K] [--nprobe P]
+  *   graft.Cli search    --sf-dir D --terms a,b,c [--top N]
+  *   graft.Cli dup-spans --sf-dir D --out DIR [--ngram N]
+  *   graft.Cli profile   --sf-dir D [--table events|documents]
   */
 object Cli {
 
@@ -161,10 +164,37 @@ object Cli {
         hits.orderBy("query_id", "rank").collect()
           .foreach(r => println(r.mkString("\t")))
         println(s"index at $out (nList=8, pqM=8); ${hits.count()} hits")
+      case "search" => // BM25 ranking over the document corpus (t_bm25)
+        val terms = opts.getOrElse("terms", "spark,vector")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val n = opts.getOrElse("top", "10").toInt
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.ops.TextSearch.bm25(docs, terms)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
+      case "dup-spans" => // substring-level duplicate spans (d_dup_spans)
+        val out = opts.getOrElse("out", s"$warehouse/_dup_spans")
+        val n = opts.getOrElse("ngram", "5").toInt
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val spans = graft.ops.Dedup.duplicateSpans(docs, n = n)
+        spans.write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} spans -> $out")
+      case "profile" => // sketch-based corpus profile (a15_sketch_profile)
+        val table = opts.getOrElse("table", "events")
+        val (key, id, value) = table match {
+          case "events" => ("event_type", "user_id", "value")
+          case "documents" => ("lang", "doc_id", "n_chars")
+          case _ => (opts("key"), opts("id"), opts("value"))
+        }
+        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        graft.ops.Profile.sketchProfile(df, key, id, value)
+          .orderBy(key).collect()
+          .foreach(r => println(r.mkString("\t")))
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
-          "edgelist nodelink triples er curate-v2 ivfadc")
+          "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
+          "profile")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()

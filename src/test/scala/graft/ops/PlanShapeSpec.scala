@@ -89,4 +89,55 @@ class PlanShapeSpec extends SparkSpec {
         s"cartesian product in the pair plan:\n$plan")
     }
   }
+
+  test("bm25: term filter precedes the tf shuffle (non-matching words " +
+    "never leave the scan), idf joins broadcast, no cartesian") {
+    withoutAqe {
+      val plan = executed(TextSearch.bm25(docs, Seq("alpha", "zeta")))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian product in the bm25 plan:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"idf join is not broadcast:\n$plan")
+      // every shuffle's input already carries the isin term filter below
+      // it: the corpus-wide token stream is never exchanged
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(e.child.toString.contains("INSET") ||
+          e.child.toString.contains("IN ("),
+          s"a shuffle input is missing the term filter:\n$e")
+      }
+    }
+  }
+
+  test("duplicateSpans: interval-merge window partitions by doc (never " +
+    "a single global partition), dup filter is a semi-join, no cartesian") {
+    withoutAqe {
+      val plan = executed(Dedup.duplicateSpans(docs, n = 2))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian product in the span plan:\n$plan")
+      val windowShuffles = plan.collect {
+        case e: ShuffleExchangeExec if e.toString.contains("hashpartitioning")
+          && e.toString.contains("id") => e
+      }
+      assert(windowShuffles.forall(_.outputPartitioning.numPartitions > 1),
+        s"per-doc window collapsed to one partition:\n$plan")
+      assert(plan.toString.contains("LeftSemi"),
+        s"dup-gram filter is not a semi-join:\n$plan")
+    }
+  }
+
+  test("sketchProfile: ONE shuffle on the group key — sketches ride the " +
+    "normal partial-aggregation path, no EXPAND, no second exchange") {
+    withoutAqe {
+      val plan = executed(Profile.sketchProfile(
+        docs.select(col("source").as("k"), col("doc_id"),
+          col("doc_id").cast("double").as("v")), "k", "doc_id", "v"))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"sketch profile should shuffle once on the key:\n$plan")
+      assert(!plan.toString.contains("Expand"),
+        s"profile plan contains an EXPAND (exact-distinct shape):\n$plan")
+    }
+  }
 }
