@@ -206,6 +206,20 @@ object Round7Queries {
       graft.ops.Dedup.duplicateSpans(corpus, n = 5)
     }),
 
+    // --- The CUT step over duplicate spans (value-exact oracle) --------------
+    // Same twin-union corpus as d_dup_spans; the oracle removes the union
+    // of per-gram cover intervals, which equals the union of the merged
+    // spans (two grams merge exactly when their intervals overlap or
+    // touch), so it never needs the window-merge — an independent
+    // formulation of the same semantics.
+    "d_cut_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.cutSpans(corpus, n = 5)
+    }),
+
     // --- Sketch profile error contract ---------------------------------------
     // The one-pass HLL++/KLL profile must sit within its advertised error
     // of the exact answers on every key — checked per key, reported as
@@ -354,6 +368,49 @@ object Round7Queries {
         |SELECT doc_id, min(pos) AS span_start,
         |  max(pos) + 4 AS span_end, count(*) AS n_grams
         |FROM sp GROUP BY doc_id, span_id
+        |""".stripMargin,
+
+    "d_cut_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0
+        |), norm AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      ' ') AS w
+        |  FROM corpus
+        |), p AS (
+        |  SELECT doc_id, w, CAST(unnest(range(len(w) - 4)) AS BIGINT) AS pos
+        |  FROM norm WHERE len(w) >= 5
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 5], ' ')
+        |    AS gram
+        |  FROM p
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos + o.o AS cpos
+        |  FROM g JOIN dup USING (gram), (
+        |    SELECT CAST(unnest(range(5)) AS BIGINT) AS o) o
+        |), words AS (
+        |  SELECT doc_id, unnest(w) AS word,
+        |    CAST(unnest(range(len(w))) AS BIGINT) AS wp
+        |  FROM norm
+        |), kept AS (
+        |  SELECT wd.doc_id,
+        |    string_agg(wd.word, ' ' ORDER BY wd.wp) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM words wd LEFT JOIN cov c
+        |    ON wd.doc_id = c.doc_id AND wd.wp = c.cpos
+        |  WHERE c.cpos IS NULL
+        |  GROUP BY wd.doc_id
+        |)
+        |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  len(n.w) - coalesce(k.n_kept, 0) AS n_removed
+        |FROM norm n LEFT JOIN kept k USING (doc_id)
         |""".stripMargin,
 
     "mm_resize_ppm" ->

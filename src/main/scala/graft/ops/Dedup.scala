@@ -404,6 +404,50 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** The CUT step of Lee-et-al. substring dedup: remove every word
+    * covered by a [[duplicateSpans]] span from each document, emitting the
+    * cleaned (normalized) text — what a training pipeline actually feeds
+    * the tokenizer after substring-level dedup.
+    *
+    * Scale shape: spans aggregate to ONE doc-sized row per affected
+    * document (a handful of (start,end) structs), join back on the doc id
+    * equi-key, and the word filtering itself is a nested higher-order
+    * projection over the split array — the word stream is never exploded
+    * and never shuffled. Documents with no duplicated spans pass through
+    * with `n_removed = 0`.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed); `clean_text` is
+    * single-space-joined normalized words, "" when everything was cut. */
+  def cutSpans(docs: DataFrame, n: Int = 5, minCount: Int = 2,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spanLists = duplicateSpans(docs, n, minCount, idCol, textCol)
+      .groupBy(col(idCol).as("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    docs
+      .join(spanLists, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        graft.functions.Exprs.bound(
+          split(TextAnalysis.normalized(col(textCol)), " ")) { words =>
+          graft.functions.Exprs.bound(
+            coalesce(col("spans"),
+              array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          ) { spans =>
+            graft.functions.Exprs.bound(
+              filter(words, (_, i) => !exists(spans, s =>
+                i.cast("long") >= s.getField("span_start") &&
+                  i.cast("long") <= s.getField("span_end")))) { kept =>
+              struct(concat_ws(" ", kept).as("clean_text"),
+                size(kept).cast("long").as("n_kept"),
+                (size(words) - size(kept)).cast("long").as("n_removed"))
+            }
+          }
+        }.as("r"))
+      .select(col(idCol), col("r.clean_text"), col("r.n_kept"),
+        col("r.n_removed"))
+  }
+
   /** The `functions`-composed SimHash — reference implementation the
     * native expression is property-tested against. */
   private[graft] def simHashComposed(shingleHashes: Column): Column = {

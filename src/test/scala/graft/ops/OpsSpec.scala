@@ -273,6 +273,35 @@ class DedupSpec extends SparkSpec {
     // start gap 11 > n=5, so two separate whole-gram spans
     assert(spans === Set((1L, 0L, 4L, 1L), (1L, 11L, 15L, 1L)))
   }
+
+  test("cutSpans: covered words are removed, surrounding text survives, " +
+    "span-free documents pass through untouched") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h unique1 tail1 x1 y1"),
+      (2L, "prefix2 q r s a b c d e f g h suffix2 z2 w2"),
+      (3L, "totally distinct words nine ten eleven twelve etc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutSpans(corpus, n = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: span words 0..7 cut -> the 4-word tail remains
+    assert(got(1L) === ((1L, "unique1 tail1 x1 y1", 4L, 8L)))
+    // doc 2: span words 4..11 cut -> prefix + suffix stitched
+    assert(got(2L) === ((2L, "prefix2 q r s suffix2 z2 w2", 7L, 8L)))
+    // doc 3: no duplicated grams -> full normalized text, nothing removed
+    assert(got(3L) ===
+      ((3L, "totally distinct words nine ten eleven twelve etc", 8L, 0L)))
+  }
+
+  test("cutSpans: a fully-duplicated document is cut to the empty string") {
+    val corpus = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutSpans(corpus, n = 5)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set((1L, "", 0L, 5L), (2L, "", 0L, 5L)))
+  }
 }
 
 class TextSearchSpec extends graft.SparkSpec {
