@@ -244,6 +244,41 @@ object Round7Queries {
         (col("p95_err") < 0.02).as("p95_within_eps"))
     }),
 
+    // --- Bloom-filter decontamination contract -------------------------------
+    // The scale face of t_contamination: when the eval probe set is too
+    // big to broadcast exactly, a fixed-size mergeable bloom replaces the
+    // exact hash set. The gate pins BOTH halves of the bloom contract
+    // against the exact broadcast semi-join on the same shingle-hash
+    // substrate: (a) no false negatives — every exact hit is flagged,
+    // per document, with at-least-equal multiplicity; (b) over-flagging
+    // stays within 5x the ~1%-sized filter's nominal false-positive rate.
+    "t_bloom_contamination" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") < 5)
+      val corpus = docs.filter(col("doc_id") >= 5)
+      val bloom = TextAnalysis.shingleBloom(probes, n = 3,
+        expectedItems = 20000L, numBits = 200000L)
+      val flagged = TextAnalysis.bloomContaminated(corpus, bloom, n = 3)
+      val ch = corpus.select(col("doc_id"),
+        explode(TextAnalysis.wordShingleHashes(col("text"), 3)).as("h"))
+      val ph = probes.select(
+        explode(TextAnalysis.wordShingleHashes(col("text"), 3)).as("h"))
+        .distinct()
+      val exact = ch.join(broadcast(ph), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val noFn = exact.join(flagged, Seq("doc_id"), "left")
+        .agg(coalesce(min(coalesce(col("n_flagged") >= col("n_hit"),
+          lit(false))), lit(true)).as("no_false_negatives"))
+      val rate = exact.agg(sum("n_hit").as("e"))
+        .crossJoin(flagged.agg(sum("n_flagged").as("b")))
+        .crossJoin(ch.agg(count(lit(1)).as("n_tested")))
+        .select(((col("b") - col("e")) /
+          greatest(col("n_tested") - col("e"), lit(1L)) <= 0.05)
+          .as("fp_rate_bounded"))
+      noFn.crossJoin(rate)
+    }),
+
     // --- Index staleness is monotone in drift --------------------------------
     // The index is built on a CLUSTERED corpus (8 tight Voronoi-friendly
     // clusters derived from anchor vectors — the regime an IVF index
@@ -306,6 +341,9 @@ object Round7Queries {
     "a15_sketch_profile" ->
       ("SELECT true AS distinct_within_rsd, true AS p50_within_eps, " +
         "true AS p95_within_eps"),
+
+    "t_bloom_contamination" ->
+      "SELECT true AS no_false_negatives, true AS fp_rate_bounded",
 
     "t_bm25" ->
       """WITH norm AS (

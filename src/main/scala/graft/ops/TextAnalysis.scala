@@ -238,6 +238,54 @@ object TextAnalysis {
       graft.functions.WordShingleHashesExpr(
         org.apache.spark.sql.graft.ColumnShim.expression(text), n))
 
+  /** One mergeable Bloom filter over the probe set's shingle hashes —
+    * the decontamination scale path when the benchmark/eval probe set is
+    * too large to broadcast as an exact hash set (`t_contamination`'s
+    * shape). The aggregation is Spark's own `BloomFilterAggregate`
+    * (the engine's runtime-filter sketch, constructed directly — it is
+    * not registered as a public SQL function): per-partition partial
+    * blooms OR-merge through the normal partial-aggregation path, and
+    * only the FIXED-SIZE filter ever reaches the driver, regardless of
+    * probe cardinality. Deterministic: bloom insertion is commutative,
+    * so the result is partitioning-independent.
+    *
+    * Size `numBits ≈ 10 × expectedItems` for ~1% false positives; false
+    * NEGATIVES are structurally impossible for inserted elements. */
+  def shingleBloom(probes: DataFrame, n: Int, expectedItems: Long,
+                   numBits: Long, textCol: String = "text"): Array[Byte] = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      ColumnShim.expression(col("h")),
+      Literal(expectedItems), Literal(numBits))
+    probes
+      .select(explode(wordShingleHashes(col(textCol), n)).as("h"))
+      .agg(ColumnShim.column(agg.toAggregateExpression()).as("bf"))
+      .collect().head.getAs[Array[Byte]](0)
+  }
+
+  /** Per-document count of shingles the probe bloom flags — the bloom
+    * face of `t_contamination`. The corpus side stays one narrow
+    * explode + codegen'd `BloomFilterMightContain` predicate (the filter
+    * rides the plan as one binary literal in the references array — no
+    * join at all, where the exact path needs a broadcast hash join) +
+    * one map-side-combined groupBy. Guarantees: every truly contaminated
+    * shingle is flagged (no false negatives); over-flagging is bounded
+    * by the filter's false-positive rate. */
+  def bloomContaminated(corpus: DataFrame, bloom: Array[Byte], n: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    corpus
+      .select(col(idCol), explode(wordShingleHashes(col(textCol), n)).as("h"))
+      .filter(ColumnShim.column(BloomFilterMightContain(
+        Literal(bloom), ColumnShim.expression(col("h")))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** The `functions`-composed shingle-hash family — reference
     * implementation the native expression is property-tested against. */
   def wordShingleHashesComposed(text: Column, n: Int): Column =

@@ -131,6 +131,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("punct_ratio") > 0)
     assert(r.getAs[Double]("alpha_ratio") > 0.5)
   }
+
+  test("bloom decontamination: planted probe overlap is always flagged " +
+    "(no false negatives); disjoint corpus stays below the fp bound") {
+    val probes = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    // doc 10 embeds a probe 3-gram run; docs 11-40 are disjoint
+    val corpus = (Seq(
+      (10L, "intro words the quick brown fox jumps outro words")) ++
+      (11L to 40L).map(i => (i, s"unico$i testo$i nessuna$i overlap$i " +
+        s"qui$i affatto$i mai$i")))
+      .toDF("doc_id", "text")
+    val bloom = TextAnalysis.shingleBloom(probes, n = 3,
+      expectedItems = 1000L, numBits = 10000L)
+    val flagged = TextAnalysis.bloomContaminated(corpus, bloom, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 shares the 3-grams of "the quick brown fox jumps":
+    // 3 contiguous shingles — every one MUST be flagged
+    assert(flagged.getOrElse(10L, 0L) >= 3L)
+    // disjoint docs: each has 5 distinct shingles; at ~1% fp the total
+    // false flags over 150 tests stay far below 10% of them
+    val falseFlags = flagged.filterNot(_._1 == 10L).values.sum
+    assert(falseFlags <= 15L, s"fp mass too high: $falseFlags")
+  }
 }
 
 class DedupSpec extends SparkSpec {
