@@ -474,6 +474,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 7, s"twin recall $hits/8")
   }
 
+  test("PQ encode: every stored code IS the L2-nearest codeword — the " +
+    "assignment metric matches lloyd training and the ADC tables") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantization.train(corpus, m = 4, k = 8,
+      iterations = 3, sampleSize = 60)
+    val got = ProductQuantization.encode(corpus, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    corpus.as[(Long, Array[Float])].collect().foreach { case (id, v) =>
+      (0 until 4).foreach { mi =>
+        val sub = v.slice(mi * 4, mi * 4 + 4).map(_.toDouble)
+        val dists = cb.books(mi).map(cw =>
+          sub.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val best = dists.zipWithIndex.minBy(_._1)._2
+        assert(got(id)(mi) === best,
+          s"vec $id subspace $mi: code ${got(id)(mi)} != L2 argmin $best")
+      }
+    }
+  }
+
   test("embeddingPairs: finds perturbed twins, rejects unrelated vectors") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 30).map(i =>
