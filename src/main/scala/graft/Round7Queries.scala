@@ -244,6 +244,73 @@ object Round7Queries {
         (col("p95_err") < 0.02).as("p95_within_eps"))
     }),
 
+    // --- Salted two-phase aggregation (value-exact oracle) -------------------
+    // The skew tools were unit-tested only; this registers them against
+    // the exact answers: bucket-disjointness must make the salted
+    // countDistinct sum and the flattened salted collect_set EQUAL their
+    // single-phase forms, not approximate them.
+    "a16_salted_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val counts = graft.core.Skew.saltedCountDistinct(
+        ev, Seq("event_type"), "user_id", "n_users")
+      val sets = graft.core.Skew.saltedCollectSet(
+        ev, Seq("event_type"), "user_id", "users")
+      counts.join(sets, "event_type").select(col("event_type"),
+        col("n_users"),
+        concat_ws(",", transform(col("users"), _.cast("string")))
+          .as("users"))
+    }),
+
+    // --- Stream face of bloom decontamination --------------------------------
+    // bloomContaminatedFlag is a stateless per-row predicate, so the
+    // decontaminating curation filter runs in Structured Streaming with
+    // NO state store. The gate pins stream/batch equivalence: the
+    // append-mode survivors must equal the identical batch plan's
+    // survivors exactly (same bloom bytes ⇒ same false positives ⇒ a
+    // set-level guarantee, not a statistical one).
+    "w_stream_curate" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.ops.TextAnalysis
+        val tag = sfTag(d).replace(".", "_")
+        val docs = t(ss, d, "documents")
+        val probes = docs.filter(col("doc_id") < 5)
+        val bloom = TextAnalysis.shingleBloom(probes, n = 3,
+          expectedItems = 20000L, numBits = 200000L)
+        def curate(in: org.apache.spark.sql.DataFrame) = in
+          .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+          .filter(!TextAnalysis.bloomContaminatedFlag(col("text"), bloom, 3))
+          .select("doc_id")
+        // 1-in-10 deterministic subset feeds the MemoryStream harness
+        val feed = docs.filter(col("doc_id") >= 5 && col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val rows = feed.as[(Long, String)].collect().toSeq
+        val mem = MemoryStream[(Long, String)]
+        val sink = s"w_stream_curate_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = curate(mem.toDS().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (h1, h2) = rows.splitAt(rows.length / 2)
+          mem.addData(h1: _*)
+          q.processAllAvailable()
+          mem.addData(h2: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        val stream = ss.table(sink)
+        val batch = curate(feed)
+        val symDiff = stream.unionByName(batch)
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") =!= 2)
+          .agg(count(lit(1)).as("n_diff"))
+        symDiff.crossJoin(stream.agg(count(lit(1)).as("n_stream"))).select(
+          (col("n_diff") === 0).as("stream_equals_batch"),
+          (col("n_stream") > 0).as("survivors_nonempty"))
+      }),
+
     // --- Bloom-filter decontamination contract -------------------------------
     // The scale face of t_contamination: when the eval probe set is too
     // big to broadcast exactly, a fixed-size mergeable bloom replaces the
@@ -344,6 +411,15 @@ object Round7Queries {
 
     "t_bloom_contamination" ->
       "SELECT true AS no_false_negatives, true AS fp_rate_bounded",
+
+    "a16_salted_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+        |FROM events GROUP BY event_type
+        |""".stripMargin,
+
+    "w_stream_curate" ->
+      "SELECT true AS stream_equals_batch, true AS survivors_nonempty",
 
     "t_bm25" ->
       """WITH norm AS (

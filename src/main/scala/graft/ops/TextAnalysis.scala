@@ -286,6 +286,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Per-ROW contamination flag: true when any shingle of `text` hits the
+    * probe bloom. A pure stateless predicate (narrow, codegen'd, no
+    * aggregation), so it composes into Structured Streaming unchanged —
+    * the stream face of decontamination needs no state store at all. */
+  def bloomContaminatedFlag(text: Column, bloom: Array[Byte],
+                            n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    exists(wordShingleHashes(text, n), h =>
+      ColumnShim.column(BloomFilterMightContain(
+        Literal(bloom), ColumnShim.expression(h))))
+  }
+
   /** The `functions`-composed shingle-hash family — reference
     * implementation the native expression is property-tested against. */
   def wordShingleHashesComposed(text: Column, n: Int): Column =
