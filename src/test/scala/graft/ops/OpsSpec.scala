@@ -327,6 +327,66 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(got === Set((1L, "", 0L, 5L), (2L, "", 0L, 5L)))
   }
+
+  test("span operators match a brute-force reference on random " +
+    "small-vocab corpora (rich overlap/merge/within-doc structure)") {
+    // Many independent random corpora ride ONE DataFrame: suffixing every
+    // word with its corpus id makes grams collide only within a corpus,
+    // so corpus-frequency semantics stay per-corpus by construction.
+    val n = 3
+    val rnd = new scala.util.Random(1234)
+    val corpora: Seq[(Int, Seq[(Long, String)])] = (0 until 12).map { c =>
+      val vocab = 3 + rnd.nextInt(4)
+      val docs = (0 until 2 + rnd.nextInt(3)).map { i =>
+        val len = rnd.nextInt(26)
+        (c * 1000L + i,
+          Seq.fill(len)(s"w${rnd.nextInt(vocab)}_c$c").mkString(" "))
+      }
+      c -> docs
+    }
+    val all = corpora.flatMap(_._2)
+    val gotSpans = Dedup.duplicateSpans(all.toDF("doc_id", "text"), n = n)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gotCut = Dedup.cutSpans(all.toDF("doc_id", "text"), n = n)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // brute-force reference, per corpus
+    corpora.foreach { case (_, docs) =>
+      // engine semantics: an empty doc is one empty word (split("", " "))
+      def words(t: String): Array[String] =
+        if (t.isEmpty) Array("") else t.split(" ")
+      val grams = docs.flatMap { case (id, t) =>
+        val w = words(t)
+        if (w.length >= n)
+          (0 to w.length - n).map(p => (id, p.toLong, w.slice(p, p + n).mkString(" ")))
+        else Nil
+      }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val marked = grams.filter(g => freq(g._3) >= 2)
+      val expSpans = marked.groupBy(_._1).flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val runs = ps.foldLeft(List.empty[List[Long]]) {
+          case (acc, p) if acc.nonEmpty && p <= acc.head.head + n =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(r => (id, r.min, r.max + (n - 1), r.size.toLong))
+      }.toSet
+      val expCovered = marked
+        .flatMap { case (id, p, _) => (p to p + n - 1).map(id -> _) }.toSet
+      docs.foreach { case (id, t) =>
+        val w = words(t)
+        val kept = w.zipWithIndex.collect {
+          case (word, i) if !expCovered(id -> i.toLong) => word }
+        val exp = (id, kept.mkString(" "), kept.length.toLong,
+          (w.length - kept.length).toLong)
+        assert(gotCut(id) === exp, s"cutSpans mismatch for doc $id")
+        assert(gotSpans.filter(_._1 == id) === expSpans.filter(_._1 == id),
+          s"duplicateSpans mismatch for doc $id")
+      }
+    }
+  }
 }
 
 class TextSearchSpec extends graft.SparkSpec {
