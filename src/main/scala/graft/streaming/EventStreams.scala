@@ -26,28 +26,31 @@ object EventStreams {
                            n_events: Long, total_value: Double)
 
   /** Per-event payload the sessionizer actually needs (ts + value) — the
-    * state never stores event ids/types, so a state row costs 16 bytes per
-    * buffered TAIL event, and most of the open session is not buffered at
-    * all (see [[SessionAgg]]). */
+    * state never stores event ids/types. */
   final case class TailEv(ts: java.sql.Timestamp, value: Double)
 
-  /** Compacted open-session state: O(1) running aggregates for the FROZEN
-    * prefix (events at ts < the watermark — no future row can land among
-    * them, Spark drops sub-watermark input before the state function) plus
-    * only the watermark-horizon TAIL (events at ts ≥ the watermark, which
-    * late arrivals can still interleave with and gap-split).
-    *
-    * An always-active key — a bot, a scraper, a hot service account whose
-    * gap never exceeds the session gap — therefore holds state bounded by
-    * (watermark delay × its event rate), NOT by its session length: the
-    * previous `GroupState[List[Event]]` kept the entire open session and
-    * grew without bound on such keys. Invariants: the frozen prefix exists
-    * iff `frozen_n > 0`; consecutive gaps inside frozen∪tail are ≤ gap by
-    * construction (splits happen before folding). */
+  /** ONE session as O(1) running aggregates: `[session_start, last]` is
+    * the event-time span, n/total accumulate. Sessions never split once
+    * formed (the events exist; their adjacent distances cannot change),
+    * so aggregates suffice — no raw event buffer at all. */
   final case class SessionAgg(session_start: java.sql.Timestamp,
-                              frozen_last: java.sql.Timestamp,
-                              frozen_n: Long, frozen_total: Double,
-                              tail: List[TailEv])
+                              last: java.sql.Timestamp,
+                              n: Long, total: Double)
+
+  /** Per-key sessionizer state: event-time-ordered, mutually >gap-
+    * separated session aggregates. Bounded by the WATERMARK HORIZON, not
+    * by session length or event count: a session leaves state once
+    * `last + gap < watermark` (no admissible future event can reach it),
+    * so at most ~(watermark delay / gap) + 2 aggregates are ever held —
+    * and an always-active key (a bot, a scraper, a hot service account
+    * whose gaps never exceed the session gap) holds exactly ONE 32-byte
+    * aggregate no matter how many events its never-ending session has
+    * seen. The previous designs kept the full open-session event list
+    * (round 5, unbounded) or a frozen-prefix + raw watermark tail
+    * (round 6, bounded but eager-closing on gaps — a legal
+    * above-watermark late event could bridge a session that had already
+    * been emitted, diverging from the batch face). */
+  final case class SessionState(sessions: List[SessionAgg])
 
   /** File-based streaming source over an events parquet path — the
     * production entry point of the streaming layer (new files landing
@@ -95,7 +98,11 @@ object EventStreams {
 
   /** Stateful sessionization via flatMapGroupsWithState: a session is a
     * run of events per user with gaps < `gapMinutes`. Emits one row per
-    * CLOSED session. Idle sessions close on EVENT-TIME timeout — the
+    * CLOSED session — closed meaning the WATERMARK has passed
+    * `last + gap`, so no admissible future event can extend or bridge it
+    * (an earlier design emitted on first gap sighting, which a legal
+    * above-watermark late event could then bridge — diverging from the
+    * batch face). Idle sessions close on EVENT-TIME timeout — the
     * watermark, not the wall clock, drives state expiry, so results are
     * deterministic and replayable (a processing-time timeout would also
     * keep the micro-batch engine spinning forever on an idle stream). */
@@ -106,101 +113,60 @@ object EventStreams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAgg, Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, rows, state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            // the buffered open session timed out whole (frozen∪tail is one
-            // session by invariant): emit its aggregate and drop the state
-            val out = state.getOption.map { agg =>
-              Session(userId, agg.session_start,
-                agg.frozen_n + agg.tail.size,
-                agg.frozen_total + agg.tail.map(_.value).sum)
-            }
-            state.remove()
-            out.iterator
-          } else {
-            val incoming = rows.map(e => TailEv(e.ts, e.value)).toList
-            val (closed, open) = advance(state.getOption, incoming,
-              state.getCurrentWatermarkMs(), gapMs)
-            open match {
-              case Some(agg) =>
-                state.update(agg)
-                val lastTs = agg.tail.lastOption.map(_.ts.getTime)
-                  .getOrElse(agg.frozen_last.getTime)
-                state.setTimeoutTimestamp(
-                  math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-              case None => state.remove()
-            }
-            closed.map(c => Session(userId, c._1, c._2, c._3)).iterator
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else rows.map(e => TailEv(e.ts, e.value)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = advance(prior, incoming, wm, gapMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            // wake when the earliest open session becomes closable
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last.getTime).min + gapMs, wm + 1))
           }
+          closed.map(c =>
+            Session(userId, c.session_start, c.n, c.total)).iterator
       }
   }
 
-  /** One sessionizer step, pure and unit-testable: merge the state's tail
-    * with the batch's events, close every gap-separated session except the
-    * last, then COMPACT the open remainder — events older than the
-    * watermark fold into the O(1) frozen aggregates (no future input can
-    * interleave with them), events newer stay buffered as the tail.
-    * Returns (closed sessions as (start, n, total), next state). */
-  private[streaming] def advance(prior: Option[SessionAgg],
+  /** One sessionizer step, pure and unit-testable: insert the batch's
+    * events into the ordered session-aggregate list, then split off every
+    * session the watermark has sealed. Correctness of aggregate-only
+    * state: within a session, adjacent events are ≤ gap apart, so a new
+    * event e is chain-connected to session s iff
+    * `s.start − gap ≤ e.ts ≤ s.last + gap` — landing INSIDE [start, last]
+    * always connects (e falls between two adjacent events ≤ gap apart),
+    * and the two endpoints cover the within-gap extensions. At most two
+    * sessions can touch one event (three would need
+    * `third.start − first.last ≤ 2·gap`, impossible at >gap mutual
+    * separation); touching sessions merge by min/max/sum — sessions never
+    * split once formed, so no raw events are ever needed.
+    * Returns (closed sessions, remaining open state), both ordered. */
+  private[streaming] def advance(prior: List[SessionAgg],
                                  incoming: List[TailEv],
                                  watermarkMs: Long, gapMs: Long)
-      : (List[(java.sql.Timestamp, Long, Double)], Option[SessionAgg]) = {
-    val merged = (prior.map(_.tail).getOrElse(Nil) ++ incoming)
-      .sortBy(_.ts.getTime)
-    val closed = List.newBuilder[(java.sql.Timestamp, Long, Double)]
-    // does the frozen prefix connect to the merged events? (inserting an
-    // event can only SHRINK gaps, so this is decidable from merged.head)
-    var frozen = prior.filter(_.frozen_n > 0)
-    frozen match {
-      case Some(f) if merged.nonEmpty &&
-          merged.head.ts.getTime - f.frozen_last.getTime > gapMs =>
-        closed += ((f.session_start, f.frozen_n, f.frozen_total))
-        frozen = None
-      case _ => ()
+      : (List[SessionAgg], List[SessionAgg]) = {
+    val sessions = incoming.sortBy(_.ts.getTime).foldLeft(prior) { (ss, e) =>
+      val t = e.ts.getTime
+      val (before, rest) = ss.span(_.last.getTime + gapMs < t)
+      val (touch, after) = rest.span(_.session_start.getTime - gapMs <= t)
+      val merged =
+        if (touch.isEmpty) SessionAgg(e.ts, e.ts, 1L, e.value)
+        else SessionAgg(
+          if (touch.head.session_start.getTime <= t) touch.head.session_start
+          else e.ts,
+          if (touch.last.last.getTime >= t) touch.last.last else e.ts,
+          touch.map(_.n).sum + 1L, touch.map(_.total).sum + e.value)
+      before ::: merged :: after
     }
-    // gap-split the merged tail into session groups
-    val groups = merged.foldLeft(List.empty[List[TailEv]]) {
-      case (Nil, e) => List(List(e))
-      case (acc @ current :: rest, e) =>
-        if (e.ts.getTime - current.head.ts.getTime > gapMs) List(e) :: acc
-        else (e :: current) :: rest
-    }.map(_.reverse).reverse
-    // frozen (if connected) extends into groups.head; every group but the
-    // last closes now — same emit semantics as buffering the full session
-    val openGroup: List[TailEv] = groups match {
-      case Nil => Nil
-      case gs =>
-        val toClose = gs.dropRight(1)
-        toClose.zipWithIndex.foreach { case (g, i) =>
-          frozen match {
-            case Some(f) if i == 0 =>
-              closed += ((f.session_start, f.frozen_n + g.size,
-                f.frozen_total + g.map(_.value).sum))
-              frozen = None
-            case _ =>
-              closed += ((g.head.ts, g.size.toLong, g.map(_.value).sum))
-          }
-        }
-        gs.last
-    }
-    // compact: fold the sub-watermark prefix of the open group into the
-    // frozen aggregates (ts order, so the float-sum order matches batch)
-    val (foldable, keep) = openGroup.span(_.ts.getTime < watermarkMs)
-    val next = (frozen, foldable, keep) match {
-      case (None, Nil, Nil) => None
-      case (f, fe, k) =>
-        val start = f.map(_.session_start)
-          .getOrElse((fe ++ k).head.ts)
-        val frozenLast = fe.lastOption.map(_.ts)
-          .orElse(f.map(_.frozen_last)).getOrElse(start)
-        Some(SessionAgg(start, frozenLast,
-          f.map(_.frozen_n).getOrElse(0L) + fe.size,
-          f.map(_.frozen_total).getOrElse(0.0) + fe.map(_.value).sum,
-          k))
-    }
-    (closed.result(), next)
+    // sealed once last + gap < watermark: every future event has
+    // ts ≥ watermark and so cannot reach (or bridge across) this session
+    sessions.span(_.last.getTime + gapMs < watermarkMs)
   }
 
   /** Batch sessionization with identical semantics — lag/gap analysis via

@@ -77,18 +77,18 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("sessionizer per-key state is bounded by the watermark horizon, " +
-    "not by session length (always-active key)") {
+  test("sessionizer per-key state is O(1) for an always-active key: one " +
+    "32-byte aggregate regardless of session length") {
     import EventStreams.{SessionAgg, TailEv}
     // a bot that fires every minute for a week: one never-ending session.
-    // The old List[Event] state grew one entry per event; the compacted
-    // state must hold only the ≥-watermark tail + O(1) aggregates.
+    // The round-5 List[Event] state grew one entry per event; the
+    // aggregate-interval state must hold exactly ONE SessionAgg.
     val gapMs = 30 * 60000L
     val wmDelayMs = 10 * 60000L
     val batchSize = 100
     val nEvents = 10080 // minutes in a week
-    var state: Option[SessionAgg] = None
-    var closed = List.empty[(Timestamp, Long, Double)]
+    var state: List[SessionAgg] = Nil
+    var closed = List.empty[SessionAgg]
     var prevBatchMax = Long.MinValue
     (0 until nEvents).grouped(batchSize).foreach { minutes =>
       val wm = if (prevBatchMax == Long.MinValue) 0L
@@ -98,56 +98,67 @@ class StreamingSpec extends SparkSpec {
       closed = closed ++ c
       state = next
       prevBatchMax = batch.last.ts.getTime
-      val tailLen = state.map(_.tail.size).getOrElse(0)
-      // tail ≤ current batch + the horizon's worth of prior events
-      assert(tailLen <= batchSize + wmDelayMs / 60000L + 1,
-        s"state tail grew past the horizon: $tailLen")
+      assert(state.size === 1, s"state grew past one aggregate: $state")
     }
     assert(closed.isEmpty) // the gap never fired: still one open session
-    val agg = state.get
+    val agg = state.head
     assert(agg.session_start === ts(0))
-    assert(agg.frozen_n + agg.tail.size === nEvents.toLong)
-    assert(math.abs(agg.frozen_total + agg.tail.map(_.value).sum
-      - nEvents.toDouble) < 1e-9)
+    assert(agg.n === nEvents.toLong)
+    assert(math.abs(agg.total - nEvents.toDouble) < 1e-9)
   }
 
   test("sessionizer advance: randomized multi-batch equivalence with the " +
-    "batch face under bounded out-of-order arrival") {
+    "batch face under bounded out-of-order arrival AND late gap-bridging") {
     import EventStreams.{SessionAgg, TailEv}
     val gapMs = 30 * 60000L
     val wmDelayMs = 10 * 60000L
     for (seed <- 1 to 20) {
       val rnd = new scala.util.Random(seed)
-      // random event times over ~10 hours with occasional >gap holes
+      // random event times over ~10 hours with occasional >gap holes;
+      // half the holes get a BRIDGE event inside them (within gap of the
+      // hole's left edge) that will be delivered maximally late — the
+      // exact scenario that must NOT split the session: emitting on first
+      // gap sighting would close a session a legal above-watermark late
+      // arrival then bridges
       var t = 0L
-      val times = (0 until 150).map { _ =>
-        t += (if (rnd.nextInt(10) == 0) gapMs + 60000L + rnd.nextInt(600000)
-              else rnd.nextInt(8 * 60000)).toLong
-        t
+      var bridges = List.empty[Long]
+      val times = (0 until 150).flatMap { _ =>
+        if (rnd.nextInt(10) == 0) {
+          val left = t
+          t += gapMs + 60000L + rnd.nextInt(600000)
+          if (rnd.nextBoolean()) { // bridge sits within gap of BOTH edges
+            val b = left + math.max(gapMs * 3 / 4, t - left - gapMs + 60000L)
+            bridges ::= b; Seq(t)
+          } else Seq(t)
+        } else { t += rnd.nextInt(8 * 60000).toLong; Seq(t) }
       }
-      val events = times.map(m => TailEv(ts(0), 0.0).copy(
-        ts = new Timestamp(1700000000000L + m), value = rnd.nextInt(10) + 1.0))
-      // arrival order: bounded shuffle — an event may arrive up to
-      // wmDelay early/late relative to its neighbors (Spark drops rows
-      // below the watermark, so lateness stays inside the delay)
-      val arrival = events.sortBy(e => e.ts.getTime + rnd.nextInt(wmDelayMs.toInt) - wmDelayMs / 2)
-      var state: Option[SessionAgg] = None
-      var closed = List.empty[(Timestamp, Long, Double)]
+      val mk = (m: Long) => TailEv(
+        new Timestamp(1700000000000L + m), rnd.nextInt(10) + 1.0)
+      val events = times.map(mk(_))
+      val bridgeEvs = bridges.map(mk(_))
+      // arrival order: bounded shuffle for normal events; bridges arrive
+      // as late as the watermark allows (max positive lateness key)
+      val arrival = (events.map(e =>
+          e -> (e.ts.getTime + rnd.nextInt(wmDelayMs.toInt) - wmDelayMs / 2))
+        ++ bridgeEvs.map(e => e -> (e.ts.getTime + wmDelayMs)))
+        .sortBy(_._2).map(_._1)
+      var state: List[SessionAgg] = Nil
+      var closed = List.empty[SessionAgg]
       var maxSeen = Long.MinValue
-      arrival.grouped(25).foreach { batchRaw =>
+      def step(batchRaw: Seq[TailEv]): Unit = {
         val wm = if (maxSeen == Long.MinValue) 0L else maxSeen - wmDelayMs
         val batch = batchRaw.filter(_.ts.getTime >= wm).toList // late-drop
         val (c, next) = EventStreams.advance(state, batch, wm, gapMs)
         closed = closed ++ c
         state = next
-        maxSeen = math.max(maxSeen, batchRaw.map(_.ts.getTime).max)
+        if (batchRaw.nonEmpty)
+          maxSeen = math.max(maxSeen, batchRaw.map(_.ts.getTime).max)
       }
-      // flush: the timeout path emits the remaining open session whole
-      state.foreach { agg =>
-        closed = closed :+ ((agg.session_start,
-          agg.frozen_n + agg.tail.size,
-          agg.frozen_total + agg.tail.map(_.value).sum))
-      }
+      arrival.grouped(25).foreach(step)
+      // flush: march the watermark past everything (the timeout path)
+      maxSeen += 2 * (gapMs + wmDelayMs)
+      step(Nil)
+      closed = closed ++ state
       // reference: full-buffer batch sessionization over delivered events
       val delivered = {
         // replay the same late-drop the stream applied
@@ -167,36 +178,37 @@ class StreamingSpec extends SparkSpec {
           else (e :: cur) :: rest
         }.map(_.reverse).reverse
         .map(g => (g.head.ts, g.size.toLong, g.map(_.value).sum))
-      assert(closed.sortBy(_._1.getTime) === expected,
-        s"seed $seed: stream/batch mismatch")
+      val got = closed.sortBy(_.session_start.getTime)
+        .map(s => (s.session_start, s.n, s.total))
+      assert(got === expected, s"seed $seed: stream/batch mismatch")
     }
   }
 
-  test("sessionizer advance: splits, closed emits and compaction agree " +
-    "with the full-buffer semantics") {
+  test("sessionizer advance: gap-separated sessions stay in state until " +
+    "the watermark seals them; a late event bridges two open sessions") {
     import EventStreams.{SessionAgg, TailEv}
     val gapMs = 30 * 60000L
-    // batch 1: two sessions split by a 110-minute gap; watermark 0 -> no fold
+    // batch 1: apparent sessions at {0,10} and {55}; watermark 0 means
+    // NOTHING is sealed — both stay open (the old design emitted {0,10}
+    // here, which the bridge below proves premature)
     val b1 = List(TailEv(ts(0), 1.0), TailEv(ts(10), 2.0),
-      TailEv(ts(120), 4.0))
-    val (c1, s1) = EventStreams.advance(None, b1, 0L, gapMs)
-    assert(c1 === List((ts(0), 2L, 3.0)))
-    assert(s1.get.tail.map(_.ts) === List(ts(120)))
-    assert(s1.get.frozen_n === 0L)
-    // batch 2: continues the open session; watermark past ts(125) folds
-    // the old tail into the frozen aggregates
-    val b2 = List(TailEv(ts(125), 8.0), TailEv(ts(140), 16.0))
-    val (c2, s2) = EventStreams.advance(s1, b2, ts(130).getTime, gapMs)
+      TailEv(ts(55), 4.0))
+    val (c1, s1) = EventStreams.advance(Nil, b1, 0L, gapMs)
+    assert(c1.isEmpty)
+    assert(s1.map(a => (a.session_start, a.last, a.n, a.total)) ===
+      List((ts(0), ts(10), 2L, 3.0), (ts(55), ts(55), 1L, 4.0)))
+    // batch 2: a late event at 35 is within gap of BOTH 10 and 55 —
+    // the two open sessions merge into one
+    val (c2, s2) = EventStreams.advance(s1,
+      List(TailEv(ts(35), 8.0)), ts(20).getTime, gapMs)
     assert(c2.isEmpty)
-    val agg = s2.get
-    assert(agg.session_start === ts(120))
-    assert(agg.frozen_n === 2L && agg.frozen_total === 12.0) // 120,125 fold
-    assert(agg.tail === List(TailEv(ts(140), 16.0)))
-    // batch 3: a >gap event closes frozen+tail as ONE session
-    val b3 = List(TailEv(ts(300), 32.0))
-    val (c3, s3) = EventStreams.advance(s2, b3, ts(290).getTime, gapMs)
-    assert(c3 === List((ts(120), 3L, 28.0)))
-    assert(s3.get.session_start === ts(300))
+    assert(s2 === List(SessionAgg(ts(0), ts(55), 4L, 15.0)))
+    // batch 3: a fresh session far ahead; watermark past 55+gap seals
+    // the merged session and emits it WHOLE
+    val (c3, s3) = EventStreams.advance(s2,
+      List(TailEv(ts(300), 16.0)), ts(290).getTime, gapMs)
+    assert(c3 === List(SessionAgg(ts(0), ts(55), 4L, 15.0)))
+    assert(s3.map(_.session_start) === List(ts(300)))
   }
 
   test("file-based stream source: multi-file corpus ingests incrementally " +
