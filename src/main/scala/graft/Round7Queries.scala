@@ -551,8 +551,8 @@ object Round7Queries {
     "d_hash_split" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 1000000) / 1000000.0 AS u
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+        |      1, 8))::BIGINT % 1000000) / 1000000.0 AS u
         |  FROM documents
         |)
         |SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
@@ -565,8 +565,8 @@ object Round7Queries {
         |  SELECT doc_id, source,
         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
         |      WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
-        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 1000000) / 1000000.0 AS u
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':resample'),
+        |      1, 8))::BIGINT % 1000000) / 1000000.0 AS u
         |  FROM documents
         |), n AS (
         |  SELECT doc_id, source,

@@ -23,13 +23,20 @@ import org.apache.spark.sql.functions._
 object TrainingPrep {
 
   /** Deterministic uniform [0,1) draw from the first 8 hex digits of
-    * md5(id) — the content-independent randomness source [[hashSplit]]
-    * and [[resampleBySource]] share. Unlike `rand()`: REPRODUCIBLE (same
-    * id → same value, any run, any partitioning) and oracle-exact (md5
-    * hex is byte-identical across engines). */
-  private def hashUniform(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8),
-      16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
+    * md5(id || ':' || salt) — the content-independent randomness source
+    * [[hashSplit]] and [[resampleBySource]] use. Unlike `rand()`:
+    * REPRODUCIBLE (same id → same value, any run, any partitioning) and
+    * oracle-exact (md5 hex is byte-identical across engines).
+    *
+    * The `salt` makes each CONSUMER's draw independent: an unsalted
+    * shared draw would perfectly correlate decisions across operators —
+    * e.g. resampling a source to w=0.5 keeps exactly the ids with
+    * u < 0.5, and a subsequent 80/10/10 hashSplit (train = u < 0.8) would
+    * then send EVERY surviving doc of that source to train, starving
+    * val/test of all fractionally-downsampled sources. */
+  private def hashUniform(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
 
   /** Deterministic split assignment: [[hashUniform]] thresholded by
     * cumulative weights. Properties a training pipeline needs: same id →
@@ -41,7 +48,7 @@ object TrainingPrep {
                 idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $splits")
-    val u = hashUniform(col(idCol))
+    val u = hashUniform(col(idCol), "split")
     val cums = splits.scanLeft(0.0)(_ + _._2).tail
     val first = when(u < cums.head, splits.head._1)
     val label = splits.tail.zip(cums.tail).dropRight(1)
@@ -72,7 +79,7 @@ object TrainingPrep {
       "weights must be non-negative")
     val wt = coalesce(element_at(typedlit(weights), col(sourceCol)),
       lit(defaultWeight))
-    val u = hashUniform(col(idCol))
+    val u = hashUniform(col(idCol), "resample")
     val n = (floor(wt) +
       when(u < wt - floor(wt), 1.0).otherwise(0.0)).cast("int")
     df.select(col(idCol), col(sourceCol), n.as("n"))

@@ -45,6 +45,26 @@ class TrainingPrepSpec extends SparkSpec {
       .forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2)))
   }
 
+  test("resample and split draws are independent: a 0.5-downsampled " +
+    "source still yields val and test members among its survivors") {
+    // with a SHARED unsalted draw, resample(w=0.5) keeps exactly u < 0.5
+    // and split(train = u < 0.8) then labels every survivor 'train' —
+    // val/test would receive ZERO docs from any downsampled source
+    val docs = (0L until 2000L).map(i => (i, "srcA", "t"))
+      .toDF("doc_id", "source", "text")
+    val survivors = TrainingPrep.resampleBySource(docs, Map("srcA" -> 0.5))
+      .select("doc_id")
+    val labels = TrainingPrep.hashSplit(
+      docs.join(survivors, "doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(labels.keySet === Set("train", "val", "test"),
+      s"downsampled source starved a split: $labels")
+    val n = labels.values.sum.toDouble
+    assert(labels("train") / n > 0.7 && labels("train") / n < 0.9)
+  }
+
   test("lmScore: golden unigram scores incl. the OOV floor") {
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     // reference counts: a=2, b=1, c=1, total=4
