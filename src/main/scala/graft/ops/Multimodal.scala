@@ -95,7 +95,9 @@ object Multimodal {
                 val (w, h, sr, sg, sb) = parsePpm(r.content)
                 Array(w.toDouble, h.toDouble, (sr + sg + sb).toDouble,
                   (w.toLong * h).toDouble)
-              } catch { case _: IllegalArgumentException =>
+              } catch { case scala.util.control.NonFatal(_) =>
+                // ANY decode failure falls back — at 100 TB a single
+                // hostile blob must never kill the job
                 decodeStub(r.content) }
             else decodeStub(r.content)
           MmFeat(r.doc_id, feats)
@@ -244,9 +246,14 @@ object Multimodal {
     if (maxval <= 0 || maxval >= 256)
       fail("bad_maxval", s"unsupported maxval $maxval (only 1-byte samples)")
     i += 1 // exactly one whitespace byte separates maxval from raster
-    if (bytes.length - i < w * h * 3)
+    // LONG arithmetic: w*h*3 as Int overflows for hostile headers like
+    // "P6 477218600 3" (wraps to a small positive that passes the check,
+    // then the pixel loop walks off the array) or "P6 65536 65536"
+    // (wraps to 0, "decoding" an empty raster as valid)
+    val raster = w.toLong * h.toLong * 3L
+    if ((bytes.length - i).toLong < raster)
       fail("truncated",
-        s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - i}")
+        s"truncated raster: need $raster bytes, have ${bytes.length - i}")
     var sr = 0L; var sg = 0L; var sb = 0L
     var k = 0
     while (k < w * h) {
@@ -268,9 +275,13 @@ object Multimodal {
   /** REAL image downscale for binary PPM: nearest-neighbor subsampling by
     * integer `factor` (keep pixels at even multiples of the factor in both
     * axes), re-encoded as a VALID P6 blob — so the output feeds straight
-    * back into [[decodePpm]] / [[decodeFeatures]] / any P6 consumer. The
-    * batched `mapPartitions` + try→reject shape matches [[decodePpm]];
-    * corrupt inputs surface on its reject side, they do not kill the job.
+    * back into [[decodePpm]] / [[decodeFeatures]] / any P6 consumer, with
+    * the source maxval preserved. Batched `mapPartitions`, same shape as
+    * [[decodePpm]]. Corrupt inputs never kill the job: they are DROPPED
+    * from this output, and a pipeline that must account for them runs
+    * [[decodePpmRejects]] on the same frame — a row fails subsampling
+    * exactly when it fails [[parsePpm]], so that IS this operator's
+    * reject side.
     * Output: (doc_id, content) with dims ceil(w/factor) × ceil(h/factor). */
   def resizePpm(df: DataFrame, factor: Int, idCol: String = "doc_id",
                 batchSize: Int = 64): DataFrame = {
@@ -287,12 +298,15 @@ object Multimodal {
     }(Encoders.product[MmIn]).toDF()
   }
 
-  /** Parse a P6 blob and re-encode every `factor`-th pixel (both axes). */
+  /** Parse a P6 blob and re-encode every `factor`-th pixel (both axes).
+    * The source MAXVAL is preserved: raw sample bytes are copied, so
+    * re-labelling a maxval-100 image as 255 would silently rescale every
+    * channel's meaning (100/100 full intensity becomes 100/255). */
   private def subsamplePpm(bytes: Array[Byte], factor: Int): Array[Byte] = {
-    val (w, h, rasterAt) = ppmHeader(bytes)
+    val (w, h, maxval, rasterAt) = ppmHeader(bytes)
     val w2 = (w + factor - 1) / factor
     val h2 = (h + factor - 1) / factor
-    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + w2 * h2 * 3)
     System.arraycopy(header, 0, out, 0, header.length)
     var oy = 0
@@ -310,9 +324,9 @@ object Multimodal {
     out
   }
 
-  /** Header-only P6 parse: (width, height, raster offset). Shares the
-    * grammar and failure codes with [[parsePpm]]. */
-  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+  /** Header-only P6 parse: (width, height, maxval, raster offset). Shares
+    * the grammar and failure codes with [[parsePpm]]. */
+  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     // parsePpm validates the full blob (incl. raster length); re-walk the
     // header to find the raster offset
     parsePpm(bytes)
@@ -334,8 +348,8 @@ object Multimodal {
     token() // magic
     val w = token().toInt
     val h = token().toInt
-    token() // maxval
-    (w, h, i + 1)
+    val maxval = token().toInt
+    (w, h, maxval, i + 1)
   }
 
   /** "Resize" shape: recompute metadata after a transform — here a

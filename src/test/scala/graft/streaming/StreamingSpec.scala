@@ -486,6 +486,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.parsePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++
         Array[Byte](1, 2, 3)))
+    // hostile headers whose w*h*3 overflows Int must reject as truncated,
+    // not pass the length check (wrap to small/zero) and walk off the
+    // raster or "decode" an empty one
+    for (dims <- Seq("477218600 3", "65536 65536")) {
+      val e = intercept[Multimodal.PpmException](Multimodal.parsePpm(
+        s"P6\n$dims\n255\n".getBytes("US-ASCII") ++ new Array[Byte](104)))
+      assert(e.code === "truncated", s"dims $dims: ${e.code}")
+    }
+  }
+
+  test("resizePpm preserves the source maxval (raw samples are copied, " +
+    "so re-labelling as 255 would rescale channel meaning)") {
+    // 2x2 maxval-100 image; factor 2 keeps pixel (0,0) only
+    val blob = "P6\n2 2\n100\n".getBytes("US-ASCII") ++
+      Array[Byte](100, 50, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val resized = Multimodal.resizePpm(
+      Seq((1L, blob)).toDF("doc_id", "content"), factor = 2)
+      .as[(Long, Array[Byte])].collect().head._2
+    assert(new String(resized.take(11), "US-ASCII") === "P6\n1 1\n100\n")
+    assert(resized.takeRight(3).toSeq === Seq[Byte](100, 50, 0))
   }
 
   test("decodeFeatures magic-byte dispatch: P6 blobs route through the " +
