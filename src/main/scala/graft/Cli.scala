@@ -160,10 +160,9 @@ object Cli {
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding"))
         val hits = graft.ops.IvfIndex.topKAdc(spark, out, queries, k = k,
-          nProbe = nProbe)
-        hits.orderBy("query_id", "rank").collect()
-          .foreach(r => println(r.mkString("\t")))
-        println(s"index at $out (nList=8, pqM=8); ${hits.count()} hits")
+          nProbe = nProbe).orderBy("query_id", "rank").collect()
+        hits.foreach(r => println(r.mkString("\t")))
+        println(s"index at $out (nList=8, pqM=8); ${hits.length} hits")
       case "search" => // BM25 ranking over the document corpus (t_bm25)
         val terms = opts.getOrElse("terms", "spark,vector")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq

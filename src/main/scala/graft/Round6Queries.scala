@@ -36,8 +36,11 @@ import graft.core.SourceContext
 object Round6Queries {
   private type Q = (SparkSession, String) => DataFrame
 
-  private val ivfadcMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+  // weak session keys: a strong process-lifetime map would pin every
+  // SparkSession the registry ever sees (same posture as stalenessMemo)
+  private val ivfadcMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Unit]]())
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.load(s, dir, name)
@@ -126,7 +129,9 @@ object Round6Queries {
     "s_ivfadc_recall" -> ((s, d) => {
       val corpus = twinCorpus(t(s, d, "embeddings"))
       val path = s"/tmp/graft_ivfadc_${sfTag(d).replace(".", "_")}"
-      ivfadcMemo.computeIfAbsent((s, d), { _ =>
+      ivfadcMemo
+        .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap())
+        .computeIfAbsent(d, { _ =>
         rmrf(s, path)
         graft.ops.IvfIndex.build(corpus.filter(col("vec_id") % 5 =!= 0),
           path, nList = 8, pqM = 8, pqK = 16)

@@ -51,10 +51,14 @@ object Round7Queries {
   }
 
   /** (staleness of a same-distribution append, staleness of a shifted
-    * append) — memoized per (session, sf dir): two index builds per run. */
-  private val stalenessMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (Double, Double)]()
+    * append) — memoized per (session, sf dir): two index builds per run.
+    * WEAK keys: a process-lifetime strong map keyed by SparkSession would
+    * pin every session (and its SessionState) ever seen by the registry —
+    * a slow leak in any long-lived multi-session JVM (test suites,
+    * repeated harness runs). */
+  private val stalenessMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]]())
 
   val queries: Map[String, Q] = Map[String, Q](
 
@@ -112,12 +116,27 @@ object Round7Queries {
         .agg(count(lit(1)).as("n_missing"))
       val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val sound = got.agg(
-        coalesce(max(col("hamming")), lit(0)).as("max_ham"))
+      // soundness is INDEPENDENTLY recomputed: fingerprint the corpus
+      // from scratch and re-derive every emitted pair's Hamming distance
+      // — taking max(got.hamming) would test the operator against its
+      // own filter (hamming <= radius by construction) and catch nothing
+      val fpAll = corpus.select(col("doc_id"),
+        Dedup.simHash(TextAnalysis.wordShingleHashes(col("text"), 3))
+          .as("fp"))
+      val sound = got
+        .join(fpAll.select(col("doc_id").as("id_a"), col("fp").as("fa")),
+          "id_a")
+        .join(fpAll.select(col("doc_id").as("id_b"), col("fp").as("fb")),
+          "id_b")
+        .agg(coalesce(max(bit_count(col("fa").bitwiseXOR(col("fb")))),
+          lit(0)).as("max_ham"),
+          coalesce(min(bit_count(col("fa").bitwiseXOR(col("fb")))
+            === col("hamming")), lit(true)).as("ham_reported_ok"))
       missing.crossJoin(nPlanted).crossJoin(nDocs).crossJoin(sound).select(
         (col("n_missing") === 0).as("planted_all_recovered"),
         (col("n_planted") >= col("n_docs")).as("planted_nonvacuous"),
-        (col("max_ham") <= maxHamming).as("pairs_within_radius"))
+        (col("max_ham") <= maxHamming && col("ham_reported_ok"))
+          .as("pairs_within_radius"))
     }),
 
     // --- PPM corrupt-blob side output ---------------------------------------
@@ -239,7 +258,13 @@ object Round7Queries {
           abs(col("p50_exact"))).as("p50_err"),
         max(abs(col("p95_approx") - col("p95_exact")) /
           abs(col("p95_exact"))).as("p95_err")
-      ).select((col("nd_err") < 0.05).as("distinct_within_rsd"),
+        // HLL++'s 5% rsd is ONE standard deviation, not a hard bound —
+        // a key can legitimately land past 1 sigma, so the gate allows
+        // 3x rsd (the sketch is deterministic per corpus, but the bound
+        // must hold for ANY corpus the driver points this at). The
+        // quantile sketch's accuracy=1e4 gives eps=1e-4 rank error;
+        // 2% value slack is generous for any non-pathological values.
+      ).select((col("nd_err") < 0.15).as("distinct_within_rsd"),
         (col("p50_err") < 0.02).as("p50_within_eps"),
         (col("p95_err") < 0.02).as("p95_within_eps"))
     }),
@@ -356,7 +381,9 @@ object Round7Queries {
     // stale — rebuild triggers hang off this separation.
     "s_ivf_staleness" -> ((s, d) => {
       import s.implicits._
-      val (same, shifted) = stalenessMemo.computeIfAbsent((s, d), { _ =>
+      val (same, shifted) = stalenessMemo
+        .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap())
+        .computeIfAbsent(d, { _ =>
         val emb = t(s, d, "embeddings").select(col("vec_id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
         val anchors = broadcast(emb.filter(col("vec_id") < 8)
