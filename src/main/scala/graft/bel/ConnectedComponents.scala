@@ -44,28 +44,27 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
 
-  // Unique observation names across all loops in one SparkSession.
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Eager lineage cut + convergence fingerprint in ONE job: the
-    * (count, hash-sum) metrics ride the checkpoint-materialization action
-    * as a `Dataset.observe` side-band instead of a second aggregation job
-    * over the cut frame. (Eager cut itself: measured FASTER than letting a
-    * downstream action materialize a lazy checkpoint — the loop's
-    * self-union reads each round's frame twice, and eager blocks are in
-    * place before both branches scan.) Collision probability ~2^-64 per
-    * round; the fingerprint is over the canonicalized (max,min) edge set,
-    * so orientation can't alias. */
-  private def cutWithFingerprint(df: DataFrame): (DataFrame, (Long, Long)) = {
-    val obs = org.apache.spark.sql.Observation(
-      s"cc_fp_${obsSeq.incrementAndGet()}")
-    val cut = Checkpoints.cut(df.observe(obs,
-      count(lit(1)).as("n"), sum(xxhash64(col("u"), col("v"))).as("h")))
-    val m = obs.get
-    val n = m("n").asInstanceOf[Long]
-    val h = m("h") match { case null => 0L; case x => x.asInstanceOf[Long] }
-    (cut, (n, h))
-  }
+  /** Structural fixpoint test: a (deduplicated, canonically-oriented) edge
+    * set is a fixpoint of the alternating-star map iff it is a disjoint
+    * union of stars — every node appears AT MOST ONCE as a member (`u`)
+    * and NEVER as both a member and a root (`v`). Necessity: a duplicate
+    * member (one node pointing at two roots) or a member-root chain is
+    * rewired by the next small-star round; sufficiency: large-star and
+    * small-star are both the identity on a disjoint star union. Because
+    * star rounds never merge or split components (Kiveris et al., SoCC'14,
+    * Lemma 1 — edges are only rewired within a component), any REACHABLE
+    * star-shaped set is the correct decomposition, so this replaces the
+    * old run-one-more-pair-and-compare-fingerprints convergence test and
+    * saves the entire confirming round pair. Cost: ONE aggregation job
+    * over the (checkpointed, star-sized) frame — 2|S| narrow rows. */
+  private def isStarSet(e: DataFrame): Boolean =
+    e.select(col("u").as("id"), lit(1).as("m"))
+      .unionByName(e.select(col("v").as("id"), lit(0).as("m")))
+      .groupBy("id")
+      .agg(sum(col("m")).as("times_member"), max(lit(1) - col("m")).as("is_root"))
+      .filter(col("times_member") > 1 ||
+        (col("times_member") >= 1 && col("is_root") === 1))
+      .isEmpty
 
   /** One large-star + small-star round (Kiveris et al., SoCC'14).
     * Large-star: for each node u, connect every strictly-larger neighbor
@@ -73,8 +72,16 @@ object ConnectedComponents {
     * connect every neighbor (and u itself) of each node u to the minimum
     * of its ≤-neighborhood. No trailing distinct after large-star:
     * small-star's collect_set dedupes anyway, so a distinct there would
-    * only add a third shuffle per round. */
-  private def starRound(e: DataFrame): DataFrame = {
+    * only add a third shuffle per round.
+    *
+    * `dedup = false` also skips the trailing distinct after small-star:
+    * within a two-round pair the INNER round's output feeds straight into
+    * the outer round's large-star `collect_set`, which dedupes during
+    * map-side partial aggregation — the distinct shuffle would buy
+    * nothing. Only the pair's OUTER round dedups, because the cut frame
+    * must be an exact set for [[isStarSet]] (a duplicate member would
+    * read as a violation) and for the fixpoint star-count aggregates. */
+  private def starRound(e: DataFrame, dedup: Boolean = true): DataFrame = {
     val nbrs = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val largeStar = nbrs
@@ -88,7 +95,7 @@ object ConnectedComponents {
     val oriented = largeStar.select(
       greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    oriented
+    val out = oriented
       .groupBy("u")
       .agg(array_min(collect_set(col("v"))).as("m"),
         collect_set(col("v")).as("ns"))
@@ -96,7 +103,7 @@ object ConnectedComponents {
         filter(array_union(col("ns"), array(col("u"))),
           n => n =!= col("m")).as("others"))
       .select(explode(col("others")).as("u"), col("m").as("v"))
-      .distinct()
+    if (dedup) out.distinct() else out
   }
 
   /** Run the alternating-star loop to its fixpoint: returns the star edge
@@ -109,25 +116,24 @@ object ConnectedComponents {
     *    dedupes the raw canonical edges, so the old distinct+materialize
     *    of the FULL edge set — the two most expensive jobs, every later
     *    round being star-set-sized — is fused into round 1's shuffle.
-    *  - TWO rounds per lineage cut + fingerprint check, halving the job
-    *    count at the price of at most one extra (idempotent) round after
-    *    the fixpoint. Correct because the alternating-star potential is
-    *    monotone — no 2-cycle can alias the pairwise fingerprint — and a
-    *    star set is a fixpoint of BOTH rounds. Within a pair the first
-    *    round's self-union ends in an exchange, which Spark's
-    *    ReuseExchange deduplicates, not recomputes. */
+    *  - TWO rounds per lineage cut, halving cut-job count; the inner
+    *    round skips its trailing distinct (outer collect_set dedupes
+    *    map-side). Within a pair the first round's self-union ends in an
+    *    exchange, which Spark's ReuseExchange deduplicates, not recomputes.
+    *  - Convergence is the STRUCTURAL [[isStarSet]] test on the cut frame,
+    *    not compare-fingerprints-across-pairs: the old test could only
+    *    observe the fixpoint by running one full extra (idempotent) star
+    *    pair after it — ~6 shuffles over data the structural test settles
+    *    with one star-sized aggregation job. */
   private def starFixpoint(e0: DataFrame, maxIterations: Int): DataFrame = {
     var e = e0
-    var prevFp: (Long, Long) = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val (next, fp) = cutWithFingerprint(starRound(starRound(e)))
-      // Converged when the (canonical, deduped) edge set is unchanged; an
-      // empty star set (empty/self-loop-only input) is trivially fixed.
-      e = next
-      converged = fp == prevFp || fp._1 == 0L
-      prevFp = fp
+      e = Checkpoints.cut(starRound(starRound(e, dedup = false)))
+      // An empty star set (empty/self-loop-only input) is trivially fixed
+      // and passes isStarSet (no rows, no violations).
+      converged = isStarSet(e)
       iter += 2
     }
     // Exiting at maxIterations without the fixpoint would silently return
@@ -181,7 +187,16 @@ object ConnectedComponents {
     * (columns `u`, `v`) — lets a caller that needs the hashed frame for
     * other aggregates (e.g. [[Graph.stats]]) hash and cache it once. */
   private[graft] def componentCountHashed(ehash: DataFrame,
-                                          maxIterations: Int = 30): Long = {
+                                          maxIterations: Int = 30): Long =
+    componentAndNodeCount(ehash, maxIterations)._1
+
+  /** (component count, distinct-node count) in one pass — callers that
+    * also need |V| (e.g. [[Graph.stats]]) get it from the SAME distinct
+    * the singleton computation already runs, instead of paying a second
+    * distinct-count aggregation (and, for multi-column distincts, a 3×
+    * Expand) over the full edge set. */
+  private[graft] def componentAndNodeCount(ehash: DataFrame,
+                                           maxIterations: Int = 30): (Long, Long) = {
     val e = starFixpoint(canonicalize(ehash), maxIterations)
     val starMembers = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
@@ -189,12 +204,17 @@ object ConnectedComponents {
       .unionByName(ehash.select(col("v").as("id")))
       .filter(col("id").isNotNull) // null endpoint = no node (Graph.stats)
       .distinct()
-    // root count and singleton count in ONE action (1-row × 1-row cross
-    // join of the two aggregates) instead of two separate count jobs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // root count, singleton count and node count in ONE action (1-row
+    // cross joins of the three aggregates) instead of three count jobs;
+    // `ids` is persisted because both the anti-join branch and the node
+    // count scan it.
     val row = e.agg(countDistinct(col("v")).as("n_roots"))
       .crossJoin(ids.join(starMembers, Seq("id"), "left_anti")
         .agg(count(lit(1)).as("n_singletons")))
+      .crossJoin(ids.agg(count(lit(1)).as("n_nodes")))
       .collect().head
-    row.getLong(0) + row.getLong(1)
+    ids.unpersist()
+    (row.getLong(0) + row.getLong(1), row.getLong(2))
   }
 }

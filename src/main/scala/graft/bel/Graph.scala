@@ -78,21 +78,29 @@ object Graph {
       hashOrNull(col("src")).as("u"), hashOrNull(col("dst")).as("v"),
       (if (hasCitation) hashOrNull(col("citation"))
        else lit(null).cast("long")).as("c")).cache()
-    val baseAgg = eh
-      .select(explode(array(col("u"), col("v"))).as("node"), col("c"))
-      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-        countDistinct(col("node")).as("n_nodes"),
-        countDistinct(col("c")).as("n_citations")).collect().head
-    val nEdges = baseAgg.getLong(0)
-    val nCitations = baseAgg.getLong(2)
-    val v = baseAgg.getLong(1).toDouble
+    // With components, |V| falls out of the CC pass's own distinct-ids
+    // frame, so the base aggregation is edge-count + one single-column
+    // distinct — no endpoint explode, no multi-distinct Expand (which
+    // triples the aggregated row count). Without components there is no CC
+    // pass to piggyback on, so the fused explode form computes all three.
+    val (nEdges, nCitations, nNodes, nComponents) =
+      if (withComponents) {
+        val baseAgg = eh
+          .agg(count(lit(1)).as("n_edges"),
+            countDistinct(col("c")).as("n_citations")).collect().head
+        val (nComp, nNode) = ConnectedComponents.componentAndNodeCount(
+          eh.select(col("u"), col("v")))
+        (baseAgg.getLong(0), baseAgg.getLong(1), nNode, nComp)
+      } else {
+        val baseAgg = eh
+          .select(explode(array(col("u"), col("v"))).as("node"), col("c"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+            countDistinct(col("node")).as("n_nodes"),
+            countDistinct(col("c")).as("n_citations")).collect().head
+        (baseAgg.getLong(0), baseAgg.getLong(2), baseAgg.getLong(1), -1L)
+      }
+    val v = nNodes.toDouble
     val density = if (v > 1) nEdges / (v * (v - 1)) else 0.0
-    val nComponents =
-      if (withComponents)
-        // count-only fast path: no label materialization, reuses the
-        // already-hashed cached frame
-        ConnectedComponents.componentCountHashed(eh.select(col("u"), col("v")))
-      else -1L
     val spark = edges.sparkSession
     import spark.implicits._
     val out = Seq((v.toLong, nEdges, nCitations, nComponents, density))

@@ -39,17 +39,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.componentCount(edges.toDF("src", "dst")) === 2)
   }
 
-  test("RELIABLE-checkpoint path: the observe-fused fingerprint still " +
-    "fires (no hang) and labels match the local path") {
-    // the loop's convergence metrics ride the checkpoint action — this
-    // pins that Dataset.checkpoint(eager) delivers Observation metrics
-    // like localCheckpoint does, with spark.graft.checkpointDir set
+  test("RELIABLE-checkpoint path: loop converges and labels match the " +
+    "local-checkpoint path") {
     val key = graft.core.Checkpoints.ConfKey
     spark.conf.set(key, tmpDir("cc_reliable"))
     try {
       val comps = components(Seq(("a", "b"), ("b", "c"), ("d", "e")))
       assert(comps === Map("a" -> Set("a", "b", "c"), "d" -> Set("d", "e")))
     } finally spark.conf.unset(key)
+  }
+
+  test("multi-root member is not a fixpoint: the structural star test " +
+    "must not accept a node pointing at two roots") {
+    // {(c,a),(c,b)} has disjoint member/root sets but is NOT a star union
+    // (c appears twice as a member) — premature convergence here would
+    // split one true component into two.
+    val comps = components(Seq(("c", "a"), ("c", "b")))
+    assert(comps === Map("a" -> Set("a", "b", "c")))
+  }
+
+  test("randomized reference check: labels match driver-side union-find " +
+    "on 25 random graphs") {
+    val rnd = new scala.util.Random(0xC0C0L)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(30)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.tabulate(m) { _ =>
+        (f"v${rnd.nextInt(n)}%02d", f"v${rnd.nextInt(n)}%02d")
+      } ++ Seq((f"v${n - 1}%02d", f"v${n - 1}%02d")) // keep max node present
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).values.map(_.toSet).toSet
+      val got = components(edges).values.toSet
+      assert(got === expected, s"trial $trial: $edges")
+    }
   }
 }
 
