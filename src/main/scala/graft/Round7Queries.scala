@@ -203,6 +203,22 @@ object Round7Queries {
       graft.ops.TrainingPrep.packSequences(t(s, d, "documents"),
         budgetTokens = 512, shards = 8)),
 
+    // --- Sliding-window chunking (value-exact oracle) ------------------------
+    // 40-token windows advancing by 30 (10-token overlap): chunk count,
+    // boundaries and the reassembled chunk text are all exact functions
+    // of the whitespace token array, recomputed verbatim by the oracle.
+    "t_chunk" -> ((s, d) =>
+      graft.ops.TextAnalysis.chunk(t(s, d, "documents"),
+        chunkTokens = 40, overlap = 10)),
+
+    // --- Per-source document cap (value-exact oracle) ------------------------
+    // Domain-cap curation: best 20 docs per source by (n_chars desc,
+    // doc_id asc) through the bounded-heap top-k aggregate — map-side
+    // capped partials, no per-source window funnel.
+    "d_source_cap" -> ((s, d) =>
+      graft.ops.TrainingPrep.capPerSource(t(s, d, "documents"),
+        k = 20, score = col("n_chars"))),
+
     // --- BM25 full-text ranking (value-exact oracle) -------------------------
     // Every formula input (tf, df, dl, N, avgdl) is integer-derived, so
     // the 4-dp score is engine-independent — the oracle recomputes the
@@ -624,6 +640,42 @@ object Round7Queries {
         |  round(avg(-coalesce(logp, ln(1.0 / total))), 4) AS lm_score
         |FROM ex LEFT JOIN top USING (word), tot
         |GROUP BY doc_id
+        |""".stripMargin,
+
+    "t_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+        |  FROM toks WHERE len(tk) > 0
+        |), k AS (
+        |  SELECT doc_id, tk, n,
+        |    CASE WHEN n <= 40 THEN 0
+        |      ELSE CAST(ceil((n - 40) / 30.0) AS BIGINT) END AS last_ix
+        |  FROM n
+        |), ix AS (
+        |  SELECT doc_id, tk, n, unnest(range(0, last_ix + 1)) AS i FROM k
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+        |  array_to_string(tk[(i * 30 + 1):(i * 30 + 40)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(40, n - i * 30) AS BIGINT) AS n_tokens
+        |FROM ix
+        |""".stripMargin,
+
+    "d_source_cap" ->
+      """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
+        |  CAST(n_chars AS DOUBLE) AS score
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |WHERE rn <= 20
         |""".stripMargin,
 
     "t_pack" ->

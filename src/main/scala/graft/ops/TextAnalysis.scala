@@ -299,6 +299,42 @@ object TextAnalysis {
         Literal(bloom), ColumnShim.expression(h))))
   }
 
+  /** Sliding-window document chunking (the RAG / context-window prep
+    * step): split each document into overlapping windows of
+    * `chunkTokens` whitespace tokens, advancing by `chunkTokens −
+    * overlap` per chunk. A document of ≤ `chunkTokens` tokens is one
+    * chunk; empty/whitespace-only documents emit no chunks; the final
+    * chunk may be short (token-level padding is the tokenizer's job
+    * downstream).
+    *
+    * Scale shape: a pure narrow `functions._` chain — split →
+    * `explode(sequence(...))` fan-out → `slice`/`array_join` — fully
+    * codegen'd, no shuffle, no UDF; chunks of a hot document stay spread
+    * across the scan's partitions.
+    * Output: (idCol, chunk_ix 0.., chunk_text, n_tokens). */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+            idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          when(col("n") <= chunkTokens, lit(0L))
+            .otherwise(ceil((col("n") - chunkTokens) /
+              lit(stride.toDouble))))).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        array_join(slice(col("toks"),
+          (col("chunk_ix") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("n") - col("chunk_ix") * stride).as("n_tokens"))
+  }
+
   /** The `functions`-composed shingle-hash family — reference
     * implementation the native expression is property-tested against. */
   def wordShingleHashesComposed(text: Column, n: Int): Column =

@@ -128,6 +128,32 @@ object TrainingPrep {
         round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
   }
 
+  /** Per-source document cap (the domain-cap curation step: without it a
+    * handful of hot domains dominates a web-scale mixture): keep at most
+    * `k` documents per source, best-first by (score desc, id asc).
+    *
+    * Scale shape: the per-source top-k is the bounded-heap
+    * [[graft.functions.TopKAgg]] aggregate — ObjectHashAggregate with
+    * map-side partials capped at k, so even the hottest source reduces
+    * to ≤ k rows per input task before the shuffle. The obvious
+    * `row_number().over(Window.partitionBy(source))` would instead
+    * funnel EVERY row of the hottest domain through the one task that
+    * owns its partition key. Ties break (score desc, id asc), matching
+    * the SQL `row_number` oracle.
+    * Output: (sourceCol, rank 1..k, idCol, score). */
+  def capPerSource(df: DataFrame, k: Int, score: Column,
+                   sourceCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    df.select(col(sourceCol), col(idCol), score.cast("double").as("score"))
+      .groupBy(sourceCol)
+      .agg(topk(col(idCol), col("score")).as("hits"))
+      .select(col(sourceCol), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col(sourceCol), (col("pos") + 1).cast("long").as("rank"),
+        col("h.id").as(idCol), col("h.cosine").as("score"))
+  }
+
   /** Greedy contiguous sequence packing: documents are sharded by id,
     * ordered within each shard, and assigned to fixed-token-budget bins
     * by exclusive prefix sum — bin = floor(tokens_before / budget). The

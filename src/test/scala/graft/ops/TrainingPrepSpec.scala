@@ -100,4 +100,51 @@ class TrainingPrepSpec extends SparkSpec {
       shards = 2).as[(Long, Long, Long, Long)].collect()
     assert(sharded.forall(r => r._2 === r._1 % 2))
   }
+
+  test("capPerSource: best-k per source by (score desc, id asc), " +
+    "no window in the plan") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 7L), (6L, "b", 9L),
+      (7L, "c", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TrainingPrep.capPerSource(docs, k = 2, score = col("n_chars"))
+    // ties (30,30) break by doc_id asc; source 'c' keeps its single doc
+    val got = out.as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 2L, 30.0), ("a", 2L, 3L, 30.0),
+      ("b", 1L, 6L, 9.0), ("b", 2L, 5L, 7.0),
+      ("c", 1L, 7L, 1.0)))
+    // the whole point vs row_number().over(partitionBy(source)): the hot
+    // source must NOT funnel through a window operator
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-source cap must not use a window")
+    intercept[IllegalArgumentException](
+      TrainingPrep.capPerSource(docs, k = 0, score = col("n_chars")))
+  }
+
+  test("chunk: overlap windows, short doc, exact multiple, empty doc") {
+    // chunkTokens=5, overlap=2 -> stride 3
+    val docs = Seq(
+      (0L, (1 to 9).map(i => s"t$i").mkString(" ")), // 9 toks: 3 chunks
+      (1L, "a b c"),                                 // short: 1 chunk
+      (2L, (1 to 10).map(i => s"u$i").mkString(" ")),// 10 toks: 3 chunks
+      (3L, "   "),                                   // whitespace: none
+      (4L, (1 to 11).map(i => s"v$i").mkString(" "))) // 11 toks: 3 chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, chunkTokens = 5, overlap = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(0L).map(c => (c._3, c._4)) === Seq(
+      ("t1 t2 t3 t4 t5", 5L), ("t4 t5 t6 t7 t8", 5L), ("t7 t8 t9", 3L)))
+    assert(got(1L) === Seq((1L, 0L, "a b c", 3L)))
+    assert(got(2L).map(_._3) ===
+      Seq("u1 u2 u3 u4 u5", "u4 u5 u6 u7 u8", "u7 u8 u9 u10"))
+    assert(!got.contains(3L))
+    assert(got(4L).size === 3)
+    // every token of every doc is covered by at least one chunk
+    assert(got(4L).map(_._3.split(" ").toSet).reduce(_ ++ _).size === 11)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, chunkTokens = 5, overlap = 5))
+  }
 }
