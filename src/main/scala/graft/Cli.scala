@@ -26,6 +26,7 @@ import graft.sources._
   *   graft.Cli ivfadc    --sf-dir D --out DIR [--k K] [--nprobe P]
   *   graft.Cli search    --sf-dir D --terms a,b,c [--top N]
   *   graft.Cli dup-spans --sf-dir D --out DIR [--ngram N]
+  *   graft.Cli chunk     --sf-dir D --out DIR [--size N] [--overlap M]
   *   graft.Cli profile   --sf-dir D [--table events|documents]
   */
 object Cli {
@@ -178,6 +179,14 @@ object Cli {
         val spans = graft.ops.Dedup.duplicateSpans(docs, n = n)
         spans.write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} spans -> $out")
+      case "chunk" => // sliding-window document chunking (t_chunk)
+        val out = opts.getOrElse("out", s"$warehouse/_chunks")
+        val size = opts.getOrElse("size", "40").toInt
+        val overlap = opts.getOrElse("overlap", "10").toInt
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.ops.TextAnalysis.chunk(docs, size, overlap)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} chunks -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) = table match {
@@ -193,7 +202,7 @@ object Cli {
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
-          "profile")
+          "chunk profile")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()
