@@ -645,7 +645,7 @@ object Round7Queries {
     "t_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |    list_filter(string_split_regex(text, '\s+'),
         |      x -> x <> '') AS tk
         |  FROM documents
         |), n AS (
@@ -674,6 +674,7 @@ object Round7Queries {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |)
         |WHERE rn <= 20
         |""".stripMargin,

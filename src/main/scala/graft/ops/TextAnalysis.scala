@@ -309,8 +309,17 @@ object TextAnalysis {
     *
     * Scale shape: a pure narrow `functions._` chain — split →
     * `explode(sequence(...))` fan-out → `slice`/`array_join` — fully
-    * codegen'd, no shuffle, no UDF; chunks of a hot document stay spread
-    * across the scan's partitions.
+    * codegen'd, no shuffle, no UDF. One document's chunks stay in the
+    * partition holding its row (explode is per-row), so the fan-out per
+    * task is bounded by document length, not corpus size; documents
+    * themselves spread with the scan.
+    *
+    * Tokenization splits on the explicit class `[ \t\n\f\r]+` — exactly
+    * RE2's `\s`, so the DuckDB oracle's `string_split_regex(text,
+    * '\s+')` sees the identical token array (Java's `\s` additionally
+    * matches vertical tab, which RE2's does not); empty tokens from
+    * leading/trailing whitespace are filtered instead of trimmed, again
+    * matching on both engines.
     * Output: (idCol, chunk_ix 0.., chunk_text, n_tokens). */
   def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
             idCol: String = "doc_id",
@@ -318,7 +327,7 @@ object TextAnalysis {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val toks = filter(split(col(textCol), "[ \\t\\n\\f\\r]+"), t => t =!= "")
     docs
       .select(col(idCol), toks.as("toks"), size(toks).as("n"))
       .filter(col("n") > 0)

@@ -139,7 +139,10 @@ object TrainingPrep {
     * `row_number().over(Window.partitionBy(source))` would instead
     * funnel EVERY row of the hottest domain through the one task that
     * owns its partition key. Ties break (score desc, id asc), matching
-    * the SQL `row_number` oracle.
+    * the SQL `row_number` oracle. Rows with a NULL id or NULL score are
+    * EXCLUDED (an unscored document can't be ranked; the bounded-heap
+    * input is non-nullable by construction) — the oracle must carry the
+    * same `IS NOT NULL` guards.
     * Output: (sourceCol, rank 1..k, idCol, score). */
   def capPerSource(df: DataFrame, k: Int, score: Column,
                    sourceCol: String = "source",
@@ -147,6 +150,7 @@ object TrainingPrep {
     require(k > 0, s"cap must be positive, got $k")
     val topk = udaf(new graft.functions.TopKAgg(k))
     df.select(col(sourceCol), col(idCol), score.cast("double").as("score"))
+      .filter(col(idCol).isNotNull && col("score").isNotNull)
       .groupBy(sourceCol)
       .agg(topk(col(idCol), col("score")).as("hits"))
       .select(col(sourceCol), posexplode(col("hits")).as(Seq("pos", "h")))

@@ -104,9 +104,12 @@ class TrainingPrepSpec extends SparkSpec {
   test("capPerSource: best-k per source by (score desc, id asc), " +
     "no window in the plan") {
     val docs = Seq(
-      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 20L),
-      (5L, "b", 7L), (6L, "b", 9L),
-      (7L, "c", 1L))
+      (Some(1L), "a", Some(10L)), (Some(2L), "a", Some(30L)),
+      (Some(3L), "a", Some(30L)), (Some(4L), "a", Some(20L)),
+      (Some(5L), "b", Some(7L)), (Some(6L), "b", Some(9L)),
+      (Some(7L), "c", Some(1L)),
+      (Some(8L), "a", None),  // NULL score: excluded, must not crash
+      (None, "b", Some(99L))) // NULL id: excluded, must not crash
       .toDF("doc_id", "source", "n_chars")
     val out = TrainingPrep.capPerSource(docs, k = 2, score = col("n_chars"))
     // ties (30,30) break by doc_id asc; source 'c' keeps its single doc
