@@ -211,6 +211,32 @@ object Round7Queries {
       graft.ops.TextAnalysis.chunk(t(s, d, "documents"),
         chunkTokens = 40, overlap = 10)),
 
+    // --- Corpus-wide line-level dedup (value-exact oracle) -------------------
+    // No document in the synthetic corpus contains a newline, so the gate
+    // CONSTRUCTS line-dedup pressure deterministically: doc g of the
+    // derived corpus has 4 lines = the texts of source docs g..g+3, so
+    // every text appears as a line in up to 4 derived docs and only its
+    // first (id, ix) occurrence may survive. The oracle replicates the
+    // construction and the first-occurrence rule exactly.
+    "d_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bounds = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val lines = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(3L))).as("off"))
+        .select((col("doc_id") - col("off")).as("gid"),
+          col("off").as("ix"), col("text").as("line"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("gid") >= col("lo") && col("gid") <= col("hi") - 3)
+      val multi = lines.groupBy("gid")
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("ix"), col("line")))),
+          x => x.getField("line"))).as("text"))
+        .select(col("gid").as("doc_id"), col("text"))
+      graft.ops.Dedup.dedupLines(multi)
+    }),
+
     // --- Per-source document cap (value-exact oracle) ------------------------
     // Domain-cap curation: best 20 docs per source by (n_chars desc,
     // doc_id asc) through the bounded-heap top-k aggregate — map-side
@@ -664,6 +690,31 @@ object Round7Queries {
         |    AS chunk_text,
         |  CAST(least(40, n - i * 30) AS BIGINT) AS n_tokens
         |FROM ix
+        |""".stripMargin,
+
+    "d_line_dedup" ->
+      """WITH b AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        |), lines AS (
+        |  SELECT d.doc_id - off AS gid, off AS ix, d.text AS line
+        |  FROM documents d, unnest(range(0, 4)) AS t(off), b
+        |  WHERE d.doc_id - off >= b.lo AND d.doc_id - off <= b.hi - 3
+        |), sv AS (
+        |  SELECT line, min(gid * 4 + ix) AS v
+        |  FROM lines WHERE len(line) >= 1 GROUP BY line
+        |), k AS (
+        |  SELECT l.gid, l.ix, l.line,
+        |    (sv.line IS NULL OR (l.gid = sv.v // 4 AND l.ix = sv.v % 4))
+        |      AS keep
+        |  FROM lines l LEFT JOIN sv USING (line)
+        |)
+        |SELECT gid AS doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END,
+        |    chr(10) ORDER BY ix), '') AS text,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k GROUP BY gid
         |""".stripMargin,
 
     "d_source_cap" ->

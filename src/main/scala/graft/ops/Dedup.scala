@@ -448,6 +448,54 @@ object Dedup {
         col("r.n_removed"))
   }
 
+  /** Corpus-wide LINE-level dedup (the C4/Dolma curation step: boilerplate
+    * lines — navigation, licenses, cookie banners — repeat across millions
+    * of pages): every duplicate occurrence of a line is removed, keeping
+    * only its FIRST occurrence by (id, line index); documents are then
+    * reassembled in original line order. Lines shorter than `minLineChars`
+    * are exempt (blank separators and trivial lines stay where they are).
+    * A document whose every line was elsewhere first comes back as an
+    * empty string, not a dropped row — the caller decides on a length
+    * filter downstream.
+    *
+    * Scale shape: two key shuffles and one equi-join, nothing all-pairs —
+    * (1) survivor map: groupBy(line) with an orderable-struct min, so the
+    * hottest boilerplate line reduces map-side to one (id, ix) pair per
+    * task; (2) kept-flag join back on the line key (survivor side is one
+    * row per DISTINCT line; AQE skew-join splits the hot keys); (3)
+    * per-document rebuild: groupBy(id) + array_sort on the collected
+    * (ix, kept, line) structs — per-document state, bounded by document
+    * size, exactly the k1 merge shape.
+    * Output: (idCol, text, n_kept, n_dropped). */
+  def dedupLines(docs: DataFrame, minLineChars: Int = 1,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("ix", "line")))
+    val eligible = length(col("line")) >= minLineChars
+    val survivors = lines.filter(eligible)
+      .groupBy("line")
+      .agg(min(struct(col(idCol), col("ix"))).as("s"))
+    lines.join(survivors, Seq("line"), "left")
+      .select(col(idCol), col("ix"), col("line"),
+        (col("s").isNull ||
+          (col(s"s.$idCol") === col(idCol) && col("s.ix") === col("ix")))
+          .as("kept"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("ix"), col("kept"), col("line")))
+        .as("ls"))
+      .select(col(idCol),
+        array_sort(col("ls")).as("ls"))
+      .select(col(idCol),
+        concat_ws("\n", transform(filter(col("ls"), l => l.getField("kept")),
+          l => l.getField("line"))).as("text"),
+        size(filter(col("ls"), l => l.getField("kept")))
+          .cast("long").as("n_kept"),
+        size(filter(col("ls"), l => !l.getField("kept")))
+          .cast("long").as("n_dropped"))
+  }
+
   /** The `functions`-composed SimHash — reference implementation the
     * native expression is property-tested against. */
   private[graft] def simHashComposed(shingleHashes: Column): Column = {

@@ -387,6 +387,23 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupLines: first occurrence survives, short lines exempt, " +
+    "fully-deduped doc stays as empty row") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\n-\nbody a"),
+      (2L, "cookie banner\nunique two\n-\nbody b"),
+      (3L, "cookie banner")) // every line seen earlier -> empty doc
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, minLineChars = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "cookie banner\nunique one\n-\nbody a", 4L, 0L)))
+    // doc 2 loses the banner but keeps its own lines AND the short "-"
+    // separator (below minLineChars -> exempt from dedup)
+    assert(got(1) === ((2L, "unique two\n-\nbody b", 3L, 1L)))
+    // doc 3 loses everything but is still emitted
+    assert(got(2) === ((3L, "", 0L, 1L)))
+  }
 }
 
 class TextSearchSpec extends graft.SparkSpec {
