@@ -245,6 +245,13 @@ object Round7Queries {
       graft.ops.TrainingPrep.capPerSource(t(s, d, "documents"),
         k = 20, score = col("n_chars"))),
 
+    // --- Vocabulary builder (value-exact oracle) -----------------------------
+    // Top-100 words with probability and cumulative coverage under the
+    // lm_score normalization; counts are integers and both engines round
+    // the same divisions to 6dp, so the whole curve is value-exact.
+    "t_vocab" -> ((s, d) =>
+      graft.ops.TrainingPrep.vocabulary(t(s, d, "documents"), topV = 100)),
+
     // --- BM25 full-text ranking (value-exact oracle) -------------------------
     // Every formula input (tf, df, dl, N, avgdl) is integer-derived, so
     // the 4-dp score is engine-independent — the oracle recomputes the
@@ -728,6 +735,27 @@ object Round7Queries {
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |)
         |WHERE rn <= 20
+        |""".stripMargin,
+
+    "t_vocab" ->
+      """WITH norm AS (
+        |  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), ex AS (
+        |  SELECT unnest(string_split(t, ' ')) AS word FROM norm
+        |), wc AS (
+        |  SELECT word, count(*) AS n FROM ex GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS total FROM wc
+        |), top AS (
+        |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC)
+        |    AS rn
+        |  FROM wc ORDER BY n DESC, word ASC LIMIT 100
+        |)
+        |SELECT CAST(rn AS BIGINT) AS rank, word, n,
+        |  round(n / total, 6) AS p,
+        |  round(sum(n) OVER (ORDER BY rn) / total, 6) AS coverage
+        |FROM top, tot
         |""".stripMargin,
 
     "t_pack" ->

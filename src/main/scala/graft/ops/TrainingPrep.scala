@@ -128,6 +128,38 @@ object TrainingPrep {
         round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
   }
 
+  /** Vocabulary builder (tokenizer-training prep): the `topV` most
+    * frequent words of the corpus under the same normalization
+    * [[lmScore]] uses, with per-word probability and cumulative coverage
+    * — the curve that picks a vocab size ("top 32k words cover 97.1%").
+    *
+    * Scale shape: one explode + hash-groupBy with map-side combine over
+    * the corpus (the only corpus-sized pass), lineage-cut at vocabulary
+    * size; the top-V cut is a TakeOrdered; the rank/coverage window runs
+    * over the V surviving rows only — V is driver-sized by contract
+    * (same contract as [[lmScore]]'s broadcast vocabulary), so the
+    * single-partition window is bounded, never corpus-sized.
+    * Output: (rank 1..V, word, n, p, coverage), p/coverage rounded 6dp. */
+  def vocabulary(docs: DataFrame, topV: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    val words = docs.select(
+      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("word"))
+    val counts = graft.core.Checkpoints.cut(
+      words.groupBy("word").agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum("n")).collect().head.getLong(0).toDouble
+    val byFreq = Window.orderBy(col("n").desc, col("word").asc)
+    counts
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(topV)
+      .select(row_number().over(byFreq).cast("long").as("rank"),
+        col("word"), col("n"),
+        round(col("n") / total, 6).as("p"),
+        round(sum(col("n")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / total, 6).as("coverage"))
+  }
+
   /** Per-source document cap (the domain-cap curation step: without it a
     * handful of hot domains dominates a web-scale mixture): keep at most
     * `k` documents per source, best-first by (score desc, id asc).

@@ -126,6 +126,21 @@ class TrainingPrepSpec extends SparkSpec {
       TrainingPrep.capPerSource(docs, k = 0, score = col("n_chars")))
   }
 
+  test("vocabulary: frequency order with word tie-break, coverage " +
+    "reaches 1 when V covers the vocab") {
+    val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TrainingPrep.vocabulary(docs, topV = 10)
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+    assert(got.map(_._4) === Seq(0.5, 0.333333, 0.166667))
+    assert(got.last._5 === 1.0) // cumulative coverage closes the corpus
+    // truncation keeps the best-first prefix
+    val top1 = TrainingPrep.vocabulary(docs, topV = 1)
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(top1.map(_._2) === Seq("a") && top1.head._5 === 0.5)
+  }
+
   test("chunk: overlap windows, short doc, exact multiple, empty doc") {
     // chunkTokens=5, overlap=2 -> stride 3
     val docs = Seq(
