@@ -140,4 +140,48 @@ class PlanShapeSpec extends SparkSpec {
         s"profile plan contains an EXPAND (exact-distinct shape):\n$plan")
     }
   }
+
+  test("chunk is narrow: zero exchanges, chunks fan out inside the scan " +
+    "partitions") {
+    withoutAqe {
+      val plan = executed(TextAnalysis.chunk(docs, chunkTokens = 4,
+        overlap = 1))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"chunking gained a shuffle:\n$plan")
+    }
+  }
+
+  test("capPerSource: ONE shuffle on the source key via the bounded-heap " +
+    "aggregate — no window, no sort of the full input") {
+    withoutAqe {
+      val plan = executed(TrainingPrep.capPerSource(docs, k = 3,
+        score = length(col("text"))))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"per-source cap should shuffle once on source:\n$plan")
+      assert(shuffles.head.toString.contains("source"),
+        s"shuffle is not on the source key:\n$plan")
+      assert(!plan.toString.contains("Window"),
+        s"per-source cap fell back to a window rank:\n$plan")
+      assert(plan.toString.contains("ObjectHashAggregate"),
+        s"bounded-heap aggregate not in the plan:\n$plan")
+    }
+  }
+
+  test("dedupLines: equi-join back on the line key — no cartesian, no " +
+    "window, every exchange stays multi-partition") {
+    withoutAqe {
+      val plan = executed(Dedup.dedupLines(
+        docs.select(col("doc_id"),
+          concat_ws("\n", col("text"), col("source")).as("text"))))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian product in the line-dedup plan:\n$plan")
+      assert(!plan.toString.contains("Window"),
+        s"line dedup must not use a window:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty &&
+        shuffles.forall(_.outputPartitioning.numPartitions > 1),
+        s"an exchange collapsed to a single partition:\n$plan")
+    }
+  }
 }
