@@ -245,6 +245,33 @@ object Round7Queries {
       graft.ops.TrainingPrep.capPerSource(t(s, d, "documents"),
         k = 20, score = col("n_chars"))),
 
+    // --- Quantile-band filter (invariant gate) -------------------------------
+    // Keep the middle [0.25, 0.75] of the n_chars distribution through
+    // the sketch-threshold path; the gate bounds the sketch against the
+    // EXACT percentiles: thresholds must land inside the exact [p24,p26]
+    // / [p74,p76] rank neighborhoods (the rank-error contract with two
+    // orders of magnitude of slack) and the surviving fraction must be
+    // ~half the corpus.
+    "t_quality_band" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val band = graft.ops.TrainingPrep.quantileBand(docs, col("n_chars"),
+        lo = 0.25, hi = 0.75)
+      val ex = docs.agg(expr(
+        "percentile(n_chars, array(0.24, 0.26, 0.74, 0.76))").as("p"))
+        .collect().head.getSeq[Double](0)
+      val (kept, total) = (band.count().toDouble, docs.count().toDouble)
+      val bounds = band.agg(min(col("n_chars").cast("double")).as("lo"),
+        max(col("n_chars").cast("double")).as("hi")).collect().head
+      val frac = kept / total
+      import s.implicits._
+      Seq((
+        bounds.getDouble(0) >= ex(0) && bounds.getDouble(0) <= ex(1),
+        bounds.getDouble(1) >= ex(2) && bounds.getDouble(1) <= ex(3),
+        frac >= 0.45 && frac <= 0.56
+      )).toDF("lo_within_exact_neighborhood", "hi_within_exact_neighborhood",
+        "kept_fraction_near_half")
+    }),
+
     // --- Vocabulary builder (value-exact oracle) -----------------------------
     // Top-100 words with probability and cumulative coverage under the
     // lm_score normalization; counts are integers and both engines round
@@ -736,6 +763,11 @@ object Round7Queries {
         |)
         |WHERE rn <= 20
         |""".stripMargin,
+
+    "t_quality_band" ->
+      ("SELECT true AS lo_within_exact_neighborhood, " +
+        "true AS hi_within_exact_neighborhood, " +
+        "true AS kept_fraction_near_half"),
 
     "t_vocab" ->
       """WITH norm AS (

@@ -128,6 +128,29 @@ object TrainingPrep {
         round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
   }
 
+  /** Quantile-band filter (the CCNet head/middle/tail selection step:
+    * keep the middle of a quality/perplexity distribution, dropping both
+    * the suspicious best and the junk worst): rows whose score lies in
+    * the [lo, hi] quantile band survive.
+    *
+    * Scale shape: thresholds come from ONE `percentile_approx` sketch
+    * pass — a mergeable map-side-combinable aggregate with a rank-error
+    * guarantee of 1/`accuracy`, never a global sort — and are then
+    * broadcast as literals into a narrow filter, so the second pass
+    * pushes the band predicate down to the scan. The exact-percentile
+    * alternative materializes a full sort (or an all-values aggregation
+    * buffer) — the sketch is the 100 TB path, and the gate bounds its
+    * error against exact quantiles. */
+  def quantileBand(df: DataFrame, score: Column, lo: Double, hi: Double,
+                   accuracy: Int = 10000): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val s = score.cast("double")
+    val t = df.agg(percentile_approx(s, array(lit(lo), lit(hi)),
+      lit(accuracy)).as("t")).collect().head.getSeq[Double](0)
+    df.filter(s >= t(0) && s <= t(1))
+  }
+
   /** Vocabulary builder (tokenizer-training prep): the `topV` most
     * frequent words of the corpus under the same normalization
     * [[lmScore]] uses, with per-word probability and cumulative coverage

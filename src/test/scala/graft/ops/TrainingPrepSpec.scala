@@ -126,6 +126,21 @@ class TrainingPrepSpec extends SparkSpec {
       TrainingPrep.capPerSource(docs, k = 0, score = col("n_chars")))
   }
 
+  test("quantileBand: keeps the middle band inclusively, bounds near " +
+    "exact quantiles at high accuracy") {
+    val docs = (1 to 100).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "n_chars")
+    val kept = TrainingPrep.quantileBand(docs, col("n_chars"), 0.2, 0.8)
+      .as[(Long, Long)].collect().map(_._2).sorted
+    // at accuracy 10000 over 100 distinct values the sketch is exact:
+    // thresholds are data values at ranks ~20 and ~80
+    assert(kept.head >= 19L && kept.head <= 21L, s"lo ${kept.head}")
+    assert(kept.last >= 79L && kept.last <= 81L, s"hi ${kept.last}")
+    assert(kept.length >= 58 && kept.length <= 63, s"n ${kept.length}")
+    intercept[IllegalArgumentException](
+      TrainingPrep.quantileBand(docs, col("n_chars"), 0.8, 0.2))
+  }
+
   test("vocabulary: frequency order with word tie-break, coverage " +
     "reaches 1 when V covers the vocab") {
     val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
