@@ -245,6 +245,14 @@ object Round7Queries {
       graft.ops.TrainingPrep.capPerSource(t(s, d, "documents"),
         k = 20, score = col("n_chars"))),
 
+    // --- Deterministic pre-training shuffle (value-exact oracle) -------------
+    // Shard and in-shard position are pure functions of (doc_id, seed)
+    // through the md5 draw, so the oracle reproduces the full permutation
+    // byte-exactly.
+    "d_shuffle_shards" -> ((s, d) =>
+      graft.ops.TrainingPrep.shuffleShards(t(s, d, "documents"),
+        shards = 8)),
+
     // --- Quantile-band filter (invariant gate) -------------------------------
     // Keep the middle [0.25, 0.75] of the n_chars distribution through
     // the sketch-threshold path; the gate bounds the sketch against the
@@ -762,6 +770,21 @@ object Round7Queries {
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |)
         |WHERE rn <= 20
+        |""".stripMargin,
+
+    "d_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS hx
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hx,
+        |    (('0x' || substring(hx, 1, 8))::BIGINT % 8) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s
         |""".stripMargin,
 
     "t_quality_band" ->

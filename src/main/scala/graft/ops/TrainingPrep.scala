@@ -213,6 +213,30 @@ object TrainingPrep {
         col("h.id").as(idCol), col("h.cosine").as("score"))
   }
 
+  /** Deterministic global shuffle into shards (the pre-training shuffle:
+    * trainers need the corpus in a reproducible pseudo-random order that
+    * any re-run, resume, or re-shard reproduces exactly): each row's
+    * shard and its position within the shard are pure functions of
+    * (id, seed) via the md5 draw — no `rand()`, no partitioning
+    * dependence.
+    *
+    * Scale shape: shard assignment is narrow; the within-shard ordering
+    * is a window PARTITIONED BY shard (range partition + local sort per
+    * shard, the [[packSequences]] shape) — never a global
+    * single-partition sort. Output: (idCol, shard, pos 1..). */
+  def shuffleShards(df: DataFrame, shards: Int, seed: String = "shuffle",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val hx = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy("shard").orderBy(col("hx"), col(idCol))
+    df.select(col(idCol), hx.as("hx"))
+      .withColumn("shard",
+        pmod(conv(substring(col("hx"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
   /** Greedy contiguous sequence packing: documents are sharded by id,
     * ordered within each shard, and assigned to fixed-token-budget bins
     * by exclusive prefix sum — bin = floor(tokens_before / budget). The

@@ -126,6 +126,25 @@ class TrainingPrepSpec extends SparkSpec {
       TrainingPrep.capPerSource(docs, k = 0, score = col("n_chars")))
   }
 
+  test("shuffleShards: reproducible permutation, contiguous per-shard " +
+    "positions, seed changes the order") {
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TrainingPrep.shuffleShards(docs, shards = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = TrainingPrep.shuffleShards(docs, shards = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // identical permutation on re-run
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are 1..n_shard contiguous within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // a different seed yields a genuinely different order
+    val c = TrainingPrep.shuffleShards(docs, shards = 4, seed = "epoch2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(c.toSeq !== a.toSeq)
+  }
+
   test("quantileBand: keeps the middle band inclusively, bounds near " +
     "exact quantiles at high accuracy") {
     val docs = (1 to 100).map(i => (i.toLong, i.toLong))
