@@ -197,6 +197,20 @@ object ConnectedComponents {
     * Expand) over the full edge set. */
   private[graft] def componentAndNodeCount(ehash: DataFrame,
                                            maxIterations: Int = 30): (Long, Long) = {
+    val (summary, cleanup) = starSummary(ehash, maxIterations)
+    val row = try summary.collect().head finally cleanup()
+    (row.getLong(0) + row.getLong(1), row.getLong(2))
+  }
+
+  /** Runs the star loop to its fixpoint and returns the UN-COLLECTED
+    * 1-row summary frame (n_roots, n_singletons, n_nodes) plus a cleanup
+    * thunk (unpersists the shared distinct-ids frame — call it after the
+    * action). Root, singleton and node counts are 1-row cross joins, so
+    * one action computes all three; a caller can crossJoin further 1-row
+    * aggregates (e.g. [[Graph.stats]]'s edge/citation counts) into the
+    * SAME action instead of paying extra job round-trips. */
+  private[graft] def starSummary(ehash: DataFrame, maxIterations: Int = 30)
+      : (DataFrame, () => Unit) = {
     val e = starFixpoint(canonicalize(ehash), maxIterations)
     val starMembers = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
@@ -205,16 +219,12 @@ object ConnectedComponents {
       .filter(col("id").isNotNull) // null endpoint = no node (Graph.stats)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // root count, singleton count and node count in ONE action (1-row
-    // cross joins of the three aggregates) instead of three count jobs;
     // `ids` is persisted because both the anti-join branch and the node
     // count scan it.
-    val row = e.agg(countDistinct(col("v")).as("n_roots"))
+    val summary = e.agg(countDistinct(col("v")).as("n_roots"))
       .crossJoin(ids.join(starMembers, Seq("id"), "left_anti")
         .agg(count(lit(1)).as("n_singletons")))
       .crossJoin(ids.agg(count(lit(1)).as("n_nodes")))
-      .collect().head
-    ids.unpersist()
-    (row.getLong(0) + row.getLong(1), row.getLong(2))
+    (summary, () => { ids.unpersist(); () })
   }
 }

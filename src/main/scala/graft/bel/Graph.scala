@@ -81,16 +81,22 @@ object Graph {
     // With components, |V| falls out of the CC pass's own distinct-ids
     // frame, so the base aggregation is edge-count + one single-column
     // distinct — no endpoint explode, no multi-distinct Expand (which
-    // triples the aggregated row count). Without components there is no CC
-    // pass to piggyback on, so the fused explode form computes all three.
+    // triples the aggregated row count) — and it is crossJoined into the
+    // CC summary's single final action rather than running as a job of
+    // its own (the cache materializes during the CC loop's first round).
+    // Without components there is no CC pass to piggyback on, so the
+    // fused explode form computes all three in one job.
     val (nEdges, nCitations, nNodes, nComponents) =
       if (withComponents) {
-        val baseAgg = eh
-          .agg(count(lit(1)).as("n_edges"),
-            countDistinct(col("c")).as("n_citations")).collect().head
-        val (nComp, nNode) = ConnectedComponents.componentAndNodeCount(
+        val (summary, cleanup) = ConnectedComponents.starSummary(
           eh.select(col("u"), col("v")))
-        (baseAgg.getLong(0), baseAgg.getLong(1), nNode, nComp)
+        val row = try summary
+          .crossJoin(eh.agg(count(lit(1)).as("n_edges"),
+            countDistinct(col("c")).as("n_citations")))
+          .collect().head
+        finally cleanup()
+        (row.getLong(3), row.getLong(4), row.getLong(2),
+          row.getLong(0) + row.getLong(1))
       } else {
         val baseAgg = eh
           .select(explode(array(col("u"), col("v"))).as("node"), col("c"))
