@@ -264,17 +264,23 @@ object Round7Queries {
       val docs = t(s, d, "documents")
       val band = graft.ops.TrainingPrep.quantileBand(docs, col("n_chars"),
         lo = 0.25, hi = 0.75)
-      val ex = docs.agg(expr(
-        "percentile(n_chars, array(0.24, 0.26, 0.74, 0.76))").as("p"))
-        .collect().head.getSeq[Double](0)
-      val (kept, total) = (band.count().toDouble, docs.count().toDouble)
-      val bounds = band.agg(min(col("n_chars").cast("double")).as("lo"),
-        max(col("n_chars").cast("double")).as("hi")).collect().head
-      val frac = kept / total
+      // ONE combined action for every check input (band stats crossJoined
+      // with corpus stats + exact percentiles) on top of the operator's
+      // own single threshold pass
+      val row = band
+        .agg(count(lit(1)).cast("double").as("kept"),
+          min(col("n_chars").cast("double")).as("band_lo"),
+          max(col("n_chars").cast("double")).as("band_hi"))
+        .crossJoin(docs.agg(count(lit(1)).cast("double").as("total"),
+          expr("percentile(n_chars, array(0.24, 0.26, 0.74, 0.76))")
+            .as("p")))
+        .collect().head
+      val ex = row.getSeq[Double](4)
+      val frac = row.getDouble(0) / row.getDouble(3)
       import s.implicits._
       Seq((
-        bounds.getDouble(0) >= ex(0) && bounds.getDouble(0) <= ex(1),
-        bounds.getDouble(1) >= ex(2) && bounds.getDouble(1) <= ex(3),
+        row.getDouble(1) >= ex(0) && row.getDouble(1) <= ex(1),
+        row.getDouble(2) >= ex(2) && row.getDouble(2) <= ex(3),
         frac >= 0.45 && frac <= 0.56
       )).toDF("lo_within_exact_neighborhood", "hi_within_exact_neighborhood",
         "kept_fraction_near_half")
@@ -742,13 +748,16 @@ object Round7Queries {
         |  FROM documents d, unnest(range(0, 4)) AS t(off), b
         |  WHERE d.doc_id - off >= b.lo AND d.doc_id - off <= b.hi - 3
         |), sv AS (
-        |  SELECT line, min(gid * 4 + ix) AS v
-        |  FROM lines WHERE len(line) >= 1 GROUP BY line
+        |  -- encode (gid, ix) lexicographically, OFFSET BY lo so the
+        |  -- encoding stays non-negative and // and % decode exactly
+        |  -- (truncating division would misdecode negative ids)
+        |  SELECT line, min((gid - b.lo) * 4 + ix) AS v
+        |  FROM lines, b WHERE len(line) >= 1 GROUP BY line
         |), k AS (
         |  SELECT l.gid, l.ix, l.line,
-        |    (sv.line IS NULL OR (l.gid = sv.v // 4 AND l.ix = sv.v % 4))
-        |      AS keep
-        |  FROM lines l LEFT JOIN sv USING (line)
+        |    (sv.line IS NULL OR
+        |     (l.gid = sv.v // 4 + b.lo AND l.ix = sv.v % 4)) AS keep
+        |  FROM lines l LEFT JOIN sv USING (line), b
         |)
         |SELECT gid AS doc_id,
         |  coalesce(string_agg(CASE WHEN keep THEN line END,

@@ -470,9 +470,14 @@ object Dedup {
   def dedupLines(docs: DataFrame, minLineChars: Int = 1,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    // NULL text reads as one empty line (posexplode over a NULL split
+    // would emit ZERO rows and silently drop the document, breaking the
+    // every-doc-comes-back contract); the empty line is below any
+    // positive minLineChars, so such a doc round-trips as "".
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("ix", "line")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("ix", "line")))
     val eligible = length(col("line")) >= minLineChars
     val survivors = lines.filter(eligible)
       .groupBy("line")

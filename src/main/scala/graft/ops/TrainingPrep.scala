@@ -35,8 +35,18 @@ object TrainingPrep {
     * then send EVERY surviving doc of that source to train, starving
     * val/test of all fractionally-downsampled sources. */
   private def hashUniform(id: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
-      1, 8), 16, 10).cast("long"), lit(1000000L)).cast("double") / 1000000.0
+    pmod(hexDraw(saltedHex(id, salt)), lit(1000000L))
+      .cast("double") / 1000000.0
+
+  /** The one salted md5 recipe every deterministic draw derives from —
+    * the salt separator and hex width are load-bearing for oracle
+    * exactness, so they live in exactly one place. */
+  private def saltedHex(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(":" + salt)))
+
+  /** First 8 hex digits of a [[saltedHex]] as a non-negative long. */
+  private def hexDraw(hx: Column): Column =
+    conv(substring(hx, 1, 8), 16, 10).cast("long")
 
   /** Deterministic split assignment: [[hashUniform]] thresholded by
     * cumulative weights. Properties a training pipeline needs: same id →
@@ -110,22 +120,37 @@ object TrainingPrep {
   def lmScore(docs: DataFrame, reference: DataFrame, vocabSize: Int = 50000,
               idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    def words(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(split(TextAnalysis.normalized(col(textCol)),
-        " ")).as("word"): _*)
-    val counts = graft.core.Checkpoints.cut(
-      words(reference).groupBy("word").agg(count(lit(1)).as("c")))
-    val total = counts.agg(sum("c")).collect().head.getLong(0).toDouble
+    val (counts, total) = wordCounts(reference, textCol)
     val probs = counts
-      .orderBy(col("c").desc, col("word").asc)
+      .orderBy(col("n").desc, col("word").asc)
       .limit(vocabSize)
-      .select(col("word"), log(col("c").cast("double") / total).as("logp"))
+      .select(col("word"), log(col("n").cast("double") / total).as("logp"))
     val floor = math.log(1.0 / total)
-    words(docs, col(idCol))
+    docs.select(col(idCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " "))
+          .as("word"))
       .join(broadcast(probs), Seq("word"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
+  }
+
+  /** Normalized word counts + grand total of a corpus — the shared first
+    * pass of [[lmScore]] and [[vocabulary]] (one explode + hash-groupBy
+    * with map-side combine, lineage-cut at vocabulary size so the total
+    * and any top-V cut read the counts, not the corpus). The tokenization
+    * here IS the vocabulary contract — one place to change it. Total is
+    * clamped to ≥ 1 so an empty corpus yields empty results, not a
+    * NULL-sum NPE or division by zero. */
+  private def wordCounts(df: DataFrame, textCol: String)
+      : (DataFrame, Double) = {
+    val words = df.select(
+      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("word"))
+    val counts = graft.core.Checkpoints.cut(
+      words.groupBy("word").agg(count(lit(1)).as("n")))
+    val row = counts.agg(sum("n")).collect().head
+    val total = if (row.isNullAt(0)) 1.0 else row.getLong(0).toDouble
+    (counts, total)
   }
 
   /** Quantile-band filter (the CCNet head/middle/tail selection step:
@@ -146,9 +171,15 @@ object TrainingPrep {
     require(0.0 <= lo && lo < hi && hi <= 1.0,
       s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
     val s = score.cast("double")
-    val t = df.agg(percentile_approx(s, array(lit(lo), lit(hi)),
-      lit(accuracy)).as("t")).collect().head.getSeq[Double](0)
-    df.filter(s >= t(0) && s <= t(1))
+    val row = df.agg(percentile_approx(s, array(lit(lo), lit(hi)),
+      lit(accuracy)).as("t")).collect().head
+    // empty / all-NULL-score input: no quantiles exist, the band is empty
+    // (not an NPE three calls later)
+    if (row.isNullAt(0)) df.filter(lit(false))
+    else {
+      val t = row.getSeq[Double](0)
+      df.filter(s >= t(0) && s <= t(1))
+    }
   }
 
   /** Vocabulary builder (tokenizer-training prep): the `topV` most
@@ -166,11 +197,7 @@ object TrainingPrep {
   def vocabulary(docs: DataFrame, topV: Int,
                  textCol: String = "text"): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
-    val words = docs.select(
-      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("word"))
-    val counts = graft.core.Checkpoints.cut(
-      words.groupBy("word").agg(count(lit(1)).as("n")))
-    val total = counts.agg(sum("n")).collect().head.getLong(0).toDouble
+    val (counts, total) = wordCounts(docs, textCol)
     val byFreq = Window.orderBy(col("n").desc, col("word").asc)
     counts
       .orderBy(col("n").desc, col("word").asc)
@@ -227,12 +254,9 @@ object TrainingPrep {
   def shuffleShards(df: DataFrame, shards: Int, seed: String = "shuffle",
                     idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val hx = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
     val w = Window.partitionBy("shard").orderBy(col("hx"), col(idCol))
-    df.select(col(idCol), hx.as("hx"))
-      .withColumn("shard",
-        pmod(conv(substring(col("hx"), 1, 8), 16, 10).cast("long"),
-          lit(shards.toLong)))
+    df.select(col(idCol), saltedHex(col(idCol), seed).as("hx"))
+      .withColumn("shard", pmod(hexDraw(col("hx")), lit(shards.toLong)))
       .select(col(idCol), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }

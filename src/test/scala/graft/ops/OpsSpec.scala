@@ -393,7 +393,8 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(
       (1L, "cookie banner\nunique one\n-\nbody a"),
       (2L, "cookie banner\nunique two\n-\nbody b"),
-      (3L, "cookie banner")) // every line seen earlier -> empty doc
+      (3L, "cookie banner"), // every line seen earlier -> empty doc
+      (4L, null.asInstanceOf[String])) // NULL text must not drop the row
       .toDF("doc_id", "text")
     val got = Dedup.dedupLines(docs, minLineChars = 2)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
@@ -403,6 +404,8 @@ class DedupSpec extends SparkSpec {
     assert(got(1) === ((2L, "unique two\n-\nbody b", 3L, 1L)))
     // doc 3 loses everything but is still emitted
     assert(got(2) === ((3L, "", 0L, 1L)))
+    // doc 4 (NULL text) round-trips as one exempt empty line
+    assert(got(3) === ((4L, "", 1L, 0L)))
   }
 }
 
