@@ -245,6 +245,18 @@ object Round7Queries {
       graft.ops.TrainingPrep.capPerSource(t(s, d, "documents"),
         k = 20, score = col("n_chars"))),
 
+    // --- Radius similarity search (value-exact oracle) -----------------------
+    // Everything with cosine >= 0.25 of each probe vector (p99 of the
+    // synthetic pair distribution is ~0.29, so the band is selective but
+    // populated); exact cosine on both engines, rounded 6dp.
+    "s_radius_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.radiusSearch(emb, queriesDf, threshold = 0.25)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // --- Deterministic pre-training shuffle (value-exact oracle) -------------
     // Shard and in-shard position are pure functions of (doc_id, seed)
     // through the md5 draw, so the oracle reproduces the full permutation
@@ -779,6 +791,20 @@ object Round7Queries {
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |)
         |WHERE rn <= 20
+        |""".stripMargin,
+
+    "s_radius_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, id, round(cos_raw, 6) AS cosine FROM scored
+        |WHERE cos_raw >= 0.25
         |""".stripMargin,
 
     "d_shuffle_shards" ->

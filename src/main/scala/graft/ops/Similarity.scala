@@ -54,6 +54,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Radius search — ALL corpus neighbors with cosine ≥ `threshold` of
+    * each query (the companion of top-k: near-dup audits, contamination
+    * tracing, recall sweeps want "everything at least this similar", not
+    * a fixed count). Self-pairs excluded.
+    *
+    * Scale shape: queries broadcast against the corpus scan and the
+    * threshold predicate filters inside the scan projection — fully
+    * narrow, no aggregation, no shuffle at all; output size is bounded
+    * by the data (how many neighbors actually clear the threshold), not
+    * by Q·k. Output: (query_id, id, cosine). */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    corpus.alias("c")
+      .join(broadcast(queries.alias("q")),
+        col("q.query_id") =!= col(s"c.$idCol"))
+      .select(col("q.query_id").as("query_id"),
+        col(s"c.$idCol").as("id"),
+        Vectors.cosine(col("q.embedding"), col(s"c.$vecCol")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN over cosine similarity: the corpus is
     * partitioned once into `nList` Voronoi cells around deterministically
     * sampled centroids; each query scores only the corpus rows of its

@@ -797,4 +797,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.forall(_.getAs[Long]("rank") <= 3))
   }
+
+  test("radiusSearch: exactly the pairs at or above the threshold, " +
+    "self excluded, plan stays shuffle-free") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.radiusSearch(corpus, queries, threshold = 0.9)
+    val got = out.as[(Long, Long, Double)].collect().toSet
+    assert(got.map(_._2) === Set(2L)) // only the near-parallel vector
+    assert(got.forall(_._3 >= 0.9))
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"radius search gained a shuffle:\n$plan")
+    intercept[IllegalArgumentException](
+      Similarity.radiusSearch(corpus, queries, threshold = 2.0))
+  }
 }
