@@ -257,6 +257,20 @@ object Round7Queries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // --- IVF-probed radius search, exact mode (value-exact oracle) -----------
+    // nProbe == nList: every cell probed, so the probed plan must equal
+    // brute-force radius search exactly — same oracle SQL. Recall at
+    // nProbe < nList is the standard IVF tradeoff (gated for top-k by
+    // s_ivf_refined_recall).
+    "s_ivf_radius" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.ivfRadiusSearch(emb, queriesDf,
+        threshold = 0.25, nList = 8, nProbe = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // --- Deterministic pre-training shuffle (value-exact oracle) -------------
     // Shard and in-shard position are pure functions of (doc_id, seed)
     // through the md5 draw, so the oracle reproduces the full permutation
@@ -791,6 +805,20 @@ object Round7Queries {
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |)
         |WHERE rn <= 20
+        |""".stripMargin,
+
+    "s_ivf_radius" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, id, round(cos_raw, 6) AS cosine FROM scored
+        |WHERE cos_raw >= 0.25
         |""".stripMargin,
 
     "s_radius_search" ->

@@ -194,6 +194,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-probed radius search — the scale path of [[radiusSearch]]: each
+    * query scores only its `nProbe` nearest Voronoi cells, then the
+    * threshold filters the probed candidates. Same probe plan as
+    * [[ivfTopK]] (narrow kernel cell assignment, broadcast (query, cell)
+    * probe join — the corpus is never shuffled), but with NO per-query
+    * aggregation at all after the filter. `nProbe == nList` degrades to
+    * exact [[radiusSearch]] — how the oracle pins it; at `nProbe <
+    * nList` neighbors in unprobed cells are missed, the usual IVF
+    * recall tradeoff. Output: (query_id, id, cosine). */
+  def ivfRadiusSearch(corpus: DataFrame, queries: DataFrame,
+                      threshold: Double, nList: Int = 16, nProbe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      refineIterations: Int = 0): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
+      s"need 2 <= nProbe($nProbe) <= nList($nList)")
+    val (cellIds, cents) =
+      if (refineIterations > 0)
+        refineCentroids(corpus, nList, refineIterations, idCol, vecCol)
+      else sampleCentroids(corpus, nList, idCol, vecCol)
+    val assigned = corpus.select(col(idCol).as("id"),
+      col(vecCol).as("cvec"),
+      element_at(cellsOfCol(col(vecCol), cellIds, cents, 1), 1).as("cell"))
+    val probes = queries.select(col("query_id"),
+      col("embedding").as("qvec"),
+      explode(cellsOfCol(col("embedding"), cellIds, cents, nProbe))
+        .as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Hyperplane-LSH candidate generation + exact re-rank: `bands` signature
     * bands of `bitsPerBand` sign bits each; a corpus vector is a candidate
     * for a query iff they share at least one band value. Exact cosine

@@ -817,4 +817,23 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.radiusSearch(corpus, queries, threshold = 2.0))
   }
+
+  test("ivfRadiusSearch: exact mode equals brute radius, probed mode is " +
+    "a subset") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 64L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.radiusSearch(corpus, queries, 0.3))
+    val exact = pairs(Similarity.ivfRadiusSearch(corpus, queries, 0.3,
+      nList = 4, nProbe = 4))
+    assert(exact === brute) // every cell probed -> brute equivalence
+    val probed = pairs(Similarity.ivfRadiusSearch(corpus, queries, 0.3,
+      nList = 4, nProbe = 2))
+    assert(probed.subsetOf(brute)) // probing can only MISS, never invent
+  }
 }
