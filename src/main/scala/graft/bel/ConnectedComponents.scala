@@ -204,27 +204,35 @@ object ConnectedComponents {
 
   /** Runs the star loop to its fixpoint and returns the UN-COLLECTED
     * 1-row summary frame (n_roots, n_singletons, n_nodes) plus a cleanup
-    * thunk (unpersists the shared distinct-ids frame — call it after the
-    * action). Root, singleton and node counts are 1-row cross joins, so
-    * one action computes all three; a caller can crossJoin further 1-row
-    * aggregates (e.g. [[Graph.stats]]'s edge/citation counts) into the
-    * SAME action instead of paying extra job round-trips. */
+    * thunk (kept for interface stability; currently a no-op). All three
+    * counts come from ONE tagged-union groupBy: every graph endpoint
+    * (tag g), star member (tag m) and star root (tag r) lands in a single
+    * per-id max-flag aggregation, whose 1-row rollup reads the counts off
+    * the flags — n_roots = Σr, n_singletons = ids with neither m nor r,
+    * n_nodes = |groups|. Replaces the old persist + anti-join + three
+    * crossJoined countDistinct branches: one shuffle on id instead of
+    * three aggregation branches over a persisted distinct-ids frame, so
+    * both the toy-scale job count and the cluster-scale shuffle count
+    * drop. (The star set's nodes are a subset of the graph's, so the
+    * group count equals the distinct non-null endpoint count exactly;
+    * star frames are null-free by construction — canonicalize drops null
+    * endpoints.) A caller can still crossJoin further 1-row aggregates
+    * (e.g. [[Graph.stats]]'s edge/citation counts) into the same action. */
   private[graft] def starSummary(ehash: DataFrame, maxIterations: Int = 30)
       : (DataFrame, () => Unit) = {
     val e = starFixpoint(canonicalize(ehash), maxIterations)
-    val starMembers = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
-    val ids = ehash.select(col("u").as("id"))
+    val tagged = ehash.select(col("u").as("id"))
       .unionByName(ehash.select(col("v").as("id")))
       .filter(col("id").isNotNull) // null endpoint = no node (Graph.stats)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `ids` is persisted because both the anti-join branch and the node
-    // count scan it.
-    val summary = e.agg(countDistinct(col("v")).as("n_roots"))
-      .crossJoin(ids.join(starMembers, Seq("id"), "left_anti")
-        .agg(count(lit(1)).as("n_singletons")))
-      .crossJoin(ids.agg(count(lit(1)).as("n_nodes")))
-    (summary, () => { ids.unpersist(); () })
+      .select(col("id"), lit(0).as("m"), lit(0).as("r"))
+      .unionByName(e.select(col("u").as("id"), lit(1).as("m"), lit(0).as("r")))
+      .unionByName(e.select(col("v").as("id"), lit(0).as("m"), lit(1).as("r")))
+    val summary = tagged
+      .groupBy("id")
+      .agg(max(col("m")).as("m"), max(col("r")).as("r"))
+      .agg(sum(col("r")).cast("long").as("n_roots"),
+        count(when(col("m") === 0 && col("r") === 0, 1)).as("n_singletons"),
+        count(lit(1)).as("n_nodes"))
+    (summary, () => ())
   }
 }

@@ -74,10 +74,13 @@ object Graph {
     def hashOrNull(c: Column): Column =
       when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
     val hasCitation = edges.columns.contains("citation")
-    val eh = edges.select(
+    val ehRaw = edges.select(
       hashOrNull(col("src")).as("u"), hashOrNull(col("dst")).as("v"),
       (if (hasCitation) hashOrNull(col("citation"))
-       else lit(null).cast("long")).as("c")).cache()
+       else lit(null).cast("long")).as("c"))
+    val eh =
+      if (withComponents) graft.core.Checkpoints.cut(ehRaw)
+      else ehRaw.cache()
     // With components, |V| falls out of the CC pass's own distinct-ids
     // frame, so the base aggregation is edge-count + one single-column
     // distinct — no endpoint explode, no multi-distinct Expand (which
