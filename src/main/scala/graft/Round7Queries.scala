@@ -529,9 +529,48 @@ object Round7Queries {
       Seq((same, shifted)).toDF("st_same", "st_off").select(
         (col("st_off") > col("st_same") + 0.3).as("drift_separates"),
         (abs(col("st_same")) < 0.05).as("in_dist_near_zero"))
+    }),
+
+    // --- Point-in-time (as-of) join ------------------------------------------
+    // "Last error state as of each click, per user, within an hour" — the
+    // classic feature-enrichment shape. Value-exact vs DuckDB's native
+    // ASOF LEFT JOIN. Timestamps compare as unix-micros LONGS on both
+    // sides (the parquet ns → µs truncation is integer-identical in the
+    // two engines; comparing raw timestamps would re-admit the ns-vs-µs
+    // boundary ambiguity). The right side pre-aggregates to one row per
+    // (user, µs) because the tie WINNER is engine-defined even though
+    // both engines pick from the same tied set.
+    "j10_asof_join" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("value"))
+      val r = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), tsUs.as("rts"))
+        .agg(max("value").as("err_value"))
+      graft.ops.Temporal.asOfJoin(l, r, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "rts",
+        tolerance = Some(3600000000L))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "j10_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS rts, max(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.ts_us, l.event_id, l.value,
+        |  CASE WHEN r.rts >= l.ts_us - 3600000000 THEN r.rts END AS r_rts,
+        |  CASE WHEN r.rts >= l.ts_us - 3600000000 THEN r.err_value
+        |    END AS r_err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.rts
+        |""".stripMargin,
+
     "w_file_stream" ->
       ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), " +
         "'%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, " +

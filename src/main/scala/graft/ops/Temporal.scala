@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over event-shaped tables — the point-in-time enrichment
+  * operators a feature/training pipeline needs ("the last profile snapshot
+  * / quote / error state as of each observation") that plain equi-joins
+  * cannot express and a naive range join explodes into |L|·|R| per key.
+  *
+  * [[asOfJoin]] is the classic as-of (point-in-time) join: for each left
+  * row, the single right row with the LARGEST right timestamp ≤ the left
+  * timestamp (backward; smallest ≥ with `forward = true`), per key, with
+  * an optional tolerance bound. The semantics match DuckDB/QuestDB
+  * `ASOF JOIN` and pandas `merge_asof`.
+  *
+  * Scale shape (the reason this is NOT a join in the plan): both sides are
+  * tagged and UNIONED, then resolved with ONE window pass — a single
+  * shuffle on the key, a per-key sort, and an O(1)-per-row running
+  * `last(ignoreNulls)` frame. The alternatives either explode (inequality
+  * theta-join → BroadcastNestedLoop at cluster scale) or double-shuffle
+  * (range-bucketed join, which also needs a tolerance to bucket by).
+  * Sorting is per-key-partition — range partition on (key) only, never a
+  * global single-partition sort; a pathologically hot key funnels its OWN
+  * rows through one sorted partition, the same contract as any
+  * sessionization/window pass over that key.
+  */
+object Temporal {
+
+  /** Point-in-time join: each left row picks the latest right row at or
+    * before (backward) / earliest at or after (forward) its timestamp,
+    * per `keys`. Right payload columns are emitted `rightPrefix`-renamed;
+    * left rows with no admissible match keep NULL payloads (left-outer
+    * semantics, like `ASOF LEFT JOIN`).
+    *
+    *  - `tolerance`: optional maximum |left ts − right ts| in the ts
+    *    column's OWN units (requires a numeric ts column, e.g.
+    *    `unix_micros(ts)`); matches farther than this resolve to NULL.
+    *  - Ties: right rows sharing (keys, ts) resolve deterministically —
+    *    the xxhash64-max payload wins regardless of partitioning; rows
+    *    tied with the left timestamp DO match (inclusive bound, DuckDB
+    *    parity).
+    *  - Left and right timestamp columns must be the same (orderable)
+    *    type; a NULL left ts matches nothing, NULL right ts rows never
+    *    match anything.
+    *
+    * Output: every left column unchanged, then one `rightPrefix`-prefixed
+    * column per non-key right column (the right ts included). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String = "ts", rightTs: String = "ts",
+               rightPrefix: String = "r_",
+               tolerance: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    require(payload.contains(rightTs), s"right ts column $rightTs missing")
+    val lu = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val ru = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__r")): _*)
+      .filter(col("__ts").isNotNull)
+    // Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1:
+    // the inclusive ≤/≥ bound), and equal-(ts,side) right rows order by
+    // payload hash, so "last in frame" is partitioning-independent.
+    val ord =
+      if (forward) Seq(col("__ts").desc_nulls_last, col("__side").asc,
+        xxhash64(col("__r")).asc)
+      else Seq(col("__ts").asc_nulls_first, col("__side").asc,
+        xxhash64(col("__r")).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val inTol: Column => Column = m => tolerance match {
+      case None => m
+      case Some(t) =>
+        val rts = m.getField(rightTs)
+        when(if (forward) rts <= col("__ts") + t
+             else rts >= col("__ts") - t, m)
+    }
+    lu.unionByName(ru, allowMissingColumns = true)
+      // NULL left ts matches nothing (without the guard, the desc ordering
+      // of the forward direction would hand null-ts rows the whole frame)
+      .withColumn("__m", when(col("__ts").isNotNull, inTol(matched)))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left observations and right quotes over two keys, numeric (µs-style) ts
+  private def L = Seq(
+    (1L, 50L, "l-a"), (1L, 10L, "l-b"), (1L, 5L, "l-c"),
+    (2L, 100L, "l-d"), (3L, 7L, "l-e"))
+    .toDF("k", "ts", "obs")
+  private def R = Seq(
+    (1L, 10L, 1.0), (1L, 40L, 2.0), (1L, 60L, 3.0),
+    (2L, 1L, 4.0))
+    .toDF("k", "ts", "quote")
+
+  private def got(df: org.apache.spark.sql.DataFrame): Set[Row] =
+    df.collect().toSet
+
+  test("backward as-of: latest right at or before, per key, left-outer") {
+    val out = Temporal.asOfJoin(L, R, Seq("k"), rightPrefix = "q_")
+      .select("k", "ts", "obs", "q_ts", "q_quote")
+    assert(got(out) === Set(
+      Row(1L, 50L, "l-a", 40L, 2.0),
+      Row(1L, 10L, "l-b", 10L, 1.0), // inclusive: equal ts matches
+      Row(1L, 5L, "l-c", null, null), // nothing at or before 5
+      Row(2L, 100L, "l-d", 1L, 4.0),
+      Row(3L, 7L, "l-e", null, null))) // key absent on the right
+  }
+
+  test("forward as-of: earliest right at or after") {
+    val out = Temporal.asOfJoin(L, R, Seq("k"), rightPrefix = "q_",
+      forward = true).select("k", "ts", "q_ts")
+    assert(got(out) === Set(
+      Row(1L, 50L, 60L), Row(1L, 10L, 10L), Row(1L, 5L, 10L),
+      Row(2L, 100L, null), Row(3L, 7L, null)))
+  }
+
+  test("tolerance bounds the match distance") {
+    val out = Temporal.asOfJoin(L, R, Seq("k"), rightPrefix = "q_",
+      tolerance = Some(10L)).select("k", "ts", "q_ts")
+    assert(got(out) === Set(
+      Row(1L, 50L, 40L), // |50-40| = 10: inside
+      Row(1L, 10L, 10L),
+      Row(1L, 5L, null),
+      Row(2L, 100L, null), // the match at ts=1 is 99 away: nulled
+      Row(3L, 7L, null)))
+  }
+
+  test("equal-ts right duplicates resolve deterministically (hash-max), " +
+    "independent of partitioning") {
+    val dup = Seq((1L, 10L, 1.0), (1L, 10L, 2.0), (1L, 10L, 3.0))
+      .toDF("k", "ts", "quote")
+    val l = Seq((1L, 20L)).toDF("k", "ts")
+    val picks = (1 to 4).map { n =>
+      Temporal.asOfJoin(l, dup.repartition(n), Seq("k"), rightPrefix = "q_")
+        .select("q_quote").collect().head.getDouble(0)
+    }
+    assert(picks.distinct.size === 1)
+  }
+
+  test("null left ts matches nothing, in both directions") {
+    val l = Seq((Some(1L), Option.empty[Long]), (Some(1L), Some(50L)))
+      .toDF("k", "ts")
+    for (fwd <- Seq(false, true)) {
+      val out = Temporal.asOfJoin(l, R, Seq("k"), rightPrefix = "q_",
+        forward = fwd)
+      assert(out.filter("ts IS NULL").select("q_ts")
+        .collect().head.isNullAt(0))
+    }
+  }
+
+  test("plan: one exchange on the key, no join operator") {
+    val plan = Temporal.asOfJoin(L, R, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"more exchanges than the union+window shape needs:\n$plan")
+  }
+}
