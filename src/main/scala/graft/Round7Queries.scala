@@ -2,6 +2,7 @@ package graft
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Round-7 harness registrations — the remaining ungated production paths
@@ -80,6 +81,50 @@ object Round7Queries {
         ss.table(sink).select(
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
+      }),
+
+    // --- Stream-stream interval join ----------------------------------------
+    // The §2.10 face no other gate covers: a JOIN between two streams.
+    // Clicks and errors (disjoint event subsets) feed two MemoryStreams in
+    // two batches each; every (click, same-user error within the trailing
+    // day) pair must appear exactly once. Inner joins emit matches as
+    // they arrive, so the append sink after processAllAvailable holds the
+    // complete pair set. Oracle = the identical range-bounded equi-join in
+    // DuckDB over unix-micros longs (Spark's INTERVAL arithmetic on
+    // µs-truncated timestamps IS µs-integer arithmetic, so the boundary
+    // predicates agree exactly).
+    "w_stream_join" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val tag = sfTag(d).replace(".", "_")
+        def feed(kind: String) = graft.core.Tables.events(ss, d)
+          .filter(col("event_type") === kind)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"))
+          .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+        val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val memR = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val out = graft.streaming.EventStreams.intervalJoin(
+          memL.toDS().toDF("event_id", "ts", "user_id"),
+          memR.toDS().toDF("event_id", "ts", "user_id"),
+          lookbackMinutes = 24 * 60)
+        val sink = s"w_stream_join_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val clicks = feed("click"); val errors = feed("error")
+          val (l1, l2) = clicks.splitAt(clicks.length / 2)
+          val (r1, r2) = errors.splitAt(errors.length / 2)
+          memL.addData(l1: _*); memR.addData(r1: _*)
+          q.processAllAvailable()
+          memL.addData(l2: _*); memR.addData(r2: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("r_event_id"),
+          unix_micros(col("r_ts")).as("r_ts_us"))
       }),
 
     // --- SimHash Hamming-band pairs: deterministic completeness gate --------
@@ -569,6 +614,19 @@ object Round7Queries {
         |    END AS r_err_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.rts
+        |""".stripMargin,
+
+    "w_stream_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, r.r_event_id, r.r_ts_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.r_ts_us BETWEEN l.ts_us - 86400000000 AND l.ts_us
         |""".stripMargin,
 
     "w_file_stream" ->

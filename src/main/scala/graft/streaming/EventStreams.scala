@@ -96,6 +96,35 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream event-time interval join — "each left event with every
+    * right event of the same key in its trailing `lookbackMinutes`"
+    * (click ↔ recent errors, observation ↔ recent snapshots). The SAME
+    * declarative plan is the batch face (a range-bounded equi-join) and
+    * the streaming face: with both event-time columns watermarked and the
+    * range condition bounding r_ts on BOTH sides, Structured Streaming
+    * derives a state horizon for each side — state is evicted as the
+    * watermark passes, never unbounded, which is why the two-sided bound
+    * is load-bearing (an unbounded "r_ts <= ts" alone would keep every
+    * left row forever).
+    *
+    * Inner join; right columns come back `r_`-prefixed (the join key
+    * deduplicated). At scale this is one shuffle per side on the key —
+    * the equi-key dominates the join, the time range is a post-filter in
+    * the same stage, so no range fan-out and no nested-loop plan. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id", lookbackMinutes: Int = 60,
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.columns
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, "r_" + c))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_" + key) &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+        col("r_ts") <= col("ts"))
+      .drop("r_" + key)
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a session is a
     * run of events per user with gaps < `gapMinutes`. Emits one row per
     * CLOSED session — closed meaning the WATERMARK has passed

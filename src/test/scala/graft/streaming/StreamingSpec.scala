@@ -30,6 +30,22 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2) === ((200L, ts(5), 1L, 8.0)))
   }
 
+  test("intervalJoin batch face: inclusive trailing window, key-scoped") {
+    val l = Seq((10L, ts(60), 1L), (11L, ts(200), 1L), (12L, ts(60), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val r = Seq((20L, ts(0), 1L), (21L, ts(60), 1L), (22L, ts(61), 1L),
+      (23L, ts(59), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventStreams.intervalJoin(l, r, lookbackMinutes = 60)
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 20L), // exactly lookback ago: inclusive lower bound
+      (10L, 21L), // same instant: inclusive upper bound
+      // (10,22) excluded: right is strictly AFTER the left event
+      // (11,*) excluded: every right ts is > 60 min before ts(200)
+      (12L, 23L))) // key 2 only sees key-2 rows
+  }
+
   test("dedupStream: duplicate keys within and across batches land once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
