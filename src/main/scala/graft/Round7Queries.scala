@@ -597,9 +597,72 @@ object Round7Queries {
       graft.ops.Temporal.asOfJoin(l, r, Seq("user_id"),
         leftTs = "ts_us", rightTs = "rts",
         tolerance = Some(3600000000L))
+    }),
+
+    // --- PageRank over the supplier→nation→region hierarchy -----------------
+    // 8 damped power-iteration steps, value-exact vs an UNROLLED DuckDB
+    // oracle (one CTE triple per iteration — contribution aggregate,
+    // dangling-mass scalar, rank update). Regions have no out-edges, so
+    // the dangling-redistribution path is live, and every arithmetic
+    // step ((1 - 0.85)/n, 0.85·(c + m/n)) is the same IEEE double
+    // expression in both engines; only summation order differs, which
+    // the comparator's 1e-9 relative tolerance absorbs.
+    "a17_pagerank" -> ((s, d) => {
+      val sup = t(s, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"))
+      val nat = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.bel.PageRank.run(sup.unionByName(nat), iterations = 8)
     }))
 
+  /** The [[graft.bel.PageRank]] recurrence unrolled to chained CTEs —
+    * DuckDB has no iterative aggregation, so the oracle IS the fixed
+    * iteration count, one (contribution, dangling, update) triple per
+    * step. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank / o.deg) AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS m FROM r${i - 1} r
+         |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+         |), r$i AS (
+         |  SELECT v.node,
+         |    (1 - 0.85) / nn.n + 0.85 * (coalesce(c.c, 0) + d$i.m / nn.n)
+         |      AS rank
+         |  FROM vertices v CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i c ON c.node = v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
+       |    FROM supplier
+       |    UNION ALL
+       |    SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation)
+       |), vertices AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |outdeg AS (
+       |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn
+       |),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "a17_pagerank" -> pagerankOracle(8),
+
     "j10_asof_join" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
