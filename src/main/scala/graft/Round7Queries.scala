@@ -372,6 +372,26 @@ object Round7Queries {
       graft.ops.TextSearch.bm25(t(s, d, "documents"),
         Seq("spark", "vector", "stream"))),
 
+    // --- Hybrid retrieval: reciprocal-rank fusion ----------------------------
+    // One query, two incommensurable rankers — BM25 over the document
+    // text and exact cosine over the aligned embedding (doc_id ≡ vec_id
+    // in the corpus) — fused rank-wise. Value-exact oracle: both ranked
+    // CTE lists use the same (score desc, id) tie-break as the operator,
+    // and 1/(60+rank) sums over ≤2 terms are order-free IEEE doubles.
+    "s_rrf_fusion" -> ((s, d) => {
+      import graft.ops.{Similarity, TextSearch}
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("query_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(emb, qv, k = 50)
+        .select(col("query_id"), col("id"), col("cosine").as("score"))
+      val sparse = TextSearch.bm25(t(s, d, "documents"),
+        Seq("spark", "vector", "stream"))
+        .select(lit(0L).as("query_id"), col("doc_id").as("id"),
+          col("bm25").as("score"))
+      TextSearch.rrfFuse(Seq(sparse, dense))
+    }),
+
     // --- Substring-level duplicate spans (value-exact oracle) ----------------
     // Corpus = documents + whole-document twins for the even half, so the
     // interval merge is exercised on full-document spans while natural
@@ -662,6 +682,50 @@ object Round7Queries {
 
   val oracleSql: Map[String, String] = Map(
     "a17_pagerank" -> pagerankOracle(8),
+
+    "s_rrf_fusion" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS t
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, t, len(string_split(t, ' ')) AS dl FROM norm
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM d
+        |), ex AS (
+        |  SELECT doc_id, dl, unnest(string_split(t, ' ')) AS word FROM d
+        |), tf AS (
+        |  SELECT doc_id, dl, word, count(*) AS tf FROM ex
+        |  WHERE word IN ('spark', 'vector', 'stream') GROUP BY 1, 2, 3
+        |), idf AS (
+        |  SELECT word, ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |  FROM tf, stats GROUP BY word, n
+        |), bm AS (
+        |  SELECT doc_id AS id, round(sum(idf * tf * 2.2 /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN idf USING (word), stats GROUP BY doc_id
+        |), bmr AS (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+        |  FROM bm
+        |), q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT e.vec_id AS id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM q, embeddings e WHERE e.vec_id <> 0
+        |), dr AS (
+        |  SELECT id, row_number() OVER (ORDER BY c DESC, id) AS rank
+        |  FROM scored
+        |), u AS (
+        |  SELECT id, rank FROM bmr
+        |  UNION ALL SELECT id, rank FROM dr WHERE rank <= 50
+        |)
+        |SELECT CAST(0 AS BIGINT) AS query_id, id, count(*) AS n_lists,
+        |  sum(CAST(1 AS DOUBLE) / (60 + rank)) AS rrf
+        |FROM u GROUP BY id
+        |""".stripMargin,
 
     "j10_asof_join" ->
       """WITH l AS (

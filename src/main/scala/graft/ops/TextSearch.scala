@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text relevance ranking over a document corpus — the retrieval
@@ -72,5 +73,36 @@ object TextSearch {
     perTerm.groupBy("id")
       .agg(count(lit(1)).as("n_terms_hit"), round(sum("s"), 4).as("bm25"))
       .select(col("id").as(idCol), col("n_terms_hit"), col("bm25"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard way to combine heterogeneous retrieval lists (BM25 +
+    * embedding ANN = "hybrid search", or any mix of rankers) without
+    * score calibration: each list contributes 1/(k + rank) per document,
+    * summed. Rank-based, so incomparable score scales fuse cleanly; the
+    * constant k (=60 in the paper) damps the head.
+    *
+    * Each input frame is one ranked list: (queryCol, idCol, scoreCol),
+    * ranked per query by (score desc, id asc) — the deterministic
+    * tie-break every ranked operator in this repo uses. Scale shape:
+    * input lists are RETRIEVAL OUTPUTS, per-query-bounded by
+    * construction (a top-k operator emitted them), so the per-query
+    * row_number windows run over candidate lists, never a corpus; the
+    * fusion itself is one hash-aggregation on (query, id).
+    * Output: (queryCol, idCol, n_lists, rrf). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 60,
+              queryCol: String = "query_id", idCol: String = "id",
+              scoreCol: String = "score"): DataFrame = {
+    require(lists.nonEmpty, "nothing to fuse")
+    require(k >= 0, s"rrf constant must be non-negative, got $k")
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    lists
+      .map(_.select(col(queryCol), col(idCol),
+        row_number().over(w).as("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(queryCol, idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(lit(1.0) / (lit(k) + col("rank"))).as("rrf"))
   }
 }

@@ -81,3 +81,28 @@ class TemporalSpec extends SparkSpec {
       s"more exchanges than the union+window shape needs:\n$plan")
   }
 }
+
+class RrfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: rank-wise 1/(k+r) sums, deterministic tie-break") {
+    // list A ranks: x=1, y=2 (tie on score broken by id); list B: y=1
+    val a = Seq((7L, "x", 9.0), (7L, "y", 9.0)).toDF("query_id", "id", "score")
+    val b = Seq((7L, "y", 0.1)).toDF("query_id", "id", "score")
+    val got = TextSearch.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      ("x", 1L, 1.0 / 11),
+      ("y", 2L, 1.0 / 12 + 1.0 / 11)))
+  }
+
+  test("rrfFuse: queries rank independently") {
+    val a = Seq((1L, "x", 5.0), (2L, "x", 1.0), (2L, "z", 9.0))
+      .toDF("query_id", "id", "score")
+    val got = TextSearch.rrfFuse(Seq(a), k = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .toSet
+    assert(got === Set((1L, "x", 1.0), (2L, "z", 1.0), (2L, "x", 0.5)))
+  }
+}
