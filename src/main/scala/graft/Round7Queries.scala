@@ -372,6 +372,39 @@ object Round7Queries {
       graft.ops.TextSearch.bm25(t(s, d, "documents"),
         Seq("spark", "vector", "stream"))),
 
+    // --- BPE tokenizer training ----------------------------------------------
+    // Trains a 40-merge BPE table on the documents corpus and checks the
+    // contracts that make a tokenizer usable, as hard booleans:
+    // round-trip losslessness over EVERY distinct corpus word (checked
+    // distributed), compression (the merged segmentation has strictly
+    // fewer tokens than the char baseline), partitioning-independence of
+    // the learned table (same merges from a 7-partition re-shuffle), and
+    // the exact merge count. The per-merge EXACTNESS of the algorithm is
+    // pinned by BpeSpec against the ACL'16 reference example.
+    "t_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.{Bpe, TextAnalysis}
+      val docs = t(s, d, "documents")
+      val merges = Bpe.train(docs, numMerges = 40)
+      val ranks = merges.zipWithIndex.toMap
+      val sums = Bpe.tokenCounts(docs, merges)
+        .agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+      val base = Bpe.tokenCounts(docs, Seq.empty)
+        .agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+      val rt = udf((w: String) =>
+        Bpe.segmentWord(w, ranks).mkString == w + Bpe.Eow)
+      val lossless = docs
+        .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+          .as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .agg(min(rt(col("word")))).collect().head.getBoolean(0)
+      val deterministic =
+        Bpe.train(docs.repartition(7), numMerges = 40) == merges
+      Seq((merges.length.toLong, sums < base, lossless, deterministic))
+        .toDF("n_merges", "compresses", "roundtrip_lossless",
+          "deterministic")
+    }),
+
     // --- Hybrid retrieval: reciprocal-rank fusion ----------------------------
     // One query, two incommensurable rankers — BM25 over the document
     // text and exact cosine over the aligned embedding (doc_id ≡ vec_id
@@ -682,6 +715,10 @@ object Round7Queries {
 
   val oracleSql: Map[String, String] = Map(
     "a17_pagerank" -> pagerankOracle(8),
+
+    "t_bpe_train" ->
+      ("SELECT CAST(40 AS BIGINT) AS n_merges, true AS compresses, " +
+        "true AS roundtrip_lossless, true AS deterministic"),
 
     "s_rrf_fusion" ->
       """WITH norm AS (

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training and application (Sennrich, Haddow &
+  * Birch, "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016) — the tokenizer-TRAINING step beyond the token-counting and
+  * vocabulary-curve operators ([[TextAnalysis.bpeTokenCount]],
+  * [[TrainingPrep.vocabulary]]).
+  *
+  * Scale posture (how production tokenizer training actually runs at
+  * 100 TB):
+  *  - the corpus is touched EXACTLY ONCE, by the word-frequency dict pass
+  *    (explode + hash-groupBy with map-side combine, then a TakeOrdered
+  *    top-`topWords` cut — per-partition heads merged on the driver, the
+  *    same driver-sized-by-contract posture as
+  *    [[ProductQuantization.train]]'s Lloyd sample and
+  *    [[TrainingPrep.lmScore]]'s vocabulary);
+  *  - the merge LOOP runs driver-side over that capped dict — each round
+  *    is a weighted pair count over ≤ topWords short symbol arrays, which
+  *    is microseconds at any corpus scale and EXACT over the captured
+  *    mass (this is precisely how HuggingFace/fastBPE train: on word
+  *    counts, not on the corpus);
+  *  - APPLICATION ([[segment]]) is distributed, but the per-word merge
+  *    recursion runs only on the DISTINCT words of the corpus — the
+  *    dict-sized frame — and the corpus re-attaches by equi-join, so the
+  *    hot path is a join + aggregation and the non-codegen word
+  *    segmentation cost is amortized over every duplicate occurrence
+  *    (Zipf makes that amortization enormous).
+  *
+  * Words are the [[TextAnalysis.normalized]] whitespace tokens, each
+  * terminated with the classic `</w>` end-of-word symbol, so merges can
+  * learn suffix units. Tie-breaks are total and deterministic everywhere:
+  * pair counts break (count desc, pair lexicographic), so the same corpus
+  * yields the same merge table on every run and any partitioning.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (never collides with characters — it is
+    * multi-char). */
+  val Eow = "</w>"
+
+  /** A word as its current symbol sequence. */
+  private def symsOf(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Eow
+
+  /** Distributed word-frequency dict pass: the ONE corpus scan. Top
+    * `topWords` by (count desc, word asc) — a TakeOrdered, driver-sized
+    * by contract. */
+  private[ops] def wordFreqDict(docs: DataFrame, textCol: String,
+                                topWords: Int): Seq[(String, Long)] =
+    docs.select(explode(split(TextAnalysis.normalized(col(textCol)), " "))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(topWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Learn `numMerges` merges from the corpus. Returns the merge table in
+    * learned order (highest-priority first); training stops early when no
+    * pair occurs at least `minFrequency` times. */
+  def train(docs: DataFrame, numMerges: Int, topWords: Int = 100000,
+            minFrequency: Long = 2,
+            textCol: String = "text"): Seq[(String, String)] =
+    trainOnDict(wordFreqDict(docs, textCol, topWords), numMerges,
+      minFrequency)
+
+  /** The exact BPE loop over a (word, freq) dict — driver arithmetic,
+    * separated from the Spark pass so the spec and the gate can drive it
+    * against an independent reference. */
+  private[graft] def trainOnDict(dict: Seq[(String, Long)], numMerges: Int,
+                                 minFrequency: Long = 2)
+      : Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var words = dict.map { case (w, f) => (symsOf(w), f) }
+    val merges = Vector.newBuilder[(String, String)]
+    var done = false
+    var it = 0
+    while (!done && it < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (n < minFrequency) done = true
+        else {
+          merges += best
+          words = words.map { case (syms, f) => (mergePair(syms, best), f) }
+          it += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** One left-to-right non-overlapping merge pass ("aaa" + (a,a) →
+    * ["aa", "a"], never ["a", "aa"]). */
+  private def mergePair(syms: Vector[String],
+                        pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Segment ONE word with a trained merge table: repeatedly apply the
+    * highest-priority (lowest-rank) merge present until none applies —
+    * the standard application algorithm, which reproduces training's
+    * segmentation for every word training saw. */
+  private[graft] def segmentWord(word: String,
+                                 ranks: Map[(String, String), Int])
+      : Seq[String] = {
+    var syms = symsOf(word)
+    var continue = syms.length > 1
+    while (continue) {
+      val present = syms.indices.dropRight(1)
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))))
+      if (present.isEmpty) continue = false
+      else {
+        val bestRank = present.min
+        val pair = ranks.collectFirst {
+          case (p, r) if r == bestRank => p
+        }.get
+        syms = mergePair(syms, pair)
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Distributed application: (idCol, n_words, n_bpe_tokens) per document.
+    * The segmentation recursion runs ONCE PER DISTINCT WORD (dict-sized
+    * frame, merge table broadcast in the closure); the corpus attaches
+    * its per-occurrence word stream by equi-join on the word and
+    * aggregates token counts per document — joins and hash aggregations
+    * only on the corpus-sized side. */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val nToks = udf((w: String) => segmentWord(w, ranks).length)
+    val words = docs.select(col(idCol),
+      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dictSeg = words.select("word").distinct()
+      .withColumn("n_toks", nToks(col("word")))
+    words.join(dictSeg, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+  }
+}
