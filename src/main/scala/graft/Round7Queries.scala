@@ -652,6 +652,24 @@ object Round7Queries {
         tolerance = Some(3600000000L))
     }),
 
+    // --- Interval-overlap (range) join ---------------------------------------
+    // 30-minute click windows × 30-minute error windows per user; a pair
+    // appears iff the windows overlap (⇔ |Δts| ≤ 30 min). The operator
+    // buckets onto the window-width grid and equi-joins — the oracle is
+    // the raw inequality join, which DuckDB can afford at test scale and
+    // Spark could not at cluster scale (BroadcastNestedLoop).
+    "j11_range_join" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val win = 1800000000L
+      def side(kind: String) = ev.filter(col("event_type") === kind)
+        .select(col("user_id"), col("event_id"), tsUs.as("s_us"),
+          (tsUs + win).as("e_us"))
+      graft.ops.Temporal.rangeJoin(side("click"), side("error"),
+        Seq("user_id"), "s_us", "e_us", "s_us", "e_us",
+        bucketWidth = win)
+    }),
+
     // --- PageRank over the supplier→nation→region hierarchy -----------------
     // 8 damped power-iteration steps, value-exact vs an UNROLLED DuckDB
     // oracle (one CTE triple per iteration — contribution aggregate,
@@ -715,6 +733,22 @@ object Round7Queries {
 
   val oracleSql: Map[String, String] = Map(
     "a17_pagerank" -> pagerankOracle(8),
+
+    "j11_range_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 1800000000 AS e_us
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_s_us,
+        |    epoch_us(ts) + 1800000000 AS r_e_us
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT l.user_id, l.event_id, l.s_us, l.e_us,
+        |  r.r_event_id, r.r_s_us, r.r_e_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND l.s_us <= r.r_e_us AND r.r_s_us <= l.e_us
+        |""".stripMargin,
 
     "t_bpe_train" ->
       ("SELECT CAST(40 AS BIGINT) AS n_merges, true AS compresses, " +

@@ -89,4 +89,46 @@ object Temporal {
       .select(left.columns.map(col) ++
         payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
   }
+
+  /** Interval-overlap (range) join: every (left, right) pair of the same
+    * `keys` whose closed intervals [start, end] overlap. Spark plans a
+    * raw inequality join as BroadcastNestedLoop — quadratic and
+    * cluster-fatal — so this buckets both sides onto a `bucketWidth` grid
+    * and equi-joins on (keys, bucket): each interval explodes into the
+    * grid cells it covers, candidate pairs meet only in shared cells, and
+    * the exact overlap predicate filters inside the join stage.
+    *
+    * No post-join distinct: a pair sharing several cells is emitted ONLY
+    * in its canonical first shared cell (`max` of the two start cells),
+    * which both sides of a true overlap always cover — the standard
+    * dedup-free bucketed interval join, saving the extra shuffle a
+    * `dropDuplicates` would cost at scale.
+    *
+    * `bucketWidth` trades fan-out for candidate precision: cells ≈ the
+    * typical interval length keep the explode factor near 2 while
+    * pruning far-apart pairs. Interval bounds must be non-negative longs
+    * (µs epochs and the like; `div` truncation would mis-bucket negative
+    * values). Output: every left column, then each non-key right column
+    * `rightPrefix`-renamed. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftStart: String, leftEnd: String,
+                rightStart: String, rightEnd: String,
+                bucketWidth: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def cell(c: String): Column = expr(s"`$c` div ${bucketWidth}L")
+    val l = left.withColumn("__b",
+      explode(sequence(cell(leftStart), cell(leftEnd))))
+    val rPref = right.columns.foldLeft(right)((df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
+    val rs = rightPrefix + rightStart
+    val re = rightPrefix + rightEnd
+    val r = rPref.withColumn("__b",
+      explode(sequence(expr(s"`$rs` div ${bucketWidth}L"),
+        expr(s"`$re` div ${bucketWidth}L"))))
+    l.join(r, keys :+ "__b")
+      .filter(col(leftStart) <= col(re) && col(rs) <= col(leftEnd))
+      .filter(col("__b") ===
+        greatest(cell(leftStart), expr(s"`$rs` div ${bucketWidth}L")))
+      .drop("__b")
+  }
 }

@@ -82,6 +82,44 @@ class TemporalSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlap pairs match a brute-force reference, each exactly once, " +
+    "across bucket widths") {
+    val rnd = new scala.util.Random(7)
+    val li = (1 to 60).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (i.toLong, (i % 3).toLong, s, s + rnd.nextInt(80))
+    }
+    val ri = (1 to 60).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (100L + i, (i % 3).toLong, s, s + rnd.nextInt(80))
+    }
+    val want = (for {
+      (lid, k, ls, le) <- li
+      (rid, rk, rs, re) <- ri
+      if k == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Temporal.rangeJoin(
+        li.toDF("id", "k", "s", "e"), ri.toDF("id", "k", "s", "e"),
+        Seq("k"), "s", "e", "s", "e", bucketWidth = w)
+        .select("id", "r_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet === want, s"pair set mismatch at width $w")
+    }
+  }
+
+  test("no join keys: pure interval overlap") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("id", "s", "e")
+    val b = Seq((9L, 10L, 12L), (8L, 31L, 40L)).toDF("id", "s", "e")
+    val got = Temporal.rangeJoin(a, b, Seq.empty, "s", "e", "s", "e", 5L)
+      .select("id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 9L))) // closed-interval touch at 10 counts
+  }
+}
+
 class RrfSpec extends SparkSpec {
   import spark.implicits._
 
