@@ -28,6 +28,9 @@ import graft.sources._
   *   graft.Cli dup-spans --sf-dir D --out DIR [--ngram N]
   *   graft.Cli chunk     --sf-dir D --out DIR [--size N] [--overlap M]
   *   graft.Cli profile   --sf-dir D [--table events|documents]
+  *   graft.Cli bpe-train --sf-dir D [--merges N]
+  *   graft.Cli hybrid-search --sf-dir D --terms a,b [--qvec ID] [--top N]
+  *   graft.Cli pagerank  --sf-dir D [--iterations N] [--top N]
   */
 object Cli {
 
@@ -187,6 +190,43 @@ object Cli {
         graft.ops.TextAnalysis.chunk(docs, size, overlap)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} chunks -> $out")
+      case "bpe-train" => // BPE merge learning (t_bpe_train)
+        val n = opts.getOrElse("merges", "40").toInt
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val merges = graft.ops.Bpe.train(docs, numMerges = n)
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          println(s"$i\t$a\t$b")
+        }
+        println(s"learned ${merges.length} merges")
+      case "hybrid-search" => // BM25 + embedding cosine, RRF-fused
+        val terms = opts.getOrElse("terms", "spark,vector")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val qid = opts.getOrElse("qvec", "0").toLong
+        val n = opts.getOrElse("top", "10").toInt
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val qv = emb.filter(col("vec_id") === qid)
+          .select(lit(0L).as("query_id"), col("embedding"))
+        val dense = graft.ops.Similarity.bruteForceTopK(emb, qv, k = 50)
+          .select(col("query_id"), col("id"), col("cosine").as("score"))
+        val sparse = graft.ops.TextSearch.bm25(docs, terms)
+          .select(lit(0L).as("query_id"), col("doc_id").as("id"),
+            col("bm25").as("score"))
+        graft.ops.TextSearch.rrfFuse(Seq(sparse, dense))
+          .orderBy(col("rrf").desc, col("id")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
+      case "pagerank" => // graph centrality (a17_pagerank)
+        val iters = opts.getOrElse("iterations", "8").toInt
+        val n = opts.getOrElse("top", "10").toInt
+        val sup = spark.read.parquet(s"$sfDir/supplier.parquet").select(
+          concat(lit("s:"), col("s_suppkey")).as("src"),
+          concat(lit("n:"), col("s_nationkey")).as("dst"))
+        val nat = spark.read.parquet(s"$sfDir/nation.parquet").select(
+          concat(lit("n:"), col("n_nationkey")).as("src"),
+          concat(lit("r:"), col("n_regionkey")).as("dst"))
+        graft.bel.PageRank.run(sup.unionByName(nat), iters)
+          .orderBy(col("rank").desc, col("node")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) = table match {
@@ -202,7 +242,7 @@ object Cli {
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
-          "chunk profile")
+          "chunk profile bpe-train hybrid-search pagerank")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help") spark.stop()
