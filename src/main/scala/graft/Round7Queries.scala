@@ -670,6 +670,26 @@ object Round7Queries {
         bucketWidth = win)
     }),
 
+    // --- Blocked edit-distance (fuzzy) self-join -----------------------------
+    // Entity resolution over 24-char document prefixes: originals plus a
+    // deterministically perturbed twin each (one char deleted at an
+    // id-dependent position — the same arithmetic in both engines). The
+    // operator blocks by PassJoin partition signatures and verifies only
+    // co-bucketed pairs; the oracle is the brute cross product + DuckDB
+    // levenshtein, so completeness of the blocking is value-exact: every
+    // pair the cross product finds, the blocked join must find.
+    "j12_fuzzy_join" -> ((s, d) => {
+      val base = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        substring(col("text"), 1, 24).as("s"))
+      val pfx = (col("id") % 12 + 2).cast("int")
+      val pert = base.select((col("id") + 1000000L).as("id"),
+        concat(col("s").substr(lit(1), pfx),
+          col("s").substr(pfx + 2, lit(100))).as("s"))
+      graft.ops.FuzzyJoin.fuzzyPairs(base.unionByName(pert), "id", "s",
+        maxDist = 2)
+    }),
+
     // --- PageRank over the supplier→nation→region hierarchy -----------------
     // 8 damped power-iteration steps, value-exact vs an UNROLLED DuckDB
     // oracle (one CTE triple per iteration — contribution aggregate,
@@ -733,6 +753,23 @@ object Round7Queries {
 
   val oracleSql: Map[String, String] = Map(
     "a17_pagerank" -> pagerankOracle(8),
+
+    "j12_fuzzy_join" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS s
+        |  FROM documents
+        |), pert AS (
+        |  SELECT b.id + 1000000 AS id,
+        |    substr(b.s, 1, CAST(b.id % 12 + 2 AS INT)) ||
+        |      substr(b.s, CAST(b.id % 12 + 4 AS INT)) AS s
+        |  FROM base b
+        |), u AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM u a JOIN u b
+        |  ON (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.id < b.id))
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |""".stripMargin,
 
     "j11_range_join" ->
       """WITH l AS (
