@@ -706,6 +706,28 @@ object Round7Queries {
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.bel.PageRank.run(sup.unionByName(nat), iterations = 8)
+    }),
+
+    // --- Triangle counts / clustering over the co-supply graph --------------
+    // Graph construction is itself the operator under test: suppliers are
+    // linked when they co-appear in >= 5 orders (min-support threshold —
+    // without it the co-occurrence graph is near-complete at sf0.1 and
+    // triangle counting is vacuous). [[graft.bel.Triangles]] then counts
+    // per-node triangles via degree-ordered orientation; the oracle is the
+    // plain wedge self-join, exact on every (node, deg, triangles, lcc).
+    "a18_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val a = li.select(col("ok"), col("sk").as("s1"))
+      val b = li.select(col("ok"), col("sk").as("s2"))
+      val edges = a.join(b, Seq("ok"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.bel.Triangles.localTriangles(edges)
+        .select(col("node").cast("long").as("node"), col("deg"),
+          col("triangles"), col("lcc"))
     }))
 
   /** The [[graft.bel.PageRank]] recurrence unrolled to chained CTEs —
@@ -753,6 +775,31 @@ object Round7Queries {
 
   val oracleSql: Map[String, String] = Map(
     "a17_pagerank" -> pagerankOracle(8),
+
+    "a18_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |und AS (
+        |  SELECT a.sk AS a, b.sk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |adj AS (SELECT a AS n, b AS m FROM und
+        |        UNION ALL SELECT b AS n, a AS m FROM und),
+        |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+        |tri AS (
+        |  SELECT w1.n AS n, count(*) AS t
+        |  FROM adj w1 JOIN adj w2 ON w1.n = w2.n AND w1.m < w2.m
+        |  JOIN und e ON e.a = w1.m AND e.b = w2.m
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(d.n AS BIGINT) AS node, d.deg AS deg,
+        |  CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+        |         / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS lcc
+        |FROM deg d LEFT JOIN tri t ON t.n = d.n
+        |""".stripMargin,
 
     "j12_fuzzy_join" ->
       """WITH base AS (

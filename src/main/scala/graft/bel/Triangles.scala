@@ -62,8 +62,8 @@ object Triangles {
     val withDeg = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
-    val uKey = struct(col("du"), col("u"))
-    val vKey = struct(col("dv"), col("v"))
+    val uKey = struct(col("du").as("d"), col("u").as("n"))
+    val vKey = struct(col("dv").as("d"), col("v").as("n"))
     val oriented = withDeg.select(
       when(uKey < vKey, col("u")).otherwise(col("v")).as("x"),
       when(uKey < vKey, col("v")).otherwise(col("u")).as("y"),
