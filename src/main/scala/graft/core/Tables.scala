@@ -63,11 +63,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  /** `ts` arrives as TIMESTAMP(NANOS) → long nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong` (Spark has no ns timestamps). */
+  /** `ts` is declared TIMESTAMP_NTZ (microseconds) — the corpus encoding as
+    * of 2026-08-13. Older corpora carried TIMESTAMP(NANOS), which Spark only
+    * reads as long nanos under `spark.sql.legacy.parquet.nanosAsLong`; both
+    * physical encodings are accepted and normalized by [[normalizeTs]]. */
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -88,21 +90,83 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The non-streaming relational tables (events excluded — ns timestamps). */
+  /** The non-streaming relational tables (events excluded — ts normalization). */
   val relational: Seq[String] = all.filterNot(_ == "events")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val declared: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
 
-  /** Events with `ts` normalized from long nanoseconds to a microsecond
-    * TIMESTAMP_NTZ column (wall-clock identical to the raw file). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // Integer division (`div`), NOT `/`: epoch-ns (~1.8e18) exceeds a
-    // double's 53-bit mantissa, so `col / 1000` would round ~12% of rows
-    // off by 1µs. `div` stays in long arithmetic.
-    load(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  /** Columns whose physical corpus encoding legitimately varies across
+    * generator versions; validation accepts any listed type and
+    * [[normalizeTs]] reconciles at load. `events.ts` has shipped as
+    * TIMESTAMP(NANOS) (→ LongType under `nanosAsLong`), timestamp[us]
+    * (→ TIMESTAMP_NTZ), and could arrive UTC-adjusted (→ TIMESTAMP). */
+  private val alternates: Map[(String, String), Set[DataType]] = Map(
+    ("events", "ts") -> Set(LongType, TimestampType, TimestampNTZType))
+
+  /** Fail-fast schema validation: the declared StructTypes above are the
+    * engine's contract with the corpus generator, and a silent drift in a
+    * physical type is worse than a crash (a mis-typed long column can load
+    * "successfully" and yield wrong answers — exactly what happened when
+    * `events.ts` moved from ns-longs to µs-timestamps). Errors name the
+    * table, the column, and both types. */
+  def validateSchema(table: String, actual: StructType): Unit =
+    declared.get(table).foreach { expected =>
+      val got = actual.fields.map(f => f.name -> f.dataType).toMap
+      expected.fields.foreach { f =>
+        got.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"table '$table': declared column '${f.name}' (${f.dataType.sql}) " +
+              s"is missing from the loaded schema ${actual.simpleString}")
+          case Some(t) =>
+            val ok = t == f.dataType ||
+              alternates.get((table, f.name)).exists(_.contains(t))
+            if (!ok) throw new IllegalArgumentException(
+              s"table '$table', column '${f.name}': loaded type ${t.sql} " +
+                s"does not match declared type ${f.dataType.sql}")
+        }
+      }
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    validateSchema(name, df.schema)
+    df
   }
+
+  /** Normalize a timestamp-carrying column to microsecond TIMESTAMP_NTZ
+    * regardless of the physical encoding the corpus was generated with.
+    * This is THE single conversion site — the µs-vs-ns bug class exists
+    * precisely when this logic is duplicated and one copy rots:
+    *  - LongType: legacy TIMESTAMP(NANOS) corpora read as raw nanos under
+    *    `spark.sql.legacy.parquet.nanosAsLong`. Integer division (`div`),
+    *    NOT `/`: epoch-ns (~1.8e18) exceeds a double's 53-bit mantissa,
+    *    so `col / 1000` would round ~12% of rows off by 1µs.
+    *  - TIMESTAMP_NTZ: already µs wall-clock — pass through.
+    *  - TIMESTAMP: µs instant — wall-clock identical under the session's
+    *    pinned UTC zone (GraftSession), cast through.
+    * Anything else is a corpus drift this engine has never seen: fail with
+    * the column and type rather than guess. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName,
+          timestamp_micros(expr(s"`$colName` div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case TimestampType =>
+        df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"column '$colName': cannot normalize ${other.sql} to a microsecond " +
+          "timestamp — expected BIGINT (legacy ns), TIMESTAMP or TIMESTAMP_NTZ")
+    }
+  }
+
+  /** Events with `ts` normalized to microsecond TIMESTAMP_NTZ (wall-clock
+    * identical to the raw file, whatever its physical encoding). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
 }

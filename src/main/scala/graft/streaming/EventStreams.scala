@@ -59,18 +59,30 @@ object EventStreams {
     * single-file corpus: for a NON-glob path FileStreamSource force-sets
     * `basePath` to the path itself, which must then be a directory — the
     * exact-match `{...}` glob sidesteps that while matching only the
-    * events table. `ts div 1000` converts the raw long-nanosecond column
-    * to a microsecond timestamp in integer arithmetic, mirroring
-    * [[graft.core.Tables.events]]. */
+    * events table.
+    *
+    * The declared stream schema is PROBED from the files (one batch-reader
+    * footer read), not hard-coded: a file-stream source trusts whatever
+    * StructType it is handed, so a force-declared LongType over a
+    * timestamp[us] file would load µs values as raw longs without any
+    * error and silently mis-scale every window. The probed schema is
+    * validated against the engine's contract, then `ts` is normalized by
+    * the SAME single conversion site batch uses
+    * ([[graft.core.Tables.normalizeTs]]) and cast to TIMESTAMP for
+    * watermark arithmetic. */
   def readStream(spark: SparkSession, dir: String,
-                 options: Map[String, String] = Map.empty): DataFrame =
-    spark.readStream
-      .schema(Tables.events)
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    val glob = s"$dir/{events.parquet}"
+    val fileSchema = spark.read.parquet(glob).schema
+    Tables.validateSchema("events", fileSchema)
+    val raw = spark.readStream
+      .schema(fileSchema)
       .options(options)
-      .parquet(s"$dir/{events.parquet}")
+      .parquet(glob)
+    Tables.normalizeTs(raw)
       .withColumn("ts",
-        timestamp_micros(expr("ts div 1000"))
-          .cast(org.apache.spark.sql.types.TimestampType))
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
 
   /** Watermarked tumbling-window counts — the streaming face of the
     * registered batch query `w_tumbling_hour`. */
