@@ -9,7 +9,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ MoreQueries.queries ++ Round3Queries.queries ++
-      Round4Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries
+      Round4Queries.queries ++ Round6Queries.queries ++
+      Round7Queries.queries ++ Round8Queries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every registered query has an oracle: the
     * two approximate/engine-hash ops are gated via boolean invariant
@@ -17,5 +18,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracleSql ++ MoreQueries.oracleSql ++ Round3Queries.oracleSql ++
       Round4Queries.oracleSql ++ Round6Queries.oracleSql ++
-      Round7Queries.oracleSql
+      Round7Queries.oracleSql ++ Round8Queries.oracleSql
 }

@@ -262,6 +262,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("file-based stream source: timestamp[us] corpus (current encoding) " +
+    "agrees with the batch aggregation — no silent µs-as-ns misread") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("filestream_us")
+    // same event shape, but ts written as a true µs TIMESTAMP_NTZ column
+    // (what the corpus generator emits since 2026-08); the probed-schema
+    // stream source must land identical windows to the legacy-ns twin
+    val raw = (0 until 400).map { i =>
+      (i.toLong, (1700000000000L + i * 60000L) * 1000L,
+        (i % 7).toLong, if (i % 2 == 0) "click" else "view", 1.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast(TimestampNTZType))
+    raw.repartition(2).write.parquet(s"$dir/events.parquet")
+    val out = EventStreams.windowedCounts(EventStreams.readStream(spark, dir))
+    val q = out.writeStream.format("memory").queryName("fstream_us")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fstream_us")
+      .select(col("hour").cast("string"), col("event_type"), col("n"),
+        col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = raw
+      .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("hour").cast("string"), col("event_type"), col("n"),
+        col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === batch)
+    // 400 minute-spaced events span 7 hour windows × 2 event types
+    assert(got.size === 14)
+  }
+
   test("incremental populate: streamed anti-join merge equals batch " +
     "distinct; one Action row per landing batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
