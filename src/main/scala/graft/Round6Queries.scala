@@ -70,6 +70,40 @@ object Round6Queries {
     body(scoped)
   }
 
+  /** Canonical driver-side events feed — (event_id, ts, user_id,
+    * event_type, value) with ts cast to TIMESTAMP — memoized per
+    * (root SparkContext-sharing session, sf dir). The MemoryStream gates
+    * are harness-side feeds over a dimension-sized table by contract;
+    * each gate used to rescan the parquet for its own subset, so one
+    * bench run collected the same table 5×. One scan now serves every
+    * stream face; gates derive their subsets driver-side. WEAK keys,
+    * same leak rationale as stalenessMemo. */
+  private val eventsFeedMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Long, java.sql.Timestamp, Long, String, Double)]]]())
+
+  private[graft] def eventsFeed(s: SparkSession, d: String)
+      : Seq[(Long, java.sql.Timestamp, Long, String, Double)] = {
+    val perDir = eventsFeedMemo.synchronized {
+      var m = eventsFeedMemo.get(s.sparkContext)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          Seq[(Long, java.sql.Timestamp, Long, String, Double)]]()
+        eventsFeedMemo.put(s.sparkContext, m)
+      }
+      m
+    }
+    perDir.computeIfAbsent(d, _ => {
+      import s.implicits._
+      graft.core.Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double)]
+        .collect().toSeq
+    })
+  }
+
   /** Clustered corpus in the regime ANN serves (same construction as
     * s_lsh_recall / d_embed_pairs): every base vector gets a perturbed
     * twin, so each query's true nearest non-self neighbor IS its twin. */
@@ -283,15 +317,11 @@ object Round6Queries {
       import ss.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val tag = sfTag(d).replace(".", "_")
-      val ev = graft.core.Tables.events(ss, d)
-        .filter(col("event_id") % 20 === 0)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-      // 1-in-20 deterministic subset: dimension-sized by construction, so
-      // collectable to feed the MemoryStream (the stream SOURCE is the
-      // test harness; the dedup itself stays distributed)
-      val rows = ev.as[(Long, java.sql.Timestamp, Long, String, Double)]
-        .collect().toSeq
+      // 1-in-20 deterministic subset of the shared memoized feed:
+      // dimension-sized by construction, so collectable to feed the
+      // MemoryStream (the stream SOURCE is the test harness; the dedup
+      // itself stays distributed)
+      val rows = eventsFeed(ss, d).filter(_._1 % 20 == 0)
       val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
       val out = graft.streaming.EventStreams.dedupStream(
         mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"),
@@ -320,12 +350,8 @@ object Round6Queries {
       import ss.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val tag = sfTag(d).replace(".", "_")
-      val rows = graft.core.Tables.events(ss, d)
-        .filter(col("event_id") % 20 === 0)
-        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
-          col("value"))
-        .orderBy("ts")
-        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+      val rows = eventsFeed(ss, d).filter(_._1 % 20 == 0)
+        .map(r => (r._2, r._4, r._5)).sortBy(_._1.getTime)
       val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
       val out = graft.streaming.EventStreams.windowedCounts(
         mem.toDS().toDF("ts", "event_type", "value"))
@@ -360,12 +386,10 @@ object Round6Queries {
       // gaps, the SQL oracle compares floor-second epochs — on whole-
       // second timestamps the two predicates are identical (the batch
       // face w_sessionize casts to long seconds for the same reason)
-      val real = graft.core.Tables.events(ss, d)
-        .filter(col("event_id") % 50 === 0)
-        .select(col("event_id"),
-          date_trunc("second", col("ts").cast("timestamp")).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-        .as[Event].collect().toSeq
+      val real = eventsFeed(ss, d).filter(_._1 % 50 == 0)
+        .map(r => Event(r._1,
+          new java.sql.Timestamp(r._2.getTime / 1000L * 1000L),
+          r._3, r._4, r._5))
       val maxTs = real.map(_.ts.getTime).max
       def sentinel(days: Int): Event = Event(-days.toLong,
         new java.sql.Timestamp(maxTs + days * 86400000L), -1L, "s", 0.0)

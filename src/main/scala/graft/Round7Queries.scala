@@ -98,11 +98,8 @@ object Round7Queries {
         import ss.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
         val tag = sfTag(d).replace(".", "_")
-        def feed(kind: String) = graft.core.Tables.events(ss, d)
-          .filter(col("event_type") === kind)
-          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-            col("user_id"))
-          .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+        def feed(kind: String) = Round6Queries.eventsFeed(ss, d)
+          .filter(_._4 == kind).map(r => (r._1, r._2, r._3))
         val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
         val memR = MemoryStream[(Long, java.sql.Timestamp, Long)]
         val out = graft.streaming.EventStreams.intervalJoin(
