@@ -26,10 +26,11 @@ import graft.core.Checkpoints
   * one hash-aggregation on dst — two shuffles keyed on node id, the
   * minimal shape for an unbucketed rank step (a production deployment at
   * 10⁹+ nodes would bucket-partition adjacency AND ranks on id to
-  * eliminate the adjacency side's exchange; the dangling term rides the
-  * SAME action as a 1-row crossJoined aggregate, never a per-iteration
-  * driver round-trip). Lineage is cut eagerly per iteration — the
-  * iterative-plan contract [[ConnectedComponents]] established.
+  * eliminate the adjacency side's exchange). EVERY scalar the update
+  * needs rides the plan itself — the node count N and the dangling mass
+  * are 1-row crossJoined aggregates, never a per-iteration (or even
+  * per-run) driver round-trip, so the whole computation is
+  * `ceil(iterations / cutEvery)` jobs and nothing else.
   */
 object PageRank {
 
@@ -37,9 +38,25 @@ object PageRank {
     * `iterations` damped steps from the uniform vector. Self-loops count
     * as ordinary edges (a node can rank itself); parallel edges collapse
     * (DISTINCT edge set); nodes with no out-edges are dangling and
-    * redistribute their mass uniformly. */
+    * redistribute their mass uniformly.
+    *
+    * `cutEvery` batches power steps per lineage cut: the fixed-iteration
+    * contract makes the result independent of WHERE the cuts fall, so
+    * stacking 2 steps into one materialized plan halves the job count —
+    * the dominant cost at dimension scale, where each job is fixed
+    * overhead. The trade is bounded recomputation: an un-cut rank frame
+    * is referenced twice by the next step (contribution join + dangling
+    * aggregate), so each batched step's plan evaluates the previous
+    * in-plan step once per branch. At 2 steps per cut that is one extra
+    * evaluation of a shallow subplan per pair — cheaper than a job at
+    * toy scale and bounded at cluster scale; deeper batching grows the
+    * recomputation geometrically (measured 2× slower at cutEvery = 4 on
+    * the dimension-graph gate), so values > 2 are not useful. The final
+    * iteration is deliberately NOT cut — the caller's first action
+    * materializes it, saving one more job. */
   def run(edges: DataFrame, iterations: Int = 8,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85, cutEvery: Int = 2): DataFrame = {
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
@@ -47,41 +64,64 @@ object PageRank {
       .distinct()
       .withColumn("id", xxhash64(col("node")))
       .persist()
-    val n = nodes.count().toDouble
-    if (n == 0) return nodes.select(col("node"), lit(0.0).as("rank"))
 
     val e = edges.select(xxhash64(col("src")).as("u"),
         xxhash64(col("dst")).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
     val outDeg = e.groupBy("u").agg(count(lit(1)).cast("double").as("deg"))
-    // adjacency with out-degree attached, built once and reused k times
+    // adjacency with out-degree attached, built once and reused k times.
+    // Lazy persist — no eager count job: the first cut action populates
+    // the cache and every later iteration reads blocks
     val adj = e.join(outDeg, "u").persist()
-    adj.count()
 
+    // Rank-vector scaffold, built once and persisted: each node's
+    // out-degree (NULL = dangling) and the node count N as a crossJoined
+    // 1-row aggregate. Dangling-mass detection per iteration is then a
+    // filter+aggregate over the previous rank frame (no anti-join), and
+    // N never becomes a driver-side literal (no setup count job; an
+    // empty edge set simply yields an empty result through the joins).
     val ids = nodes.select(col("id"))
-    var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contrib = adj.join(ranks, adj("u") === ranks("id"))
+      .join(outDeg.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .crossJoin(nodes.agg(count(lit(1)).cast("double").as("n")))
+      .persist()
+    var ranks = ids.select(col("id"), col("deg"),
+      (lit(1.0) / col("n")).as("rank"))
+    for (i <- 1 to iterations) {
+      // minimal projections with disjoint names on both join sides: adj
+      // and the rank vector share outDeg ancestry, and un-cut batched
+      // frames share ids ancestry — qualified column refs across those
+      // would trip the ambiguous-self-join check
+      val contrib = adj.select(col("u"), col("v"), col("deg").as("_adeg"))
+        .join(ranks.select(col("id").as("_rid"), col("rank")),
+          col("u") === col("_rid"))
         .groupBy(col("v").as("id"))
-        .agg(sum(col("rank") / col("deg")).as("c"))
-      // mass parked on dangling nodes (no out-edges) — 1-row aggregate
-      // crossJoined into the rank plan, so it rides the iteration's cut
-      // action instead of a driver collect per iteration
-      val dangling = ranks
-        .join(outDeg, ranks("id") === outDeg("u"), "left_anti")
+        .agg(sum(col("rank") / col("_adeg")).as("c"))
+      // mass parked on dangling nodes (deg NULL) — 1-row aggregate
+      // crossJoined into the rank plan, so it rides the next cut action
+      // instead of a driver collect per iteration
+      val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
-      ranks = Checkpoints.cut(
-        ids.join(contrib, Seq("id"), "left")
-          .crossJoin(dangling)
-          .select(col("id"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("m") / n))
-              .as("rank")))
+      val updated = ids.join(contrib, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"), col("deg"),
+          ((lit(1.0) - damping) / col("n") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("m") / col("n")))
+            .as("rank"))
+      // A persist-chain (cache every step, one final job) was tried and
+      // rejected: an un-cut doubly-referenced step makes the LOGICAL plan
+      // tree grow exponentially with depth — 8 uncut steps OOM'd the
+      // driver in plan stringification before a single task ran. Lineage
+      // cuts are load-bearing for iterative plans, not just a perf knob.
+      ranks =
+        if (i % cutEvery == 0 && i != iterations) Checkpoints.cut(updated)
+        else updated
     }
     val out = nodes.join(ranks, Seq("id")).select(col("node"), col("rank"))
     nodes.unpersist()
     adj.unpersist()
+    ids.unpersist()
     out
   }
 }
