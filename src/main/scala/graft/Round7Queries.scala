@@ -707,9 +707,11 @@ object Round7Queries {
 
     // --- Triangle counts / clustering over the co-supply graph --------------
     // Graph construction is itself the operator under test: suppliers are
-    // linked when they co-appear in >= 5 orders (min-support threshold —
-    // without it the co-occurrence graph is near-complete at sf0.1 and
-    // triangle counting is vacuous). [[graft.bel.Triangles]] then counts
+    // linked when their co-occurring lineitem pairs over shared orders
+    // number >= 5 (count(*) over the self-join, so an order with several
+    // lineitems per supplier contributes lines1*lines2 — the min-support
+    // threshold; without it the co-occurrence graph is near-complete at
+    // sf0.1 and triangle counting is vacuous). [[graft.bel.Triangles]] counts
     // per-node triangles via degree-ordered orientation; the oracle is the
     // plain wedge self-join, exact on every (node, deg, triangles, lcc).
     "a18_triangles" -> ((s, d) => {

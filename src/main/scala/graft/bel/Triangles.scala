@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Per-node triangle counts and local clustering coefficients — the graph
   * cohesion statistic beside [[ConnectedComponents]] (membership) and
-  * [[PageRank]] (centrality). The reference's summaries stop at
-  * networkx-style node/edge/density counts (`manager/bel_manager.py`
-  * summarize); clustering is the next statistic the same graph surface
-  * serves, and at corpus scale (entity co-occurrence graphs) it needs the
-  * distributed formulation, not a node-local adjacency walk.
+  * [[PageRank]] (centrality). The reference's summaries stop at simple
+  * counts (`manager/abstract_manager.py:224` summarize,
+  * `manager/bel_manager.py:52` count_relations); clustering is the next
+  * statistic the same graph surface serves, and at corpus scale (entity
+  * co-occurrence graphs) it needs the distributed formulation, not a
+  * node-local adjacency walk.
   *
   * Algorithm: degree-ordered orientation (node-iterator++ — the
   * MapReduce-standard triangle scheme, cf. Suri & Vassilvitskii WWW 2011):
@@ -87,15 +88,22 @@ object Triangles {
       .unionByName(tris.select(col("y2").as("id")))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
 
-    val out = nodes.join(deg, Seq("id"))
-      .join(perNode, Seq("id"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .withColumn("lcc",
-        when(col("deg") >= 2,
-          (lit(2) * col("triangles")).cast("double") /
-            (col("deg") * (col("deg") - 1)).cast("double"))
-          .otherwise(lit(0.0)))
+    val out = graft.core.Checkpoints.cut(
+      nodes.join(deg, Seq("id"))
+        .join(perNode, Seq("id"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("lcc",
+          when(col("deg") >= 2,
+            (lit(2) * col("triangles")).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0))))
+    // output is materialized (lineage cut severs it from the cached
+    // frames), so the caches release here instead of accumulating over a
+    // long session — the PageRank / ConnectedComponents convention
+    nodes.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
     out
   }
 }
