@@ -21,15 +21,18 @@ import graft.sources._
   *   graft.Cli edgelist  --warehouse W --sf-dir D --out DIR   (K8)
   *
   * LLM-pipeline extension layer (mirrors the registered t_curate_v2 /
-  * s_ivfadc_recall operators):
-  *   graft.Cli curate-v2 --sf-dir D --out DIR
-  *   graft.Cli ivfadc    --sf-dir D --out DIR [--k K] [--nprobe P]
-  *   graft.Cli search    --sf-dir D --terms a,b,c [--top N]
-  *   graft.Cli dup-spans --sf-dir D --out DIR [--ngram N]
-  *   graft.Cli chunk     --sf-dir D --out DIR [--size N] [--overlap M]
-  *   graft.Cli profile   --sf-dir D [--table events|documents]
-  *   graft.Cli bpe-train --sf-dir D [--merges N]
-  *   graft.Cli hybrid-search --sf-dir D --terms a,b [--qvec ID] [--top N]
+  * s_ivfadc_recall operators). Corpus commands read the harness layout by
+  * default but accept ANY parquet with the same columns via `--docs PATH`
+  * (documents-shaped: doc_id, text, …), `--emb PATH` (embeddings-shaped:
+  * vec_id, embedding, …) or `--input PATH` (profile):
+  *   graft.Cli curate-v2 [--docs P | --sf-dir D] --out DIR
+  *   graft.Cli ivfadc    [--emb P  | --sf-dir D] --out DIR [--k K] [--nprobe P]
+  *   graft.Cli search    [--docs P | --sf-dir D] --terms a,b,c [--top N]
+  *   graft.Cli dup-spans [--docs P | --sf-dir D] --out DIR [--ngram N]
+  *   graft.Cli chunk     [--docs P | --sf-dir D] --out DIR [--size N] [--overlap M]
+  *   graft.Cli profile   [--input P --key K --id I --value V | --sf-dir D --table T]
+  *   graft.Cli bpe-train [--docs P | --sf-dir D] [--merges N]
+  *   graft.Cli hybrid-search [--docs P --emb P | --sf-dir D] --terms a,b [--qvec ID] [--top N]
   *   graft.Cli pagerank  --sf-dir D [--iterations N] [--top N]
   */
 object Cli {
@@ -51,7 +54,16 @@ object Cli {
       .toMap
     val warehouse = opts.getOrElse("warehouse", "/tmp/graft-warehouse")
     val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    // documents/embeddings-shaped inputs default to the harness layout but
+    // accept ANY parquet path with the same columns — the curation and
+    // retrieval commands are usable against a real corpus, not just the
+    // test tables
+    def docsPath = opts.getOrElse("docs", s"$sfDir/documents.parquet")
+    def embPath = opts.getOrElse("emb", s"$sfDir/embeddings.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // embedding posture: only stop the session this run created — a host
+    // JVM (or the test suite) that already owns one keeps it
+    val preExisting = SparkSession.getDefaultSession.nonEmpty
     lazy val spark: SparkSession = {
       val s = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
@@ -142,7 +154,7 @@ object Cli {
       case "curate-v2" => // the t_curate_v2 pipeline as a batch job
         val out = opts.getOrElse("out", s"$warehouse/_curated")
         import graft.ops.{Dedup, TextAnalysis}
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = spark.read.parquet(docsPath)
         val quality = TextAnalysis.qualityMetrics(docs)
           .filter(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
         val rep = TextAnalysis.repetitionMetrics(quality)
@@ -159,7 +171,7 @@ object Cli {
         val out = opts.getOrElse("out", s"$warehouse/_ivfadc")
         val k = opts.getOrElse("k", "4").toInt
         val nProbe = opts.getOrElse("nprobe", "2").toInt
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val emb = spark.read.parquet(embPath)
         graft.ops.IvfIndex.build(emb, out, nList = 8, pqM = 8, pqK = 16)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding"))
@@ -171,14 +183,14 @@ object Cli {
         val terms = opts.getOrElse("terms", "spark,vector")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val n = opts.getOrElse("top", "10").toInt
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = spark.read.parquet(docsPath)
         graft.ops.TextSearch.bm25(docs, terms)
           .orderBy(col("bm25").desc, col("doc_id")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
       case "dup-spans" => // substring-level duplicate spans (d_dup_spans)
         val out = opts.getOrElse("out", s"$warehouse/_dup_spans")
         val n = opts.getOrElse("ngram", "5").toInt
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = spark.read.parquet(docsPath)
         val spans = graft.ops.Dedup.duplicateSpans(docs, n = n)
         spans.write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} spans -> $out")
@@ -186,13 +198,13 @@ object Cli {
         val out = opts.getOrElse("out", s"$warehouse/_chunks")
         val size = opts.getOrElse("size", "40").toInt
         val overlap = opts.getOrElse("overlap", "10").toInt
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = spark.read.parquet(docsPath)
         graft.ops.TextAnalysis.chunk(docs, size, overlap)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} chunks -> $out")
       case "bpe-train" => // BPE merge learning (t_bpe_train)
         val n = opts.getOrElse("merges", "40").toInt
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = spark.read.parquet(docsPath)
         val merges = graft.ops.Bpe.train(docs, numMerges = n)
         merges.zipWithIndex.foreach { case ((a, b), i) =>
           println(s"$i\t$a\t$b")
@@ -203,8 +215,8 @@ object Cli {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val qid = opts.getOrElse("qvec", "0").toLong
         val n = opts.getOrElse("top", "10").toInt
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val docs = spark.read.parquet(docsPath)
+        val emb = spark.read.parquet(embPath)
         val qv = emb.filter(col("vec_id") === qid)
           .select(lit(0L).as("query_id"), col("embedding"))
         val dense = graft.ops.Similarity.bruteForceTopK(emb, qv, k = 50)
@@ -229,12 +241,15 @@ object Cli {
           .collect().foreach(r => println(r.mkString("\t")))
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
-        val (key, id, value) = table match {
-          case "events" => ("event_type", "user_id", "value")
-          case "documents" => ("lang", "doc_id", "n_chars")
-          case _ => (opts("key"), opts("id"), opts("value"))
-        }
-        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        val (key, id, value) =
+          if (opts.contains("key")) (opts("key"), opts("id"), opts("value"))
+          else table match {
+            case "events" => ("event_type", "user_id", "value")
+            case "documents" => ("lang", "doc_id", "n_chars")
+            case other => sys.error(
+              s"unknown table '$other': pass --key/--id/--value for custom inputs")
+          }
+        val df = spark.read.parquet(opts.getOrElse("input", s"$sfDir/$table.parquet"))
         graft.ops.Profile.sketchProfile(df, key, id, value)
           .orderBy(key).collect()
           .foreach(r => println(r.mkString("\t")))
@@ -245,6 +260,6 @@ object Cli {
           "chunk profile bpe-train hybrid-search pagerank")
         if (other != "help") sys.exit(2)
     }
-    if (cmd != "help") spark.stop()
+    if (cmd != "help" && !preExisting) spark.stop()
   }
 }

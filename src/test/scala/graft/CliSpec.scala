@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CLI smoke tests for the corpus-path overrides: the curation/retrieval
+  * commands must run against ANY documents-shaped parquet (--docs), not
+  * just the harness table layout — and must NOT stop a pre-existing
+  * session (embedding posture). */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String): String = {
+    val path = s"$dir/corpus.parquet"
+    // distinct words per doc (the curation filters drop repetitive text)
+    // with enough English stopword markers for the langId heuristic
+    (0 until 60).map { i =>
+      (i.toLong,
+        s"this is sample document number ex$i and it contains several " +
+          s"common english words plus a few unique tokens token$i marker$i",
+        "en", "unit-test", 120L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(path)
+    path
+  }
+
+  test("curate-v2 --docs runs over an arbitrary parquet path") {
+    val dir = tmpDir("clidocs")
+    val docs = writeDocs(dir)
+    val out = s"$dir/curated"
+    Cli.main(Array("curate-v2", "--docs", docs, "--out", out))
+    val n = spark.read.parquet(out).count()
+    assert(n > 0, s"expected curated rows from $docs")
+    // the shared test session must survive the CLI run
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("chunk --docs writes chunks for an arbitrary corpus") {
+    val dir = tmpDir("clichunk")
+    val docs = writeDocs(dir)
+    val out = s"$dir/chunks"
+    Cli.main(Array("chunk", "--docs", docs, "--out", out,
+      "--size", "10", "--overlap", "2"))
+    assert(spark.read.parquet(out).count() > 0)
+  }
+
+  test("profile --input with explicit columns reads a custom parquet") {
+    val dir = tmpDir("cliprof")
+    val path = s"$dir/custom.parquet"
+    Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 9.0))
+      .toDF("row_id", "grp", "score").write.parquet(path)
+    // prints to stdout; the assertion is that it resolves columns and runs
+    Cli.main(Array("profile", "--input", path,
+      "--key", "grp", "--id", "row_id", "--value", "score"))
+    assert(!spark.sparkContext.isStopped)
+  }
+}
