@@ -37,12 +37,17 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   def localTriangles(edges: DataFrame): DataFrame = {
+    // persisted: the caller's edge-construction plan may be expensive
+    // (e.g. a co-occurrence self-join), and und is read by THREE
+    // downstream consumers (nodes, deg, orientation) — uncached, each
+    // would re-run the whole upstream build
     val und = edges
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .persist()
 
     val nodes = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
@@ -65,12 +70,14 @@ object Triangles {
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
     val uKey = struct(col("du").as("d"), col("u").as("n"))
     val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    // lazy persist — no eager count job; the output's lineage-cut action
+    // materializes the whole chain once, and the three oriented readers
+    // (two wedge sides + closing edges) share the cached blocks
     val oriented = withDeg.select(
       when(uKey < vKey, col("u")).otherwise(col("v")).as("x"),
       when(uKey < vKey, col("v")).otherwise(col("u")).as("y"),
       when(uKey < vKey, vKey).otherwise(uKey).as("ykey"))
       .persist()
-    oriented.count()
 
     // wedges from each apex x: ordered pairs of out-neighbors; the closing
     // edge {y1, y2}, if present, is oriented y1→y2 by the same total order
@@ -104,6 +111,7 @@ object Triangles {
     nodes.unpersist()
     deg.unpersist()
     oriented.unpersist()
+    und.unpersist()
     out
   }
 }
