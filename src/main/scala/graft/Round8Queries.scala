@@ -52,6 +52,32 @@ object Round8Queries {
       graft.ops.Temporal.asOfJoin(l, r, Seq("user_id"),
         leftTs = "ts_us", rightTs = "rts",
         tolerance = Some(600000000L), forward = true)
+    }),
+
+    // --- SemDeDup-style semantic dedup --------------------------------------
+    // Cluster-scoped cosine pruning (the dedup flavor the family was
+    // missing): base corpus + deterministically perturbed twins (the
+    // d_embed_pairs construction), 16 fixed seed centroids, twins land in
+    // their base's cluster at cosine ≈ 1 and must be pruned; far pairs
+    // survive. Assignment argmax and the dominance rule are the same IEEE
+    // arithmetic in both engines (the cosine loop is sequential in both),
+    // so the gate is value-exact on the survivor set.
+    "d_semantic_prune" -> ((s, d) => {
+      val base = graft.core.Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
+      // sequenced withColumn, NOT a single select: in a single select
+      // Spark 4 lateral-resolves `vec_id` inside the transform lambda to
+      // the sibling `vec_id + 1000000` alias, while DuckDB resolves the
+      // input column — the two engines would perturb with different ids
+      val perturbed = base
+        .withColumn("embedding", transform(col("embedding"),
+          x => x + lit(0.001) * sin(col("vec_id") * 7)))
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val centroids = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      graft.ops.Dedup.semanticSurvivors(
+        base.unionByName(perturbed), centroids, tau = 0.99)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -75,5 +101,36 @@ object Round8Queries {
         |    END AS r_err_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us <= r.rts
+        |""".stripMargin,
+    "d_semantic_prune" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  -- inner subquery: DuckDB resolves a sibling alias LATERALLY, so
+        |  -- an un-nested `sin(vec_id * 7)` would see vec_id + 1000000
+        |  -- while Spark's transform sees the input column
+        |  SELECT vec_id + 1000000 AS vec_id, v FROM (
+        |    SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x + 0.001 * sin(vec_id * 7)) AS v
+        |    FROM embeddings)
+        |), u AS (
+        |  SELECT * FROM b UNION ALL SELECT * FROM p
+        |), c AS (
+        |  SELECT vec_id AS cid, v AS cv FROM b WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT u.vec_id, u.v, c.cid,
+        |      row_number() OVER (PARTITION BY u.vec_id
+        |        ORDER BY list_cosine_similarity(u.v, c.cv) DESC, c.cid ASC)
+        |        AS rn
+        |    FROM u CROSS JOIN c)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id, CAST(a.cid AS BIGINT) AS cell
+        |FROM assigned a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assigned o
+        |  WHERE o.cid = a.cid AND o.vec_id < a.vec_id
+        |    AND list_cosine_similarity(o.v, a.v) >= 0.99)
         |""".stripMargin)
 }

@@ -520,4 +520,52 @@ object Dedup {
     aggregate(votes, lit(0L), (acc, v) =>
       shiftleft(acc, 1).bitwiseOR(when(v >= 0, lit(1L)).otherwise(lit(0L))))
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, the published
+    * recipe of Abbas et al. 2023, arXiv:2303.09540): assign every
+    * embedding to its nearest centroid, then drop near-identical pairs
+    * WITHIN each cluster only — the clustering bounds the quadratic term
+    * to cluster sizes, so the corpus never goes all-pairs.
+    *
+    * Pruning rule is the deterministic "dominated-by-earlier" blanket: a
+    * vector is dropped iff SOME lower-id vector in its cluster has
+    * cosine ≥ `tau` with it (one self-join + one anti-join — no
+    * iteration, no chain-dependence on which earlier vectors themselves
+    * survive, and therefore exactly expressible as a SQL oracle).
+    *
+    * `centroids` (cid, `vecCol`) is caller-supplied: production derives
+    * it from a k-means pass (e.g. [[IvfIndex]]'s trainer) with k scaled
+    * ∝ corpus size so clusters stay bounded; the correctness gate uses
+    * fixed seed vectors so assignment is engine-reproducible. Ties on
+    * assignment resolve to the smallest cid.
+    *
+    * Scale shape: centroids broadcast (driver-sized by contract, like IVF
+    * centroids); assignment is a narrow crossJoin + max-struct argmax
+    * with map-side partials; the self-join shuffles once on the cluster
+    * id. A pathologically hot cluster pays its own quadratic — that is
+    * the SemDeDup contract (k must grow with N), not a plan defect.
+    *
+    * Output: (id, cell) — surviving ids with their cluster assignment. */
+  def semanticSurvivors(vecs: DataFrame, centroids: DataFrame, tau: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cos = graft.functions.Vectors.cosine _
+    val scored = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(
+        centroids.select(col("cid"), col(vecCol).as("cv"))))
+      .select(col("id"), col("v"), col("cid"),
+        cos(col("v"), col("cv")).as("c"))
+    val assigned = Checkpoints.cut(scored
+      .groupBy("id")
+      .agg(max(struct(col("c"), (-col("cid")).as("nc"), col("cid"),
+        col("v"))).as("m"))
+      .select(col("id"), col("m.cid").as("cell"), col("m.v").as("v")))
+    val dominated = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          cos(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dominated, Seq("id"), "left_anti")
+      .select(col("id"), col("cell").cast("long").as("cell"))
+  }
 }

@@ -837,3 +837,49 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.subsetOf(brute)) // probing can only MISS, never invent
   }
 }
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deg(a: Double) = math.toRadians(a)
+  private def vec(angle: Double): Seq[Double] =
+    Seq(math.cos(deg(angle)), math.sin(deg(angle)))
+
+  // two centroids at 0° and 36.87°; the assignment bisector sits at ~18.4°
+  private val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.8, 0.6)))
+    .toDF("cid", "embedding")
+
+  private def survivors(rows: Seq[(Long, Seq[Double])], tau: Double) =
+    Dedup.semanticSurvivors(rows.toDF("vec_id", "embedding"), cents, tau)
+      .as[(Long, Long)].collect().toMap
+
+  test("pruning is CLUSTER-scoped: a near-identical pair split across " +
+    "the assignment bisector survives on both sides") {
+    // 17° and 20° straddle the bisector; cos(3°) = 0.9986 >= tau, but the
+    // pair never meets in a cluster, so both survive — SemDeDup semantics
+    val got = survivors(Seq(1L -> vec(17), 2L -> vec(20)), tau = 0.99)
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("within a cluster the lower id dominates; assignment ties break " +
+    "to the smaller cid") {
+    val got = survivors(Seq(1L -> vec(17), 3L -> vec(18)), tau = 0.99)
+    // cos(1°) = 0.99985: id 3 dominated by id 1 in cell 0
+    assert(got === Map(1L -> 0L))
+  }
+
+  test("blanket dominance, not greedy-survivor chaining: a vector " +
+    "dominated by an already-dominated earlier vector is still dropped") {
+    // chain at 0°, 9°, 17° in cell 0 with tau between cos(9°) and cos(17°):
+    // greedy chaining would keep 0° and 17° (the killer 9° is itself dead);
+    // the blanket rule keeps only 0°
+    val got = survivors(
+      Seq(10L -> vec(0), 11L -> vec(9), 12L -> vec(17)), tau = 0.98)
+    assert(got === Map(10L -> 0L))
+  }
+
+  test("far vectors in the same cluster all survive") {
+    val got = survivors(Seq(1L -> vec(0), 2L -> vec(15)), tau = 0.99)
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+}
