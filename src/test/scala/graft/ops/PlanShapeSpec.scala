@@ -168,6 +168,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semanticSurvivors: centroids broadcast, no cartesian verify, no " +
+    "window — the cluster self-join is an equi-join") {
+    withoutAqe {
+      val vecs = (0 until 64).map(i =>
+        (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+        .toDF("vec_id", "embedding")
+      val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+        .toDF("cid", "embedding")
+      val plan = executed(Dedup.semanticSurvivors(vecs, cents, tau = 0.999))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian product in the semantic-dedup plan:\n$plan")
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        s"centroid side is not broadcast:\n$plan")
+      assert(!plan.toString.contains("Window"),
+        s"argmax fell back to a window rank:\n$plan")
+    }
+  }
+
+  test("asOfJoin: ONE shuffle on the key — no range-join explosion, no " +
+    "nested-loop join") {
+    withoutAqe {
+      val l = (0 until 64).map(i => (i.toLong % 8, i.toLong * 100))
+        .toDF("k", "ts")
+      val r = (0 until 32).map(i => (i.toLong % 8, i.toLong * 150, i * 1.0))
+        .toDF("k", "ts", "payload")
+      val plan = executed(
+        Temporal.asOfJoin(l, r, Seq("k"), tolerance = Some(500L)))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+        !plan.toString.contains("BroadcastNestedLoop"),
+        s"as-of join planned a product:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"as-of join should shuffle once on the key:\n$plan")
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {
