@@ -52,8 +52,8 @@ object PageRank {
     * toy scale and bounded at cluster scale; deeper batching grows the
     * recomputation geometrically (measured 2× slower at cutEvery = 4 on
     * the dimension-graph gate), so values > 2 are not useful. The final
-    * iteration is deliberately NOT cut — the caller's first action
-    * materializes it, saving one more job. */
+    * iteration's cut is deferred past the node join, so the last batch
+    * and the output materialize in ONE job with every cache still warm. */
   def run(edges: DataFrame, iterations: Int = 8,
           damping: Double = 0.85, cutEvery: Int = 2): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
@@ -118,7 +118,12 @@ object PageRank {
         if (i % cutEvery == 0 && i != iterations) Checkpoints.cut(updated)
         else updated
     }
-    val out = nodes.join(ranks, Seq("id")).select(col("node"), col("rank"))
+    // cut AFTER the node join so the whole result materializes while the
+    // caches are still warm — unpersisting first would hand the caller a
+    // lazy plan that recomputes nodes/adj/ids uncached (the Triangles
+    // cache-release lesson); the caller's action then just reads blocks
+    val out = Checkpoints.cut(
+      nodes.join(ranks, Seq("id")).select(col("node"), col("rank")))
     nodes.unpersist()
     adj.unpersist()
     ids.unpersist()
