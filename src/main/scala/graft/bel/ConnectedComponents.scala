@@ -150,26 +150,27 @@ object ConnectedComponents {
   /** edges(src, dst) of any orderable type → (node, component). `component`
     * is an opaque label, equal for all nodes of one component. */
   def run(edges: DataFrame, maxIterations: Int = 30): DataFrame = {
-    // All nodes, including isolated / self-loop-only ones.
+    // All nodes, including isolated / self-loop-only ones. Single
+    // consumer (the final join), so no persist — a cache here would
+    // either leak past return or force the caller to recompute it
+    // uncached after an unpersist.
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
       .withColumn("id", xxhash64(col("node")))
-      .persist()
-    nodes.count() // materialize before reusing in two branches
 
     val e = starFixpoint(hashedEdges(edges), maxIterations)
 
     // At the fixpoint the edge set is a union of stars rooted at each
     // component's min id: (u=member, v=root). Nodes absent from any edge
-    // are their own root.
+    // are their own root. The cut frame e feeds both branches, so the
+    // only re-evaluated subplan is the caller's edge construction (once,
+    // for nodes).
     val roots = e.select(col("u").as("id"), col("v").as("root"))
       .unionByName(e.select(col("v").as("id"), col("v").as("root")))
       .groupBy("id").agg(min("root").as("root"))
-    val out = nodes.join(roots, Seq("id"), "left")
+    nodes.join(roots, Seq("id"), "left")
       .select(col("node"), coalesce(col("root"), col("id")).as("component"))
-    nodes.unpersist()
-    out
   }
 
   /** Component COUNT without materializing labels: works entirely in the
