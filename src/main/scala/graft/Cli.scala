@@ -34,6 +34,7 @@ import graft.sources._
   *   graft.Cli bpe-train [--docs P | --sf-dir D] [--merges N]
   *   graft.Cli hybrid-search [--docs P --emb P | --sf-dir D] --terms a,b [--qvec ID] [--top N]
   *   graft.Cli pagerank  --sf-dir D [--iterations N] [--top N]
+  *   graft.Cli semantic-dedup [--emb P | --sf-dir D] --out DIR [--k K] [--tau T]
   */
 object Cli {
 
@@ -239,6 +240,17 @@ object Cli {
         graft.bel.PageRank.run(sup.unionByName(nat), iters)
           .orderBy(col("rank").desc, col("node")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
+      case "semantic-dedup" => // SemDeDup-style pruning (d_semantic_prune)
+        val out = opts.getOrElse("out", s"$warehouse/_semantic")
+        val k = opts.getOrElse("k", "8").toInt
+        val tau = opts.getOrElse("tau", "0.97").toDouble
+        val emb = spark.read.parquet(embPath)
+          .withColumn("embedding",
+            graft.functions.Vectors.toDouble(col("embedding")))
+        val kept = graft.ops.Dedup.semanticSurvivorsAuto(emb, k, tau)
+        kept.write.mode("overwrite").parquet(out)
+        println(s"kept ${spark.read.parquet(out).count()} of " +
+          s"${emb.count()} vectors -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) =
@@ -257,7 +269,7 @@ object Cli {
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
-          "chunk profile bpe-train hybrid-search pagerank")
+          "chunk profile bpe-train hybrid-search pagerank semantic-dedup")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -568,4 +568,22 @@ object Dedup {
     assigned.join(dominated, Seq("id"), "left_anti")
       .select(col("id"), col("cell").cast("long").as("cell"))
   }
+
+  /** Production entry for [[semanticSurvivors]]: centroids from the
+    * distributed k-means refiner ([[Similarity.refineCentroids]] — sample
+    * seeds + mean/assign iterations) instead of caller-supplied seeds.
+    * Refined centroids are ulp-nondeterministic across partitionings
+    * (doubles summed in partition order), so this path is pinned by
+    * invariant specs; the SQL-oracle gate (`d_semantic_prune`) covers the
+    * assignment + dominance core through the fixed-seed entry. */
+  def semanticSurvivorsAuto(vecs: DataFrame, k: Int, tau: Double,
+                            iterations: Int = 3, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val (ids, cents) = Similarity.refineCentroids(vecs, k, iterations,
+      idCol, vecCol)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = ids.zip(cents).toDF("cid", vecCol)
+    semanticSurvivors(vecs, centDf, tau, idCol, vecCol)
+  }
 }

@@ -53,4 +53,19 @@ class CliSpec extends SparkSpec {
       "--key", "grp", "--id", "row_id", "--value", "score"))
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
+    val dir = tmpDir("clisem")
+    val path = s"$dir/vectors.parquet"
+    val out = s"$dir/kept"
+    import org.apache.spark.sql.functions._
+    (0 until 40).map { i =>
+      val a = math.toRadians(if (i % 2 == 0) i * 0.05 else 90.0 + i * 0.05)
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label").write.parquet(path)
+    Cli.main(Array("semantic-dedup", "--emb", path, "--out", out,
+      "--k", "2", "--tau", "0.9999"))
+    val kept = spark.read.parquet(out).count()
+    assert(kept > 0 && kept < 40, s"expected pruning, kept $kept of 40")
+  }
 }

@@ -882,4 +882,21 @@ class SemanticDedupSpec extends SparkSpec {
     val got = survivors(Seq(1L -> vec(0), 2L -> vec(15)), tau = 0.99)
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("auto path (k-means centroids): near-identical twins collapse, " +
+    "well-separated groups keep one survivor each") {
+    // two tight groups around 0° and 90° plus a near-twin in each; the
+    // refined centroids land near the group means whatever the partition
+    // order, so every twin shares its base's cluster
+    val rows = Seq(
+      1L -> vec(0), 2L -> vec(0.5),      // twins (cos ≈ 1)
+      3L -> vec(5),                      // same group, far from 1 at tau
+      11L -> vec(90), 12L -> vec(89.5),  // twins
+      13L -> vec(85))
+    val got = Dedup.semanticSurvivorsAuto(
+      rows.toDF("vec_id", "embedding"), k = 2, tau = 0.99995)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 3L, 11L, 13L),
+      s"expected twins 2 and 12 pruned, got ${got.keySet}")
+  }
 }
