@@ -598,7 +598,7 @@ object Queries {
   // DuckDB oracles
   // ==========================================================================
 
-  private val normSql =
+  private[graft] val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   /** Shingle CTEs shared by the dedup oracles (word 3-gram, sorted distinct

@@ -163,4 +163,33 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_bpe_tokens"))
   }
+
+  /** Full distributed ENCODE: the per-document subword token stream,
+    * `(idCol, tokens: array<string>, n_bpe_tokens)` — what a training
+    * pipeline feeds the packer. Same amortization as [[tokenCounts]]:
+    * the merge recursion runs once per DISTINCT word (dict-sized frame,
+    * table broadcast in the closure); the corpus side keeps each word's
+    * position through the join and reassembles the ordered stream with
+    * one sort-under-aggregation per document — a single shuffle on doc
+    * id, no window. Word tokens carry the trailing [[Eow]] marker, so
+    * `concat(tokens)` with `</w>` → `' '` reproduces the normalized text
+    * exactly (the round-trip the `t_bpe_encode` gate checks). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val segTokens = udf((w: String) => segmentWord(w, ranks))
+    val words = docs.select(col(idCol),
+      posexplode(split(TextAnalysis.normalized(col(textCol)), " ")))
+      .toDF(idCol, "pos", "word")
+      .filter(length(col("word")) > 0)
+    val dictSeg = words.select("word").distinct()
+      .withColumn("toks", segTokens(col("word")))
+    words.join(dictSeg, "word")
+      .groupBy(idCol)
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
+        .getField("toks")).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"))
+  }
 }

@@ -569,6 +569,58 @@ object Dedup {
       .select(col("id"), col("cell").cast("long").as("cell"))
   }
 
+  /** Persist the exact-fingerprint index of a corpus snapshot: one row per
+    * distinct normalized text, `(fingerprint, survivor_id, n_copies)` —
+    * the cross-snapshot dedup substrate (a new crawl is deduplicated
+    * against every PRIOR snapshot without re-reading the prior corpora;
+    * the CCNet / Dolma "dedupe against earlier dumps" step). The index is
+    * fingerprint-keyed parquet: at 100 TB the corpus reduces to one
+    * ~50-byte row per distinct document, and every later probe touches
+    * only this reduced frame. */
+  def writeFingerprintIndex(docs: DataFrame, path: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Unit =
+    exactSurvivors(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental (cross-snapshot) exact dedup: dedupe `batch` WITHIN
+    * itself, then drop every document whose fingerprint the persisted
+    * index already holds. Output: the batch's genuinely-new survivors,
+    * `(fingerprint, survivor_id, n_copies)` — same shape as
+    * [[exactSurvivors]], so downstream policy code is snapshot-agnostic.
+    *
+    * Scale shape: one hash-groupBy over the batch, then ONE anti-join on
+    * the 16-byte fingerprint key. The index side is already distinct, so
+    * the anti-join shuffles at most |distinct batch| + |index| rows; when
+    * the index fits the broadcast threshold Catalyst broadcasts it and
+    * the probe is shuffle-free. Nothing rescans prior corpora. */
+  def incrementalSurvivors(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, batch: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val index = spark.read.parquet(indexPath).select("fingerprint")
+    exactSurvivors(batch, idCol, textCol)
+      .join(index, Seq("fingerprint"), "left_anti")
+  }
+
+  /** Fold a probed batch into the index: append the batch's new-survivor
+    * rows ([[incrementalSurvivors]]) so the NEXT snapshot dedupes against
+    * this one too. Append-only parquet — no rewrite of the existing
+    * index files, so the index grows by exactly the novel-document rate
+    * per snapshot. Returns the number of appended fingerprints. */
+  def appendToFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, batch: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): Long = {
+    val fresh = incrementalSurvivors(spark, indexPath, batch, idCol, textCol)
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").parquet(indexPath)
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
   /** Production entry for [[semanticSurvivors]]: centroids from the
     * distributed k-means refiner ([[Similarity.refineCentroids]] — sample
     * seeds + mean/assign iterations) instead of caller-supplied seeds.

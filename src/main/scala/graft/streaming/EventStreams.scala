@@ -108,6 +108,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment: join each micro-batch against a STATIC
+    * dimension frame (user → account, id → metadata — the streaming twin
+    * of the batch broadcast dict lookup, reference
+    * `sources/tfregulons.py`-style symbol grounding). The dimension is
+    * explicitly broadcast: the stream side is never shuffled for the
+    * join and no join state store exists — each micro-batch probes the
+    * broadcast hash table and moves on. Inner join (unmatched events
+    * drop, matching the batch face). At 100 TB/day the stream side
+    * stays partition-local; a dimension too large to broadcast would
+    * instead be bucketized and this becomes a shuffle-on-key join —
+    * callers choose by dimension size, the default serves the common
+    * dimension-sized lookup. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(key) === col(dimKey)).drop(dimKey)
+
   /** Stream-stream event-time interval join — "each left event with every
     * right event of the same key in its trailing `lookbackMinutes`"
     * (click ↔ recent errors, observation ↔ recent snapshots). The SAME

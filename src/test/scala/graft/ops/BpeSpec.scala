@@ -68,6 +68,36 @@ class BpeSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("encode emits ordered token streams that round-trip and count-match") {
+    val docs = Seq((1L, "low low lower"), (2L, "Newest  widest newest"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 5, minFrequency = 1)
+    val got = Bpe.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    val counts = Bpe.tokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, norm) <- Seq(1L -> "low low lower",
+        2L -> "newest widest newest")) {
+      val (toks, n) = got(id)
+      // round-trip: </w> → space reproduces the normalized text, and the
+      // stream is ORDERED (a scrambled reassembly would not match)
+      assert(toks.mkString.replace(Bpe.Eow, " ").trim === norm)
+      assert(n === toks.length.toLong)
+      assert(n === counts(id))
+    }
+    assert(!got.contains(3L)) // wordless doc: absent, like tokenCounts
+  }
+
+  test("encode order survives adversarial partitioning") {
+    // many words per doc across partitions: collect_list order is
+    // nondeterministic pre-sort, so this pins the pos-struct sort
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text").repartition(5)
+    val merges = Bpe.train(docs, numMerges = 3, minFrequency = 1)
+    val toks = Bpe.encode(docs, merges).collect()(0).getSeq[String](1)
+    assert(toks.mkString.replace(Bpe.Eow, " ").trim === text.toLowerCase)
+  }
+
   test("training is partitioning-independent") {
     val docs = (1 to 50).map(i => (i.toLong, s"alpha beta gamma$i beta"))
       .toDF("doc_id", "text")

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
       (12L, 23L))) // key 2 only sees key-2 rows
   }
 
+  test("enrich: stream-static broadcast join, per micro-batch, inner") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((100L, "gold"), (200L, "basic")).toDF("cust", "tier")
+    val mem = MemoryStream[Event]
+    val out = EventStreams.enrich(mem.toDS().toDF(), dim, "user_id", "cust")
+    val q = out.writeStream.format("memory").queryName("enrich_spec")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(Event(9, ts(1), 999, "view", 5.0)) // no dim row → dropped
+      mem.addData(events.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_spec")
+      .select("event_id", "tier").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "gold"), (2L, "gold"), (3L, "gold"),
+      (4L, "basic")))
+    assert(!spark.table("enrich_spec").columns.contains("cust"))
+  }
+
   test("dedupStream: duplicate keys within and across batches land once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
