@@ -119,6 +119,29 @@ object Round8Queries {
     })
   }
 
+  /** MinHash index of the prior snapshot (near-dup twin of
+    * [[fingerprintIndex]]), built once per (SparkContext, sf dir). */
+  private val mhIndexMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def minHashIndex(s: SparkSession, d: String): String = {
+    val perDir = mhIndexMemo.synchronized {
+      var m = mhIndexMemo.get(s.sparkContext)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        mhIndexMemo.put(s.sparkContext, m)
+      }
+      m
+    }
+    perDir.computeIfAbsent(d, _ => {
+      val path = s"/tmp/graft_mhidx_${sfTag(d).replace(".", "_")}"
+      rmrf(s, path)
+      graft.ops.Dedup.writeMinHashIndex(incPrior(s, d), path)
+      path
+    })
+  }
+
   private val incAppendMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.SparkContext,
       java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean)]]())
@@ -166,6 +189,23 @@ object Round8Queries {
     "d_incremental_exact" -> ((s, d) =>
       graft.ops.Dedup.incrementalSurvivors(s, fingerprintIndex(s, d),
         incBatch(s, d))),
+
+    // --- Cross-snapshot near-dup probe (MinHash index) ----------------------
+    // The near-dup twin of d_incremental_exact: the batch (novel docs
+    // plus a lightly-perturbed twin of every indexed %6=1 doc) probes the
+    // prior snapshot's MinHash index; output is every exact-verified
+    // (batch, indexed) pair at Jaccard ≥ 0.8. Value-exact vs the DuckDB
+    // brute-force cross product — so the gate also proves banding recall
+    // on this corpus (a missed band collision would drop a pair the
+    // oracle finds).
+    "d_incremental_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("xq "), col("text")).as("text")))
+      graft.ops.Dedup.incrementalNearDups(s, minHashIndex(s, d), batch)
+    }),
 
     // --- Index append is sound and idempotent -------------------------------
     // After folding the batch's survivors into the index, (a) the append
@@ -372,6 +412,44 @@ object Round8Queries {
 
     "d_incremental_append" ->
       "SELECT true AS append_matches_first, true AS second_probe_empty",
+
+    "d_incremental_minhash" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, text, 'b' AS side FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xq ' || text, 'b' FROM documents
+        |  WHERE doc_id % 6 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, 'p' FROM documents WHERE doc_id % 3 <> 0
+        |), norm AS (
+        |  SELECT doc_id, side, ${Queries.normSql} AS t FROM u
+        |), words AS (
+        |  SELECT doc_id, side, string_split(t, ' ') AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, side,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))
+        |    END AS s
+        |  FROM words
+        |), ex AS (
+        |  SELECT doc_id, side, unnest(s) AS shingle FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS index_id, count(*) AS c
+        |  FROM ex a JOIN ex b
+        |    ON a.shingle = b.shingle AND a.side = 'b' AND b.side = 'p'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id, index_id,
+        |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = id
+        |JOIN sizes nb ON nb.doc_id = index_id
+        |WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.8
+        |""".stripMargin,
 
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +

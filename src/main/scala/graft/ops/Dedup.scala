@@ -182,10 +182,7 @@ object Dedup {
     // band rows stay NARROW (id, band, bucket): the shingle arrays join in
     // only after candidate-pair dedup, so the band shuffle never carries
     // the wide arrays (at 100 TB the arrays dominate row size).
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bucket")))
+    val banded = bandRows(sig, bands, rowsPerBand)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -194,6 +191,16 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     verifiedJaccard(candidates, sig, threshold)
   }
+
+  /** Narrow (id, band, bucket) rows from an `(id, ..., sig)` frame —
+    * shared by [[minHashPairs]] and the cross-snapshot probe. */
+  private def bandRows(sig: DataFrame, bands: Int,
+                       rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+          lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH banding:
     * two vectors are candidates iff they share at least one of `bands`
@@ -619,6 +626,66 @@ object Dedup {
       if (n > 0) fresh.write.mode("append").parquet(indexPath)
       n
     } finally { fresh.unpersist(); () }
+  }
+
+  /** Persist the MinHash index of a corpus snapshot: per document its
+    * shingle-hash set and MinHash signature (`(id, shingles, sig)`), the
+    * cross-snapshot NEAR-dup substrate beside
+    * [[writeFingerprintIndex]]'s exact one. Shingle sets ride along
+    * because the probe verifies candidates with EXACT Jaccard — the
+    * banding only generates candidates, so probe output carries no
+    * LSH false positives (same discipline as [[minHashPairs]]). */
+  def writeMinHashIndex(docs: DataFrame, path: String, n: Int = 3,
+                        numHashes: Int = 96,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit =
+    shingled(docs, n, idCol, textCol)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .write.mode("overwrite").parquet(path)
+
+  /** Cross-snapshot near-dup probe: every (batch doc, indexed doc) pair
+    * with exact n-gram Jaccard ≥ `threshold`, found WITHOUT comparing
+    * the batch against the whole index — candidates are generated by the
+    * MinHash band equi-join (a pair of true Jaccard j escapes all bands
+    * with prob (1-j^r)^b — ~5e-10 at the 0.8/32/3 defaults), then
+    * verified exactly from the stored shingle sets. Output:
+    * `(id, index_id, jaccard)`.
+    *
+    * Scale shape: band rows are NARROW on both sides (id, band, bucket);
+    * the index's shingle arrays are touched only for verified candidate
+    * ids. The index is never self-joined — a probe is |batch| × bands
+    * rows against the index's banded posting table, so probing a small
+    * crawl against a 100 TB-corpus index moves batch-sized data plus the
+    * collided index rows only. `n`/`numHashes` must match the index
+    * build; bands × rowsPerBand must equal numHashes. */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, batch: DataFrame,
+                          n: Int = 3, threshold: Double = 0.8,
+                          bands: Int = 32, rowsPerBand: Int = 3,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val staged = Checkpoints.cut(shingled(batch, n, idCol, textCol)
+      .withColumn("sig",
+        minHashSignature(col("shingles"), bands * rowsPerBand)))
+    val candidates = bandRows(staged, bands, rowsPerBand).alias("a")
+      .join(bandRows(index, bands, rowsPerBand).alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(staged.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(index.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id"), col("id_b").as("index_id"),
+        col("jaccard"))
   }
 
   /** Production entry for [[semanticSurvivors]]: centroids from the

@@ -40,6 +40,27 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out == Set(21L))
   }
 
+  test("minhash index probe finds exact-verified near-dups, skips novel") {
+    val dir = tmpDir("mhidx")
+    val idx = s"$dir/idx"
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    Dedup.writeMinHashIndex(
+      docs(1L -> base, 2L -> ("completely unrelated text about spark " +
+        "catalyst plans and shuffle partitions at scale today")), idx)
+    val batch = docs(
+      10L -> ("intro " + base), // near-dup of 1 (one extra word)
+      11L -> ("novel content that matches nothing in the stored index " +
+        "whatsoever since every shingle here is unique"))
+    val out = Dedup.incrementalNearDups(spark, idx, batch, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    val (id, idxId, j) = out(0)
+    assert(id == 10L && idxId == 1L)
+    // 17 shared 3-gram shingles of 19/21... exact value: verify bounds
+    assert(j > 0.7 && j < 1.0)
+  }
+
   test("appending a fully-known batch writes nothing") {
     val dir = tmpDir("fpidx3")
     val idx = s"$dir/idx"
