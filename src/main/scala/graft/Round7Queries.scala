@@ -735,11 +735,18 @@ object Round7Queries {
     // step ((1 - 0.85)/n, 0.85·(c + m/n)) is the same IEEE double
     // expression in both engines; only summation order differs, which
     // the comparator's 1e-9 relative tolerance absorbs.
-    "a17_pagerank" -> ((s, d) => {
-      val sup = t(s, d, "supplier").select(
+    // Scoped to 8 shuffle partitions: the supplier→nation→region graph is
+    // dimension-sized by construction (|suppliers| + 30 nodes), and the
+    // power loop pays 2 shuffles per iteration — 32-partition exchanges
+    // over a 10k-row rank vector are pure per-task overhead × 16 jobsteps.
+    // (A production web-graph run sizes partitions to the corpus; this is
+    // the same contract as the stream gates' state-store scoping.)
+    "a17_pagerank" -> ((s, d) => Round6Queries.withShufflePartitions(s, 8) {
+      ss =>
+      val sup = t(ss, d, "supplier").select(
         concat(lit("s:"), col("s_suppkey")).as("src"),
         concat(lit("n:"), col("s_nationkey")).as("dst"))
-      val nat = t(s, d, "nation").select(
+      val nat = t(ss, d, "nation").select(
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.bel.PageRank.run(sup.unionByName(nat), iterations = 8)
