@@ -35,6 +35,11 @@ import graft.sources._
   *   graft.Cli hybrid-search [--docs P --emb P | --sf-dir D] --terms a,b [--qvec ID] [--top N]
   *   graft.Cli pagerank  --sf-dir D [--iterations N] [--top N]
   *   graft.Cli semantic-dedup [--emb P | --sf-dir D] --out DIR [--k K] [--tau T]
+  *   graft.Cli kcore     [--edges P | --sf-dir D] [--k K] [--top N]
+  *   graft.Cli index-build [--docs P | --sf-dir D] --out DIR
+  *   graft.Cli dedup-incremental [--docs P] --index DIR --out DIR
+  *                       [--threshold T] [--append 1]
+  *   graft.Cli bpe-encode [--docs P | --sf-dir D] --out DIR [--merges N]
   */
 object Cli {
 
@@ -251,6 +256,59 @@ object Cli {
         kept.write.mode("overwrite").parquet(out)
         println(s"kept ${spark.read.parquet(out).count()} of " +
           s"${emb.count()} vectors -> $out")
+      case "kcore" => // dense-subgraph extraction (a19_kcore)
+        val k = opts.getOrElse("k", "3").toInt
+        val n = opts.getOrElse("top", "20").toInt
+        val edges = opts.get("edges") match {
+          case Some(p) => spark.read.parquet(p) // (src, dst) edge parquet
+          case None => // harness default: co-purchased part pairs
+            val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+              .distinct()
+            li.select(col("ok"), col("pk").as("p1"))
+              .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+              .filter(col("p1") < col("p2"))
+              .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+              .filter(col("c") >= 2)
+              .select(col("p1").as("src"), col("p2").as("dst"))
+        }
+        val core = graft.bel.KCore.run(edges, k)
+        core.orderBy(col("core_deg").desc, col("node")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
+        println(s"${core.count()} nodes in the $k-core")
+      case "index-build" => // fingerprint + minhash snapshot indexes
+        val out = opts.getOrElse("out", s"$warehouse/_dedup_index")
+        val docs = spark.read.parquet(docsPath)
+        graft.ops.Dedup.writeFingerprintIndex(docs, s"$out/exact")
+        graft.ops.Dedup.writeMinHashIndex(docs, s"$out/minhash")
+        println(s"indexed ${spark.read.parquet(s"$out/exact").count()} " +
+          s"distinct fingerprints -> $out/{exact,minhash}")
+      case "dedup-incremental" => // probe a new batch against the indexes
+        val idx = opts.getOrElse("index", s"$warehouse/_dedup_index")
+        val out = opts.getOrElse("out", s"$warehouse/_dedup_fresh")
+        val threshold = opts.getOrElse("threshold", "0.8").toDouble
+        val batch = spark.read.parquet(docsPath)
+        val fresh = graft.ops.Dedup
+          .incrementalSurvivors(spark, s"$idx/exact", batch)
+        fresh.write.mode("overwrite").parquet(out)
+        val near = graft.ops.Dedup.incrementalNearDups(spark,
+          s"$idx/minhash", batch, threshold = threshold)
+        println(s"${spark.read.parquet(out).count()} novel docs -> $out; " +
+          s"${near.count()} near-dup pairs vs index at >= $threshold")
+        if (opts.contains("append")) {
+          val n = graft.ops.Dedup
+            .appendToFingerprintIndex(spark, s"$idx/exact", batch)
+          println(s"appended $n fingerprints to $idx/exact")
+        }
+      case "bpe-encode" => // per-document subword streams (t_bpe_encode)
+        val out = opts.getOrElse("out", s"$warehouse/_bpe_tokens")
+        val n = opts.getOrElse("merges", "40").toInt
+        val docs = spark.read.parquet(docsPath)
+        val merges = graft.ops.Bpe.train(docs, numMerges = n)
+        graft.ops.Bpe.encode(docs, merges)
+          .write.mode("overwrite").parquet(out)
+        println(s"encoded ${spark.read.parquet(out).count()} documents " +
+          s"with ${merges.length} merges -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) =
@@ -269,7 +327,8 @@ object Cli {
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
-          "chunk profile bpe-train hybrid-search pagerank semantic-dedup")
+          "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
+          "semantic-dedup kcore index-build dedup-incremental")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -54,6 +54,53 @@ class CliSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("index-build + dedup-incremental run the snapshot-dedup chain") {
+    val dir = tmpDir("cliidx")
+    val prior = writeDocs(dir)
+    val idx = s"$dir/idx"
+    Cli.main(Array("index-build", "--docs", prior, "--out", idx))
+    assert(spark.read.parquet(s"$idx/exact").count() == 60)
+    // batch: re-crawls of two indexed docs (new ids) + one novel doc
+    val batchPath = s"$dir/batch.parquet"
+    spark.read.parquet(prior).limit(2)
+      .select((col("doc_id") + 500).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(Seq((999L,
+        "a genuinely novel document with words appearing nowhere else",
+        "en", "unit-test", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(batchPath)
+    val fresh = s"$dir/fresh"
+    Cli.main(Array("dedup-incremental", "--docs", batchPath,
+      "--index", idx, "--out", fresh, "--append", "1"))
+    val survivors = spark.read.parquet(fresh)
+      .select("survivor_id").as[Long].collect().toSet
+    assert(survivors == Set(999L))
+    // --append folded the novel fingerprint in
+    assert(spark.read.parquet(s"$idx/exact").count() == 61)
+  }
+
+  test("kcore --edges peels an arbitrary edge parquet") {
+    val dir = tmpDir("clikcore")
+    val path = s"$dir/edges.parquet"
+    // K4 plus a tail: 3-core = the K4
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst").write.parquet(path)
+    Cli.main(Array("kcore", "--edges", path, "--k", "3"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("bpe-encode writes token streams for an arbitrary corpus") {
+    val dir = tmpDir("clibpe")
+    val docs = writeDocs(dir)
+    val out = s"$dir/tokens"
+    Cli.main(Array("bpe-encode", "--docs", docs, "--out", out,
+      "--merges", "10"))
+    val enc = spark.read.parquet(out)
+    assert(enc.count() == 60)
+    assert(enc.columns.toSet == Set("doc_id", "tokens", "n_bpe_tokens"))
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
