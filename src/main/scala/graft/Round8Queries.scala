@@ -259,6 +259,20 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Unicode NFC normalization (native expression) ----------------------
+    // The corpus text is ASCII (the fast pass-through path), so the gate
+    // splices decomposed sequences — combining acute/ring/diaeresis —
+    // into every row; the normalized output must match DuckDB's
+    // nfc_normalize byte-for-byte (hash-compared). NFC is the form both
+    // engines implement; NFKC/NFKD share the same kernel and are
+    // spec-pinned against java.text.Normalizer directly.
+    "t_unicode_nfc" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.TextAnalysis.normalizeUnicode(
+          concat(substring(col("text"), 1, 32),
+            lit(" cafe\u0301 A\u030A nai\u0308ve #"),
+            col("doc_id").cast("string")), "NFC").as("norm_text"))),
+
     // --- Stream-static enrichment (broadcast dimension join) ----------------
     // The §2.10 face none of the other stream gates cover: each
     // micro-batch joins against a STATIC dimension table (the streaming
@@ -454,6 +468,11 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "t_unicode_nfc" ->
+      ("SELECT doc_id, nfc_normalize(substr(text, 1, 32) || ' cafe' || " +
+        "chr(769) || ' A' || chr(778) || ' nai' || chr(776) || 've #' || " +
+        "CAST(doc_id AS VARCHAR)) AS norm_text FROM documents"),
 
     "w_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2)

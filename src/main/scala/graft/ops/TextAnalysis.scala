@@ -24,6 +24,17 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode normalization (NFC | NFD | NFKC | NFKD) — run BEFORE
+    * tokenization/fingerprinting so canonically-equivalent byte sequences
+    * (decomposed vs precomposed accents, fullwidth vs ASCII forms under
+    * NFKC) dedupe and tokenize identically. Native codegen'd expression
+    * with a zero-copy pass-through for already-normalized (e.g. pure
+    * ASCII) rows — see [[graft.functions.UnicodeNormalizeExpr]]. */
+  def normalizeUnicode(text: Column, form: String = "NFKC"): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.UnicodeNormalizeExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), form))
+
   /** Document fingerprint: md5 of the normalized text (hex string —
     * byte-identical across engines, so oracle-checkable). */
   def fingerprint(text: Column): Column = md5(normalized(text))
