@@ -67,6 +67,31 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("enrich_spec").columns.contains("cust"))
   }
 
+  test("DedupStream: batches dedupe against the growing fingerprint index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("sdedup")
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.run(mem.toDS().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "gamma delta"),
+        (3L, "Alpha  Beta")) // in-batch dup of 1
+      q.processAllAvailable()
+      mem.addData((10L, "alpha beta"), // cross-batch dup → dropped
+        (11L, "epsilon zeta"))         // novel → accepted
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted === Set(1L, 2L, 11L))
+    // the index now holds all three fingerprints
+    assert(spark.read.parquet(s"$dir/idx").count() === 3)
+    // replaying an already-folded batch is a no-op (exactly-once per content)
+    val n = DedupStream.dedupBatch(spark, s"$dir/idx", s"$dir/out",
+      Seq((10L, "alpha beta"), (11L, "epsilon zeta")).toDF("doc_id", "text"))
+    assert(n === 0L)
+  }
+
   test("dedupStream: duplicate keys within and across batches land once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
