@@ -268,6 +268,22 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Salted skew join -----------------------------------------------------
+    // The explicit skew-join rewrite: probe rows salt by row identity,
+    // the build side replicates bucket-count×, the join runs on
+    // (key, salt). Value-exact vs the PLAIN join — the whole point of
+    // the rewrite is that the result is indistinguishable. The events
+    // feed is the natural skew corpus (150 users over the whole event
+    // stream).
+    "j13_salted_join" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.core.Skew.saltedJoin(ev, dim, "user_id", "event_id",
+        saltBuckets = 8)
+    }),
+
     // --- Streaming dedup against the persisted fingerprint index ------------
     // The continuous-ingest curation loop: batch 1 seeds the index with
     // its survivors; batch 2 carries fresh docs, re-crawls of batch-1
@@ -521,6 +537,11 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "j13_salted_join" ->
+      """SELECT e.user_id, e.event_id, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |""".stripMargin,
 
     "w_stream_dedup_index" ->
       (s"""WITH sub AS (

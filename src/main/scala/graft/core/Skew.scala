@@ -40,6 +40,32 @@ object Skew {
       .agg(array_sort(flatten(collect_list(col("__partial")))).as(outCol))
   }
 
+  /** Salted inner equi-join for SKEWED join keys: every probe-side row
+    * gets a deterministic salt from its row identity (`leftIdCol` — NOT
+    * the join key: all rows of a hot key must spread across buckets),
+    * the build side replicates `saltBuckets`×, and the join runs on
+    * (key, salt) — a hot key's probe rows now land on `saltBuckets`
+    * reducers instead of one. Result is EXACTLY the plain inner
+    * equi-join (every probe row still meets every matching build row,
+    * exactly once, in its salt bucket).
+    *
+    * When to reach for it: both sides too large to broadcast AND the key
+    * histogram has heavy hitters (per-domain joins on web corpora,
+    * per-token joins under Zipf). The build side pays `saltBuckets`×
+    * replication through its shuffle — size `saltBuckets` to the skew
+    * factor, not higher. AQE's skew-join split covers many cases at
+    * runtime; the explicit salt is for when the skew is KNOWN and the
+    * plan must not depend on runtime re-planning (e.g. under a bucketed
+    * layout AQE won't touch, or a deterministic-shape requirement). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 leftIdCol: String, saltBuckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      salt(col(leftIdCol), saltBuckets).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-phase `countDistinct`: per-(key, salt) distinct counts, then a
     * sum per key. Bucket-disjointness makes the sum exact. */
   def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,

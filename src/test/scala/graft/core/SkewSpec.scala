@@ -27,6 +27,28 @@ class SkewSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("saltedJoin == plain inner equi-join, duplicates included") {
+    // hot key 0 on the probe side; build side with multiple rows per key
+    // (each probe row must meet EVERY matching build row exactly once)
+    val left = ((1 to 500).map(i => (i.toLong, 0L)) ++
+      (1 to 50).map(i => (1000L + i, i % 5 + 1L))).toDF("row_id", "k")
+    val right = Seq((0L, "a"), (0L, "b"), (1L, "c"), (2L, "d"), (9L, "e"))
+      .toDF("k", "payload")
+    val got = Skew.saltedJoin(left, right, "k", "row_id", saltBuckets = 8)
+      .select("row_id", "k", "payload")
+    val want = left.join(right, Seq("k")).select("row_id", "k", "payload")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("saltedJoin spreads a hot probe key across salt buckets") {
+    val left = (1 to 400).map(i => (i.toLong, 0L)).toDF("row_id", "k")
+    val buckets = left
+      .withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(buckets > 4, s"hot key stayed on $buckets buckets")
+  }
+
   test("hot key is split across salt buckets in phase 1") {
     val phase1 = rows
       .withColumn("__salt", pmod(xxhash64(col("v")), lit(8)))

@@ -204,6 +204,69 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incrementalSurvivors: ONE anti-join on the fingerprint; a " +
+    "dimension-sized index broadcasts") {
+    withoutAqe {
+      val dir = s"${tmpDir("ps_fpidx")}/idx"
+      Dedup.writeFingerprintIndex(docs.limit(64), dir)
+      val plan = executed(
+        Dedup.incrementalSurvivors(spark, dir, docs))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian in the incremental probe:\n$plan")
+      assert(plan.toString.contains("LeftAnti"),
+        s"expected an anti-join against the index:\n$plan")
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"small index should broadcast, not shuffle:\n$plan")
+    }
+  }
+
+  test("incrementalNearDups: banded candidates are an equi-join — no " +
+    "cartesian, index never self-joined") {
+    withoutAqe {
+      val dir = s"${tmpDir("ps_mhidx")}/idx"
+      Dedup.writeMinHashIndex(docs.limit(64), dir)
+      val plan = executed(
+        Dedup.incrementalNearDups(spark, dir, docs, threshold = 0.5))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian in the near-dup probe:\n$plan")
+      assert(!plan.toString.contains("NestedLoop"),
+        s"nested-loop join in the near-dup probe:\n$plan")
+    }
+  }
+
+  test("stream-static enrich (batch face): dimension broadcasts, stream " +
+    "side never shuffles") {
+    withoutAqe {
+      val dim = (0 until 4).map(i => (i.toLong, s"seg$i")).toDF("k", "seg")
+      val plan = executed(graft.streaming.EventStreams.enrich(
+        docs.withColumn("user", col("doc_id") % 4), dim, "user", "k"))
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"dimension did not broadcast:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"stream side shuffled for a broadcast join:\n$plan")
+    }
+  }
+
+  test("saltedJoin without broadcast: shuffle join on (key, salt), no " +
+    "product, replicate side stays narrow pre-shuffle") {
+    withoutAqe {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val left = docs.select(col("doc_id"), (col("doc_id") % 4).as("k"))
+        val right = (0 until 4).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+        val plan = executed(
+          graft.core.Skew.saltedJoin(left, right, "k", "doc_id", 8))
+        assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+          !plan.toString.contains("NestedLoop"),
+          s"salted join planned a product:\n$plan")
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size === 2,
+          s"expected one exchange per side on (key, salt):\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {
