@@ -498,10 +498,19 @@ object Round7Queries {
       val ev = t(s, d, "events")
       val approx = graft.ops.Profile.sketchProfile(
         ev, "event_type", "user_id", "value")
+      // DISCRETE exact order statistics (sorted-element-at-rank), not the
+      // interpolating percentile(): the sketch's contract is an ELEMENT
+      // whose rank is within eps·n of the target, so comparing against
+      // the interpolated midpoint adds a half-gap discretization error
+      // that dwarfs the sketch error on small groups (p95 over a
+      // ~200-row group sat 2.5% from the interpolated value while being
+      // the rank-exact answer — the sf0.001 scale probe caught it).
       val exact = ev.groupBy("event_type").agg(
         countDistinct("user_id").as("nd_exact"),
-        expr("percentile(value, 0.5)").as("p50_exact"),
-        expr("percentile(value, 0.95)").as("p95_exact"))
+        expr("element_at(array_sort(collect_list(value)), " +
+          "cast(ceil(0.50 * count(value)) as int))").as("p50_exact"),
+        expr("element_at(array_sort(collect_list(value)), " +
+          "cast(ceil(0.95 * count(value)) as int))").as("p95_exact"))
       approx.join(exact, "event_type").agg(
         max(abs(col("n_distinct_approx") - col("nd_exact")) /
           col("nd_exact")).as("nd_err"),
