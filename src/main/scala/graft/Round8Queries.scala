@@ -268,6 +268,26 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Materialized token packing -----------------------------------------
+    // The loader-facing rows: per (shard, bin) the concatenated token
+    // stream of its id-ordered docs. Value-exact trick: with ZERO merges
+    // every word segments to chars + </w>, so a doc's token count is
+    // exactly len(normalized)+1 — DuckDB can re-derive the prefix-sum
+    // bins without implementing BPE, and the packed stream reassembles
+    // (</w> → space) to the space-joined normalized texts, md5-compared
+    // per bin. Merge-table-dependent segmentation is t_bpe_encode's gate;
+    // this one pins the packing plumbing end-to-end.
+    "t_pack_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TrainingPrep.packTokens(docs, Seq.empty,
+        budgetTokens = 1024, shards = 8)
+        .select(col("shard"), col("bin"),
+          md5(trim(regexp_replace(concat_ws("", col("tokens")),
+            "</w>", " "))).as("content_fp"),
+          col("n_tokens"),
+          size(col("doc_ids")).cast("long").as("n_docs"))
+    }),
+
     // --- Salted skew join -----------------------------------------------------
     // The explicit skew-join rewrite: probe rows salt by row identity,
     // the build side replicates bucket-count×, the join runs on
@@ -537,6 +557,23 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "t_pack_ids" ->
+      (s"""WITH norm AS (
+        |  SELECT doc_id, ${Queries.normSql} AS t FROM documents
+        |), d AS (
+        |  SELECT doc_id, t, len(t) + 1 AS n, doc_id % 8 AS shard
+        |  FROM norm WHERE len(t) > 0
+        |), c AS (
+        |  SELECT doc_id, t, n, shard,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT shard, CAST(floor((cum - n) / 1024.0) AS BIGINT) AS bin,
+        |  md5(string_agg(t, ' ' ORDER BY doc_id)) AS content_fp,
+        |  sum(n) AS n_tokens, count(*) AS n_docs
+        |FROM c GROUP BY 1, 2
+        |""").stripMargin,
 
     "j13_salted_join" ->
       """SELECT e.user_id, e.event_id, e.value, c.c_mktsegment

@@ -285,4 +285,41 @@ object TrainingPrep {
         floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long"))
       .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
   }
+
+  /** MATERIALIZED packing — the training rows themselves, not just the
+    * assignment: each (shard, bin) row carries the concatenated BPE token
+    * stream of its documents in id order, which is what a loader feeds
+    * the trainer. Same shard/prefix-sum discipline as [[packSequences]]
+    * (per-shard window, no global sort), on top of [[Bpe.encode]]'s
+    * ordered per-document streams; the bin assembly is one
+    * sort-under-aggregation per (shard, bin) — flatten of id-sorted
+    * (id, tokens) structs, so the stream order is deterministic under any
+    * partitioning. Output: (shard, bin, doc_ids, tokens, n_tokens).
+    *
+    * At 100 TB each shard packs independently (the window partitions by
+    * shard) and a bin's row is loader-sized by construction (~budget
+    * tokens, the long-document overshoot contract of [[packSequences]]).
+    */
+  def packTokens(docs: DataFrame, merges: Seq[(String, String)],
+                 budgetTokens: Int, shards: Int = 64,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    Bpe.encode(docs, merges, idCol, textCol)
+      .select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        col("tokens"), col("n_bpe_tokens").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n")) / budgetTokens).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(
+        sort_array(collect_list(struct(col(idCol).as("id"), col("tokens"))))
+          .as("packed"),
+        sum(col("n")).as("n_tokens"))
+      .select(col("shard"), col("bin"),
+        col("packed.id").as("doc_ids"),
+        flatten(col("packed.tokens")).as("tokens"),
+        col("n_tokens"))
+  }
 }

@@ -101,6 +101,31 @@ class TrainingPrepSpec extends SparkSpec {
     assert(sharded.forall(r => r._2 === r._1 % 2))
   }
 
+  test("packTokens: materialized bins hold id-ordered streams that " +
+    "round-trip; token totals conserved") {
+    val docs = Seq((0L, "low low"), (1L, "lower low"), (2L, "newest"),
+      (3L, "low newest lower")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 4, minFrequency = 1)
+    val enc = Bpe.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    val got = TrainingPrep.packTokens(docs, merges, budgetTokens = 6,
+        shards = 1)
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2),
+        r.getSeq[String](3), r.getLong(4))).sortBy(_._1)
+    // every bin's stream is the concatenation of its docs' streams in id
+    // order, and totals conserve
+    for ((_, ids, toks, n) <- got) {
+      assert(toks === ids.flatMap(id => enc(id)._1))
+      assert(n === ids.map(id => enc(id)._2).sum)
+    }
+    // all docs packed exactly once, in id order across bins
+    assert(got.flatMap(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._4).sum === enc.values.map(_._2).sum)
+    // exclusive-prefix-sum binning: a bin starts strictly under budget
+    val binStarts = got.map(_._1)
+    assert(binStarts === binStarts.sorted)
+  }
+
   test("capPerSource: best-k per source by (score desc, id asc), " +
     "no window in the plan") {
     val docs = Seq(
