@@ -268,6 +268,19 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Exact per-key heavy hitters ----------------------------------------
+    // Top-10 corpus words per document language: one (key, value)
+    // hash-aggregation then the bounded-heap top-k — no per-key window
+    // funnel. Value-exact vs the DuckDB row_number window; the
+    // (count DESC, value ASC) tie order makes ranks engine-independent.
+    "a20_heavy_hitters" -> ((s, d) => {
+      val words = t(s, d, "documents").select(col("lang"),
+        explode(split(graft.ops.TextAnalysis.normalized(col("text")), " "))
+          .as("word"))
+        .filter(length(col("word")) > 0)
+      graft.ops.Profile.topKFrequent(words, "lang", "word", k = 10)
+    }),
+
     // --- Materialized token packing -----------------------------------------
     // The loader-facing rows: per (shard, bin) the concatenated token
     // stream of its id-ordered docs. Value-exact trick: with ZERO merges
@@ -557,6 +570,22 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "a20_heavy_hitters" ->
+      (s"""WITH ex AS (
+        |  SELECT lang, unnest(string_split(${Queries.normSql}, ' '))
+        |    AS word
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, word, count(*) AS n FROM ex
+        |  WHERE len(word) > 0 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, word, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+        |  FROM g
+        |)
+        |SELECT lang, rank, word AS value, n FROM r WHERE rank <= 10
+        |""").stripMargin,
 
     "t_pack_ids" ->
       (s"""WITH norm AS (

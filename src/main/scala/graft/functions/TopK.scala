@@ -61,3 +61,55 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Array[ScoredHit]] =
     ExpressionEncoder[Array[ScoredHit]]()
 }
+
+/** One (value, weight) candidate flowing into the weighted top-k
+  * accumulator. */
+case class WeightedValue(value: String, weight: Long)
+
+/** Bounded weighted top-k accumulator — the heavy-hitters finisher over
+  * pre-aggregated (value, weight) rows. Same buffer policy and scale
+  * rationale as [[TopKAgg]] (map-side partials of ≤ k rows instead of a
+  * per-key window funnel); ordering (weight DESC, value ASC) matches the
+  * SQL window the oracle uses, so ties break identically. Weights must
+  * already be per-(key, value) totals: the accumulator selects, it does
+  * not sum — summing belongs to the upstream count aggregation, where
+  * map-side combine does it without object state. */
+class TopKWeightedAgg(k: Int)
+    extends Aggregator[WeightedValue, mutable.ArrayBuffer[WeightedValue],
+      Array[WeightedValue]] {
+
+  private val ord: Ordering[WeightedValue] =
+    Ordering.by((h: WeightedValue) => (-h.weight, h.value))
+
+  private def shrink(b: mutable.ArrayBuffer[WeightedValue])
+      : mutable.ArrayBuffer[WeightedValue] =
+    if (b.length <= k) b
+    else {
+      val kept = b.sorted(ord).take(k)
+      b.clear()
+      b ++= kept
+    }
+
+  override def zero: mutable.ArrayBuffer[WeightedValue] =
+    mutable.ArrayBuffer.empty[WeightedValue]
+
+  override def reduce(b: mutable.ArrayBuffer[WeightedValue],
+                      a: WeightedValue)
+      : mutable.ArrayBuffer[WeightedValue] = {
+    b += a
+    if (b.length >= 4 * k) shrink(b) else b
+  }
+
+  override def merge(x: mutable.ArrayBuffer[WeightedValue],
+                     y: mutable.ArrayBuffer[WeightedValue])
+      : mutable.ArrayBuffer[WeightedValue] = shrink(x ++= y)
+
+  override def finish(b: mutable.ArrayBuffer[WeightedValue])
+      : Array[WeightedValue] = b.sorted(ord).take(k).toArray
+
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[WeightedValue]] =
+    Encoders.kryo[mutable.ArrayBuffer[WeightedValue]]
+
+  override def outputEncoder: Encoder[Array[WeightedValue]] =
+    ExpressionEncoder[Array[WeightedValue]]()
+}

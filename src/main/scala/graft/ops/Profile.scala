@@ -35,4 +35,30 @@ object Profile {
       .select(col(keyCol), col("n"), col("n_distinct_approx"),
         element_at(col("pcts"), 1).as("p50_approx"),
         element_at(col("pcts"), 2).as("p95_approx"))
+
+  /** Exact per-key heavy hitters: the k most frequent `valueCol` values
+    * per `keyCol`, rank-ordered (count DESC, value ASC) — the "what
+    * dominates each slice" profile question (top domains per language,
+    * top tokens per source) beside [[sketchProfile]]'s cardinalities.
+    *
+    * Two-phase exact shape: one hash-groupBy on (key, value) with
+    * map-side combine does ALL the summing, then the bounded-heap
+    * aggregator ([[graft.functions.TopKWeightedAgg]]) reduces each
+    * partition's slice of the reduced frame to ≤ k candidates before the
+    * per-key merge — no per-key window funnel, no sketch error. Under
+    * Zipf the reduced frame is vocabulary-sized, and only k-row buffers
+    * shuffle in phase 2. Output: (keyCol, rank 1..k, value, n). */
+  def topKFrequent(df: DataFrame, keyCol: String, valueCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new graft.functions.TopKWeightedAgg(k))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(keyCol)
+      .agg(topk(col("__v"), col("__n")).as("hits"))
+      .select(col(keyCol), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
+        col("h.value").as("value"), col("h.weight").as("n"))
+  }
 }

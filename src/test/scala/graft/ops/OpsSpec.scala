@@ -458,6 +458,20 @@ class ProfileSpec extends graft.SparkSpec {
       assert(math.abs(p95 - 1900.0) <= 40.0)
     }
   }
+
+  test("topKFrequent: exact ranks, (count desc, value asc) ties, " +
+    "partitioning-independent") {
+    // key "a": x×5, y×3, z×3 (tie: y before z), w×1; key "b": q×2, p×2
+    val rows = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("z") ++
+      Seq("w")).map(("a", _)) ++ Seq.fill(2)("q").map(("b", _)) ++
+      Seq.fill(2)("p").map(("b", _))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = graft.ops.Profile.topKFrequent(df, "k", "v", k = 3)
+      .as[(String, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      ("a", 1L, "x", 5L), ("a", 2L, "y", 3L), ("a", 3L, "z", 3L),
+      ("b", 1L, "p", 2L), ("b", 2L, "q", 2L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
