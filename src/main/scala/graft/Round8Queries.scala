@@ -268,6 +268,16 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Gopher quality-rule bundle -----------------------------------------
+    // Integer-arithmetic rule booleans, value-exact per document. The
+    // corpus median sits near the 50-word floor, so ok_word_count (and
+    // therefore keep) splits the corpus — the gate is non-vacuous on
+    // both sides of every threshold that the corpus exercises.
+    "t_gopher_rules" -> ((s, d) =>
+      graft.ops.TextAnalysis.gopherRules(
+        t(s, d, "documents").select(col("doc_id"), col("text")))
+        .drop("text")),
+
     // --- Exact per-key heavy hitters ----------------------------------------
     // Top-10 corpus words per document language: one (key, value)
     // hash-aggregation then the bounded-heap top-k — no per-key window
@@ -570,6 +580,49 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "t_gopher_rules" ->
+      (s"""WITH m AS (
+        |  SELECT doc_id, ${Queries.normSql} AS nrm, text FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(nrm) = 0 THEN 0
+        |         ELSE len(string_split(nrm, ' ')) END AS n_words,
+        |    len(replace(nrm, ' ', '')) AS sum_len,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS n_ellipsis,
+        |    len(list_filter(string_split(nrm, ' '),
+        |      w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+        |    len(regexp_extract_all(nrm, '\\bthe\\b')) +
+        |      len(regexp_extract_all(nrm, '\\ba\\b')) +
+        |      len(regexp_extract_all(nrm, '\\bof\\b')) +
+        |      len(regexp_extract_all(nrm, '\\band\\b')) +
+        |      len(regexp_extract_all(nrm, '\\bis\\b')) AS n_stop
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+        |  n_words > 0 AND sum_len >= 3 * n_words
+        |    AND sum_len <= 10 * n_words AS ok_mean_word_len,
+        |  10 * n_symbols <= n_words AS ok_symbol_ratio,
+        |  10 * n_bullet <= 9 * n_lines AS ok_bullet_ratio,
+        |  10 * n_ellipsis <= 3 * n_lines AS ok_ellipsis_ratio,
+        |  5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+        |  n_stop >= 2 AS ok_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AND
+        |    (n_words > 0 AND sum_len >= 3 * n_words
+        |      AND sum_len <= 10 * n_words) AND
+        |    (10 * n_symbols <= n_words) AND
+        |    (10 * n_bullet <= 9 * n_lines) AND
+        |    (10 * n_ellipsis <= 3 * n_lines) AND
+        |    (5 * n_alpha_words >= 4 * n_words) AND
+        |    (n_stop >= 2) AS keep
+        |FROM c
+        |""").stripMargin,
 
     "a20_heavy_hitters" ->
       (s"""WITH ex AS (

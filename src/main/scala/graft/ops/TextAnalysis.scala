@@ -97,6 +97,55 @@ object TextAnalysis {
           .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 filter heuristics) as boolean columns
+    * plus a conjunctive `keep` — the canonical pre-training filter
+    * bundle beyond [[qualityMetrics]]'s raw ratios: word-count window,
+    * mean word length in [3, 10], symbol-to-word ratio (`#`/`...`)
+    * ≤ 0.1, ≤ 90% bullet-started and ≤ 30% ellipsis-ended lines, ≥ 80%
+    * of words containing a letter, and ≥ 2 stopword hits.
+    *
+    * Every ratio threshold is evaluated in INTEGER arithmetic
+    * (`10·symbols ≤ words` instead of `symbols/words ≤ 0.1`), so the
+    * booleans are exact in any engine — no float-division boundary
+    * cases — and the whole bundle is one codegen'd projection. */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val norm = normalized(t)
+    val words = filter(split(norm, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    // total word chars = normalized length minus separator spaces
+    val sumLen = length(regexp_replace(norm, " ", "")).cast("long")
+    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+      .cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*]")))
+      .cast("long")
+    val nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast("long")
+    val nAlphaWords = size(filter(words, w => w.rlike("[a-z]")))
+      .cast("long")
+    val nStop = markerHits(norm, langMarkers("en")).cast("long")
+    val rules = Seq(
+      "ok_word_count" ->
+        (nWords >= minWords.toLong && nWords <= maxWords.toLong),
+      "ok_mean_word_len" ->
+        (nWords > 0 && sumLen >= lit(3L) * nWords &&
+          sumLen <= lit(10L) * nWords),
+      "ok_symbol_ratio" -> (lit(10L) * nSymbols <= nWords),
+      "ok_bullet_ratio" -> (lit(10L) * nBullet <= lit(9L) * nLines),
+      "ok_ellipsis_ratio" -> (lit(10L) * nEllipsis <= lit(3L) * nLines),
+      "ok_alpha_words" -> (lit(5L) * nAlphaWords >= lit(4L) * nWords),
+      "ok_stopwords" -> (nStop >= 2L))
+    val out = rules.foldLeft(df) { case (acc, (name, c)) =>
+      acc.withColumn(name, c)
+    }
+    out.withColumn("keep",
+      rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
   private def bound(e: Column)(body: Column => Column): Column =
     graft.functions.Exprs.bound(e)(body)
 

@@ -156,6 +156,37 @@ class TextAnalysisSpec extends SparkSpec {
     val falseFlags = flagged.filterNot(_._1 == 10L).values.sum
     assert(falseFlags <= 15L, s"fp mass too high: $falseFlags")
   }
+
+  test("gopherRules: each rule trips on its own construction") {
+    val good = ("the project is a sample of plain english prose and " +
+      "it keeps going with more of the usual words ") * 3 // ~60 words
+    val docs = Seq(
+      0L -> good,                                          // keep
+      1L -> "too few words here",                          // word count
+      2L -> (Seq.fill(60)("extraordinarily" + "x" * 10).mkString(" ") +
+        " the a of and is"),                               // mean word len
+      3L -> (good + " " + Seq.fill(20)("#").mkString(" ")), // symbol ratio
+      4L -> (1 to 10).map(i => s"- bullet item $i of the list")
+        .mkString("\n"),                                   // bullet lines
+      5L -> good.split(" ").grouped(8).map(_.mkString(" ") + " ...")
+        .mkString("\n"),                                   // ellipsis lines
+      6L -> (Seq.fill(60)("12345").mkString(" ") +
+        " the a of and is"),                               // alpha words
+      7L -> Seq.fill(60)("zzz").mkString(" "))             // stopwords
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.gopherRules(docs, minWords = 40)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def rule(id: Long, name: String): Boolean =
+      got(id).getAs[Boolean](name)
+    assert(rule(0L, "keep"))
+    assert(!rule(1L, "ok_word_count") && !rule(1L, "keep"))
+    assert(!rule(2L, "ok_mean_word_len") && !rule(2L, "keep"))
+    assert(!rule(3L, "ok_symbol_ratio") && !rule(3L, "keep"))
+    assert(!rule(4L, "ok_bullet_ratio") && !rule(4L, "keep"))
+    assert(!rule(5L, "ok_ellipsis_ratio") && !rule(5L, "keep"))
+    assert(!rule(6L, "ok_alpha_words") && !rule(6L, "keep"))
+    assert(!rule(7L, "ok_stopwords") && !rule(7L, "keep"))
+  }
 }
 
 class DedupSpec extends SparkSpec {
