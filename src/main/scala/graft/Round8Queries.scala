@@ -268,6 +268,15 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Interpolated bigram LM score ---------------------------------------
+    // Self-referenced corpus (the t_lm_score posture) with dimension-
+    // sized caps; 0.7/0.3 interpolation, first word unigram-only.
+    "t_lm_bigram" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TrainingPrep.lmScoreBigram(docs, docs,
+        vocabSize = 500, bigramSize = 2000)
+    }),
+
     // --- Gopher quality-rule bundle -----------------------------------------
     // Integer-arithmetic rule booleans, value-exact per document. The
     // corpus median sits near the 50-word floor, so ok_word_count (and
@@ -580,6 +589,53 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "t_lm_bigram" ->
+      (s"""WITH norm AS (
+        |  SELECT doc_id, ${Queries.normSql} AS t FROM documents
+        |), w AS (
+        |  SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+        |  WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, unnest(ws) AS word FROM w
+        |), wc AS (
+        |  SELECT word, count(*) AS c FROM ex GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS total FROM wc
+        |), univ AS (
+        |  SELECT word, c / total AS p_uni FROM wc, tot
+        |  ORDER BY c DESC, word ASC LIMIT 500
+        |), p2 AS (
+        |  SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+        |    SELECT doc_id,
+        |      unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+        |    FROM w WHERE len(ws) >= 2)
+        |), bc AS (
+        |  SELECT prev, cur, count(*) AS nb FROM p2 GROUP BY 1, 2
+        |), bigv AS (
+        |  SELECT bc.prev, bc.cur,
+        |    CAST(nb AS DOUBLE) / CAST(wc.c AS DOUBLE) AS p_bi
+        |  FROM bc JOIN wc ON wc.word = bc.prev
+        |  ORDER BY nb DESC, bc.prev ASC, bc.cur ASC LIMIT 2000
+        |), rows_ AS (
+        |  SELECT doc_id, NULL AS prev, ws[1] AS cur FROM w
+        |  UNION ALL
+        |  SELECT doc_id, prev, cur FROM p2
+        |), scored AS (
+        |  SELECT r.doc_id,
+        |    CASE WHEN r.prev IS NULL
+        |      THEN coalesce(u.p_uni, 1.0 / t.total)
+        |      ELSE 0.7 * coalesce(b.p_bi, 0.0) +
+        |        (1.0 - 0.7) * coalesce(u.p_uni, 1.0 / t.total) END AS p
+        |  FROM rows_ r
+        |  LEFT JOIN univ u ON u.word = r.cur
+        |  LEFT JOIN bigv b ON b.prev = r.prev AND b.cur = r.cur
+        |  CROSS JOIN tot t
+        |)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(-ln(p)), 4) AS lm_bi_score
+        |FROM scored GROUP BY 1
+        |""").stripMargin,
 
     "t_gopher_rules" ->
       (s"""WITH m AS (

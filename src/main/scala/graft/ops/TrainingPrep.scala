@@ -135,6 +135,77 @@ object TrainingPrep {
         round(avg(-coalesce(col("logp"), lit(floor))), 4).as("lm_score"))
   }
 
+  /** Interpolated BIGRAM LM quality score — the model-degree step from
+    * [[lmScore]] toward CCNet's real n-gram scorer, still fully
+    * declarative: P(wᵢ|wᵢ₋₁) = λ·P_bi + (1−λ)·P_uni, the first word of
+    * each document scoring unigram-only, OOV at the 1/total floor, and
+    * an unseen bigram backing off to the interpolation's unigram term.
+    *
+    * Scale shape: the reference corpus is scanned twice (unigram pass,
+    * bigram pass), each one explode/hash-groupBy with map-side combine;
+    * the probability tables are CAPPED (top `vocabSize` unigrams, top
+    * `bigramSize` bigrams — count desc then lexicographic, so the cut is
+    * deterministic) and BROADCAST — the scored corpus never shuffles for
+    * the model, only for its own per-doc aggregation, whose partial
+    * aggregation collapses word rows map-side. Bigram probabilities are
+    * conditioned on the FULL unigram count of the left word (not the
+    * capped table), so a capped vocabulary never inflates P_bi.
+    * Output: (idCol, n_words, lm_bi_score = mean −ln p, 4dp). */
+  def lmScoreBigram(docs: DataFrame, reference: DataFrame,
+                    vocabSize: Int = 50000, bigramSize: Int = 200000,
+                    lambda: Double = 0.7,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val (counts, total) = wordCounts(reference, textCol)
+    val uniProbs = counts
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word").as("cur"),
+        (col("n").cast("double") / total).as("p_uni"))
+    val floorP = 1.0 / total
+
+    def wordArrays(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+
+        filter(split(TextAnalysis.normalized(col(textCol)), " "),
+          w => length(w) > 0).as("ws"): _*)
+    def pairsOf(ws: Column): Column =
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (p, c) => struct(p.as("prev"), c.as("cur")))
+
+    val refPairs = wordArrays(reference, Seq.empty)
+      .filter(size(col("ws")) >= 2)
+      .select(explode(pairsOf(col("ws"))).as("pr"))
+      .select(col("pr.prev"), col("pr.cur"))
+    val bigProbs = graft.core.Checkpoints.cut(
+      refPairs.groupBy("prev", "cur").agg(count(lit(1)).as("nb")))
+      .join(counts.select(col("word").as("prev"), col("n").as("np")),
+        "prev")
+      .orderBy(col("nb").desc, col("prev").asc, col("cur").asc)
+      .limit(bigramSize)
+      .select(col("prev"), col("cur"),
+        (col("nb").cast("double") / col("np").cast("double")).as("p_bi"))
+
+    val dw = wordArrays(docs, Seq(col(idCol))).filter(size(col("ws")) > 0)
+    val firsts = dw.select(col(idCol),
+      lit(null).cast("string").as("prev"),
+      element_at(col("ws"), 1).as("cur"))
+    val rest = dw.filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(pairsOf(col("ws"))).as("pr"))
+      .select(col(idCol), col("pr.prev"), col("pr.cur"))
+    firsts.unionByName(rest)
+      .join(broadcast(uniProbs), Seq("cur"), "left")
+      .join(broadcast(bigProbs), Seq("prev", "cur"), "left")
+      .withColumn("p",
+        when(col("prev").isNull, coalesce(col("p_uni"), lit(floorP)))
+          .otherwise(lit(lambda) * coalesce(col("p_bi"), lit(0.0)) +
+            lit(1.0 - lambda) * coalesce(col("p_uni"), lit(floorP))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(-log(col("p"))), 4).as("lm_bi_score"))
+  }
+
   /** Normalized word counts + grand total of a corpus — the shared first
     * pass of [[lmScore]] and [[vocabulary]] (one explode + hash-groupBy
     * with map-side combine, lineage-cut at vocabulary size so the total

@@ -81,6 +81,27 @@ class TrainingPrepSpec extends SparkSpec {
     assert(capped(2L) === r4(-lb))
   }
 
+  test("lmScoreBigram: golden interpolated scores, first word unigram, " +
+    "OOV floor, unseen-bigram backoff") {
+    // reference: "a b a b a" + "a c" -> unigrams a:4 b:2 c:1 (total 7);
+    // bigrams: (a,b):2 (b,a):2 (a,c):1; P(b|a)=2/4, P(a|b)=2/2, P(c|a)=1/4
+    val ref = Seq((1L, "a b a b a"), (2L, "a c")).toDF("doc_id", "text")
+    // scored doc "a b z": pos1 unigram P(a)=4/7; pos2 0.7*P(b|a)+0.3*P(b)
+    //   = .35+3/35; pos3 z: unseen bigram AND OOV -> 0.7*0 + 0.3*(1/7)
+    val docs = Seq((10L, "a b z")).toDF("doc_id", "text")
+    val got = graft.ops.TrainingPrep
+      .lmScoreBigram(docs, ref, vocabSize = 10, bigramSize = 10)
+      .as[(Long, Long, Double)].collect().head
+    val p1 = 4.0 / 7.0
+    val p2 = 0.7 * (2.0 / 4.0) + 0.3 * (2.0 / 7.0)
+    val p3 = 0.7 * 0.0 + 0.3 * (1.0 / 7.0)
+    val want = BigDecimal(
+      -(math.log(p1) + math.log(p2) + math.log(p3)) / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._2 === 3L)
+    assert(math.abs(got._3 - want) < 5e-4, s"got ${got._3}, want $want")
+  }
+
   test("packSequences: per-shard contiguous bins, oversize doc spans") {
     // one shard (shards=1) for a deterministic hand-check: token counts
     // 3, 4, 10, 2 with budget 5 -> exclusive prefix sums 0,3,7,17 ->
