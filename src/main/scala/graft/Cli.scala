@@ -40,6 +40,9 @@ import graft.sources._
   *   graft.Cli dedup-incremental [--docs P] --index DIR --out DIR
   *                       [--threshold T] [--append 1]
   *   graft.Cli bpe-encode [--docs P | --sf-dir D] --out DIR [--merges N]
+  *   graft.Cli quality-filter [--docs P] --out DIR [--min-words N]
+  *   graft.Cli top-values [--input P] --key K --value V [--k N]
+  *   graft.Cli lm-score  [--docs P] [--ref P] [--bigram 1] --out DIR
   */
 object Cli {
 
@@ -309,6 +312,34 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"encoded ${spark.read.parquet(out).count()} documents " +
           s"with ${merges.length} merges -> $out")
+      case "quality-filter" => // Gopher rule bundle (t_gopher_rules)
+        val out = opts.getOrElse("out", s"$warehouse/_quality")
+        val minWords = opts.getOrElse("min-words", "50").toInt
+        val docs = spark.read.parquet(docsPath)
+        val scored = graft.ops.TextAnalysis
+          .gopherRules(docs, minWords = minWords)
+        scored.filter(col("keep")).write.mode("overwrite").parquet(out)
+        val kept = spark.read.parquet(out).count()
+        println(s"kept $kept of ${docs.count()} documents -> $out")
+      case "top-values" => // exact heavy hitters (a20_heavy_hitters)
+        val keyC = opts.getOrElse("key", "lang")
+        val valueC = opts.getOrElse("value", "source")
+        val k = opts.getOrElse("k", "10").toInt
+        val df = spark.read.parquet(opts.getOrElse("input", docsPath))
+        graft.ops.Profile.topKFrequent(df, keyC, valueC, k)
+          .orderBy(col(keyC), col("rank"))
+          .collect().foreach(r => println(r.mkString("\t")))
+      case "lm-score" => // unigram / bigram LM quality (t_lm_score/_bigram)
+        val out = opts.getOrElse("out", s"$warehouse/_lm_scores")
+        val docs = spark.read.parquet(docsPath)
+        val ref = opts.get("ref").map(spark.read.parquet(_)).getOrElse(docs)
+        val scored =
+          if (opts.contains("bigram"))
+            graft.ops.TrainingPrep.lmScoreBigram(docs, ref,
+              vocabSize = 5000, bigramSize = 20000)
+          else graft.ops.TrainingPrep.lmScore(docs, ref, vocabSize = 5000)
+        scored.write.mode("overwrite").parquet(out)
+        println(s"scored ${spark.read.parquet(out).count()} documents -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) =
@@ -328,7 +359,8 @@ object Cli {
         println("commands: populate summarize drop actions sheet belns " +
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
           "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
-          "semantic-dedup kcore index-build dedup-incremental")
+          "semantic-dedup kcore index-build dedup-incremental " +
+          "quality-filter top-values lm-score")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

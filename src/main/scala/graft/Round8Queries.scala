@@ -5,23 +5,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Round-8 harness registrations — the timestamp-drift hardening gates:
+/** Round-8 harness registrations.
   *
-  *  - `o7_events_ts`: load-path invariant for the events table. The corpus
-  *    generator re-encoded `ts` (TIMESTAMP(NANOS) → timestamp[us]) between
-  *    rounds and the old hard-coded conversion silently mis-scaled values;
-  *    this gate value-checks the first/last event timestamps (to the
-  *    microsecond) and the row count against the oracle reading the SAME
-  *    files natively, so any future re-encoding that survives
-  *    [[graft.core.Tables.validateSchema]] still cannot shift wall-clock
-  *    values unnoticed.
-  *  - `j10_asof_tolerance`: the two [[graft.ops.Temporal.asOfJoin]] modes
-  *    the original j10 gate leaves dark — `forward = true` ordering and
-  *    tolerance-NULL resolution (a match farther than the tolerance
-  *    resolves to NULL payloads, it does NOT fall back to a farther row).
-  *    Oracle = DuckDB's native forward `ASOF LEFT JOIN` with the tolerance
-  *    applied as a post-join CASE, which is exactly the operator's
+  * Timestamp-drift hardening:
+  *  - `o7_events_ts`: load-path invariant for the events table — the
+  *    corpus generator re-encoded `ts` (TIMESTAMP(NANOS) → timestamp[us])
+  *    between rounds and the old hard-coded conversion silently mis-scaled
+  *    values; this gate value-checks first/last timestamps to the
+  *    microsecond against the oracle reading the SAME files natively.
+  *  - `j10_asof_tolerance` / `j10_asof_backtol`: the
+  *    [[graft.ops.Temporal.asOfJoin]] mode matrix beyond the original
+  *    j10 gate (forward+tolerance, backward+tolerance) — DuckDB native
+  *    ASOF joins with the tolerance as a post-join CASE, the operator's
   *    resolve-then-null contract.
+  *
+  * New-operator gates (each value-exact unless noted): `a19_kcore`
+  * (unrolled-peeling oracle), `a20_heavy_hitters`, `d_semantic_prune`,
+  * `d_incremental_exact` / `d_incremental_append` (invariants) /
+  * `d_incremental_minhash`, `w_stream_dedup_index`, `w_stream_enrich`,
+  * `t_bpe_encode` (round-trip + count consistency), `t_pack_ids`,
+  * `t_unicode_nfc`, `t_gopher_rules`, `t_lm_bigram`, `j13_salted_join`.
   */
 object Round8Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -457,6 +460,23 @@ object Round8Queries {
         tolerance = Some(600000000L), forward = true)
     }),
 
+    // --- As-of join: backward direction WITH tolerance ----------------------
+    // Completes the mode matrix (j10 = backward/no-tolerance,
+    // j10_asof_tolerance = forward/tolerance): last error state at or
+    // before each click, nulled when farther than 10 minutes back.
+    "j10_asof_backtol" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"))
+      val r = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), tsUs.as("rts"))
+        .agg(max("value").as("err_value"))
+      graft.ops.Temporal.asOfJoin(l, r, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "rts",
+        tolerance = Some(600000000L), forward = false)
+    }),
+
     // --- SemDeDup-style semantic dedup --------------------------------------
     // Cluster-scoped cosine pruning (the dedup flavor the family was
     // missing): base corpus + deterministically perturbed twins (the
@@ -757,6 +777,22 @@ object Round8Queries {
         |  count(*) AS n
         |FROM events
         |""".stripMargin,
+    "j10_asof_backtol" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS rts, max(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.ts_us, l.event_id,
+        |  CASE WHEN r.rts >= l.ts_us - 600000000 THEN r.rts END AS r_rts,
+        |  CASE WHEN r.rts >= l.ts_us - 600000000 THEN r.err_value
+        |    END AS r_err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.rts
+        |""".stripMargin,
+
     "j10_asof_tolerance" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id

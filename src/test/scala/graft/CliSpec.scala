@@ -101,6 +101,29 @@ class CliSpec extends SparkSpec {
     assert(enc.columns.toSet == Set("doc_id", "tokens", "n_bpe_tokens"))
   }
 
+  test("quality-filter keeps passing docs; lm-score --bigram writes scores") {
+    val dir = tmpDir("cliqual")
+    val docs = writeDocs(dir)
+    val out = s"$dir/kept"
+    Cli.main(Array("quality-filter", "--docs", docs, "--out", out,
+      "--min-words", "10"))
+    assert(spark.read.parquet(out).count() > 0)
+    val scores = s"$dir/scores"
+    Cli.main(Array("lm-score", "--docs", docs, "--bigram", "1",
+      "--out", scores))
+    val sc = spark.read.parquet(scores)
+    assert(sc.count() === 60)
+    assert(sc.columns.contains("lm_bi_score"))
+  }
+
+  test("top-values prints exact heavy hitters for custom columns") {
+    val dir = tmpDir("clitop")
+    val docs = writeDocs(dir)
+    Cli.main(Array("top-values", "--input", docs,
+      "--key", "lang", "--value", "source", "--k", "3"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
