@@ -271,6 +271,24 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Deterministic per-key uniform sample -------------------------------
+    // 5 stable "random" docs per source: the salted-md5 draw order makes
+    // the sample reproducible across runs and dataset versions; the
+    // bounded-heap top-k keeps it window-free.
+    "d_sample_per_key" -> ((s, d) =>
+      graft.ops.TrainingPrep.samplePerKey(
+        t(s, d, "documents").select(col("doc_id"), col("source")), k = 5)),
+
+    // --- Contamination overlap report ---------------------------------------
+    // The fraction-valued sibling of t_contamination (same probe split):
+    // every corpus doc reports (n_shingles, n_hit, hit_frac), zeros
+    // included — the shape partial-overlap policies threshold on.
+    "t_contamination_frac" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.contaminationReport(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+    }),
+
     // --- Interpolated bigram LM score ---------------------------------------
     // Self-referenced corpus (the t_lm_score posture) with dimension-
     // sized caps; 0.7/0.3 interpolation, first word unigram-only.
@@ -609,6 +627,39 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "d_sample_per_key" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':sample') AS hx
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substring(hx, 1, 8))::BIGINT ASC,
+        |      doc_id ASC) AS rank
+        |  FROM h
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 5
+        |""".stripMargin,
+
+    "t_contamination_frac" ->
+      (s"""${Queries.shingleCte},
+        |probe AS (
+        |  SELECT DISTINCT shingle FROM ex WHERE doc_id < 5
+        |), hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hit
+        |  FROM ex e JOIN probe USING (shingle)
+        |  WHERE e.doc_id >= 5 GROUP BY 1
+        |)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |    AS hit_frac
+        |FROM sizes s LEFT JOIN hits h USING (doc_id)
+        |WHERE s.doc_id >= 5
+        |""").stripMargin,
 
     "t_lm_bigram" ->
       (s"""WITH norm AS (

@@ -97,6 +97,35 @@ object TextAnalysis {
           .cast("double") / nullif(nChar, lit(0)).cast("double"), 4))
   }
 
+  /** Per-document contamination REPORT against an eval/benchmark probe
+    * set: distinct word n-gram shingle count, hit count, and hit
+    * fraction — the decision-ready shape for partial-overlap policies
+    * ("drop above 10% overlap", "flag 1–10%") where the plain hit flag
+    * (`t_contamination`) can't discriminate. Uncontaminated documents
+    * appear with n_hit = 0, so the report covers the whole corpus.
+    *
+    * Scale shape: the probe shingle set broadcasts (eval sets are
+    * dimension-sized by definition — when they aren't, use the bloom
+    * path [[bloomContaminated]]); the corpus is ONE narrow
+    * explode → broadcast-left-join → per-doc aggregation pass, never
+    * shuffled on the shingle. */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame,
+                          n: Int = 3, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val sh = corpus.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("shingle"))
+    val probe = probes
+      .select(explode(wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    sh.join(broadcast(probe), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models", table A1 filter heuristics) as boolean columns
     * plus a conjunctive `keep` — the canonical pre-training filter

@@ -311,6 +311,25 @@ object TrainingPrep {
         col("h.id").as(idCol), col("h.cosine").as("score"))
   }
 
+  /** Deterministic uniform sample of k rows per key — the "give me 100
+    * random docs per domain" inspection/eval draw that must reproduce
+    * across runs and dataset versions (a re-crawled doc keeps its draw,
+    * so sampled eval sets stay stable). The draw order is the salted
+    * md5 of the id ([[saltedHex]] — same recipe as every other
+    * deterministic draw here), smallest first, id tie-break.
+    *
+    * Scale shape: reuses the bounded-heap top-k aggregator
+    * ([[capPerSource]]'s shape) — map-side partials of ≤ k rows per
+    * key, no per-key window funnel over the full corpus. Output:
+    * (keyCol, rank 1..k, idCol). */
+  def samplePerKey(df: DataFrame, k: Int, keyCol: String = "source",
+                   idCol: String = "doc_id",
+                   seed: String = "sample"): DataFrame =
+    capPerSource(df, k,
+      score = -hexDraw(saltedHex(col(idCol), seed)).cast("double"),
+      sourceCol = keyCol, idCol = idCol)
+      .drop("score")
+
   /** Deterministic global shuffle into shards (the pre-training shuffle:
     * trainers need the corpus in a reproducible pseudo-random order that
     * any re-run, resume, or re-shard reproduces exactly): each row's

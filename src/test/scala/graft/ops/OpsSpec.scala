@@ -157,6 +157,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(falseFlags <= 15L, s"fp mass too high: $falseFlags")
   }
 
+  test("contaminationReport: fractions, zero-hit docs included") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // partial hit
+      (2L, "totally clean text with no overlap at all here")) // zero hits
+      .toDF("doc_id", "text")
+    val probes = Seq((9L, "quick brown fox sentences are classic probes"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.contaminationReport(corpus, probes)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, h1, f1) = got(1L)
+    assert(h1 === 1L) // shared 3-gram: "quick brown fox"
+    assert(f1 === h1.toDouble / n1)
+    val (_, _, h2, f2) = got(2L)
+    assert(h2 === 0L && f2 === 0.0)
+  }
+
   test("gopherRules: each rule trips on its own construction") {
     val good = ("the project is a sample of plain english prose and " +
       "it keeps going with more of the usual words ") * 3 // ~60 words

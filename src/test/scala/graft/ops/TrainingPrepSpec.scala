@@ -81,6 +81,23 @@ class TrainingPrepSpec extends SparkSpec {
     assert(capped(2L) === r4(-lb))
   }
 
+  test("samplePerKey: k stable rows per key, partitioning-independent, " +
+    "seed changes the draw") {
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    def draw(d: org.apache.spark.sql.DataFrame, seed: String) =
+      graft.ops.TrainingPrep.samplePerKey(d, k = 3, seed = seed)
+        .as[(String, Long, Long)].collect().toSet
+    val a = draw(df, "sample")
+    assert(a.size === 12) // 4 sources × 3
+    assert(a === draw(df.repartition(7), "sample"))
+    assert(a !== draw(df, "other-seed"))
+    // a re-crawled doc keeps its draw: sampling a superset keeps every
+    // previously-sampled id whose draw still ranks in the top k... the
+    // stronger stable property: the same ids re-sample identically
+    assert(a === draw(df.orderBy(col("doc_id").desc), "sample"))
+  }
+
   test("lmScoreBigram: golden interpolated scores, first word unigram, " +
     "OOV floor, unseen-bigram backoff") {
     // reference: "a b a b a" + "a c" -> unigrams a:4 b:2 c:1 (total 7);
