@@ -271,6 +271,15 @@ object Round8Queries {
             "</w>", " "))).as("detok_fp"))
     }),
 
+    // --- Deterministic token masking ----------------------------------------
+    // Masked-objective prep at 15%: every (doc, position) coin is the
+    // shared salted-md5 draw, so both engines mask the exact same
+    // positions — masked text, token and mask counts all value-exact.
+    "t_mask_tokens" -> ((s, d) =>
+      graft.ops.TrainingPrep.maskTokens(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        rate = 0.15)),
+
     // --- Deterministic per-key uniform sample -------------------------------
     // 5 stable "random" docs per source: the salted-md5 draw order makes
     // the sample reproducible across runs and dataset versions; the
@@ -627,6 +636,31 @@ object Round8Queries {
     "t_bpe_encode" ->
       (s"SELECT doc_id, true AS counts_agree, md5(${Queries.normSql}) " +
         s"AS detok_fp FROM documents WHERE length(${Queries.normSql}) > 0"),
+
+    "t_mask_tokens" ->
+      (s"""WITH norm AS (
+        |  SELECT doc_id, ${Queries.normSql} AS t FROM documents
+        |), w AS (
+        |  SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+        |  WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, unnest(ws) AS word,
+        |    generate_subscripts(ws, 1) AS pos
+        |  FROM w
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||
+        |        ':' || CAST(pos AS VARCHAR) || ':mask'), 1, 8))::BIGINT
+        |        % 1000000) / 1000000.0 < 0.15
+        |      THEN '<mask>' ELSE word END AS word
+        |  FROM ex
+        |)
+        |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS masked_text,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN word = '<mask>' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked
+        |FROM m GROUP BY 1
+        |""").stripMargin,
 
     "d_sample_per_key" ->
       """WITH h AS (

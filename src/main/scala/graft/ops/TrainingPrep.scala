@@ -311,6 +311,40 @@ object TrainingPrep {
         col("h.id").as(idCol), col("h.cosine").as("score"))
   }
 
+  /** Deterministic token masking — masked/denoising-objective
+    * preparation (BERT/T5-style): each word of the normalized text is
+    * independently replaced by `maskToken` with probability `rate`,
+    * where the coin is the salted md5 of (id, position) — the SAME
+    * recipe as every other deterministic draw here, so masks reproduce
+    * across runs, partitionings, and dataset versions, and a (doc, pos)
+    * draw is independent of every other consumer's draws.
+    *
+    * Scale shape: pure narrow projection — split, per-position lambda,
+    * re-join; no shuffle, no state, no RNG to seed per task. Output:
+    * (idCol, masked_text, n_tokens, n_masked). */
+  def maskTokens(docs: DataFrame, rate: Double, maskToken: String = "<mask>",
+                 seed: String = "mask", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate in [0,1], got $rate")
+    val words = filter(split(TextAnalysis.normalized(col(textCol)), " "),
+      w => length(w) > 0)
+    val draw = (i: Column) => hashUniform(
+      concat(col(idCol).cast("string"), lit(":"), i.cast("string")), seed)
+    docs
+      // the size guard matters twice: sequence(1, 0) would DESCEND, and
+      // zip_with pads the shorter side with nulls — an empty doc would
+      // otherwise grow one phantom (possibly masked) token
+      .withColumn("__masked", when(size(words) > 0,
+        zip_with(words, sequence(lit(1), size(words)),
+          (w, i) => when(draw(i) < rate, lit(maskToken)).otherwise(w)))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol),
+        concat_ws(" ", col("__masked")).as("masked_text"),
+        size(col("__masked")).cast("long").as("n_tokens"),
+        size(filter(col("__masked"), w => w === maskToken))
+          .cast("long").as("n_masked"))
+  }
+
   /** Deterministic uniform sample of k rows per key — the "give me 100
     * random docs per domain" inspection/eval draw that must reproduce
     * across runs and dataset versions (a re-crawled doc keeps its draw,

@@ -81,6 +81,31 @@ class TrainingPrepSpec extends SparkSpec {
     assert(capped(2L) === r4(-lb))
   }
 
+  test("maskTokens: deterministic positions, rate bounds, empty doc " +
+    "stays empty, rate 0/1 degenerate") {
+    val docs = ((1 to 50).map(i =>
+      (i.toLong, (1 to 40).map(j => s"w$j").mkString(" "))) :+
+      (99L, "")).toDF("doc_id", "text")
+    val a = graft.ops.TrainingPrep.maskTokens(docs, 0.15)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val b = graft.ops.TrainingPrep.maskTokens(docs.repartition(5), 0.15)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(a === b) // partitioning-independent
+    assert(a(99L)._2 === "" && a(99L)._3 === 0L && a(99L)._4 === 0L)
+    val totalMasked = a.values.filter(_._1 != 99L).map(_._4).sum
+    assert(totalMasked > 100 && totalMasked < 500, // ~300 expected of 2000
+      s"mask rate off: $totalMasked of 2000")
+    // degenerate rates
+    val none = graft.ops.TrainingPrep.maskTokens(docs, 0.0)
+      .agg(sum("n_masked")).as[Long].collect().head
+    assert(none === 0L)
+    val all = graft.ops.TrainingPrep.maskTokens(docs, 1.0)
+      .filter(col("doc_id") =!= 99L)
+      .select((col("n_masked") === col("n_tokens")).as("f"))
+      .as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
   test("samplePerKey: k stable rows per key, partitioning-independent, " +
     "seed changes the draw") {
     val df = (1 to 200).map(i => (i.toLong, s"src${i % 4}"))
