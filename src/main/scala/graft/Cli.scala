@@ -43,6 +43,10 @@ import graft.sources._
   *   graft.Cli quality-filter [--docs P] --out DIR [--min-words N]
   *   graft.Cli top-values [--input P] --key K --value V [--k N]
   *   graft.Cli lm-score  [--docs P] [--ref P] [--bigram 1] --out DIR
+  *   graft.Cli funnel    [--input P | --sf-dir D] [--stages a,b,c]
+  *   graft.Cli bfs       [--edges P | --sf-dir D] [--seeds 1,2] [--max-depth N]
+  *   graft.Cli scd2      [--input P | --sf-dir D] [--key K] [--ts T] [--attr A] --out DIR
+  *   graft.Cli cosine-pairs [--docs P | --sf-dir D] --out DIR [--num N] [--den D] [--df-cap C] [--ngram G]
   */
 object Cli {
 
@@ -340,6 +344,52 @@ object Cli {
           else graft.ops.TrainingPrep.lmScore(docs, ref, vocabSize = 5000)
         scored.write.mode("overwrite").parquet(out)
         println(s"scored ${spark.read.parquet(out).count()} documents -> $out")
+      case "funnel" => // ordered event-sequence conversion (a22_funnel)
+        val stages = opts.getOrElse("stages", "view,click,purchase")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.Funnel.reach(ev, stages,
+          keyCol = opts.getOrElse("key", "user_id"),
+          tsCol = opts.getOrElse("ts", "ts"),
+          typeCol = opts.getOrElse("type", "event_type"))
+          .orderBy("stage").collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "bfs" => // multi-source hop distances (a21_bfs_hops)
+        val edges = opts.get("edges").map(spark.read.parquet(_))
+          .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
+        val seeds = opts.get("seeds") match {
+          case Some(csv) =>
+            import spark.implicits._
+            csv.split(",").map(_.trim.toLong).toSeq.toDF("seed")
+          case None => edges.select(col("src").as("seed")).limit(10)
+        }
+        graft.bel.Bfs.hops(edges, seeds,
+          maxDepth = opts.getOrElse("max-depth", "20").toInt)
+          .groupBy("hops").agg(count(lit(1)).as("nodes"))
+          .orderBy("hops").collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "scd2" => // dimension-history intervals (w_scd2_intervals)
+        val out = opts.getOrElse("out", s"$warehouse/_scd2")
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val keyC = opts.getOrElse("key", "user_id")
+        val tsC = opts.getOrElse("ts", "ts")
+        val attrC = opts.getOrElse("attr", "event_type")
+        val one = ev.groupBy(col(keyC), col(tsC))
+          .agg(min(attrC).as(attrC))
+        graft.ops.Temporal.scd2(one, Seq(keyC), tsC, attrC)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} intervals -> $out")
+      case "cosine-pairs" => // lexical near-dup pairs (d_cosine_pairs)
+        val out = opts.getOrElse("out", s"$warehouse/_cosine_pairs")
+        graft.ops.TextSearch.cosinePairs(spark.read.parquet(docsPath),
+          num = opts.getOrElse("num", "1").toLong,
+          den = opts.getOrElse("den", "2").toLong,
+          dfCap = opts.getOrElse("df-cap", "50").toLong,
+          ngram = opts.getOrElse("ngram", "3").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} pairs -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) =
@@ -360,7 +410,7 @@ object Cli {
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
           "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
           "semantic-dedup kcore index-build dedup-incremental " +
-          "quality-filter top-values lm-score")
+          "quality-filter top-values lm-score funnel bfs scd2 cosine-pairs")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

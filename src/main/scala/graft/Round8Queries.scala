@@ -52,7 +52,7 @@ object Round8Queries {
     new java.util.WeakHashMap[org.apache.spark.SparkContext,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val perDir = coPurchaseMemo.synchronized {
       var m = coPurchaseMemo.get(s.sparkContext)
       if (m == null) {

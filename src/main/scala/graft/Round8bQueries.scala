@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 second-wave registrations — temporal analytics + graph
+  * proximity + lexical near-dup:
+  *
+  *  - `a21_bfs_hops`: multi-source BFS hop distances over the memoized
+  *    co-purchase part graph ([[graft.bel.Bfs]]), vs the relaxation loop
+  *    unrolled to materialized DuckDB CTEs (identity past the fixpoint,
+  *    the [[Round8Queries]] kcore-oracle discipline).
+  *  - `a22_funnel`: ordered event-sequence conversion ([[graft.ops.Funnel]])
+  *    vs chained strictly-after min-timestamp CTEs.
+  *  - `j14_asof_nearest`: the nearest-direction as-of mode
+  *    ([[graft.ops.Temporal.asOfJoinNearest]]) vs DuckDB's two native
+  *    directional ASOF joins combined by the closest-wins/backward-ties
+  *    CASE — completing the j10 mode matrix (backward, forward,
+  *    tolerance × both, nearest).
+  *  - `w_scd2_intervals`: SCD2 validity-interval build
+  *    ([[graft.ops.Temporal.scd2]]) vs the lag-filter-lead window SQL.
+  *  - `w_rolling_sum`: trailing time-range rolling aggregates
+  *    ([[graft.ops.Temporal.rollingSum]]) vs the RANGE-frame window SQL —
+  *    integer cents so the sums are engine-exact.
+  *  - `d_cosine_pairs`: count-vector cosine near-dup pairs over word
+  *    trigrams ([[graft.ops.TextSearch.cosinePairs]]) vs the brute
+  *    postings self-join — every measure integer, the pair set exact.
+  */
+object Round8bQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val TolUs = 600000000L // 10 minutes
+  private val HourUs = 3600000000L
+
+  private def clicksUs(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, d)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"))
+  }
+
+  private def errorsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, d)
+    ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("rts"))
+      .agg(max("value").as("err_value"))
+  }
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- Multi-source BFS hop distances -------------------------------------
+    // "How far is every part from the promoted set?" — seeds are the
+    // p_partkey % 50 == 0 parts (graph members or not: isolated seeds
+    // report hops 0), edges the ≥2-co-order co-purchase graph the kcore
+    // gate memoizes. Spark runs the relaxation to its fixpoint; the
+    // oracle unrolls 12 levels, enough past the sf0.01 eccentricity (7)
+    // that extra levels are the identity.
+    "a21_bfs_hops" -> ((s, d) => {
+      val seeds = graft.core.Tables.load(s, d, "part")
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("seed"))
+      graft.bel.Bfs.hops(Round8Queries.coPurchaseEdges(s, d), seeds)
+        .select(col("node").cast("long").as("node"), col("hops"))
+    }),
+
+    // --- Ordered event-sequence (funnel) conversion -------------------------
+    // view → click → purchase with strictly-increasing timestamps; the
+    // operator folds each user's time-ordered stage events through the
+    // chain in ONE shuffle; the oracle chains strictly-after min-ts CTEs.
+    "a22_funnel" -> ((s, d) =>
+      graft.ops.Funnel.reach(graft.core.Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // --- As-of join: nearest direction + tolerance --------------------------
+    // Nearest error state within ±10 minutes of each click; equidistant
+    // candidates resolve backward (the causally safe default). Right side
+    // pre-aggregated per (user, µs) so the tie winner is engine-
+    // independent — the j10 discipline.
+    "j14_asof_nearest" -> ((s, d) =>
+      graft.ops.Temporal.asOfJoinNearest(
+        clicksUs(s, d), errorsUs(s, d), Seq("user_id"),
+        leftTs = "ts_us", rightTs = "rts", tolerance = Some(TolUs))),
+
+    // --- SCD2 validity intervals --------------------------------------------
+    // Each user's event-type state history compressed into half-open
+    // [valid_from, valid_to) intervals; same-µs conflicts pre-aggregated
+    // to min(event_type) so interval semantics are well-defined in both
+    // engines.
+    "w_scd2_intervals" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+        .groupBy(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(min("event_type").as("state"))
+      graft.ops.Temporal.scd2(ev, Seq("user_id"), "ts_us", "state")
+    }),
+
+    // --- Trailing time-range rolling aggregates -----------------------------
+    // Per user: click count + spend (integer cents) over the trailing
+    // hour, evaluated at every click — RANGE frame, both ends inclusive,
+    // equal-µs peers share the frame in both engines.
+    "w_rolling_sum" -> ((s, d) => {
+      val clicks = graft.core.Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.ops.Temporal.rollingSum(clicks, Seq("user_id"), "ts_us",
+        "cents", HourUs)
+    }),
+
+    // --- Count-vector cosine near-dup pairs ---------------------------------
+    // Word-trigram tf vectors (the sparse unit for this corpus's 31-word
+    // vocabulary), df cap 50, cosine ≥ 1/2 — the planted near-dup
+    // families pair up; every emitted measure is an integer so the gate
+    // is value-exact, not approximate.
+    "d_cosine_pairs" -> ((s, d) =>
+      graft.ops.TextSearch.cosinePairs(
+        graft.core.Tables.load(s, d, "documents"),
+        num = 1, den = 2, dfCap = 50, ngram = 3)))
+
+  private def bfsOracle(levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(hops) AS hops FROM (
+         |    SELECT node, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT adj.v, d${i - 1}.hops + 1
+         |    FROM d${i - 1} JOIN adj ON d${i - 1}.node = adj.u)
+         |  GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+       |), d0 AS MATERIALIZED (
+       |  SELECT p_partkey AS node, 0 AS hops FROM part
+       |  WHERE p_partkey % 50 = 0
+       |),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(hops AS INTEGER) AS hops
+       |FROM d$levels
+       |""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "a21_bfs_hops" -> bfsOracle(12),
+
+    "a22_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT 1 AS stage, 'view' AS stage_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |""".stripMargin,
+
+    "j14_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS rts, max(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |), b AS (
+        |  SELECT l.event_id, r.rts, r.err_value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts_us >= r.rts
+        |), f AS (
+        |  SELECT l.event_id, r.rts, r.err_value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts_us <= r.rts
+        |)
+        |SELECT l.user_id, l.ts_us, l.event_id,
+        |  CASE WHEN bok AND (NOT fok OR l.ts_us - b.rts <= f.rts - l.ts_us)
+        |       THEN b.rts WHEN fok THEN f.rts END AS r_rts,
+        |  CASE WHEN bok AND (NOT fok OR l.ts_us - b.rts <= f.rts - l.ts_us)
+        |       THEN b.err_value WHEN fok THEN f.err_value
+        |    END AS r_err_value
+        |FROM l
+        |JOIN b ON b.event_id = l.event_id
+        |JOIN f ON f.event_id = l.event_id
+        |CROSS JOIN LATERAL (SELECT
+        |  b.rts IS NOT NULL AND b.rts >= l.ts_us - 600000000 AS bok,
+        |  f.rts IS NOT NULL AND f.rts <= l.ts_us + 600000000 AS fok) g
+        |""".stripMargin,
+
+    "w_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, min(event_type) AS state
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT user_id, ts_us, state,
+        |    lag(state) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), c AS (
+        |  SELECT user_id, ts_us, state FROM x
+        |  WHERE rn = 1 OR state IS DISTINCT FROM prev
+        |)
+        |SELECT user_id, state, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |    AS valid_to
+        |FROM c
+        |""".stripMargin,
+
+    "w_rolling_sum" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS roll_sum
+        |FROM events WHERE event_type = 'click'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin,
+
+    "d_cosine_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM t
+        |), tf AS (
+        |  SELECT g, doc_id, count(*) AS tf FROM u GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT g FROM tf GROUP BY g HAVING count(*) <= 50
+        |), k AS (
+        |  SELECT tf.* FROM tf SEMI JOIN keep USING (g)
+        |), norms AS (
+        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM k GROUP BY 1
+        |), dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM k a JOIN k b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, dot, na.n2 AS n1sq, nb.n2 AS n2sq
+        |FROM dots
+        |JOIN norms na ON na.doc_id = d1
+        |JOIN norms nb ON nb.doc_id = d2
+        |WHERE 4 * dot * dot >= na.n2 * nb.n2
+        |""".stripMargin)
+}

@@ -10,7 +10,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ MoreQueries.queries ++ Round3Queries.queries ++
       Round4Queries.queries ++ Round6Queries.queries ++
-      Round7Queries.queries ++ Round8Queries.queries
+      Round7Queries.queries ++ Round8Queries.queries ++
+      Round8bQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every registered query has an oracle: the
     * two approximate/engine-hash ops are gated via boolean invariant
@@ -18,5 +19,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracleSql ++ MoreQueries.oracleSql ++ Round3Queries.oracleSql ++
       Round4Queries.oracleSql ++ Round6Queries.oracleSql ++
-      Round7Queries.oracleSql ++ Round8Queries.oracleSql
+      Round7Queries.oracleSql ++ Round8Queries.oracleSql ++
+      Round8bQueries.oracleSql
 }

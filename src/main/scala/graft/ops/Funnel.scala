@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence (funnel) analysis: of the users who performed
+  * stage 1, how many went on to stage 2 strictly later, then stage 3
+  * strictly after that — the conversion statistic every event-analytics
+  * surface serves (the reference's event log — `models.py:40-134` Action
+  * rows `(resource, action, created)` — is exactly this shape, queried
+  * there only as "latest action"; the funnel is the aggregate form of the
+  * same ordered-sequence question).
+  *
+  * Semantics: per user, `stage_ts(1)` = earliest ts of stage-1 events;
+  * `stage_ts(i+1)` = earliest ts of stage-(i+1) events STRICTLY after
+  * `stage_ts(i)`. A user "reaches" stage i when `stage_ts(i)` exists.
+  * Strict inequality makes the chain deterministic without a tie-break
+  * ordering among same-timestamp events — two stages sharing one µs never
+  * chain, in either engine. This greedy earliest-chain is the standard
+  * funnel definition and is optimal: taking the earliest admissible ts at
+  * every stage dominates any other valid chain, so "reached stage i"
+  * agrees with the existential definition.
+  *
+  * Scale shape: ONE shuffle. Events are pre-filtered to the stage types
+  * (pushed to the scan), collected per user as (ts, stage) pairs, sorted
+  * in-place, and folded left by a codegen'd `aggregate` state machine —
+  * the state is the per-stage timestamp array, O(stages) per user. The
+  * per-user collected list is bounded by that user's stage-event count —
+  * the same per-key contract as sessionization (a key's own events fit
+  * its partition). The alternative formulation (stage-count self-joins)
+  * shuffles the event table once PER STAGE; this is one pass regardless
+  * of funnel depth.
+  */
+object Funnel {
+
+  /** The per-user face: `(key, reach_ts: Array[ts], depth)` — the
+    * per-stage first-reach timestamps (null = stage not reached) and the
+    * deepest stage index reached; what a training pipeline joins back to
+    * label conversion windows. */
+  def perUserReach(events: DataFrame, stages: Seq[String],
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val stageIdx: Column = stages.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((s, i), acc) => when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    // the reach-state array carries the ts column's own type, so the
+    // operator works over timestamps and numeric (µs-epoch) ts alike
+    val tsType = events.schema(tsCol).dataType
+    events
+      .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull)
+      .select(col(keyCol), struct(col(tsCol).as("ts"),
+        stageIdx.as("stage")).as("ev"))
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list("ev")).as("evs"))
+      // fold the time-ordered events through the stage chain: state =
+      // array of per-stage first-reach timestamps (null = not reached);
+      // an event advances the chain iff it is the NEXT unreached stage
+      // and strictly later than the previous stage's reach time
+      .withColumn("reach_ts", aggregate(
+        col("evs"),
+        array(stages.map(_ => lit(null).cast(tsType)): _*),
+        (state, ev) => {
+          val nextStage = size(filter(state, x => x.isNotNull))
+          // 1-indexed lookup of the previous stage's ts; the greatest()
+          // guard keeps the index legal when no stage is reached yet
+          // (that branch is decided by the === 0 check, not the lookup)
+          val prevTs = element_at(state, greatest(nextStage, lit(1)))
+          val advances = ev.getField("stage") === nextStage &&
+            (nextStage === 0 || ev.getField("ts") > prevTs)
+          when(advances,
+            concat(slice(state, lit(1), nextStage),
+              array(ev.getField("ts")),
+              slice(state, nextStage + 2, size(state))))
+            .otherwise(state)
+        }))
+      .withColumn("depth", size(filter(col("reach_ts"), x => x.isNotNull)))
+      .drop("evs")
+  }
+
+  /** Per-stage reach counts: one row per stage —
+    * `(stage, stage_name, users)`, `users` monotonically non-increasing
+    * down the funnel. The depth histogram is stage-count-sized, so the
+    * final ≥-join against the stage dimension is a trivial
+    * dimension×dimension combine, not a data-sized inequality join. */
+  def reach(events: DataFrame, stages: Seq[String],
+            keyCol: String = "user_id", tsCol: String = "ts",
+            typeCol: String = "event_type"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = perUserReach(events, stages, keyCol, tsCol, typeCol)
+    val stageDim = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("stage", "stage_name")
+    perUser.groupBy("depth").agg(count(lit(1)).as("n"))
+      .join(stageDim, col("depth") >= col("stage"))
+      .groupBy("stage", "stage_name").agg(sum("n").as("users"))
+  }
+}

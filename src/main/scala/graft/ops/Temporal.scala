@@ -90,6 +90,118 @@ object Temporal {
         payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
   }
 
+  /** Nearest-mode as-of join (pandas `merge_asof(direction='nearest')`):
+    * each left row picks the right row whose timestamp is CLOSEST in
+    * either direction, per key; equidistant candidates resolve backward
+    * (the past wins over the future — the causally safe default for
+    * feature enrichment). Requires a NUMERIC ts column (µs epochs etc.),
+    * because candidate selection compares |left − right| distances.
+    *
+    * Same scale shape as [[asOfJoin]]: one shuffle on the key, then two
+    * per-key window passes (ascending for the backward candidate,
+    * descending for the forward one) sharing the single exchange — still
+    * no range explosion and no BroadcastNestedLoop. Tolerance and tie
+    * semantics within each direction match [[asOfJoin]]. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String = "ts", rightTs: String = "ts",
+                      rightPrefix: String = "r_",
+                      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    require(payload.contains(rightTs), s"right ts column $rightTs missing")
+    val lu = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val ru = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__r")): _*)
+      .filter(col("__ts").isNotNull)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc_nulls_first, col("__side").asc,
+        xxhash64(col("__r")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc_nulls_last, col("__side").asc,
+        xxhash64(col("__r")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol: (Column, Boolean) => Column = (m, fwd) => tolerance match {
+      case None => m
+      case Some(t) =>
+        val rts = m.getField(rightTs)
+        when(if (fwd) rts <= col("__ts") + t else rts >= col("__ts") - t, m)
+    }
+    lu.unionByName(ru, allowMissingColumns = true)
+      .withColumn("__mb", when(col("__ts").isNotNull,
+        inTol(last(col("__r"), ignoreNulls = true).over(wB), false)))
+      .withColumn("__mf", when(col("__ts").isNotNull,
+        inTol(last(col("__r"), ignoreNulls = true).over(wF), true)))
+      .filter(col("__side") === 1)
+      // nearest pick: missing side loses; equidistant resolves backward
+      .withColumn("__m", when(col("__mb").isNull, col("__mf"))
+        .when(col("__mf").isNull, col("__mb"))
+        .when(col("__mf").getField(rightTs) - col("__ts") <
+          col("__ts") - col("__mb").getField(rightTs), col("__mf"))
+        .otherwise(col("__mb")))
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+  }
+
+  /** Slowly-changing-dimension (type 2) interval build: compress a
+    * per-key event stream into validity intervals during which a tracked
+    * attribute was constant — `(keys…, attrCol, valid_from, valid_to)`
+    * with `valid_to` NULL on the currently-open interval. This is the
+    * feature-store / dimension-history operator: the as-of join's natural
+    * build-side ("what was the user's segment AT time t" enriches against
+    * exactly these intervals).
+    *
+    * Consecutive events carrying the SAME attribute value extend the
+    * open interval instead of starting a new one (the SCD2 compression
+    * step); an attribute change closes the previous interval at the new
+    * event's timestamp (half-open [from, to) semantics, no gaps).
+    *
+    * Scale shape: one shuffle on the key, one per-key sort shared by the
+    * two window passes (change-detection lag + interval-close lead).
+    * Events sharing (keys, ts) must be pre-aggregated to one row by the
+    * caller — interval semantics are undefined under same-instant
+    * conflicting values, and the `require`-free contract here mirrors
+    * the other window operators (garbage ordering in, garbage out). */
+  def scd2(events: DataFrame, keys: Seq[String], tsCol: String,
+           attrCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    val changed = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(byKey))
+      .withColumn("__rn", row_number().over(byKey))
+      // first row per key, or any value transition (null-safe: a NULL
+      // attribute is a tracked state, not a missing row)
+      .filter(!(col(attrCol) <=> col("__prev")) || col("__rn") === 1)
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .select(keys.map(col) ++ Seq(col(attrCol),
+        col("valid_from"), col("valid_to")): _*)
+  }
+
+  /** Rolling time-range aggregates: per key, for every event, the count
+    * and sum of an INTEGER measure over the trailing `windowSize` ts
+    * units (RANGE frame [ts − windowSize, ts], both ends inclusive).
+    * One shuffle + one per-key sort; the frame is evaluated by Spark's
+    * sliding-frame aggregation, O(1) amortized per row. The integer
+    * measure is a contract, not a limitation: trailing-window sums of
+    * floats are order-sensitive in any engine, so callers quantize first
+    * (cents, micros) and divide after — which also makes results
+    * engine-portable bit-for-bit. */
+  def rollingSum(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, windowSize: Long): DataFrame = {
+    require(keys.nonEmpty, "rollingSum needs at least one key column")
+    require(windowSize >= 0, s"windowSize must be >= 0, got $windowSize")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+      .rangeBetween(-windowSize, 0)
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+  }
+
   /** Interval-overlap (range) join: every (left, right) pair of the same
     * `keys` whose closed intervals [start, end] overlap. Spark plans a
     * raw inequality join as BroadcastNestedLoop — quadratic and

@@ -105,4 +105,88 @@ object TextSearch {
       .agg(count(lit(1)).as("n_lists"),
         sum(lit(1.0) / (lit(k) + col("rank"))).as("rrf"))
   }
+
+  /** All-pairs document cosine similarity over COUNT vectors (the sparse
+    * lexical twin of the embedding near-dup family): every document pair
+    * whose term-frequency-vector cosine meets a rational threshold
+    * `num/den`. The integer-exact formulation is deliberate —
+    * cos(a,b) ≥ num/den  ⇔  den²·dot² ≥ num²·‖a‖²·‖b‖² — every quantity
+    * (dot, squared norms) is an integer, so the pair set AND the emitted
+    * measures are bit-identical in any engine; no float summation order
+    * anywhere.
+    *
+    * The vector space is the words with document frequency ≤ `dfCap`:
+    * ultra-common terms are dropped BEFORE the pair join — the standard
+    * inverted-index prune (cf. DIMSUM / all-pairs similarity search,
+    * Zadeh & Goel 2012) that bounds per-word join fan-out to dfCap² and
+    * is what keeps the operator sub-quadratic at corpus scale. The cap
+    * defines the similarity measure (norms use the same capped space),
+    * so results are self-consistent, and completeness within that space
+    * is exact: a pair with cosine > 0 shares ≥ 1 surviving word and is
+    * generated by the postings self-join.
+    *
+    * Scale shape: one corpus tokenization pass → (word, doc, tf)
+    * postings; the df prune is a semi-join against the word-frequency
+    * aggregate of the SAME frame (no second scan); candidate pairs meet
+    * by equi-join on the word; one hash-aggregation folds shared words
+    * into the dot product. Never all-pairs, never a cross join.
+    *
+    * `ngram` sets the term unit: 1 = single words; n > 1 = word n-grams
+    * (shingles), the right unit when the vocabulary is small relative to
+    * the corpus — n-gram spaces are sparse, so document frequencies stay
+    * low and the dfCap prune keeps real signal instead of gutting the
+    * space. Documents shorter than `ngram` words contribute no terms
+    * (empty vectors never pair).
+    *
+    * Output: (d1, d2, dot, n1sq, n2sq), d1 < d2, all longs.
+    *
+    * `materialize = true` (default) persists the pruned postings across
+    * their three consumers (norms + both join sides), materializes the
+    * result and releases the cache before returning — the
+    * PageRank/Triangles cache discipline. `false` returns the
+    * un-materialized composable plan (the postings subtree is then
+    * evaluated once per consumer). */
+  def cosinePairs(docs: DataFrame, num: Long, den: Long, dfCap: Long,
+                  ngram: Int = 1, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  materialize: Boolean = true): DataFrame = {
+    require(den > 0 && num > 0, s"threshold must be positive, got $num/$den")
+    require(num <= den, s"cosine threshold must be <= 1, got $num/$den")
+    require(dfCap >= 2, s"dfCap below 2 generates no pairs, got $dfCap")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val ws = split(TextAnalysis.normalized(col(textCol)), " ")
+    val terms: Column =
+      if (ngram == 1) ws
+      else when(size(ws) >= ngram,
+        transform(sequence(lit(1), size(ws) - (ngram - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(ngram)))))
+        .otherwise(array().cast("array<string>"))
+    val postings = docs
+      .select(col(idCol).as("id"), explode(terms).as("w"))
+      .groupBy("w", "id").agg(count(lit(1)).as("tf"))
+    val pruned = postings.join(
+      postings.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("w"),
+      Seq("w"), "left_semi")
+    val kept = if (materialize) pruned.persist() else pruned
+    val norms = kept.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = kept.select(col("w"), col("id").as("d1"), col("tf").as("tf1"))
+    val b = kept.select(col("w"), col("id").as("d2"), col("tf").as("tf2"))
+    val dots = a.join(b, Seq("w"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum(col("tf1") * col("tf2")).as("dot"))
+    val out = dots
+      .join(norms.select(col("id").as("d1"), col("n2").as("n1sq")), Seq("d1"))
+      .join(norms.select(col("id").as("d2"), col("n2").as("n2sq")), Seq("d2"))
+      .filter(lit(den * den) * col("dot") * col("dot") >=
+        lit(num * num) * col("n1sq") * col("n2sq"))
+      .select(col("d1"), col("d2"), col("dot"), col("n1sq"), col("n2sq"))
+    if (!materialize) out
+    else {
+      val materialized = graft.core.Checkpoints.cut(out)
+      kept.unpersist()
+      materialized
+    }
+  }
 }

@@ -124,6 +124,48 @@ class CliSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("funnel --input runs over an arbitrary event parquet") {
+    val dir = tmpDir("clifunnel")
+    val path = s"$dir/ev.parquet"
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "a"))
+      .toDF("uid", "t", "kind").write.parquet(path)
+    Cli.main(Array("funnel", "--input", path, "--stages", "a,b",
+      "--key", "uid", "--ts", "t", "--type", "kind"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("bfs --edges --seeds reports the hop histogram") {
+    val dir = tmpDir("clibfs")
+    val path = s"$dir/edges.parquet"
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").write.parquet(path)
+    Cli.main(Array("bfs", "--edges", path, "--seeds", "1"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("scd2 --input writes intervals for custom columns") {
+    val dir = tmpDir("cliscd2")
+    val path = s"$dir/ev.parquet"
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "b"))
+      .toDF("uid", "t", "st").write.parquet(path)
+    val out = s"$dir/intervals"
+    Cli.main(Array("scd2", "--input", path, "--key", "uid", "--ts", "t",
+      "--attr", "st", "--out", out))
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("cosine-pairs --docs writes integer-exact pair measures") {
+    val dir = tmpDir("clicos")
+    val path = s"$dir/docs.parquet"
+    Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "q r s t u"))
+      .toDF("doc_id", "text").write.parquet(path)
+    val out = s"$dir/pairs"
+    Cli.main(Array("cosine-pairs", "--docs", path, "--out", out,
+      "--num", "1", "--den", "2", "--df-cap", "10", "--ngram", "2"))
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.sorted === Array("d1", "d2", "dot", "n1sq", "n2sq"))
+    assert(rows.count() === 1) // docs 1-2 share 3 of 4 bigrams
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"

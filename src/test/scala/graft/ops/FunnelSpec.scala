@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "buy")
+
+  test("stage chain needs strictly increasing timestamps") {
+    val ev = Seq(
+      // u1 converts fully: view(1) → click(5) → buy(9)
+      (1L, 1L, "view"), (1L, 5L, "click"), (1L, 9L, "buy"),
+      // u2 clicks BEFORE viewing: click never chains
+      (2L, 5L, "click"), (2L, 9L, "view"),
+      // u3: click at the SAME ts as view — strict > rejects the chain
+      (3L, 4L, "view"), (3L, 4L, "click"),
+      // u4: only noise event types
+      (4L, 1L, "scroll"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.reach(ev, stages, tsCol = "ts")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1, "view", 3L), // u1, u2, u3 all view
+      (2, "click", 1L), // only u1 chains
+      (3, "buy", 1L)))
+  }
+
+  test("earliest admissible chain: a later stage-1 event never helps") {
+    // view(10) → click(5)? no. But view(1) exists, so click(5) chains.
+    val ev = Seq((1L, 10L, "view"), (1L, 1L, "view"), (1L, 5L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val per = Funnel.perUserReach(ev, Seq("view", "click"))
+    val reach = per.select("reach_ts").collect().head.getSeq[Long](0)
+    assert(reach === Seq(1L, 5L))
+  }
+
+  test("per-user depth and reach timestamps") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"),
+      (2L, 7L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.perUserReach(ev, stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(1L -> 2, 2L -> 1))
+  }
+
+  test("matches a brute-force chain reference on a random corpus") {
+    val rnd = new scala.util.Random(17)
+    val types = Seq("view", "click", "buy", "noise")
+    val ev = (1 to 500).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(300).toLong, types(rnd.nextInt(types.size))))
+    // reference: greedy earliest chain with strict >
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      var last = Long.MinValue
+      var depth = 0
+      var advancing = true
+      while (advancing && depth < stages.size) {
+        val nxt = rows.filter(r => r._3 == stages(depth) && r._2 > last)
+          .map(_._2).sorted.headOption
+        nxt match {
+          case Some(t) => last = t; depth += 1
+          case None => advancing = false
+        }
+      }
+      u -> depth
+    }
+    val got = Funnel.perUserReach(
+      ev.toDF("user_id", "ts", "event_type"), stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    want.filter(_._2 > 0).foreach { case (u, d) =>
+      assert(got(u) === d, s"user $u")
+    }
+    // users whose only events are noise are absent from the output
+    assert(got.keySet === want.filter(_._2 > 0).keySet ++
+      ev.filter(e => stages.contains(e._3)).map(_._1).toSet)
+  }
+
+  test("funnel counts are monotonically non-increasing") {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("view", "click", "buy")
+    val ev = (1 to 400).map(_ => (rnd.nextInt(30).toLong,
+      rnd.nextInt(200).toLong, types(rnd.nextInt(types.size))))
+      .toDF("user_id", "ts", "event_type")
+    val counts = Funnel.reach(ev, stages)
+      .orderBy("stage").collect().map(_.getLong(2))
+    counts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ => ()
+    }
+  }
+}

@@ -267,6 +267,71 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinNearest: both direction passes share ONE shuffle on the " +
+    "key — still no join operator") {
+    withoutAqe {
+      val l = (0 until 64).map(i => (i.toLong % 8, i.toLong * 100))
+        .toDF("k", "ts")
+      val r = (0 until 32).map(i => (i.toLong % 8, i.toLong * 150, i * 1.0))
+        .toDF("k", "ts", "payload")
+      val plan = executed(
+        Temporal.asOfJoinNearest(l, r, Seq("k"), tolerance = Some(500L)))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+        !plan.toString.contains("BroadcastNestedLoop") &&
+        !plan.toString.contains("SortMergeJoin"),
+        s"nearest as-of planned a join:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"the two window passes should share one key shuffle:\n$plan")
+    }
+  }
+
+  test("scd2 and rollingSum: ONE shuffle on the key; window passes " +
+    "reuse the partitioning") {
+    withoutAqe {
+      val ev = (0 until 128).map(i =>
+        (i.toLong % 8, i.toLong * 7, s"s${i % 3}", (i % 11).toLong))
+        .toDF("k", "ts", "state", "v")
+      for (df <- Seq(
+        Temporal.scd2(ev, Seq("k"), "ts", "state"),
+        Temporal.rollingSum(ev, Seq("k"), "ts", "v", 50L))) {
+        val plan = executed(df)
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size === 1,
+          s"expected one key shuffle:\n$plan")
+      }
+    }
+  }
+
+  test("funnel perUserReach: ONE shuffle on the user key; the stage " +
+    "filter reaches the scan side") {
+    withoutAqe {
+      val ev = (0 until 256).map(i =>
+        (i.toLong % 16, i.toLong * 3, if (i % 4 == 0) "view"
+        else if (i % 4 == 1) "click" else "noise"))
+        .toDF("user_id", "ts", "event_type")
+      val plan = executed(
+        Funnel.perUserReach(ev, Seq("view", "click"), tsCol = "ts"))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"funnel should be one groupBy shuffle:\n$plan")
+      assert(!plan.toString.contains("Window"),
+        s"the fold must not be a window funnel:\n$plan")
+    }
+  }
+
+  test("cosinePairs: candidates meet by EQUI-join on the term — no " +
+    "cartesian, no nested loop") {
+    withoutAqe {
+      val plan = executed(
+        TextSearch.cosinePairs(docs, num = 1, den = 2, dfCap = 100,
+          ngram = 2, materialize = false))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+        !plan.toString.contains("BroadcastNestedLoop"),
+        s"cosine pair generation planned a product:\n$plan")
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {

@@ -82,6 +82,158 @@ class TemporalSpec extends SparkSpec {
   }
 }
 
+class AsOfNearestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def L = Seq(
+    (1L, 50L, "l-a"), (1L, 10L, "l-b"), (1L, 5L, "l-c"),
+    (2L, 100L, "l-d"), (3L, 7L, "l-e"))
+    .toDF("k", "ts", "obs")
+  private def R = Seq(
+    (1L, 10L, 1.0), (1L, 40L, 2.0), (1L, 60L, 3.0),
+    (2L, 1L, 4.0))
+    .toDF("k", "ts", "quote")
+
+  test("nearest picks the closer side; equidistant resolves backward") {
+    val out = Temporal.asOfJoinNearest(L, R, Seq("k"), rightPrefix = "q_")
+      .select("k", "ts", "q_ts")
+    assert(out.collect().toSet === Set(
+      Row(1L, 50L, 40L), // back 10 beats forward 10: equidistant → backward
+      Row(1L, 10L, 10L), // exact hit
+      Row(1L, 5L, 10L), // only forward exists
+      Row(2L, 100L, 1L), // only backward exists
+      Row(3L, 7L, null))) // key absent on the right
+  }
+
+  test("nearest tolerance nulls both directions independently") {
+    val out = Temporal.asOfJoinNearest(L, R, Seq("k"), rightPrefix = "q_",
+      tolerance = Some(6L)).select("k", "ts", "q_ts")
+    assert(out.collect().toSet === Set(
+      Row(1L, 50L, null), // 40 is 10 back, 60 is 10 fwd: both out of 6
+      Row(1L, 10L, 10L),
+      Row(1L, 5L, 10L), // forward 5 inside the tolerance
+      Row(2L, 100L, null),
+      Row(3L, 7L, null)))
+  }
+
+  test("nearest matches merge_asof on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val li = (1 to 120).map(i => (i % 5L, rnd.nextInt(1000).toLong, i.toLong))
+    val ri = (1 to 80).map(i =>
+      (i % 5L, rnd.nextInt(1000).toLong, i.toDouble))
+    // reference: per left row, min |Δ|, ties toward the backward side,
+    // ties within a side toward... the operator's hash pick — restrict the
+    // reference to rows with a UNIQUE nearest candidate to stay exact
+    val byKey = ri.groupBy(_._1)
+    val want = li.flatMap { case (k, ts, id) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+      if (cands.isEmpty) Some((id, None)) else {
+        val best = cands.map(c => (math.abs(c._2 - ts), c._2 <= ts, c._2))
+        val d = best.map(_._1).min
+        val side = best.filter(_._1 == d)
+        val pick = if (side.exists(_._2)) side.filter(_._2) else side
+        if (pick.map(_._3).distinct.size > 1) None // ambiguous ts: skip
+        else Some((id, Some(pick.head._3)))
+      }
+    }.toMap
+    val got = Temporal.asOfJoinNearest(
+      li.toDF("k", "ts", "id"), ri.toDF("k", "ts", "v"),
+      Seq("k"), rightPrefix = "q_")
+      .select("id", "q_ts").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    want.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"left row $id")
+    }
+  }
+}
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervals compress runs and close at the next change") {
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 5L, "x"))
+      .toDF("k", "ts", "state")
+    val out = Temporal.scd2(ev, Seq("k"), "ts", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, "a", 10L, 30L), // the ts=20 repeat extends, not splits
+      (1L, "b", 30L, 40L),
+      (1L, "a", 40L, -1L), // re-entering a past state opens a NEW interval
+      (2L, "x", 5L, -1L)))
+  }
+
+  test("null attribute values are tracked states, not dropped rows") {
+    val ev = Seq(
+      (1L, 10L, Option.empty[String]), (1L, 20L, Some("a")),
+      (1L, 30L, Option.empty[String]))
+      .toDF("k", "ts", "state")
+    val out = Temporal.scd2(ev, Seq("k"), "ts", "state")
+    assert(out.count() === 3)
+    assert(out.filter("state IS NULL").count() === 2)
+  }
+
+  test("intervals tile the key's timeline: no gaps, no overlaps") {
+    val rnd = new scala.util.Random(3)
+    val ev = (1 to 200).map(i =>
+      (i % 7L, rnd.nextInt(10000).toLong, s"s${rnd.nextInt(3)}"))
+      .distinct
+      .toDF("k", "ts", "state")
+    val rows = Temporal.scd2(ev, Seq("k"), "ts", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .groupBy(_._1)
+    rows.values.foreach { ivs =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 === s2)
+        case _ => ()
+      }
+      assert(sorted.last._3 === Long.MaxValue) // exactly one open interval
+    }
+  }
+}
+
+class RollingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trailing range frame: count and integer sum, inclusive bounds") {
+    val ev = Seq(
+      (1L, 10L, 5L), (1L, 15L, 7L), (1L, 30L, 1L), (2L, 10L, 100L))
+      .toDF("k", "ts", "v")
+    val got = Temporal.rollingSum(ev, Seq("k"), "ts", "v", windowSize = 10L)
+      .select("k", "ts", "roll_n", "roll_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 1L, 5L),
+      (1L, 15L, 2L, 12L), // 10 is 5 back: inside the inclusive frame
+      (1L, 30L, 1L, 1L), // 15 is 15 back: outside
+      (2L, 10L, 1L, 100L)))
+  }
+
+  test("matches a brute-force trailing window on a random corpus") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map(i =>
+      (i % 4L, rnd.nextInt(500).toLong, rnd.nextInt(100).toLong))
+    // brute reference over value-distinct (k, ts): aggregate equal-ts rows
+    // first, as any RANGE frame does
+    val w = 25L
+    val want = rows.map { case (k, ts, _) =>
+      val in = rows.filter(r => r._1 == k && r._2 <= ts && r._2 >= ts - w)
+      ((k, ts), (in.size.toLong, in.map(_._3).sum))
+    }.toMap
+    Temporal.rollingSum(rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", w)
+      .select("k", "ts", "roll_n", "roll_sum").collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert((r.getLong(2), r.getLong(3)) === want(key), s"at $key")
+      }
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
