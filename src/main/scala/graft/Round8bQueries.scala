@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Round-8 second-wave registrations — temporal analytics + graph
@@ -118,7 +119,116 @@ object Round8bQueries {
     "d_cosine_pairs" -> ((s, d) =>
       graft.ops.TextSearch.cosinePairs(
         graft.core.Tables.load(s, d, "documents"),
-        num = 1, den = 2, dfCap = 50, ngram = 3)))
+        num = 1, den = 2, dfCap = 50, ngram = 3)),
+
+    // --- Cohort retention triangle ------------------------------------------
+    // Users cohorted by first-activity ISO week, counted distinct in
+    // every week they return — ONE shuffle on the user key (cohort min +
+    // activity-week set in the same pass), the calendar bounds per-user
+    // state.
+    "a23_retention" -> ((s, d) =>
+      graft.ops.Cohort.retention(graft.core.Tables.events(s, d))),
+
+    // --- ROLLUP multi-level aggregation -------------------------------------
+    // Customer counts + balance cents by (nation, segment) with subtotal
+    // and grand-total levels — the nation dim broadcasts, cents keep the
+    // sums integer-exact across the NULL-marked rollup levels.
+    "a24_rollup" -> ((s, d) => {
+      val cust = graft.core.Tables.load(s, d, "customer")
+      val nat = graft.core.Tables.load(s, d, "nation")
+      // GROUP BY ROLLUP via SQL over the joined view: the DataFrame
+      // `.rollup` API after ANY join trips Spark 4.1's
+      // ambiguous-self-join check (the Expand duplicates grouping attrs);
+      // the SQL form plans the identical Aggregate(Expand) without the
+      // false positive, and the broadcast hint survives the temp view
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("graft_rollup_in")
+      s.sql("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        sum(cents) AS bal_cents
+        FROM graft_rollup_in GROUP BY ROLLUP (n_name, c_mktsegment)""")
+    }),
+
+    // --- PIVOT: per-user event-type counts as columns -----------------------
+    // The explicit value list keeps the pivot a single pass (no
+    // distinct-values pre-query); absent combinations fill 0 so the
+    // frame matches the CASE-sum oracle exactly.
+    "a25_pivot" -> ((s, d) =>
+      graft.core.Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // --- Partition-pruned layout: write partitionBy, read one partition -----
+    // The lang='en' read must touch only the en/ directory (the spec pins
+    // PartitionFilters); the gate value-checks the partition-column
+    // round-trip against the unpartitioned oracle scan.
+    "k15_partitioned_layout" -> ((s, d) => {
+      val out = s"/tmp/graft_part_layout_${sfTag(d).replace(".", "_")}"
+      partitionedDocsMemo.synchronized {
+        var m = partitionedDocsMemo.get(s.sparkContext)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+          partitionedDocsMemo.put(s.sparkContext, m)
+        }
+        m.computeIfAbsent(d, _ => {
+          graft.core.Tables.load(s, d, "documents")
+            .write.mode("overwrite").partitionBy("lang").parquet(out)
+          out
+        })
+      }
+      s.read.parquet(out).filter(col("lang") === "en")
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"))
+    }),
+
+    // --- Streaming left-outer interval join ---------------------------------
+    // The outer twin of w_stream_join: clicks keep a null-padded row when
+    // no error precedes them within 24 h. Outer emission is watermark-
+    // driven, so a far-future sentinel on BOTH feeds pushes the watermark
+    // past every real row before the sink is read; sentinels filter out.
+    "w_stream_join_outer" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val tag = sfTag(d).replace(".", "_")
+        def feed(kind: String) = Round6Queries.eventsFeed(ss, d)
+          .filter(_._4 == kind).map(r => (r._1, r._2, r._3))
+        val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val memR = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val out = graft.streaming.EventStreams.intervalJoin(
+          memL.toDS().toDF("event_id", "ts", "user_id"),
+          memR.toDS().toDF("event_id", "ts", "user_id"),
+          lookbackMinutes = 24 * 60, joinType = "left_outer")
+        val sink = s"w_stream_join_outer_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val clicks = feed("click"); val errors = feed("error")
+          val maxTs = (clicks ++ errors).map(_._2.getTime).max
+          val sentinel = (-1L,
+            new java.sql.Timestamp(maxTs + 30L * 86400000L), -1L)
+          memL.addData(clicks: _*); memR.addData(errors: _*)
+          q.processAllAvailable()
+          memL.addData(sentinel); memR.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("r_event_id"),
+            unix_micros(col("r_ts")).as("r_ts_us"))
+      }))
+
+  private def sfTag(d: String): String = new java.io.File(d).getName
+
+  private val partitionedDocsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def bfsOracle(levels: Int): String = {
     val steps = (1 to levels).map { i =>
@@ -229,6 +339,61 @@ object Round8bQueries {
         |FROM events WHERE event_type = 'click'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin,
+
+    "a23_retention" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, min(p) AS cohort FROM a GROUP BY 1
+        |)
+        |SELECT c.cohort, (a.p - c.cohort) // 7 AS period_no,
+        |  count(*) AS active_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2
+        |""".stripMargin,
+
+    "a24_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |""".stripMargin,
+
+    "a25_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1
+        |""".stripMargin,
+
+    "k15_partitioned_layout" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT)
+        |  AS chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1
+        |""".stripMargin,
+
+    "w_stream_join_outer" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id AS r_user_id, event_id AS r_event_id,
+        |    epoch_us(ts) AS r_ts_us
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, r.r_event_id, r.r_ts_us
+        |FROM l LEFT JOIN r ON l.user_id = r.r_user_id
+        |  AND r.r_ts_us BETWEEN l.ts_us - 86400000000 AND l.ts_us
         |""".stripMargin,
 
     "d_cosine_pairs" ->

@@ -135,13 +135,24 @@ object EventStreams {
     * is load-bearing (an unbounded "r_ts <= ts" alone would keep every
     * left row forever).
     *
-    * Inner join; right columns come back `r_`-prefixed (the join key
-    * deduplicated). At scale this is one shuffle per side on the key —
-    * the equi-key dominates the join, the time range is a post-filter in
-    * the same stage, so no range fan-out and no nested-loop plan. */
+    * Right columns come back `r_`-prefixed (the join key deduplicated).
+    * At scale this is one shuffle per side on the key — the equi-key
+    * dominates the join, the time range is a post-filter in the same
+    * stage, so no range fan-out and no nested-loop plan.
+    *
+    * `joinType`: "inner" (default) or "left_outer". Outer semantics in a
+    * stream are WATERMARK-DRIVEN: a left row with no match emits its
+    * null-padded row only once the watermark proves no admissible right
+    * row can still arrive (the same two-sided bound that lets state
+    * evict is what makes the no-match decision final). Until the
+    * watermark passes a row's horizon, its outer result is simply not
+    * yet emitted — the batch face emits it immediately. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String = "user_id", lookbackMinutes: Int = 60,
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported interval-join type: $joinType")
     val l = left.withWatermark("ts", watermark)
     val r = right.columns
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, "r_" + c))
@@ -149,7 +160,8 @@ object EventStreams {
     l.join(r,
       col(key) === col("r_" + key) &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
-        col("r_ts") <= col("ts"))
+        col("r_ts") <= col("ts"),
+      joinType)
       .drop("r_" + key)
   }
 

@@ -332,6 +332,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy layout: a partition-column predicate becomes a " +
+    "PartitionFilter at the scan — pruned directories, no data filter") {
+    withoutAqe {
+      val p = s"${tmpDir("ps_layout")}/docs"
+      docs.write.partitionBy("source").parquet(p)
+      val read = spark.read.parquet(p).filter(col("source") === "src1")
+        .select("doc_id", "text")
+      val scan = executed(read).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "expected a file scan")
+      val s = scan.head.toString
+      assert(s.contains("PartitionFilters") && s.contains("src1"),
+        s"partition predicate did not reach the scan:\n$s")
+      // the predicate must NOT degrade to a post-scan data filter
+      assert(s.contains("DataFilters: []"),
+        s"partition column leaked into data filters:\n$s")
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {

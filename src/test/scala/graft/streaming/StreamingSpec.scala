@@ -46,6 +46,32 @@ class StreamingSpec extends SparkSpec {
       (12L, 23L))) // key 2 only sees key-2 rows
   }
 
+  test("intervalJoin left_outer: null-padded rows stream out once the " +
+    "watermark proves no match can arrive") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val out = EventStreams.intervalJoin(
+      memL.toDS().toDF("event_id", "ts", "user_id"),
+      memR.toDS().toDF("event_id", "ts", "user_id"),
+      lookbackMinutes = 60, watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      memL.addData((10L, ts(60), 1L), (11L, ts(200), 1L))
+      memR.addData((21L, ts(60), 1L)) // matches 10, not 11
+      q.processAllAvailable()
+      // sentinel far past every horizon forces the outer emission
+      memL.addData((99L, ts(5000), 9L)); memR.addData((98L, ts(5000), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_outer").filter("user_id != 9")
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((10L, Some(21L)), (11L, None)))
+  }
+
   test("enrich: stream-static broadcast join, per micro-batch, inner") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq((100L, "gold"), (200L, "basic")).toDF("cust", "tier")
