@@ -36,6 +36,31 @@ object Profile {
         element_at(col("pcts"), 1).as("p50_approx"),
         element_at(col("pcts"), 2).as("p95_approx"))
 
+  /** Persistable per-key HLL sketch STATES (Apache DataSketches binary
+    * blobs) — the pre-aggregation side of the mergeable-profile story:
+    * each snapshot/partition/day writes its own state table once, and
+    * corpus-wide cardinalities then come from merging driver-free,
+    * without ever rescanning the raw snapshots. This is the standard
+    * telemetry-rollup posture at 100 TB (sketch once per ingest, union
+    * forever); [[sketchProfile]] is the one-shot flavor.
+    *
+    * Output: (keyCol, hll_state: Binary, n: Long) — parquet-safe. */
+  def hllStates(df: DataFrame, keyCol: String, idCol: String,
+                lgK: Int = 12): DataFrame =
+    df.groupBy(keyCol)
+      .agg(hll_sketch_agg(col(idCol), lit(lgK)).as("hll_state"),
+        count(lit(1)).as("n"))
+
+  /** Merge persisted sketch states (any number of snapshots unioned into
+    * `states`) back to per-key estimates. Union is associative and
+    * commutative, so snapshot arrival order never matters; counts sum
+    * exactly alongside. Output: (keyCol, n_distinct_approx, n). */
+  def mergeHllStates(states: DataFrame, keyCol: String): DataFrame =
+    states.groupBy(keyCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_state")))
+        .as("n_distinct_approx"),
+        sum("n").as("n"))
+
   /** Exact per-key heavy hitters: the k most frequent `valueCol` values
     * per `keyCol`, rank-ordered (count DESC, value ASC) — the "what
     * dominates each slice" profile question (top domains per language,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def files(dir: String, suffix: String): Seq[File] =
+    new File(dir).listFiles().toSeq
+      .filter(f => f.getName.endsWith(suffix) && !f.getName.startsWith("_"))
+
+  test("compact: exact file count, content preserved, in-file order") {
+    val dir = tmpDir("layout_compact")
+    val in = s"$dir/in"
+    // 8 small input files, unsorted ids
+    (0 until 200).map(i => ((i * 37) % 200L, s"row$i"))
+      .toDF("id", "payload").repartition(8).write.parquet(in)
+    assert(files(in, ".parquet").size === 8)
+    val out = s"$dir/out"
+    val back = Layout.compact(spark, in, out, numFiles = 2, Seq("id"))
+    assert(files(out, ".parquet").size === 2)
+    // content identical as a multiset
+    assert(back.as[(Long, String)].collect().sorted.toSeq ===
+      spark.read.parquet(in).as[(Long, String)].collect().sorted.toSeq)
+    // each physical file is internally sorted by id
+    files(out, ".parquet").foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"unsorted file ${f.getName}")
+    }
+  }
+
+  test("compacted layout: a sort-column predicate pushes to the parquet " +
+    "reader (min/max row-group pruning input)") {
+    val dir = tmpDir("layout_push")
+    val in = s"$dir/in"
+    (0 until 200).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "payload").repartition(4).write.parquet(in)
+    val out = s"$dir/out"
+    Layout.compact(spark, in, out, numFiles = 2, Seq("id"))
+    val read = spark.read.parquet(out).filter(col("id") === 42L)
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(id,42)"),
+      s"predicate not pushed to the reader:\n$scan")
+  }
+
+  test("exportJsonl: gzipped shard files, schema-pinned round-trip") {
+    val dir = tmpDir("layout_jsonl")
+    val df = (0 until 100).map(i =>
+      (i.toLong, s"text with \"quotes\" and\ttabs $i", i % 5))
+      .toDF("doc_id", "text", "label")
+    val out = s"$dir/shards"
+    val back = Layout.exportJsonl(df, out, shards = 3)
+    assert(files(out, ".json.gz").size === 3)
+    // pinned names+types, not inferred (the reader legitimately widens
+    // nullability — a JSON field can always be absent)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Int)].collect().sorted.toSeq ===
+      df.as[(Long, String, Int)].collect().sorted.toSeq)
+  }
+}
