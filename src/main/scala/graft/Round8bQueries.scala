@@ -210,6 +210,43 @@ object Round8bQueries {
       s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(out)
     }),
 
+    // --- Deterministic random walks (embedding-corpus generator) ------------
+    // DeepWalk-posture walks over the co-purchase graph: step t of walk w
+    // moves to the neighbor minimizing (md5(w:t:v), v) — hash-seeded,
+    // partitioning/engine-independent, so the walk corpus is reproducible
+    // and the oracle (per-step row_number argmin, unrolled) exact.
+    "g10_random_walks" -> ((s, d) =>
+      graft.bel.RandomWalks.walks(Round8Queries.coPurchaseEdges(s, d),
+        steps = 4)),
+
+    // --- Skip-gram (center, context) pairs from the walk corpus -------------
+    // The embedder-input hop: ordered position pairs within a ±2 band
+    // per walk, aggregated to counts — self-join on walk_id only, fan-out
+    // bounded by 2·window·(steps+1) per walk.
+    "g12_skipgram_pairs" -> ((s, d) =>
+      graft.bel.RandomWalks.skipGramPairs(
+        graft.bel.RandomWalks.walks(Round8Queries.coPurchaseEdges(s, d),
+          steps = 4),
+        window = 2)),
+
+    // --- Deterministic KG negative sampling ---------------------------------
+    // Corrupt-object negatives for the (order)-[contains]->(part) triple
+    // set (every 20th order): entities bucket by salted md5, each
+    // (triple, slot) draws from ONE bucket (|E|/buckets join fan-out),
+    // argmin picks the candidate, a LEFT ANTI join removes any drawn
+    // true triple. Same negatives every run, every engine.
+    "g11_negative_samples" -> ((s, d) => {
+      val triples = graft.core.Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("s"), lit("contains").as("r"),
+          col("l_partkey").as("o"))
+        .distinct()
+      val entities = graft.core.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("e"))
+      graft.bel.NegativeSampling.corruptObjects(triples, entities,
+        k = 2, buckets = 16)
+    }),
+
     // --- Mergeable sketch states across persisted snapshots -----------------
     // The telemetry-rollup posture: two disjoint "snapshots" each persist
     // a per-key HLL state table once; corpus cardinalities then come from
@@ -302,6 +339,46 @@ object Round8bQueries {
     }
     perKey.computeIfAbsent(key, _ => build())
   }
+
+  /** Shared walk-corpus CTE chain (steps unrolled, argmin per step) —
+    * both the walks gate and the skip-gram gate read the same corpus. */
+  private def walksCte(steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s""", s$i AS MATERIALIZED (
+         |  SELECT walk_id, v AS cur FROM (
+         |    SELECT w.walk_id, adj.v,
+         |      row_number() OVER (PARTITION BY w.walk_id
+         |        ORDER BY md5(CAST(w.walk_id AS VARCHAR) || ':$i:' ||
+         |          CAST(adj.v AS VARCHAR)), adj.v) AS rn
+         |    FROM s${i - 1} w JOIN adj ON w.cur = adj.u)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString("\n")
+    val unions = (1 to steps).map(i =>
+      s"  UNION ALL SELECT walk_id, $i, cur FROM s$i").mkString("\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+       |), s0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS walk_id, u AS cur FROM adj
+       |)
+       |$stepCtes
+       |, wr AS MATERIALIZED (
+       |  SELECT CAST(walk_id AS BIGINT) AS walk_id, 0 AS pos,
+       |    CAST(walk_id AS BIGINT) AS node FROM s0
+       |$unions
+       |)""".stripMargin
+  }
+
+  private def walksOracle(steps: Int): String =
+    s"""${walksCte(steps)}
+       |SELECT walk_id, pos, node FROM wr
+       |""".stripMargin
 
   private def bfsOracle(levels: Int): String = {
     val steps = (1 to levels).map { i =>
@@ -464,6 +541,48 @@ object Round8bQueries {
     "a26_sketch_merge" ->
       ("SELECT true AS merge_counts_exact, " +
         "true AS merge_estimate_within_5pct"),
+
+    "g10_random_walks" -> walksOracle(4),
+
+    "g12_skipgram_pairs" ->
+      s"""${walksCte(4)}
+         |SELECT a.node AS center, b.node AS context, count(*) AS n
+         |FROM wr a JOIN wr b
+         |  ON a.walk_id = b.walk_id AND a.pos <> b.pos
+         |  AND abs(a.pos - b.pos) <= 2
+         |GROUP BY 1, 2
+         |""".stripMargin,
+
+    "g11_negative_samples" ->
+      """WITH tr AS (
+        |  SELECT DISTINCT l_orderkey AS s, 'contains' AS r,
+        |    l_partkey AS o
+        |  FROM lineitem WHERE l_orderkey % 20 = 0
+        |), ent AS (
+        |  SELECT DISTINCT p_partkey AS e,
+        |    ('0x' || substring(md5(CAST(p_partkey AS VARCHAR) ||
+        |      ':negbucket'), 1, 8))::BIGINT % 16 AS b
+        |  FROM part
+        |), slots AS (
+        |  SELECT s, r, o, slot,
+        |    ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || r ||
+        |      ':' || CAST(o AS VARCHAR) || ':' ||
+        |      CAST(slot AS VARCHAR) || ':negslot'), 1, 8))::BIGINT % 16
+        |      AS b
+        |  FROM tr, (SELECT unnest([0, 1]) AS slot)
+        |), drawn AS (
+        |  SELECT s, r, o, slot, e,
+        |    row_number() OVER (PARTITION BY s, r, o, slot
+        |      ORDER BY md5(CAST(s AS VARCHAR) || ':' || r || ':' ||
+        |        CAST(o AS VARCHAR) || ':' || CAST(slot AS VARCHAR) ||
+        |        ':' || CAST(e AS VARCHAR)), e) AS rn
+        |  FROM slots JOIN ent USING (b)
+        |), neg AS (
+        |  SELECT s, r, o, slot, e AS neg_o FROM drawn WHERE rn = 1
+        |)
+        |SELECT n.s, n.r, n.o, n.slot, n.neg_o FROM neg n
+        |ANTI JOIN tr t ON t.s = n.s AND t.r = n.r AND t.o = n.neg_o
+        |""".stripMargin,
 
     "w_stream_join_outer" ->
       """WITH l AS (

@@ -1,0 +1,71 @@
+package graft.bel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic negative sampling for KG-embedding training — the
+  * corrupt-triple generator every translational/factorization embedder
+  * (TransE, DistMult, …) trains against. The reference's triples export
+  * feeds exactly this consumer (`io/automate.py:30-46` exports
+  * (source, relation, target) TSV "ready to use in PyKEEN"); sampling
+  * negatives is the immediately-next step of that pipeline, and the
+  * naive formulation (pick a random entity per triple, reject true
+  * triples) is both nondeterministic and — done relationally — a
+  * triples×entities cross join.
+  *
+  * Shape here: entities hash into `buckets` via the shared salted-md5
+  * draw (`ops/TrainingPrep` discipline — no `rand()`, reproducible,
+  * engine-exact); each (triple, k) candidate slot hashes to ONE bucket
+  * and equi-joins only that bucket's entities, picking the entity
+  * minimizing `(md5(s:r:o:k:e), e)`. Per-slot join fan-out is |E|/buckets
+  * — bounded and tunable — and every join is an equi-join. A final
+  * LEFT ANTI join against the true triple set removes false negatives
+  * (including the original object: (s, r, o) is itself a true triple).
+  *
+  * Determinism means a re-run, a different partitioning, or a different
+  * engine produces the SAME negatives — corrupted training sets are
+  * reproducible artifacts, not throwaway randomness.
+  *
+  * Output: (sCol, relCol, oCol, slot, neg_o) — `slot` in 0..k-1; slots
+  * whose drawn candidate was a true triple are dropped, so a triple can
+  * emit fewer than k negatives (the standard filtered-sampling
+  * contract).
+  */
+object NegativeSampling {
+
+  private def hexDraw(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def corruptObjects(triples: DataFrame, entities: DataFrame, k: Int,
+                     buckets: Int, sCol: String = "s", relCol: String = "r",
+                     oCol: String = "o"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val entCol = entities.columns.head
+    val ent = entities.select(col(entCol).as("e")).distinct()
+      .withColumn("__b",
+        pmod(hexDraw(concat(col("e").cast("string"), lit(":negbucket"))),
+          lit(buckets.toLong)))
+    val slots = triples
+      .select(col(sCol), col(relCol), col(oCol),
+        explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("__b", pmod(hexDraw(concat_ws(":",
+        col(sCol).cast("string"), col(relCol).cast("string"),
+        col(oCol).cast("string"), col("slot").cast("string"),
+        lit("negslot"))), lit(buckets.toLong)))
+    val drawn = slots.join(ent, "__b")
+      .withColumn("__h", md5(concat_ws(":",
+        col(sCol).cast("string"), col(relCol).cast("string"),
+        col(oCol).cast("string"), col("slot").cast("string"),
+        col("e").cast("string"))))
+      .groupBy(sCol, relCol, oCol, "slot")
+      .agg(min(struct(col("__h"), col("e"))).as("pick"))
+      .select(col(sCol), col(relCol), col(oCol), col("slot"),
+        col("pick.e").as("neg_o"))
+    drawn.join(
+      triples.select(col(sCol), col(relCol), col(oCol).as("neg_o")),
+      Seq(sCol, relCol, "neg_o"), "left_anti")
+      .select(col(sCol), col(relCol), col(oCol), col("slot"),
+        col("neg_o"))
+  }
+}
