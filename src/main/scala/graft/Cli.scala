@@ -47,6 +47,8 @@ import graft.sources._
   *   graft.Cli bfs       [--edges P | --sf-dir D] [--seeds 1,2] [--max-depth N]
   *   graft.Cli scd2      [--input P | --sf-dir D] [--key K] [--ts T] [--attr A] --out DIR
   *   graft.Cli cosine-pairs [--docs P | --sf-dir D] --out DIR [--num N] [--den D] [--df-cap C] [--ngram G]
+  *   graft.Cli walks     [--edges P | --sf-dir D] --out DIR [--steps N] [--window W]
+  *   graft.Cli neg-samples [--triples P] [--entities P] --out DIR [--k K] [--buckets B]
   */
 object Cli {
 
@@ -390,6 +392,34 @@ object Cli {
           ngram = opts.getOrElse("ngram", "3").toInt)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} pairs -> $out")
+      case "walks" => // deterministic embedding walks (g10/g12)
+        val out = opts.getOrElse("out", s"$warehouse/_walks")
+        val edges = opts.get("edges").map(spark.read.parquet(_))
+          .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
+        val w = graft.bel.RandomWalks.walks(edges,
+          steps = opts.getOrElse("steps", "4").toInt)
+        val result = opts.get("window") match {
+          case Some(win) =>
+            graft.bel.RandomWalks.skipGramPairs(w, win.toInt)
+          case None => w
+        }
+        result.write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} rows -> $out")
+      case "neg-samples" => // KG negative sampling (g11)
+        val out = opts.getOrElse("out", s"$warehouse/_negatives")
+        val triples = opts.get("triples").map(spark.read.parquet(_))
+          .getOrElse {
+            graft.core.Tables.load(spark, sfDir, "lineitem")
+              .select(col("l_orderkey").as("s"), lit("contains").as("r"),
+                col("l_partkey").as("o")).distinct()
+          }
+        val entities = opts.get("entities").map(spark.read.parquet(_))
+          .getOrElse(triples.select(col("o").as("e")))
+        graft.bel.NegativeSampling.corruptObjects(triples, entities,
+          k = opts.getOrElse("k", "2").toInt,
+          buckets = opts.getOrElse("buckets", "16").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} negatives -> $out")
       case "profile" => // sketch-based corpus profile (a15_sketch_profile)
         val table = opts.getOrElse("table", "events")
         val (key, id, value) =
@@ -410,7 +440,8 @@ object Cli {
           "edgelist nodelink triples er curate-v2 ivfadc search dup-spans " +
           "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
           "semantic-dedup kcore index-build dedup-incremental " +
-          "quality-filter top-values lm-score funnel bfs scd2 cosine-pairs")
+          "quality-filter top-values lm-score funnel bfs scd2 " +
+          "cosine-pairs walks neg-samples")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

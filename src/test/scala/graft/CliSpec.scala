@@ -166,6 +166,32 @@ class CliSpec extends SparkSpec {
     assert(rows.count() === 1) // docs 1-2 share 3 of 4 bigrams
   }
 
+  test("walks --edges --window writes skip-gram pairs") {
+    val dir = tmpDir("cliwalks")
+    val path = s"$dir/edges.parquet"
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .write.parquet(path)
+    val out = s"$dir/pairs"
+    Cli.main(Array("walks", "--edges", path, "--out", out,
+      "--steps", "3", "--window", "1"))
+    assert(spark.read.parquet(out).count() > 0)
+  }
+
+  test("neg-samples --triples --entities writes deterministic negatives") {
+    val dir = tmpDir("clineg")
+    val tp = s"$dir/triples.parquet"
+    Seq((1L, "r", 10L), (2L, "r", 11L)).toDF("s", "r", "o")
+      .write.parquet(tp)
+    val ep = s"$dir/entities.parquet"
+    (10L to 19L).toDF("e").write.parquet(ep)
+    val out = s"$dir/neg"
+    Cli.main(Array("neg-samples", "--triples", tp, "--entities", ep,
+      "--out", out, "--k", "2", "--buckets", "2"))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.columns.contains("neg_o"))
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"

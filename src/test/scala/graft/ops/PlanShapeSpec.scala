@@ -352,6 +352,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("negative sampling: bucket equi-join only — no cartesian over " +
+    "triples x entities, no nested loop") {
+    withoutAqe {
+      val triples = (1 to 64).map(i => (i.toLong % 8, "r", i.toLong % 16))
+        .distinct.toDF("s", "r", "o")
+      val entities = (0L to 63L).toDF("e")
+      val plan = executed(graft.bel.NegativeSampling.corruptObjects(
+        triples, entities, k = 2, buckets = 4))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+        !plan.toString.contains("BroadcastNestedLoop"),
+        s"negative sampling planned a product:\n$plan")
+      assert(plan.toString.contains("LeftAnti"),
+        s"expected the true-triple anti-join:\n$plan")
+    }
+  }
+
+  test("skipGramPairs: walk-scoped equi-join, band filter rides the " +
+    "join stage — no cartesian") {
+    withoutAqe {
+      val rows = (0 until 128).map(i => (i.toLong % 16, i % 5, i.toLong))
+        .toDF("walk_id", "pos", "node")
+      val plan = executed(graft.bel.RandomWalks.skipGramPairs(rows, 2))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+        !plan.toString.contains("BroadcastNestedLoop"),
+        s"skip-gram pairing planned a product:\n$plan")
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {
