@@ -74,6 +74,14 @@ object Round8bQueries {
       graft.ops.Funnel.reach(graft.core.Tables.events(s, d),
         Seq("view", "click", "purchase"))),
 
+    // --- Funnel conversion-lag statistics -----------------------------------
+    // Per transition (view→click, click→purchase): how many users
+    // converted and how long it took — exact integer measures only
+    // (count, µs sum/min/max), one pass over the per-user reach frame.
+    "a27_conversion_lag" -> ((s, d) =>
+      graft.ops.Funnel.transitionLags(graft.core.Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
     // --- As-of join: nearest direction + tolerance --------------------------
     // Nearest error state within ±10 minutes of each click; equidistant
     // candidates resolve backward (the causally safe default). Right side
@@ -232,9 +240,14 @@ object Round8bQueries {
     // --- Deterministic KG negative sampling ---------------------------------
     // Corrupt-object negatives for the (order)-[contains]->(part) triple
     // set (every 20th order): entities bucket by salted md5, each
-    // (triple, slot) draws from ONE bucket (|E|/buckets join fan-out),
-    // argmin picks the candidate, a LEFT ANTI join removes any drawn
-    // true triple. Same negatives every run, every engine.
+    // (triple, slot) draws from ONE bucket, argmin picks the candidate,
+    // a LEFT ANTI join removes any drawn true triple. Same negatives
+    // every run, every engine. Bucket count scales with the entity set
+    // (target bucket size ~32): a FIXED small bucket count is the
+    // anti-pattern — 16 distinct join keys over 20k entities planned 16
+    // skewed sort-merge groups and 75M buffered candidates (132 s at
+    // sf0.1); |E|/32 buckets keeps the join key space wide and per-slot
+    // fan-out constant, independent of corpus scale.
     "g11_negative_samples" -> ((s, d) => {
       val triples = graft.core.Tables.load(s, d, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
@@ -243,8 +256,11 @@ object Round8bQueries {
         .distinct()
       val entities = graft.core.Tables.load(s, d, "part")
         .select(col("p_partkey").as("e"))
+      // dimension-sized driver count (the part table), mirrored exactly
+      // by the oracle's scalar subquery
+      val buckets = math.max(16L, entities.distinct().count() / 32L).toInt
       graft.bel.NegativeSampling.corruptObjects(triples, entities,
-        k = 2, buckets = 16)
+        k = 2, buckets = buckets)
     }),
 
     // --- Mergeable sketch states across persisted snapshots -----------------
@@ -431,6 +447,32 @@ object Round8bQueries {
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |""".stripMargin,
 
+    "a27_conversion_lag" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT 'view->click' AS transition, count(*) AS n,
+        |  CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) AS sum_lag_us,
+        |  min(epoch_us(t2) - epoch_us(t1)) AS min_lag_us,
+        |  max(epoch_us(t2) - epoch_us(t1)) AS max_lag_us
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT 'click->purchase', count(*),
+        |  CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT),
+        |  min(epoch_us(t3) - epoch_us(t2)),
+        |  max(epoch_us(t3) - epoch_us(t2))
+        |FROM s3 JOIN s2 USING (user_id)
+        |""".stripMargin,
+
     "j14_asof_nearest" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
@@ -554,21 +596,24 @@ object Round8bQueries {
          |""".stripMargin,
 
     "g11_negative_samples" ->
-      """WITH tr AS (
+      """WITH nb AS (
+        |  SELECT greatest(16, count(DISTINCT p_partkey) // 32) AS b
+        |  FROM part
+        |), tr AS (
         |  SELECT DISTINCT l_orderkey AS s, 'contains' AS r,
         |    l_partkey AS o
         |  FROM lineitem WHERE l_orderkey % 20 = 0
         |), ent AS (
         |  SELECT DISTINCT p_partkey AS e,
         |    ('0x' || substring(md5(CAST(p_partkey AS VARCHAR) ||
-        |      ':negbucket'), 1, 8))::BIGINT % 16 AS b
+        |      ':negbucket'), 1, 8))::BIGINT % (SELECT b FROM nb) AS b
         |  FROM part
         |), slots AS (
         |  SELECT s, r, o, slot,
         |    ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || r ||
         |      ':' || CAST(o AS VARCHAR) || ':' ||
-        |      CAST(slot AS VARCHAR) || ':negslot'), 1, 8))::BIGINT % 16
-        |      AS b
+        |      CAST(slot AS VARCHAR) || ':negslot'), 1, 8))::BIGINT
+        |      % (SELECT b FROM nb) AS b
         |  FROM tr, (SELECT unnest([0, 1]) AS slot)
         |), drawn AS (
         |  SELECT s, r, o, slot, e,

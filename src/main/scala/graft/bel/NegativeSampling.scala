@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * LEFT ANTI join against the true triple set removes false negatives
   * (including the original object: (s, r, o) is itself a true triple).
   *
+  * Size `buckets` ≈ |E|/32: the bucket COUNT is the join's key space, so
+  * a small constant (16) over a large entity set plans a few giant
+  * skewed join groups — measured 132 s vs ~2 s at sf0.1 for identical
+  * output. Scaling buckets with |E| keeps per-slot fan-out constant and
+  * the join fully parallel at any corpus size.
+  *
   * Determinism means a re-run, a different partitioning, or a different
   * engine produces the SAME negatives — corrupted training sets are
   * reproducible artifacts, not throwaway randomness.

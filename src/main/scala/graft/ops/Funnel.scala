@@ -79,6 +79,42 @@ object Funnel {
       .drop("evs")
   }
 
+  /** Conversion-lag statistics per funnel transition: for every user who
+    * reached stage i+1, the time from their stage-i reach to their
+    * stage-(i+1) reach. Exact integer measures only (count, µs sum,
+    * µs min/max) — trailing means are a single division away for the
+    * consumer, and everything emitted is engine-bit-exact.
+    * Output: (transition, n, sum_lag_us, min_lag_us, max_lag_us), one
+    * row per adjacent stage pair with ≥ 1 converting user. */
+  def transitionLags(events: DataFrame, stages: Seq[String],
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "transition lags need at least two stages")
+    require(Seq(org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType)
+      .contains(events.schema(tsCol).dataType),
+      s"transitionLags needs a timestamp ts column (µs lags); " +
+        s"'$tsCol' is ${events.schema(tsCol).dataType.sql}")
+    val per = perUserReach(events, stages, keyCol, tsCol, typeCol)
+    // one pass over the per-user frame: every transition's lag computed
+    // in-row (null when the later stage was not reached), exploded, and
+    // folded by one hash-aggregation — never a scan per stage pair
+    val transitions = array(
+      stages.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
+        struct(lit(s"${pair.head}->${pair.last}").as("transition"),
+          when(col("depth") >= i + 2,
+            unix_micros(element_at(col("reach_ts"), i + 2)
+              .cast("timestamp")) -
+              unix_micros(element_at(col("reach_ts"), i + 1)
+                .cast("timestamp"))).as("lag_us"))
+      }: _*)
+    per.select(explode(transitions).as("t"))
+      .filter(col("t.lag_us").isNotNull)
+      .groupBy(col("t.transition").as("transition"))
+      .agg(count(lit(1)).as("n"), sum("t.lag_us").as("sum_lag_us"),
+        min("t.lag_us").as("min_lag_us"), max("t.lag_us").as("max_lag_us"))
+  }
+
   /** Per-stage reach counts: one row per stage —
     * `(stage, stage_name, users)`, `users` monotonically non-increasing
     * down the funnel. The depth histogram is stage-count-sized, so the

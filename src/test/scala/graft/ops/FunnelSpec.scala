@@ -76,6 +76,32 @@ class FunnelSpec extends SparkSpec {
       ev.filter(e => stages.contains(e._3)).map(_._1).toSet)
   }
 
+  test("transitionLags: exact integer lag stats per adjacent stage pair") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val ev = Seq(
+      // u1: view@1000 -> click@3000 -> buy@3500
+      (1L, ts(1000), "view"), (1L, ts(3000), "click"), (1L, ts(3500), "buy"),
+      // u2: view@0 -> click@10000, never buys
+      (2L, ts(0), "view"), (2L, ts(10000), "click"),
+      // u3: only views
+      (3L, ts(42), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.transitionLags(ev, stages)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      "view->click" -> ((2L, 12000000L, 2000000L, 10000000L)),
+      "click->buy" -> ((1L, 500000L, 500000L, 500000L))))
+  }
+
+  test("transitionLags rejects non-timestamp ts columns") {
+    val ev = Seq((1L, 5L, "view")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.transitionLags(ev, stages)
+    }
+  }
+
   test("funnel counts are monotonically non-increasing") {
     val rnd = new scala.util.Random(23)
     val types = Seq("view", "click", "buy")
