@@ -49,6 +49,7 @@ import graft.sources._
   *   graft.Cli cosine-pairs [--docs P | --sf-dir D] --out DIR [--num N] [--den D] [--df-cap C] [--ngram G]
   *   graft.Cli walks     [--edges P | --sf-dir D] --out DIR [--steps N] [--window W]
   *   graft.Cli neg-samples [--triples P] [--entities P] --out DIR [--k K] [--buckets B]
+  *   graft.Cli prepare-training [--docs P | --sf-dir D] --out DIR [--seq-len N] [--shards K] [--merges M] [--lang L] [--min-words W]
   */
 object Cli {
 
@@ -392,6 +393,34 @@ object Cli {
           ngram = opts.getOrElse("ngram", "3").toInt)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} pairs -> $out")
+      case "prepare-training" => // the full curate→dedup→BPE→pack chain
+        val out = opts.getOrElse("out", s"$warehouse/_training")
+        val budget = opts.getOrElse("seq-len", "256").toInt
+        val shards = opts.getOrElse("shards", "8").toInt
+        val merges = opts.getOrElse("merges", "60").toInt
+        import graft.ops.{Bpe, Dedup, TextAnalysis, TrainingPrep}
+        val docs = spark.read.parquet(docsPath)
+        val quality = TextAnalysis.qualityMetrics(docs)
+          .filter(col("n_tokens") >= opts.getOrElse("min-words", "10").toInt
+            && col("alpha_ratio") >= 0.5)
+        val rep = TextAnalysis.repetitionMetrics(quality)
+          .filter(col("dup_word_frac") <= 0.5 &&
+            col("max_word_freq_frac") <= 0.12)
+          .filter(TextAnalysis.langId(col("text")) ===
+            opts.getOrElse("lang", "en"))
+        val survivors = Dedup.exactSurvivors(docs)
+          .select(col("survivor_id").as("doc_id"))
+        val curated = rep.join(survivors, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text")
+        val m = Bpe.train(curated.select(col("text")),
+          numMerges = merges, topWords = 20000)
+        TrainingPrep.packTokens(curated, m, budgetTokens = budget,
+          shards = shards)
+          .write.mode("overwrite").parquet(out)
+        val rows = spark.read.parquet(out)
+        println(s"wrote ${rows.count()} packed (shard, bin) rows " +
+          s"covering ${rows.agg(sum("n_tokens")).head.getLong(0)} " +
+          s"tokens -> $out")
       case "walks" => // deterministic embedding walks (g10/g12)
         val out = opts.getOrElse("out", s"$warehouse/_walks")
         val edges = opts.get("edges").map(spark.read.parquet(_))
@@ -441,7 +470,7 @@ object Cli {
           "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
-          "cosine-pairs walks neg-samples")
+          "cosine-pairs walks neg-samples prepare-training")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

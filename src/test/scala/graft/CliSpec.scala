@@ -192,6 +192,21 @@ class CliSpec extends SparkSpec {
     assert(rows.columns.contains("neg_o"))
   }
 
+  test("prepare-training chains curate -> dedup -> BPE -> pack into " +
+    "loader-shaped (shard, bin) rows") {
+    val dir = tmpDir("clipreptrain")
+    val docs = writeDocs(dir)
+    val out = s"$dir/training"
+    Cli.main(Array("prepare-training", "--docs", docs, "--out", out,
+      "--seq-len", "64", "--shards", "2", "--merges", "20"))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.columns.toSet ===
+      Set("shard", "bin", "doc_ids", "tokens", "n_tokens"))
+    // every bin's token stream is non-empty and within a doc of budget
+    assert(rows.filter(size(col("tokens")) === 0).count() === 0)
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
