@@ -218,6 +218,18 @@ object Round8bQueries {
       s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(out)
     }),
 
+    // --- Corpus drift report between snapshots ------------------------------
+    // "The new crawl landed — did the distribution move?" Snapshot A =
+    // even doc ids, snapshot B = odd; per language: vocab sizes, words
+    // new/vanished, token volumes, L1 count-vector distance — all exact
+    // integers, one full-outer equi-join on (lang, word).
+    "t_drift_report" -> ((s, d) => {
+      val docs = graft.core.Tables.load(s, d, "documents")
+      graft.ops.TextAnalysis.driftReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+
     // --- Deterministic random walks (embedding-corpus generator) ------------
     // DeepWalk-posture walks over the co-purchase graph: step t of walk w
     // moves to the neighbor minimizing (md5(w:t:v), v) — hash-seeded,
@@ -583,6 +595,39 @@ object Round8bQueries {
     "a26_sketch_merge" ->
       ("SELECT true AS merge_counts_exact, " +
         "true AS merge_estimate_within_5pct"),
+
+    "t_drift_report" ->
+      (s"""WITH ca AS (
+        |  SELECT g, w, count(*) AS ca FROM (
+        |    SELECT lang AS g, unnest(string_split(
+        |      ${Queries.normSql}, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT g, w, count(*) AS cb FROM (
+        |    SELECT lang AS g, unnest(string_split(
+        |      ${Queries.normSql}, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(ca.g, cb.g) AS g,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL JOIN cb ON ca.g = cb.g AND ca.w = cb.w
+        |)
+        |SELECT g AS lang,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_b,
+        |  CAST(sum(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_words,
+        |  CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vanished_words,
+        |  CAST(sum(ca) AS BIGINT) AS tokens_a,
+        |  CAST(sum(cb) AS BIGINT) AS tokens_b,
+        |  CAST(sum(abs(ca - cb)) AS BIGINT) AS l1
+        |FROM j GROUP BY 1
+        |""").stripMargin,
 
     "g10_random_walks" -> walksOracle(4),
 

@@ -435,6 +435,46 @@ object TextAnalysis {
 
   /** The `functions`-composed shingle-hash family — reference
     * implementation the native expression is property-tested against. */
+  /** Corpus drift report between two snapshots — the observability pass
+    * a pipeline runs when a new crawl lands ("did the word distribution
+    * move, and where?") before re-tuning curation thresholds. Per group
+    * (e.g. language): vocabulary sizes, words new in / vanished from the
+    * new snapshot, total token volumes, and the L1 distance between the
+    * raw count vectors — every measure an INTEGER over exact counts, so
+    * the report is engine-bit-exact, never a sketch.
+    *
+    * Scale shape: each snapshot is tokenized once into (group, word)
+    * counts (map-side combined), the two count frames meet by ONE
+    * full-outer equi-join on (group, word), and the report is a final
+    * hash-aggregation per group. Nothing all-pairs; vocabulary-sized
+    * frames after the first aggregation.
+    *
+    * Output: (groupCol, vocab_a, vocab_b, new_words, vanished_words,
+    * tokens_a, tokens_b, l1). */
+  def driftReport(a: DataFrame, b: DataFrame, groupCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(col(groupCol).as("g"), split(normalized(col(textCol)), " ")
+        .as("__ws"))
+      .select(col("g"), explode(col("__ws")).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val ca = counts(a).withColumnRenamed("c", "ca")
+    val cb = counts(b).withColumnRenamed("c", "cb")
+    ca.join(cb, Seq("g", "w"), "full_outer")
+      .select(col("g"), col("w"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("ca") === 0, 1L).otherwise(0L)).as("new_words"),
+        sum(when(col("cb") === 0, 1L).otherwise(0L)).as("vanished_words"),
+        sum("ca").as("tokens_a"),
+        sum("cb").as("tokens_b"),
+        sum(abs(col("ca") - col("cb"))).as("l1"))
+  }
+
   def wordShingleHashesComposed(text: Column, n: Int): Column =
     bound(split(normalized(text), " ")) { words =>
       val count = size(words)
