@@ -92,6 +92,15 @@ object Round8bQueries {
         clicksUs(s, d), errorsUs(s, d), Seq("user_id"),
         leftTs = "ts_us", rightTs = "rts", tolerance = Some(TolUs))),
 
+    // --- As-of join: strict (exclude-exact-match) mode ----------------------
+    // pandas allow_exact_matches=False: the last error STRICTLY before
+    // each click — an equal-µs error is not admissible. Completes the
+    // j10 mode matrix (backward/forward × tolerance × strict).
+    "j10_asof_strict" -> ((s, d) =>
+      graft.ops.Temporal.asOfJoin(
+        clicksUs(s, d), errorsUs(s, d), Seq("user_id"),
+        leftTs = "ts_us", rightTs = "rts", strict = true)),
+
     // --- SCD2 validity intervals --------------------------------------------
     // Each user's event-type state history compressed into half-open
     // [valid_from, valid_to) intervals; same-µs conflicts pre-aggregated
@@ -483,6 +492,20 @@ object Round8bQueries {
         |  min(epoch_us(t3) - epoch_us(t2)),
         |  max(epoch_us(t3) - epoch_us(t2))
         |FROM s3 JOIN s2 USING (user_id)
+        |""".stripMargin,
+
+    "j10_asof_strict" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS rts, max(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.ts_us, l.event_id, r.rts AS r_rts,
+        |  r.err_value AS r_err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us > r.rts
         |""".stripMargin,
 
     "j14_asof_nearest" ->

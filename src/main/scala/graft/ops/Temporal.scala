@@ -40,7 +40,9 @@ object Temporal {
     *  - Ties: right rows sharing (keys, ts) resolve deterministically —
     *    the xxhash64-max payload wins regardless of partitioning; rows
     *    tied with the left timestamp DO match (inclusive bound, DuckDB
-    *    parity).
+    *    parity) unless `strict = true` (pandas
+    *    `allow_exact_matches=False`): then an equal-ts right row is NOT
+    *    admissible and the match is strictly before/after.
     *  - Left and right timestamp columns must be the same (orderable)
     *    type; a NULL left ts matches nothing, NULL right ts rows never
     *    match anything.
@@ -51,7 +53,8 @@ object Temporal {
                leftTs: String = "ts", rightTs: String = "ts",
                rightPrefix: String = "r_",
                tolerance: Option[Long] = None,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val payload = right.columns.filterNot(keys.contains).toSeq
     require(payload.contains(rightTs), s"right ts column $rightTs missing")
@@ -66,10 +69,14 @@ object Temporal {
     // Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1:
     // the inclusive ≤/≥ bound), and equal-(ts,side) right rows order by
     // payload hash, so "last in frame" is partitioning-independent.
+    // `strict` flips the side order: left rows sort FIRST at an equal
+    // timestamp, so the running frame has not yet seen the equal-ts right
+    // row — the exclusive </> bound falls out of the sort, no extra pass.
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
     val ord =
-      if (forward) Seq(col("__ts").desc_nulls_last, col("__side").asc,
+      if (forward) Seq(col("__ts").desc_nulls_last, sideOrd,
         xxhash64(col("__r")).asc)
-      else Seq(col("__ts").asc_nulls_first, col("__side").asc,
+      else Seq(col("__ts").asc_nulls_first, sideOrd,
         xxhash64(col("__r")).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -62,6 +62,26 @@ class TemporalSpec extends SparkSpec {
     assert(picks.distinct.size === 1)
   }
 
+  test("strict mode: an equal-ts right row is not admissible " +
+    "(allow_exact_matches=false)") {
+    val out = Temporal.asOfJoin(L, R, Seq("k"), rightPrefix = "q_",
+      strict = true).select("k", "ts", "q_ts")
+    assert(got(out) === Set(
+      Row(1L, 50L, 40L), // unchanged: 40 < 50 strictly
+      Row(1L, 10L, null), // the ts=10 match is exact: excluded
+      Row(1L, 5L, null),
+      Row(2L, 100L, 1L),
+      Row(3L, 7L, null)))
+    val fwd = Temporal.asOfJoin(L, R, Seq("k"), rightPrefix = "q_",
+      forward = true, strict = true).select("k", "ts", "q_ts")
+    assert(got(fwd) === Set(
+      Row(1L, 50L, 60L),
+      Row(1L, 10L, 40L), // skips the exact ts=10, takes 40
+      Row(1L, 5L, 10L),
+      Row(2L, 100L, null),
+      Row(3L, 7L, null)))
+  }
+
   test("null left ts matches nothing, in both directions") {
     val l = Seq((Some(1L), Option.empty[Long]), (Some(1L), Some(50L)))
       .toDF("k", "ts")
