@@ -210,6 +210,26 @@ object Round8bQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // --- Z-order (Morton) clustered layout ----------------------------------
+    // Multi-dimensional compaction: documents range-partitioned and
+    // sorted by the (doc_id, n_chars) bit-interleave, so min/max stats
+    // prune range predicates on EITHER column. The gate re-reads the
+    // clustered layout and re-derives every row's Morton code — content
+    // AND the interleave arithmetic are value-exact vs the oracle.
+    "k18_zorder_layout" -> ((s, d) => {
+      val out = memoizedLayout(s, s"$d#zorder") { () =>
+        val p = s"/tmp/graft_zorder_${sfTag(d).replace(".", "_")}"
+        graft.ops.Layout.zorderCompact(s, s"$d/documents.parquet", p,
+          numFiles = 2, "doc_id", "n_chars")
+        p
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          graft.ops.Layout.mortonCode(col("doc_id").bitwiseAND(lit(255)),
+            col("n_chars").bitwiseAND(lit(255))).as("z"))
+    }),
+
     // --- JSONL export: loader-facing gzipped shards, schema-pinned ----------
     // The interchange sink training loaders consume; the gate re-reads the
     // shards with the PINNED schema (JSON carries no types) and must
@@ -611,6 +631,15 @@ object Round8bQueries {
 
     "k16_compacted" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "k18_zorder_layout" -> {
+      val terms = (0 until 8).map { i =>
+        s"(((((doc_id & 255) >> $i) & 1) << ${2 * i}) | " +
+          s"((((n_chars & 255) >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        s"CAST($terms AS BIGINT) AS z FROM documents"
+    },
 
     "k17_jsonl_export" ->
       "SELECT doc_id, lang, text FROM documents",

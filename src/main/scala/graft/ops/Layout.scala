@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data-layout tools — the warehouse hygiene a 100 TB corpus
   * needs between logical operators (the reference's write surface stops
@@ -36,6 +37,43 @@ object Layout {
     spark.read.parquet(in)
       .repartition(numFiles)
       .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** Morton (Z-order) code: bit-interleave of two non-negative columns,
+    * each truncated to `bits` low bits — the multi-dimensional
+    * clustering key behind Z-ordered lakehouse layouts. Points close in
+    * BOTH dimensions get close codes, so sorting by the code co-locates
+    * them in the same parquet row groups and min/max stats prune range
+    * predicates on EITHER column — the property a single-column sort
+    * cannot give. Pure integer arithmetic (shift/and/or), bit-identical
+    * in any engine. */
+  def mortonCode(a: Column, b: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[compact]]'s multi-dimensional sibling: rewrite `in` as `numFiles`
+    * files RANGE-partitioned and internally sorted by the Morton code of
+    * (`colA` % 2^bits, `colB` % 2^bits). Content preserved row-for-row;
+    * the interleave column is computed for layout only and not written. */
+  def zorderCompact(spark: SparkSession, in: String, out: String,
+                    numFiles: Int, colA: String, colB: String,
+                    bits: Int = 8): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val mask = (1 << bits) - 1
+    val df = spark.read.parquet(in)
+    df.withColumn("__z", mortonCode(
+        col(colA).bitwiseAND(lit(mask)), col(colB).bitwiseAND(lit(mask)),
+        bits))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(out)
     spark.read.parquet(out)
   }

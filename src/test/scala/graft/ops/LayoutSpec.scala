@@ -51,6 +51,39 @@ class LayoutSpec extends SparkSpec {
       s"predicate not pushed to the reader:\n$scan")
   }
 
+  test("mortonCode interleaves bits; known values") {
+    val df = Seq((3L, 1L), (1L, 3L), (0L, 0L), (255L, 255L))
+      .toDF("a", "b")
+    val got = df.select(Layout.mortonCode(col("a"), col("b"), 8))
+      .as[Long].collect().toSeq
+    // a bits land on even positions, b bits on odd
+    assert(got === Seq(7L, 11L, 0L, 65535L))
+  }
+
+  test("zorderCompact: content preserved; files carry disjoint, ordered " +
+    "z ranges and are internally z-sorted") {
+    val dir = tmpDir("layout_z")
+    val in = s"$dir/in"
+    val rnd = new scala.util.Random(43)
+    (0 until 400).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .toDF("x", "y").repartition(5).write.parquet(in)
+    val out = s"$dir/out"
+    val back = Layout.zorderCompact(spark, in, out, numFiles = 4, "x", "y")
+    assert(back.as[(Long, Long)].collect().sorted.toSeq ===
+      spark.read.parquet(in).as[(Long, Long)].collect().sorted.toSeq)
+    val ranges = files(out, ".parquet").map { f =>
+      val zs = spark.read.parquet(f.getPath)
+        .select(Layout.mortonCode(col("x"), col("y"), 8))
+        .as[Long].collect()
+      assert(zs.sameElements(zs.sorted), s"unsorted file ${f.getName}")
+      (zs.min, zs.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) => assert(max1 <= min2)
+      case _ => ()
+    }
+  }
+
   test("exportJsonl: gzipped shard files, schema-pinned round-trip") {
     val dir = tmpDir("layout_jsonl")
     val df = (0 until 100).map(i =>
