@@ -50,6 +50,9 @@ import graft.sources._
   *   graft.Cli walks     [--edges P | --sf-dir D] --out DIR [--steps N] [--window W]
   *   graft.Cli neg-samples [--triples P] [--entities P] --out DIR [--k K] [--buckets B]
   *   graft.Cli prepare-training [--docs P | --sf-dir D] --out DIR [--seq-len N] [--shards K] [--merges M] [--lang L] [--min-words W]
+  *   graft.Cli compact   [--input P] --out DIR [--files N] [--sort-by a,b]
+  *   graft.Cli zorder    [--input P] --out DIR [--files N] [--col-a A] [--col-b B] [--bits N]
+  *   graft.Cli export-jsonl [--input P] --out DIR [--shards K]
   */
 object Cli {
 
@@ -393,6 +396,29 @@ object Cli {
           ngram = opts.getOrElse("ngram", "3").toInt)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} pairs -> $out")
+      case "compact" => // small-file hygiene (k16_compacted)
+        val in = opts.getOrElse("input", docsPath)
+        val out = opts.getOrElse("out", s"$warehouse/_compacted")
+        val sortCols = opts.getOrElse("sort-by", "doc_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val back = graft.ops.Layout.compact(spark, in, out,
+          opts.getOrElse("files", "2").toInt, sortCols)
+        println(s"compacted ${back.count()} rows -> $out")
+      case "zorder" => // multi-dimensional clustering (k18_zorder_layout)
+        val in = opts.getOrElse("input", docsPath)
+        val out = opts.getOrElse("out", s"$warehouse/_zordered")
+        val back = graft.ops.Layout.zorderCompact(spark, in, out,
+          opts.getOrElse("files", "2").toInt,
+          opts.getOrElse("col-a", "doc_id"),
+          opts.getOrElse("col-b", "n_chars"),
+          opts.getOrElse("bits", "8").toInt)
+        println(s"z-ordered ${back.count()} rows -> $out")
+      case "export-jsonl" => // loader-facing shards (k17_jsonl_export)
+        val out = opts.getOrElse("out", s"$warehouse/_jsonl")
+        val back = graft.ops.Layout.exportJsonl(
+          spark.read.parquet(opts.getOrElse("input", docsPath)), out,
+          opts.getOrElse("shards", "3").toInt)
+        println(s"exported ${back.count()} rows -> $out")
       case "prepare-training" => // the full curate→dedup→BPE→pack chain
         val out = opts.getOrElse("out", s"$warehouse/_training")
         val budget = opts.getOrElse("seq-len", "256").toInt
@@ -470,7 +496,8 @@ object Cli {
           "chunk profile bpe-train bpe-encode hybrid-search pagerank " +
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
-          "cosine-pairs walks neg-samples prepare-training")
+          "cosine-pairs walks neg-samples prepare-training compact " +
+          "zorder export-jsonl")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -207,6 +207,22 @@ class CliSpec extends SparkSpec {
     assert(rows.filter(size(col("tokens")) === 0).count() === 0)
   }
 
+  test("compact / zorder / export-jsonl rewrite arbitrary parquet layouts") {
+    val dir = tmpDir("clilayout")
+    val in = s"$dir/in"
+    (0 until 80).map(i => (i.toLong, s"t$i", i.toLong % 40))
+      .toDF("doc_id", "text", "n_chars").repartition(6).write.parquet(in)
+    Cli.main(Array("compact", "--input", in, "--out", s"$dir/c",
+      "--files", "2", "--sort-by", "doc_id"))
+    assert(spark.read.parquet(s"$dir/c").count() === 80)
+    Cli.main(Array("zorder", "--input", in, "--out", s"$dir/z",
+      "--files", "2"))
+    assert(spark.read.parquet(s"$dir/z").count() === 80)
+    Cli.main(Array("export-jsonl", "--input", in, "--out", s"$dir/j",
+      "--shards", "2"))
+    assert(spark.read.json(s"$dir/j").count() === 80)
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
