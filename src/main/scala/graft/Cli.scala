@@ -53,6 +53,8 @@ import graft.sources._
   *   graft.Cli compact   [--input P] --out DIR [--files N] [--sort-by a,b]
   *   graft.Cli zorder    [--input P] --out DIR [--files N] [--col-a A] [--col-b B] [--bits N]
   *   graft.Cli export-jsonl [--input P] --out DIR [--shards K]
+  *   graft.Cli drift     --a P --b P [--group COL]
+  *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
   */
 object Cli {
 
@@ -396,6 +398,32 @@ object Cli {
           ngram = opts.getOrElse("ngram", "3").toInt)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} pairs -> $out")
+      case "drift" => // snapshot drift report (t_drift_report)
+        val a = spark.read.parquet(opts.getOrElse("a", docsPath))
+        val b = spark.read.parquet(opts.getOrElse("b", docsPath))
+        graft.ops.TextAnalysis.driftReport(a, b,
+          groupCol = opts.getOrElse("group", "lang"))
+          .orderBy(opts.getOrElse("group", "lang")).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "asof" => // point-in-time enrichment (j10/j14 family)
+        val out = opts.getOrElse("out", s"$warehouse/_asof")
+        val l = spark.read.parquet(opts("left"))
+        val r = spark.read.parquet(opts("right"))
+        val keys = opts.getOrElse("keys", "user_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val tol = opts.get("tolerance").map(_.toLong)
+        val joined = opts.getOrElse("direction", "backward") match {
+          case "nearest" => graft.ops.Temporal.asOfJoinNearest(l, r, keys,
+            leftTs = opts.getOrElse("ts", "ts"),
+            rightTs = opts.getOrElse("right-ts", "ts"), tolerance = tol)
+          case dir => graft.ops.Temporal.asOfJoin(l, r, keys,
+            leftTs = opts.getOrElse("ts", "ts"),
+            rightTs = opts.getOrElse("right-ts", "ts"), tolerance = tol,
+            forward = dir == "forward",
+            strict = opts.contains("strict"))
+        }
+        joined.write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} rows -> $out")
       case "compact" => // small-file hygiene (k16_compacted)
         val in = opts.getOrElse("input", docsPath)
         val out = opts.getOrElse("out", s"$warehouse/_compacted")
@@ -497,7 +525,7 @@ object Cli {
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
           "cosine-pairs walks neg-samples prepare-training compact " +
-          "zorder export-jsonl")
+          "zorder export-jsonl drift asof")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

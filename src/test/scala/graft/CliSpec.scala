@@ -223,6 +223,26 @@ class CliSpec extends SparkSpec {
     assert(spark.read.json(s"$dir/j").count() === 80)
   }
 
+  test("drift and asof run over arbitrary parquet pairs") {
+    val dir = tmpDir("clidrift")
+    val a = s"$dir/a"
+    Seq((1L, "en", "alpha beta")).toDF("doc_id", "lang", "text")
+      .write.parquet(a)
+    val b = s"$dir/b"
+    Seq((2L, "en", "alpha gamma")).toDF("doc_id", "lang", "text")
+      .write.parquet(b)
+    Cli.main(Array("drift", "--a", a, "--b", b))
+    val l = s"$dir/l"
+    Seq((1L, 100L, "obs")).toDF("user_id", "ts", "tag").write.parquet(l)
+    val r = s"$dir/r"
+    Seq((1L, 90L, 7.0)).toDF("user_id", "ts", "v").write.parquet(r)
+    val out = s"$dir/joined"
+    Cli.main(Array("asof", "--left", l, "--right", r, "--out", out,
+      "--direction", "nearest"))
+    val row = spark.read.parquet(out).collect().head
+    assert(row.getAs[Long]("r_ts") === 90L)
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
