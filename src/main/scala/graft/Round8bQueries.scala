@@ -114,6 +114,26 @@ object Round8bQueries {
       graft.ops.Temporal.scd2(ev, Seq("user_id"), "ts_us", "state")
     }),
 
+    // --- Equi-depth binning + rank statistics -------------------------------
+    // ntile(10) and percent_rank per event type over integer cents, the
+    // ordering made unique by (cents, event_id) so both window functions
+    // are deterministic; percent_rank is a single division of exact ints.
+    // Summarized per (type, bin): counts + cent bounds + the bin's top
+    // percent_rank — the equi-depth histogram every profiler needs.
+    "o10_ntile" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").asc, col("event_id").asc)
+      ev.withColumn("bin", ntile(10).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+          max("cents").as("hi"), max("pr").as("top_pr"))
+    }),
+
     // --- Trailing time-range rolling aggregates -----------------------------
     // Per user: click count + spend (integer cents) over the trailing
     // hour, evaluated at every click — RANGE frame, both ends inclusive,
@@ -575,6 +595,23 @@ object Round8bQueries {
         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
         |    AS valid_to
         |FROM c
+        |""".stripMargin,
+
+    "o10_ntile" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, cents,
+        |    ntile(10) OVER w AS bin,
+        |    percent_rank() OVER w AS pr
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY cents, event_id)
+        |)
+        |SELECT event_type, bin, count(*) AS n, min(cents) AS lo,
+        |  max(cents) AS hi, max(pr) AS top_pr
+        |FROM r GROUP BY 1, 2
         |""".stripMargin,
 
     "w_rolling_sum" ->
