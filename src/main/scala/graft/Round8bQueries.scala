@@ -324,6 +324,33 @@ object Round8bQueries {
         k = 2, buckets = buckets)
     }),
 
+    // --- Perceptual image near-dup pairs (dHash through the real decoder) ---
+    // Image-dataset dedup: synthetic P6 corpus + exact-duplicate twins
+    // under shifted ids; every planted twin must pair at Hamming 0 (the
+    // banding is pigeonhole-complete), everything emitted must sit within
+    // the radius, and the pair set must be non-vacuous. Hash values are
+    // engine-internal, so the gate is a hard boolean invariant — the
+    // d_simhash_pairs discipline.
+    "mm_dhash_pairs" -> ((s, d) => {
+      val ids = graft.core.Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+      val base = graft.ops.Multimodal.ppmEncode(ids)
+      val twins = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        col("content"))
+      val pairs = graft.ops.Multimodal.imageNearDupPairs(
+        base.unionByName(twins), maxHamming = 2)
+      pairs.agg(
+        sum(when(col("id_b") === col("id_a") + 2000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)).as("planted0"),
+        max("hamming").as("maxham"),
+        count(lit(1)).as("n_pairs"))
+        .crossJoin(ids.agg(count(lit(1)).as("n_docs")))
+        .select(
+          (col("planted0") === col("n_docs")).as("planted_all_recovered"),
+          (col("maxham") <= 2).as("pairs_within_radius"),
+          (col("n_pairs") >= col("n_docs")).as("nonvacuous"))
+    }),
+
     // --- Mergeable sketch states across persisted snapshots -----------------
     // The telemetry-rollup posture: two disjoint "snapshots" each persist
     // a per-key HLL state table once; corpus cardinalities then come from
@@ -684,6 +711,10 @@ object Round8bQueries {
     "a26_sketch_merge" ->
       ("SELECT true AS merge_counts_exact, " +
         "true AS merge_estimate_within_5pct"),
+
+    "mm_dhash_pairs" ->
+      ("SELECT true AS planted_all_recovered, " +
+        "true AS pairs_within_radius, true AS nonvacuous"),
 
     "t_drift_report" ->
       (s"""WITH ca AS (

@@ -309,12 +309,24 @@ object Dedup {
   def simHashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    val fp = Checkpoints.cut(docs.select(col(idCol).as("id"),
+      simHash(TextAnalysis.wordShingleHashes(col(textCol), n)).as("fp")))
+    hammingPairs(fp, maxHamming)
+  }
+
+  /** Hamming-band candidate pairing over ANY 64-bit fingerprint frame
+    * `(id, fp)` — the pigeonhole core shared by text SimHash
+    * ([[simHashPairs]]) and perceptual image hashes
+    * ([[Multimodal.imageNearDupPairs]]): fingerprints within `maxHamming`
+    * differ in ≤ maxHamming of the maxHamming+1 bit-bands, so at least
+    * one band matches exactly — banded equi-join candidates are COMPLETE,
+    * and the final XOR bit-count verifies only co-bucketed pairs.
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def hammingPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 2 && bands <= 64, s"need 1 <= maxHamming($maxHamming) <= 63")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val fp = Checkpoints.cut(docs.select(col(idCol).as("id"),
-      simHash(TextAnalysis.wordShingleHashes(col(textCol), n)).as("fp")))
     val banded = fp.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))

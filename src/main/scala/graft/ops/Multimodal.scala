@@ -326,6 +326,67 @@ object Multimodal {
 
   /** Header-only P6 parse: (width, height, maxval, raster offset). Shares
     * the grammar and failure codes with [[parsePpm]]. */
+  final case class MmDHash(doc_id: Long, ok: Boolean, dhash: Long,
+                           reason: String)
+
+  /** Perceptual difference-hash (dHash) through the REAL P6 decoder —
+    * the image fingerprint behind image-dataset dedup (the visual twin
+    * of SimHash for text): decode → integer luma → nearest-neighbor
+    * sample onto a 9×8 grid → 64-bit horizontal-gradient hash (bit set
+    * when a cell outshines its right neighbor). Gradients survive
+    * re-encoding, mild resizing and brightness shifts, so near-duplicate
+    * images land at small Hamming distance; all arithmetic is integer,
+    * so the hash is deterministic across partitionings and runs.
+    * Corrupt blobs land on the reject side (`ok = false`, stable reason
+    * codes — the [[decodePpmRejects]] contract), never fail the job. */
+  def dHashPpm(df: DataFrame, idCol: String = "doc_id",
+               contentCol: String = "content"): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as("doc_id"),
+      col(contentCol).as("content")).as(Encoders.product[MmIn])
+    in.mapPartitions { iter =>
+      iter.map { row =>
+        try {
+          val bytes = row.content
+          val (w, h, _, off) = ppmHeader(bytes)
+          def luma(x: Int, y: Int): Int = {
+            val k = off + (y * w + x) * 3
+            ((bytes(k) & 0xff) * 299 + (bytes(k + 1) & 0xff) * 587 +
+              (bytes(k + 2) & 0xff) * 114) / 1000
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              if (luma(x * w / 9, sy) > luma((x + 1) * w / 9, sy))
+                hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          MmDHash(row.doc_id, ok = true, hash, "")
+        } catch {
+          case e: PpmException => MmDHash(row.doc_id, ok = false, 0L, e.code)
+        }
+      }
+    }(Encoders.product[MmDHash]).toDF()
+  }
+
+  /** Image near-duplicate pairs: [[dHashPpm]] fingerprints through the
+    * shared Hamming-band pigeonhole pairing
+    * ([[Dedup.hammingPairs]]) — banded equi-join candidates, exact
+    * XOR-bit-count verify, complete within the radius. Undecodable blobs
+    * simply don't pair. Output: (id_a, id_b, hamming). */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "doc_id",
+                        contentCol: String = "content"): DataFrame =
+    Dedup.hammingPairs(
+      graft.core.Checkpoints.cut(
+        dHashPpm(df, idCol, contentCol).filter(col("ok"))
+          .select(col("doc_id").as("id"), col("dhash").as("fp"))),
+      maxHamming)
+
   private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     // parsePpm validates the full blob (incl. raster length); re-walk the
     // header to find the raster offset
