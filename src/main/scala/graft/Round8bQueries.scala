@@ -134,6 +134,28 @@ object Round8bQueries {
           max("cents").as("hi"), max("pr").as("top_pr"))
     }),
 
+    // --- SCD2 + as-of composition: state valid at event time ----------------
+    // The feature-store enrichment the two operators exist for: build the
+    // per-user state history (scd2), then each purchase picks the
+    // interval containing its instant — which for tiling intervals is
+    // exactly the backward as-of on valid_from, so the enrich costs ONE
+    // window pass, not an interval join. Oracle = the raw half-open
+    // interval-containment join.
+    "j15_scd2_enrich" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+        .groupBy(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(min("event_type").as("state"))
+      val dim = graft.ops.Temporal.scd2(ev, Seq("user_id"), "ts_us", "state")
+        .select(col("user_id"), col("valid_from"), col("state"))
+      val purchases = graft.core.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.ops.Temporal.asOfJoin(purchases, dim, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "valid_from")
+    }),
+
     // --- Trailing time-range rolling aggregates -----------------------------
     // Per user: click count + spend (integer cents) over the trailing
     // hour, evaluated at every click — RANGE frame, both ends inclusive,
@@ -609,6 +631,34 @@ object Round8bQueries {
         |CROSS JOIN LATERAL (SELECT
         |  b.rts IS NOT NULL AND b.rts >= l.ts_us - 600000000 AS bok,
         |  f.rts IS NOT NULL AND f.rts <= l.ts_us + 600000000 AS fok) g
+        |""".stripMargin,
+
+    "j15_scd2_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, min(event_type) AS state
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT user_id, ts_us, state,
+        |    lag(state) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), c AS (
+        |  SELECT user_id, ts_us, state FROM x
+        |  WHERE rn = 1 OR state IS DISTINCT FROM prev
+        |), iv AS (
+        |  SELECT user_id, state, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS valid_to
+        |  FROM c
+        |), p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  iv.valid_from AS r_valid_from, iv.state AS r_state
+        |FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+        |  AND iv.valid_from <= p.ts_us
+        |  AND (iv.valid_to IS NULL OR p.ts_us < iv.valid_to)
         |""".stripMargin,
 
     "w_scd2_intervals" ->
