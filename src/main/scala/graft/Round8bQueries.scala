@@ -114,6 +114,20 @@ object Round8bQueries {
       graft.ops.Temporal.scd2(ev, Seq("user_id"), "ts_us", "state")
     }),
 
+    // --- EXCEPT / INTERSECT set operations ----------------------------------
+    // Completes the §2.7 set-op family beside u1's UNION: clickers who
+    // never purchased (EXCEPT) and clickers who did (INTERSECT), labeled
+    // and unioned — distinct semantics in both engines.
+    "u2_except_intersect" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      def users(kind: String) = ev.filter(col("event_type") === kind)
+        .select(col("user_id"))
+      users("click").except(users("purchase"))
+        .withColumn("set_label", lit("click_only"))
+        .unionByName(users("click").intersect(users("purchase"))
+          .withColumn("set_label", lit("both")))
+    }),
+
     // --- Equi-depth binning + rank statistics -------------------------------
     // ntile(10) and percent_rank per event type over integer cents, the
     // ordering made unique by (cents, event_id) so both window functions
@@ -678,6 +692,18 @@ object Round8bQueries {
         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
         |    AS valid_to
         |FROM c
+        |""".stripMargin,
+
+    "u2_except_intersect" ->
+      """SELECT user_id, 'click_only' AS set_label FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'both' FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
         |""".stripMargin,
 
     "o10_ntile" ->
