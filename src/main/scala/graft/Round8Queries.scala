@@ -339,6 +339,9 @@ object Round8Queries {
     // (</w> → space) to the space-joined normalized texts, md5-compared
     // per bin. Merge-table-dependent segmentation is t_bpe_encode's gate;
     // this one pins the packing plumbing end-to-end.
+    // The doc_list column makes any future mismatch self-localizing:
+    // a bin whose membership drifts shows WHICH ids moved, separating a
+    // bin-assignment bug from a stream-content one.
     "t_pack_ids" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       graft.ops.TrainingPrep.packTokens(docs, Seq.empty,
@@ -347,7 +350,9 @@ object Round8Queries {
           md5(trim(regexp_replace(concat_ws("", col("tokens")),
             "</w>", " "))).as("content_fp"),
           col("n_tokens"),
-          size(col("doc_ids")).cast("long").as("n_docs"))
+          size(col("doc_ids")).cast("long").as("n_docs"),
+          concat_ws(",", transform(col("doc_ids"),
+            x => x.cast("string"))).as("doc_list"))
     }),
 
     // --- Salted skew join -----------------------------------------------------
@@ -812,9 +817,11 @@ object Round8Queries {
         |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
         |  FROM d
         |)
-        |SELECT shard, CAST(floor((cum - n) / 1024.0) AS BIGINT) AS bin,
+        |SELECT shard, CAST((cum - n) // 1024 AS BIGINT) AS bin,
         |  md5(string_agg(t, ' ' ORDER BY doc_id)) AS content_fp,
-        |  sum(n) AS n_tokens, count(*) AS n_docs
+        |  sum(n) AS n_tokens, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS doc_list
         |FROM c GROUP BY 1, 2
         |""").stripMargin,
 

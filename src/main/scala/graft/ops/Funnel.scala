@@ -83,12 +83,18 @@ object Funnel {
     * reached stage i+1, the time from their stage-i reach to their
     * stage-(i+1) reach. Exact integer measures only (count, µs sum,
     * µs min/max) — trailing means are a single division away for the
-    * consumer, and everything emitted is engine-bit-exact.
+    * consumer, and everything emitted is engine-bit-exact. Lags come from
+    * `timestamp_diff(MICROSECOND, …)` — a raw µs subtraction for both
+    * TimestampType and TimestampNTZType, so NTZ inputs never round-trip
+    * through a session-timezone cast (a DST-spanning lag is exact).
     * Output: (transition, n, sum_lag_us, min_lag_us, max_lag_us), one
-    * row per adjacent stage pair with ≥ 1 converting user. */
+    * row per adjacent stage pair — zero-converter transitions emit
+    * n = 0 with NULL lag statistics (SQL aggregate-over-empty parity). */
   def transitionLags(events: DataFrame, stages: Seq[String],
                      keyCol: String = "user_id", tsCol: String = "ts",
                      typeCol: String = "event_type"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     require(stages.size >= 2, "transition lags need at least two stages")
     require(Seq(org.apache.spark.sql.types.TimestampType,
       org.apache.spark.sql.types.TimestampNTZType)
@@ -103,16 +109,25 @@ object Funnel {
       stages.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
         struct(lit(s"${pair.head}->${pair.last}").as("transition"),
           when(col("depth") >= i + 2,
-            unix_micros(element_at(col("reach_ts"), i + 2)
-              .cast("timestamp")) -
-              unix_micros(element_at(col("reach_ts"), i + 1)
-                .cast("timestamp"))).as("lag_us"))
+            timestamp_diff("MICROSECOND",
+              element_at(col("reach_ts"), i + 1),
+              element_at(col("reach_ts"), i + 2))).as("lag_us"))
       }: _*)
-    per.select(explode(transitions).as("t"))
+    // the derived array is staged in its own projection before the
+    // explode — a complex inline generator child defeats codegen staging
+    val lags = per.select(transitions.as("__trans"))
+      .select(explode(col("__trans")).as("t"))
       .filter(col("t.lag_us").isNotNull)
       .groupBy(col("t.transition").as("transition"))
       .agg(count(lit(1)).as("n"), sum("t.lag_us").as("sum_lag_us"),
         min("t.lag_us").as("min_lag_us"), max("t.lag_us").as("max_lag_us"))
+    // transition dimension drives the output so zero-converter
+    // transitions still emit their row (n = 0, NULL stats)
+    val dim = stages.sliding(2).toSeq
+      .map(p => s"${p.head}->${p.last}").toDF("transition")
+    dim.join(lags, Seq("transition"), "left")
+      .select(col("transition"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_lag_us"), col("min_lag_us"), col("max_lag_us"))
   }
 
   /** Per-stage reach counts: one row per stage —
@@ -128,8 +143,12 @@ object Funnel {
     val perUser = perUserReach(events, stages, keyCol, tsCol, typeCol)
     val stageDim = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }
       .toDF("stage", "stage_name")
-    perUser.groupBy("depth").agg(count(lit(1)).as("n"))
-      .join(stageDim, col("depth") >= col("stage"))
-      .groupBy("stage", "stage_name").agg(sum("n").as("users"))
+    // the stage dimension drives a LEFT join so a stage nobody reached
+    // still emits its row with users = 0 (the oracle's count(*) parity)
+    stageDim
+      .join(perUser.groupBy("depth").agg(count(lit(1)).as("n")),
+        col("depth") >= col("stage"), "left")
+      .groupBy("stage", "stage_name")
+      .agg(coalesce(sum("n"), lit(0L)).as("users"))
   }
 }

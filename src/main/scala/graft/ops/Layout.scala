@@ -48,13 +48,17 @@ object Layout {
     * them in the same parquet row groups and min/max stats prune range
     * predicates on EITHER column — the property a single-column sort
     * cannot give. Pure integer arithmetic (shift/and/or), bit-identical
-    * in any engine. */
+    * in any engine. Operands are widened to LONG before interleaving:
+    * int inputs would otherwise hit Spark's shift-amount mod-32 masking
+    * past bit 31 (2·i+1 reaches 61 at bits = 31) and overflow the
+    * 32-bit OR-reduce — the widening makes every `bits` ≤ 31 exact. */
   def mortonCode(a: Column, b: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
-          shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+          shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
   }
 

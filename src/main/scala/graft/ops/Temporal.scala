@@ -116,6 +116,16 @@ object Temporal {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val payload = right.columns.filterNot(keys.contains).toSeq
     require(payload.contains(rightTs), s"right ts column $rightTs missing")
+    // fail fast on the documented numeric-ts contract — with timestamp
+    // columns the distance arithmetic would otherwise run via interval
+    // comparisons without tolerance, and with one it would die late with
+    // a confusing timestamp+bigint analysis error
+    Seq(leftTs -> left.schema(leftTs).dataType,
+      rightTs -> right.schema(rightTs).dataType).foreach { case (n, t) =>
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asOfJoinNearest needs NUMERIC ts columns (µs epochs etc.); " +
+          s"'$n' is ${t.sql}")
+    }
     val lu = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))

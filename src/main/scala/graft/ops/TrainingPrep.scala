@@ -405,8 +405,9 @@ object TrainingPrep {
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("bin",
-        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      // integer `div`, never a double round-trip: the bin index stays
+      // bit-exact at any cum magnitude (doubles lose exactness past 2^53)
+      .withColumn("bin", expr(s"(cum - n_tokens) div ${budgetTokens}L"))
       .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
   }
 
@@ -434,8 +435,8 @@ object TrainingPrep {
       .select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
         col("tokens"), col("n_bpe_tokens").as("n"))
       .withColumn("cum", sum("n").over(w))
-      .withColumn("bin",
-        floor((col("cum") - col("n")) / budgetTokens).cast("long"))
+      // same integer `div` discipline as [[packSequences]]
+      .withColumn("bin", expr(s"(cum - n) div ${budgetTokens}L"))
       .groupBy("shard", "bin")
       .agg(
         sort_array(collect_list(struct(col(idCol).as("id"), col("tokens"))))

@@ -95,6 +95,49 @@ class FunnelSpec extends SparkSpec {
       "click->buy" -> ((1L, 500000L, 500000L, 500000L))))
   }
 
+  test("reach emits zero-count rows for unreached stages") {
+    val ev = Seq((1L, 1L, "view"), (2L, 2L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.reach(ev, stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "view", 2L), (2, "click", 0L), (3, "buy", 0L)))
+  }
+
+  test("transitionLags emits n = 0 / NULL-stat rows for zero-converter " +
+    "transitions") {
+    import java.sql.Timestamp
+    val ev = Seq((1L, new Timestamp(1000L), "view"),
+      (1L, new Timestamp(2000L), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val byName = Funnel.transitionLags(ev, stages)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet === Set("view->click", "click->buy"))
+    assert(byName("view->click").getLong(1) === 1L)
+    val cb = byName("click->buy")
+    assert(cb.getLong(1) === 0L)
+    assert(cb.isNullAt(2) && cb.isNullAt(3) && cb.isNullAt(4))
+  }
+
+  test("transitionLags NTZ lags are session-timezone independent " +
+    "(DST-spanning wall-clock difference)") {
+    // US spring-forward 2026-03-08: 01:30 -> 03:30 wall clock is a 2 h
+    // NTZ lag; a session-timezone round-trip would measure 1 h of
+    // instants in America/New_York
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ev = Seq(
+        (1L, java.time.LocalDateTime.of(2026, 3, 8, 1, 30), "view"),
+        (1L, java.time.LocalDateTime.of(2026, 3, 8, 3, 30), "click"))
+        .toDF("user_id", "ts", "event_type")
+      assert(ev.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampNTZType)
+      val got = Funnel.transitionLags(ev, Seq("view", "click"))
+        .collect().head
+      assert(got.getLong(2) === 2L * 3600L * 1000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("transitionLags rejects non-timestamp ts columns") {
     val ev = Seq((1L, 5L, "view")).toDF("user_id", "ts", "event_type")
     intercept[IllegalArgumentException] {

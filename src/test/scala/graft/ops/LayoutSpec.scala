@@ -60,6 +60,15 @@ class LayoutSpec extends SparkSpec {
     assert(got === Seq(7L, 11L, 0L, 65535L))
   }
 
+  test("mortonCode: int inputs with bits > 15 widen to long " +
+    "(no mod-32 shift masking, no 32-bit OR overflow)") {
+    val df = Seq((65535, 65535), (0, 65535)).toDF("a", "b") // INT columns
+    val got = df.select(Layout.mortonCode(col("a"), col("b"), 16))
+      .as[Long].collect().toSeq
+    // full 16-bit interleave: all 32 low bits set / odd bits only
+    assert(got === Seq(4294967295L, 2863311530L))
+  }
+
   test("zorderCompact: content preserved; files carry disjoint, ordered " +
     "z ranges and are internally z-sorted") {
     val dir = tmpDir("layout_z")

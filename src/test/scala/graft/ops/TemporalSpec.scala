@@ -7,6 +7,16 @@ import graft.SparkSpec
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("asOfJoinNearest rejects non-numeric ts columns (fail-fast " +
+    "contract, mirrors transitionLags)") {
+    val l = Seq((1L, new java.sql.Timestamp(0L), "x")).toDF("k", "ts", "obs")
+    val r = Seq((1L, new java.sql.Timestamp(0L), 1.0)).toDF("k", "ts", "q")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asOfJoinNearest(l, r, Seq("k"))
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
+
   // left observations and right quotes over two keys, numeric (µs-style) ts
   private def L = Seq(
     (1L, 50L, "l-a"), (1L, 10L, "l-b"), (1L, 5L, "l-c"),

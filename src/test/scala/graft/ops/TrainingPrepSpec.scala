@@ -189,6 +189,39 @@ class TrainingPrepSpec extends SparkSpec {
     assert(binStarts === binStarts.sorted)
   }
 
+  test("packTokens is bit-identical under varied shuffle partitioning " +
+    "(x5 runs — the t_pack_ids stability contract)") {
+    // heavy duplicate words + id-gapped docs: the corpus shape where any
+    // order-sensitivity in the flatten/sort-under-aggregation chain or
+    // the prefix-sum window would actually show
+    val rnd = new scala.util.Random(101)
+    val docs = (0 until 300).map { i =>
+      (i.toLong * 3, // gapped ids: shards are NOT contiguous id runs
+        (0 to rnd.nextInt(39)).map(_ => s"w${rnd.nextInt(40)}")
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq(1, 3, 7, 17, 32).map { p =>
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        TrainingPrep.packTokens(docs.repartition(p), Seq.empty,
+            budgetTokens = 64, shards = 8)
+          .select(col("shard"), col("bin"),
+            concat_ws(",", transform(col("doc_ids"),
+              x => x.cast("string"))).as("ids"),
+            md5(concat_ws("", col("tokens"))).as("fp"), col("n_tokens"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSet
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    runs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a === b, "packTokens output drifted across partitionings")
+      case _ => ()
+    }
+  }
+
   test("capPerSource: best-k per source by (score desc, id asc), " +
     "no window in the plan") {
     val docs = Seq(
