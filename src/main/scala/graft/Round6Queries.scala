@@ -64,9 +64,17 @@ object Round6Queries {
     * re-plan any concurrently-running query on 8 partitions and the
     * restore would race. */
   private[graft] def withShufflePartitions[A](s: SparkSession, n: Int)
-                                             (body: SparkSession => A): A = {
+                                             (body: SparkSession => A): A =
+    withScopedConf(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** [[withShufflePartitions]] generalized to arbitrary SQLConf pairs —
+    * same child-session isolation contract (shared SparkContext +
+    * catalog, scoped conf; no set/restore race on the caller). */
+  private[graft] def withScopedConf[A](s: SparkSession,
+                                       conf: (String, String)*)
+                                      (body: SparkSession => A): A = {
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    conf.foreach { case (k, v) => scoped.conf.set(k, v) }
     body(scoped)
   }
 

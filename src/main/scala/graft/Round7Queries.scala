@@ -748,10 +748,18 @@ object Round7Queries {
     // dimension-sized by construction (|suppliers| + 30 nodes), and the
     // power loop pays 2 shuffles per iteration — 32-partition exchanges
     // over a 10k-row rank vector are pure per-task overhead × 16 jobsteps.
-    // (A production web-graph run sizes partitions to the corpus; this is
-    // the same contract as the stream gates' state-store scoping.)
-    "a17_pagerank" -> ((s, d) => Round6Queries.withShufflePartitions(s, 8) {
-      ss =>
+    // AQE is scoped OFF for the same reason: adaptive execution runs each
+    // shuffle stage as its own job to re-plan on runtime stats, which an
+    // 8-iteration loop over a dimension-sized graph turns into pure job-
+    // submission overhead — measured 89 jobs / ~3.3 s with AQE vs
+    // 26 jobs / ~2.5 s without, identical results (there is nothing to
+    // re-plan: partition count is pinned and every join side is tiny).
+    // (A production web-graph run sizes partitions to the corpus and
+    // leaves AQE on; this is the same contract as the stream gates'
+    // state-store scoping.)
+    "a17_pagerank" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
       val sup = t(ss, d, "supplier").select(
         concat(lit("s:"), col("s_suppkey")).as("src"),
         concat(lit("n:"), col("s_nationkey")).as("dst"))
