@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-9 registrations — the production faces the round-8 verdict
+  * ranked next:
+  *
+  *  - `w_stream_asof`: streaming as-of enrichment
+  *    ([[graft.streaming.AsOfStream]]) — the event stream picks up the
+  *    latest same-user state row at or before each event, continuously,
+  *    vs DuckDB's native backward-inclusive ASOF LEFT JOIN over the
+  *    same feed.
+  */
+object Round9Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replace(".", "_")
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- Streaming as-of enrichment -----------------------------------------
+    // Clicks enriched with the latest same-user error state at or before
+    // each click — the streaming face of the complete j10 batch as-of
+    // matrix. Two MemoryStreams feed the tagged union in two
+    // time-ordered batches plus the watermark-advancing sentinel (the
+    // w_stream_join_outer flush discipline); every click must emit
+    // EXACTLY once with its final backward match. Error feed
+    // pre-aggregated per (user, µs) to max event_id — the j10 tie
+    // discipline, making the winner engine-independent. Oracle: DuckDB
+    // native ASOF LEFT JOIN on the same µs longs.
+    "w_stream_asof" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val tag = sfTag(d)
+        def feed(kind: String) = Round6Queries.eventsFeed(ss, d)
+          .filter(_._4 == kind).map(r => (r._1, r._2, r._3))
+        val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val memR = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val out = graft.streaming.AsOfStream.asOfEnrich(
+          memL.toDS().toDF("event_id", "ts", "user_id"),
+          memR.toDS().toDF("event_id", "ts", "user_id"))
+        val sink = s"w_stream_asof_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val clicks = feed("click")
+          // (user, µs)-unique error feed: ties resolve to max event_id
+          // before the stream ever sees them
+          val errors = feed("error")
+            .groupBy(e => (e._3, e._2.getTime, e._2.getNanos))
+            .values.map(_.maxBy(_._1)).toSeq
+          val maxTs = (clicks ++ errors).map(_._2.getTime).max
+          val cut = (clicks ++ errors).map(_._2.getTime).min +
+            (maxTs - (clicks ++ errors).map(_._2.getTime).min) / 2
+          // two batches split at a COMMON time boundary so nothing is
+          // ever below the post-batch watermark (no late drops), then
+          // the sentinel forces every pending match final
+          memL.addData(clicks.filter(_._2.getTime < cut): _*)
+          memR.addData(errors.filter(_._2.getTime < cut): _*)
+          q.processAllAvailable()
+          memL.addData(clicks.filter(_._2.getTime >= cut): _*)
+          memR.addData(errors.filter(_._2.getTime >= cut): _*)
+          q.processAllAvailable()
+          val sentinel = (-1L,
+            new java.sql.Timestamp(maxTs + 30L * 86400000L), -1L)
+          memL.addData(sentinel); memR.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("r_event_id"),
+            unix_micros(col("r_ts")).as("r_ts_us"))
+      }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "w_stream_asof" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS r_ts_us,
+        |    max(event_id) AS r_event_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, r.r_event_id, r.r_ts_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us
+        |""".stripMargin)
+}

@@ -72,6 +72,98 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((10L, Some(21L)), (11L, None)))
   }
 
+  test("asOfEnrich: backward-inclusive match, left-outer, multi-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val out = AsOfStream.asOfEnrich(
+      memL.toDS().toDF("event_id", "ts", "user_id"),
+      memR.toDS().toDF("event_id", "ts", "user_id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_spec")
+      .outputMode("append").start()
+    try {
+      memL.addData((12L, ts(5), 1L), (11L, ts(30), 1L), (13L, ts(10), 2L))
+      memR.addData((20L, ts(0), 1L), (21L, ts(60), 1L))
+      q.processAllAvailable()
+      // batch 2: a left at the exact ts of a right (inclusive bound)
+      memL.addData((10L, ts(60), 1L))
+      memR.addData((22L, ts(90), 1L))
+      q.processAllAvailable()
+      memL.addData((99L, ts(5000), 9L)); memR.addData((98L, ts(5000), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_spec").filter("user_id != 9")
+      .select(col("event_id"), col("r_event_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (12L, Some(20L)), // latest right at or before ts(5) is ts(0)
+      (11L, Some(20L)), // ts(60) right is in the future of ts(30)
+      (10L, Some(21L)), // equal-instant right matches (inclusive)
+      (13L, None)))     // user 2 has no state rows at all
+  }
+
+  test("asOfEnrich: randomized multi-batch run equals the batch as-of " +
+    "join; state stays bounded after the horizon passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val lefts = (1 to 120).map(i =>
+      (1000L + i, ts(rnd.nextInt(300).toLong), rnd.nextInt(6).toLong))
+    // rights pre-aggregated per (user, ts) — the j10 tie discipline
+    val rights = (1 to 80).map(i =>
+        (2000L + i, ts(rnd.nextInt(300).toLong), rnd.nextInt(6).toLong))
+      .groupBy(r => (r._3, r._2.getTime)).values.map(_.maxBy(_._1)).toSeq
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val out = AsOfStream.asOfEnrich(
+      memL.toDS().toDF("event_id", "ts", "user_id"),
+      memR.toDS().toDF("event_id", "ts", "user_id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_rand")
+      .outputMode("append").start()
+    try {
+      // batches split at common time boundaries, so no feed row is ever
+      // below the post-batch watermark (nothing is late-dropped and the
+      // stream must equal the batch face exactly)
+      for (lo <- Seq(0L, 100L, 200L)) {
+        val hi = lo + 100L
+        def in(t: Timestamp) = {
+          val m = (t.getTime - ts(0).getTime) / 60000L
+          m >= lo && m < hi
+        }
+        memL.addData(lefts.filter(e => in(e._2)): _*)
+        memR.addData(rights.filter(e => in(e._2)): _*)
+        q.processAllAvailable()
+      }
+      memL.addData((-1L, ts(5000), -1L)); memR.addData((-2L, ts(5000), -1L))
+      q.processAllAvailable()
+      // bounded state: one state row per live key — the 6 corpus keys
+      // hold one compacted right each, the sentinel key its pending left
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 7, s"state not compacted: $stateRows rows")
+    } finally q.stop()
+    val got = spark.table("asof_rand").filter("user_id != -1")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("r_event_id"), unix_micros(col("r_ts")))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    val want = AsOfStream.asOfEnrichBatch(
+        lefts.toDF("event_id", "ts", "user_id"),
+        rights.toDF("event_id", "ts", "user_id"))
+      .select("user_id", "event_id", "ts_us", "r_event_id", "r_ts_us")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got.size === lefts.size)
+    assert(got === want)
+  }
+
+  test("asOfEnrich µs round-trip: sub-millisecond event times survive " +
+    "the state passage") {
+    val t = new Timestamp(1700000000123L)
+    t.setNanos(123456000) // .123456 s
+    assert(AsOfStream.toUs(t) === 1700000000L * 1000000L + 123456L)
+    assert(AsOfStream.toTs(AsOfStream.toUs(t)) === t)
+  }
+
   test("enrich: stream-static broadcast join, per micro-batch, inner") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq((100L, "gold"), (200L, "basic")).toDF("cust", "tier")
