@@ -19,7 +19,25 @@ object Round9Queries {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
 
+  private val HourUs = 3600000000L
+
   val queries: Map[String, Q] = Map[String, Q](
+
+    // --- Time-series resample + forward-fill --------------------------------
+    // Each user's event stream projected onto the hourly grid, every
+    // grid instant carrying the latest observation at or before it —
+    // the feature-store "state as of every hour" export. Observations
+    // pre-aggregated per (user, µs) (max event_id / max value) so the
+    // fill winner is engine-independent; oracle = DuckDB
+    // generate_series grid + native backward-inclusive ASOF.
+    "j16_resample_ffill" -> ((s, d) => {
+      val obs = graft.core.Tables.events(s, d)
+        .groupBy(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(max("event_id").as("event_id"), max("value").as("value"))
+      graft.ops.Temporal.resampleFfill(obs, Seq("user_id"), "ts_us",
+        stepUs = HourUs)
+    }),
 
     // --- Streaming as-of enrichment -----------------------------------------
     // Clicks enriched with the latest same-user error state at or before
@@ -79,6 +97,27 @@ object Round9Queries {
       }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "j16_resample_ffill" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    max(event_id) AS event_id, max(value) AS value
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id,
+        |    ((min(ts_us) + 3599999999) // 3600000000) * 3600000000 AS g0,
+        |    max(ts_us) AS mx
+        |  FROM o GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(g0, mx, 3600000000))
+        |    AS grid_ts
+        |  FROM b WHERE g0 <= mx
+        |)
+        |SELECT g.user_id, g.grid_ts, o.ts_us AS r_ts_us,
+        |  o.event_id AS r_event_id, o.value AS r_value
+        |FROM g ASOF LEFT JOIN o
+        |  ON g.user_id = o.user_id AND g.grid_ts >= o.ts_us
+        |""".stripMargin,
 
     "w_stream_asof" ->
       """WITH l AS (

@@ -219,6 +219,51 @@ object Temporal {
       .withColumn("roll_sum", sum(col(valueCol)).over(w))
   }
 
+  /** Time-series resample + forward-fill: project each key's observation
+    * stream onto a fixed `stepUs` grid, each grid instant carrying the
+    * latest observation at or before it (pandas `asfreq` + `ffill`, the
+    * feature-store "state as of every day/hour" export). This is pure
+    * composition: per-key grid generation + the backward [[asOfJoin]] —
+    * no interval join, no per-grid-point scan.
+    *
+    * The grid spans `ceil(min ts / step) · step` to `max ts` per key
+    * (integer arithmetic, engine-exact); a key whose observations all
+    * fall strictly between two grid lines contributes no rows. Since the
+    * grid starts at or after the key's first observation, every grid
+    * instant has a fill — the left-outer NULLs of the underlying as-of
+    * can only appear if callers later widen the grid bounds.
+    *
+    * Scale shape: one aggregation for the per-key bounds (dimension-sized
+    * output), the grid explode fans out bounded by range/step, and the
+    * as-of resolves with its single key-shuffle window pass. The derived
+    * sequence is staged in its own projection before `explode` (the
+    * measured generator-child staging rule). Requires a NUMERIC ts
+    * column (µs epochs etc.) — grid arithmetic is integer division.
+    * Output: keys…, `grid_ts`, then every non-key observation column
+    * `rightPrefix`-renamed (the observation ts included). */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    stepUs: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "resampleFfill needs at least one key column")
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val t = df.schema(tsCol).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"resampleFfill needs a NUMERIC ts column (µs epochs etc.); " +
+        s"'$tsCol' is ${t.sql}")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).cast("long").as("__mn"),
+        max(col(tsCol)).cast("long").as("__mx"))
+    val gridStart = expr(s"((__mn + ${stepUs - 1}L) div ${stepUs}L) " +
+      s"* ${stepUs}L")
+    val grid = bounds
+      .select(keys.map(col) :+
+        when(gridStart <= col("__mx"),
+          sequence(gridStart, col("__mx"), lit(stepUs)))
+          .otherwise(array().cast("array<long>")).as("__grid"): _*)
+      .select(keys.map(col) :+ explode(col("__grid")).as("grid_ts"): _*)
+    asOfJoin(grid, df, keys, leftTs = "grid_ts", rightTs = tsCol,
+      rightPrefix = rightPrefix)
+  }
+
   /** Interval-overlap (range) join: every (left, right) pair of the same
     * `keys` whose closed intervals [start, end] overlap. Spark plans a
     * raw inequality join as BroadcastNestedLoop — quadratic and

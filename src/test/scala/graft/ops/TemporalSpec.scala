@@ -7,6 +7,27 @@ import graft.SparkSpec
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resampleFfill: grid alignment, inclusive fill, between-lines " +
+    "key contributes nothing") {
+    val obs = Seq(
+      (1L, 95L, "a"), (1L, 100L, "b"), (1L, 130L, "c"), (1L, 247L, "d"),
+      (2L, 105L, "x"), // lone obs strictly between grid lines: no rows
+      (3L, 100L, "y")) // exactly on a grid line: one row
+      .toDF("k", "ts", "v")
+    val got = Temporal.resampleFfill(obs, Seq("k"), "ts", 100L)
+      .select("k", "grid_ts", "r_v").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, 100L, "b"), // latest at or before 100 (inclusive beats 95's a)
+      (1L, 200L, "c"), // 247 is future; 130 fills forward
+      (3L, 100L, "y")))
+    intercept[IllegalArgumentException] {
+      Temporal.resampleFfill(
+        Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts"),
+        Seq("k"), "ts", 100L)
+    }
+  }
+
   test("asOfJoinNearest rejects non-numeric ts columns (fail-fast " +
     "contract, mirrors transitionLags)") {
     val l = Seq((1L, new java.sql.Timestamp(0L), "x")).toDF("k", "ts", "obs")
