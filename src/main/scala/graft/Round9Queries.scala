@@ -12,12 +12,23 @@ import org.apache.spark.sql.functions._
   *    latest same-user state row at or before each event, continuously,
   *    vs DuckDB's native backward-inclusive ASOF LEFT JOIN over the
   *    same feed.
+  *  - `j16_resample_ffill`: time-series resample + forward-fill
+  *    ([[graft.ops.Temporal.resampleFfill]]) vs DuckDB generate_series
+  *    + native ASOF.
+  *  - `a28_incremental_cc`: incremental connected components
+  *    ([[graft.bel.IncrementalCC]]) — a delta batch folded into the
+  *    persisted label index must equal the from-scratch run over the
+  *    union graph, pinned against an independent full-graph recursive
+  *    CTE.
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
 
   private val HourUs = 3600000000L
 
@@ -37,6 +48,28 @@ object Round9Queries {
         .agg(max("event_id").as("event_id"), max("value").as("value"))
       graft.ops.Temporal.resampleFfill(obs, Seq("user_id"), "ts_us",
         stepUs = HourUs)
+    }),
+
+    // --- Incremental connected components -----------------------------------
+    // The persisted-label-index fold: the base graph (supplier→nation
+    // stars, 25 components) absorbs a delta batch (nation→region edges)
+    // that MERGES them into the 5 region components — the fold re-runs
+    // the star loop only over the delta-touched super-graph, never the
+    // base edges. Labels canonicalized to the min node string per
+    // component (the a13 discipline); the oracle computes components of
+    // the FULL union graph independently, so a green row proves
+    // fold(index, delta) == from-scratch(base ∪ delta) value-exactly.
+    "a28_incremental_cc" -> ((s, d) => {
+      val base = t(s, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"))
+      val delta = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      val folded = graft.bel.IncrementalCC.fold(
+        graft.bel.ConnectedComponents.run(base), delta)
+      val canon = folded.groupBy("component").agg(min("node").as("comp"))
+      folded.join(canon, "component").select("node", "comp")
     }),
 
     // --- Streaming as-of enrichment -----------------------------------------
@@ -97,6 +130,32 @@ object Round9Queries {
       }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "a28_incremental_cc" ->
+      """WITH edges AS (
+        |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst
+        |  FROM nation
+        |), und AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM edges
+        |    UNION SELECT dst AS u, src AS v FROM edges)
+        |  WHERE u <> v
+        |), vertices AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), walk AS (
+        |  WITH RECURSIVE walk(n, comp) AS (
+        |    SELECT node, node FROM vertices
+        |    UNION
+        |    SELECT e.v, walk.comp FROM walk JOIN und e ON walk.n = e.u
+        |  )
+        |  SELECT n, comp FROM walk
+        |)
+        |SELECT n AS node, min(comp) AS comp FROM walk GROUP BY n
+        |""".stripMargin,
 
     "j16_resample_ffill" ->
       """WITH o AS (

@@ -38,7 +38,7 @@ object ConnectedComponents {
 
   /** (u,v) long edges → self-loop-free, canonical (max,min). Pure
     * projection — no shuffle. */
-  private def canonicalize(ehash: DataFrame): DataFrame =
+  private[bel] def canonicalize(ehash: DataFrame): DataFrame =
     ehash
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
@@ -125,7 +125,7 @@ object ConnectedComponents {
     *    observe the fixpoint by running one full extra (idempotent) star
     *    pair after it — ~6 shuffles over data the structural test settles
     *    with one star-sized aggregation job. */
-  private def starFixpoint(e0: DataFrame, maxIterations: Int): DataFrame = {
+  private[bel] def starFixpoint(e0: DataFrame, maxIterations: Int): DataFrame = {
     var e = e0
     var converged = false
     var iter = 0
