@@ -31,6 +31,14 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan
   }
 
+  /** A generator child counts as staged when it is a bare column
+    * reference — Attribute pre-binding, BoundReference in an executed
+    * plan — rather than an inline complex expression. */
+  private def staged(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] ||
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference]
+
   private def withoutAqe[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -317,6 +325,69 @@ class PlanShapeSpec extends SparkSpec {
         s"funnel should be one groupBy shuffle:\n$plan")
       assert(!plan.toString.contains("Window"),
         s"the fold must not be a window funnel:\n$plan")
+    }
+  }
+
+  test("funnel transitionLags: the per-transition struct array is STAGED " +
+    "in its own projection before the explode (generator child is a bare " +
+    "attribute, the measured codegen-staging rule)") {
+    withoutAqe {
+      val ev = (0 until 256).map(i =>
+        (i.toLong % 16, new java.sql.Timestamp(i.toLong * 60000),
+          if (i % 4 == 0) "view" else if (i % 4 == 1) "click" else "buy"))
+        .toDF("user_id", "ts", "event_type")
+      val plan = executed(
+        Funnel.transitionLags(ev, Seq("view", "click", "buy")))
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.nonEmpty, s"no generate node found:\n$plan")
+      gens.foreach { g =>
+        assert(g.boundGenerator.children.forall(staged),
+          s"explode child is a complex inline expression, not a staged " +
+            s"attribute:\n$plan")
+      }
+    }
+  }
+
+  test("resampleFfill: no join operator anywhere (grid + as-of are " +
+    "union/window plans), grid explode staged, windows multi-partition") {
+    withoutAqe {
+      val obs = (0 until 256).map(i =>
+        (i.toLong % 16, i.toLong * 1000L, i.toDouble))
+        .toDF("k", "ts", "v")
+      val plan = executed(
+        Temporal.resampleFfill(obs, Seq("k"), "ts", stepUs = 4000L))
+      assert(plan.collect {
+        case c: CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"resampleFfill must not plan a join:\n$plan")
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.nonEmpty)
+      gens.foreach(g => assert(g.boundGenerator.children.forall(staged),
+        s"grid sequence not staged before explode:\n$plan"))
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(e.outputPartitioning.numPartitions > 1,
+          s"a window collapsed to one partition:\n$plan"))
+    }
+  }
+
+  test("incremental CC fold: no cartesian product; the super-star map " +
+    "joins back into the index as a BROADCAST dimension") {
+    withoutAqe {
+      val base = (0 until 64).map(i => (s"a$i", s"b${i % 8}"))
+        .toDF("src", "dst")
+      val idx = graft.bel.ConnectedComponents.run(base)
+      val delta = (0 until 8).map(i => (s"b$i", s"b${(i + 1) % 8}"))
+        .toDF("src", "dst")
+      val plan = executed(graft.bel.IncrementalCC.fold(idx, delta))
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"fold planned a cartesian product:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"relabel join should broadcast the delta-sized super map:\n$plan")
     }
   }
 
