@@ -55,6 +55,8 @@ import graft.sources._
   *   graft.Cli export-jsonl [--input P] --out DIR [--shards K]
   *   graft.Cli drift     --a P --b P [--group COL]
   *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
+  *   graft.Cli resample  [--input P | --sf-dir D] --out DIR [--keys a,b] [--ts T] [--step-us N]
+  *   graft.Cli cc-incremental --delta P (--index P | --base P) --out DIR
   */
 object Cli {
 
@@ -424,6 +426,29 @@ object Cli {
         }
         joined.write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} rows -> $out")
+      case "resample" => // fixed-grid forward-fill (j16_resample_ffill)
+        val out = opts.getOrElse("out", s"$warehouse/_resampled")
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir)
+            .groupBy(col("user_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+            .agg(max("event_id").as("event_id"), max("value").as("value")))
+        val keys = opts.getOrElse("keys", "user_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.ops.Temporal.resampleFfill(in, keys,
+          tsCol = opts.getOrElse("ts", "ts_us"),
+          stepUs = opts.getOrElse("step-us", "3600000000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} grid rows -> $out")
+      case "cc-incremental" => // fold a delta into CC labels (a28)
+        val out = opts.getOrElse("out", s"$warehouse/_cc_labels")
+        val delta = spark.read.parquet(opts("delta"))
+        val index = opts.get("index").map(spark.read.parquet(_))
+          .getOrElse(graft.bel.ConnectedComponents.run(
+            spark.read.parquet(opts("base"))))
+        graft.bel.IncrementalCC.fold(index, delta)
+          .write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} labels -> $out")
       case "compact" => // small-file hygiene (k16_compacted)
         val in = opts.getOrElse("input", docsPath)
         val out = opts.getOrElse("out", s"$warehouse/_compacted")
@@ -525,7 +550,7 @@ object Cli {
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
           "cosine-pairs walks neg-samples prepare-training compact " +
-          "zorder export-jsonl drift asof")
+          "zorder export-jsonl drift asof resample cc-incremental")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -243,6 +243,28 @@ class CliSpec extends SparkSpec {
     assert(row.getAs[Long]("r_ts") === 90L)
   }
 
+  test("resample and cc-incremental run over arbitrary parquet inputs") {
+    val dir = tmpDir("cliresample")
+    val obs = s"$dir/obs.parquet"
+    Seq((1L, 95L, 10.0), (1L, 130L, 20.0), (1L, 247L, 30.0))
+      .toDF("k", "t", "v").write.parquet(obs)
+    val out = s"$dir/grid"
+    Cli.main(Array("resample", "--input", obs, "--out", out,
+      "--keys", "k", "--ts", "t", "--step-us", "100"))
+    assert(spark.read.parquet(out).count() === 2) // grid 100, 200
+    val base = s"$dir/base.parquet"
+    Seq(("a", "b"), ("c", "d")).toDF("src", "dst").write.parquet(base)
+    val delta = s"$dir/delta.parquet"
+    Seq(("b", "c")).toDF("src", "dst").write.parquet(delta)
+    val labOut = s"$dir/labels"
+    Cli.main(Array("cc-incremental", "--base", base, "--delta", delta,
+      "--out", labOut))
+    val labels = spark.read.parquet(labOut)
+    assert(labels.count() === 4)
+    assert(labels.select("component").distinct().count() === 1)
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("semantic-dedup --emb runs the auto path over an arbitrary parquet") {
     val dir = tmpDir("clisem")
     val path = s"$dir/vectors.parquet"
