@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *    the raw embeddings corpus at a stated probe budget, truth from
   *    the exact brute-force scan — catches centroid-count/probe-budget
   *    rot the planted-twin invariant gates cannot see.
+  *  - `w_twap`: time-weighted average buckets
+  *    ([[graft.ops.Temporal.twapBuckets]]) — exact integer cents×µs
+  *    mass per hour bucket, vs the lead-segment + generate_series SQL.
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -63,6 +66,21 @@ object Round9Queries {
         .agg(max("event_id").as("event_id"), max("value").as("value"))
       graft.ops.Temporal.resampleFfill(obs, Seq("user_id"), "ts_us",
         stepUs = HourUs)
+    }),
+
+    // --- Time-weighted average (TWAP) buckets -------------------------------
+    // Per user, the time-weighted mass of the piecewise-constant click
+    // value per hour bucket — exact integers only (cents × µs), the
+    // rollingSum quantization contract, so the gate is value-exact.
+    // Same-µs conflicts pre-aggregated to max cents (j10 discipline).
+    "w_twap" -> ((s, d) => {
+      val obs = graft.core.Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(max(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.ops.Temporal.twapBuckets(obs, Seq("user_id"), "ts_us",
+        "cents", stepUs = HourUs)
     }),
 
     // --- Bench-scale IVF recall@10 -------------------------------------------
@@ -186,6 +204,29 @@ object Round9Queries {
 
     "s_ivf_bench_recall" ->
       "SELECT true AS recall_ok, true AS truth_complete",
+
+    "w_twap" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), seg AS (
+        |  SELECT user_id, ts_us, cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS nxt
+        |  FROM o
+        |), sp AS (
+        |  SELECT user_id, ts_us, cents, nxt,
+        |    unnest(generate_series(ts_us // 3600000000,
+        |      (nxt - 1) // 3600000000)) AS b
+        |  FROM seg WHERE nxt IS NOT NULL AND nxt > ts_us
+        |)
+        |SELECT user_id, b * 3600000000 AS bucket_ts,
+        |  CAST(sum(cents * (least(nxt, (b + 1) * 3600000000)
+        |    - greatest(ts_us, b * 3600000000))) AS BIGINT) AS weighted_us,
+        |  CAST(sum(least(nxt, (b + 1) * 3600000000)
+        |    - greatest(ts_us, b * 3600000000)) AS BIGINT) AS covered_us
+        |FROM sp GROUP BY 1, 2
+        |""".stripMargin,
 
     "a28_incremental_cc" ->
       """WITH edges AS (

@@ -264,6 +264,61 @@ object Temporal {
       rightPrefix = rightPrefix)
   }
 
+  /** Time-weighted aggregation onto fixed buckets (the TWAP/feature-store
+    * "average state per hour" export): each observation opens a
+    * piecewise-constant segment `[ts, next_ts)` carrying its value; every
+    * `stepUs` bucket a segment overlaps receives `value · overlap_µs`.
+    * Output per (keys…, bucket): `bucket_ts` (bucket start, µs),
+    * `weighted_us` = Σ value·dt and `covered_us` = Σ dt — both EXACT
+    * integers (the integer-measure contract of [[rollingSum]]: quantize
+    * values first, divide `weighted_us / covered_us` after), so the
+    * result is engine-bit-exact, never a float-order artifact. The
+    * trailing observation opens no segment (state beyond the last
+    * observation is unknown); buckets report their covered duration so
+    * partially-covered buckets are visible to the consumer.
+    *
+    * Scale shape: one key-shuffle for the `lead` segment build, a
+    * bucket-span explode bounded by segment_length/step (staged in its
+    * own projection — the [[rangeJoin]] grid discipline), and one
+    * hash-aggregation on (keys, bucket) — two shuffles total, no join,
+    * no interval explosion. Observations must be pre-aggregated to one
+    * row per (keys, ts) — same-instant duplicates are dropped
+    * defensively (zero-length segments carry no mass). Requires a
+    * NUMERIC ts column and an integral value column. */
+  def twapBuckets(df: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, stepUs: Long): DataFrame = {
+    require(keys.nonEmpty, "twapBuckets needs at least one key column")
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(df.schema(tsCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"twapBuckets needs a NUMERIC ts column; " +
+        s"'$tsCol' is ${df.schema(tsCol).dataType.sql}")
+    require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
+      .contains(df.schema(valueCol).dataType.sql),
+      s"twapBuckets needs an INTEGRAL value column (quantize first — " +
+        s"cents/micros); '$valueCol' is ${df.schema(valueCol).dataType.sql}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    val seg = df
+      .withColumn("__nxt", lead(col(tsCol), 1).over(w))
+      .filter(col("__nxt") > col(tsCol)) // drops trailing + zero-length
+      .withColumn("__bspan", sequence(
+        expr(s"`$tsCol` div ${stepUs}L"),
+        expr(s"(`__nxt` - 1) div ${stepUs}L")))
+    val exploded = seg
+      .select(keys.map(col) ++ Seq(col(tsCol).cast("long").as("__ts"),
+        col("__nxt").cast("long").as("__nxt"),
+        col(valueCol).cast("long").as("__v"),
+        explode(col("__bspan")).as("__b")): _*)
+    val dt = least(col("__nxt"), (col("__b") + 1) * stepUs) -
+      greatest(col("__ts"), col("__b") * stepUs)
+    exploded
+      .groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__v") * dt).as("weighted_us"),
+        sum(dt).as("covered_us"))
+      .select(keys.map(col) ++ Seq((col("__b") * stepUs).as("bucket_ts"),
+        col("weighted_us"), col("covered_us")): _*)
+  }
+
   /** Interval-overlap (range) join: every (left, right) pair of the same
     * `keys` whose closed intervals [start, end] overlap. Spark plans a
     * raw inequality join as BroadcastNestedLoop — quadratic and

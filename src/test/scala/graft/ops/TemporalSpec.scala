@@ -28,6 +28,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("twapBuckets: exact piecewise-constant mass per bucket; trailing " +
+    "observation opens no segment") {
+    // step 100: [50,150)@10 covers bucket0 for 50µs and bucket1 for 50µs;
+    // [150,250)@30 covers bucket1 for 50µs and bucket2 for 50µs; the
+    // t=250 observation is trailing state and contributes nothing
+    val obs = Seq((1L, 50L, 10L), (1L, 150L, 30L), (1L, 250L, 99L),
+      (2L, 100L, 7L), (2L, 200L, 7L)) // exact-boundary segment
+      .toDF("k", "ts", "v")
+    val got = Temporal.twapBuckets(obs, Seq("k"), "ts", "v", 100L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 500L, 50L),
+      (1L, 100L, 10L * 50 + 30L * 50, 100L),
+      (1L, 200L, 30L * 50, 50L),
+      (2L, 100L, 7L * 100, 100L))) // boundary-aligned: exactly bucket 1
+    intercept[IllegalArgumentException] {
+      Temporal.twapBuckets(
+        Seq((1L, 1L, 1.5)).toDF("k", "ts", "v"), Seq("k"), "ts", "v", 10L)
+    }
+  }
+
   test("asOfJoinNearest rejects non-numeric ts columns (fail-fast " +
     "contract, mirrors transitionLags)") {
     val l = Seq((1L, new java.sql.Timestamp(0L), "x")).toDF("k", "ts", "obs")
