@@ -130,6 +130,10 @@ object Round9Queries {
     // component (the a13 discipline); the oracle computes components of
     // the FULL union graph independently, so a green row proves
     // fold(index, delta) == from-scratch(base ∪ delta) value-exactly.
+    // (An a17-style AQE-off scoping was MEASURED WORSE here -- 4.9 s vs
+    // 3.2 s -- the star loop's many tiny convergence-check aggregations
+    // benefit from AQE's runtime partition coalescing more than they pay
+    // in re-planning jobs; so this gate keeps the session defaults.)
     "a28_incremental_cc" -> ((s, d) => {
       val base = t(s, d, "supplier").select(
         concat(lit("s:"), col("s_suppkey")).as("src"),
