@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *  - `w_twap`: time-weighted average buckets
   *    ([[graft.ops.Temporal.twapBuckets]]) — exact integer cents×µs
   *    mass per hour bucket, vs the lead-segment + generate_series SQL.
+  *  - `j17_asof_broadcast`: the dimension-sized-right as-of
+  *    specialization ([[graft.ops.Temporal.asOfJoinBroadcast]]) — the
+  *    event side never shuffles; j10's oracle reused verbatim.
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -81,6 +84,27 @@ object Round9Queries {
         .agg(max(round(col("value") * 100, 0).cast("long")).as("cents"))
       graft.ops.Temporal.twapBuckets(obs, Seq("user_id"), "ts_us",
         "cents", stepUs = HourUs)
+    }),
+
+    // --- Broadcast as-of join -----------------------------------------------
+    // The SAME query as j10_asof_join (latest same-user error within the
+    // trailing hour of each click) through the dimension-sized-right
+    // specialization: the click side never shuffles — states compact to
+    // one sorted array per user, broadcast, and each click resolves
+    // in-row. Oracle reused verbatim from j10 (identical semantics is
+    // the whole point); the never-shuffles claim is plan-pinned.
+    "j17_asof_broadcast" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("value"))
+      val r = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), tsUs.as("rts"))
+        .agg(max("value").as("err_value"))
+      graft.ops.Temporal.asOfJoinBroadcast(l, r, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "rts",
+        tolerance = Some(3600000000L))
     }),
 
     // --- Bench-scale IVF recall@10 -------------------------------------------
@@ -208,6 +232,8 @@ object Round9Queries {
 
     "s_ivf_bench_recall" ->
       "SELECT true AS recall_ok, true AS truth_complete",
+
+    "j17_asof_broadcast" -> Round7Queries.oracleSql("j10_asof_join"),
 
     "w_twap" ->
       """WITH o AS (

@@ -97,6 +97,67 @@ object Temporal {
         payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
   }
 
+  /** Broadcast as-of join — the dimension-sized-right specialization of
+    * [[asOfJoin]]: when the state-history side fits a broadcast (user
+    * segments, instrument reference data — the common feature-store
+    * shape), the event side should pay NOTHING: no shuffle, no per-key
+    * sort, no window. The window formulation shuffles BOTH sides on the
+    * key; at 100 TB of events against a dimension-sized history that
+    * exchange of the event table is the entire cost of the query.
+    *
+    * Plan shape: the right side compacts to ONE row per key (sorted
+    * state array, `collect_list` + `sort_array` — the only shuffle, over
+    * the dimension), broadcast-joins the left, and each event resolves
+    * in-row with codegen'd array `filter` + `element_at` — a linear scan
+    * of that key's states, fine by the broadcast contract (per-key
+    * history is small when the whole side broadcasts). The left side
+    * stays narrow end-to-end (plan-pinned in PlanShapeSpec).
+    *
+    * Semantics match [[asOfJoin]] (backward/forward, inclusive bound or
+    * `strict`, optional `tolerance` in ts units, left-outer NULLs, NULL
+    * left ts matches nothing) with one tie difference: right rows
+    * sharing (keys, ts) resolve by full-struct sort order rather than
+    * payload-hash — both deterministic under any partitioning; callers
+    * wanting cross-engine tie parity pre-aggregate per (keys, ts), the
+    * j10 discipline. */
+  def asOfJoinBroadcast(left: DataFrame, right: DataFrame,
+                        keys: Seq[String],
+                        leftTs: String = "ts", rightTs: String = "ts",
+                        rightPrefix: String = "r_",
+                        tolerance: Option[Long] = None,
+                        forward: Boolean = false,
+                        strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    require(payload.contains(rightTs), s"right ts column $rightTs missing")
+    val states = right
+      .filter(col(rightTs).isNotNull)
+      .select(keys.map(col) :+ struct(col(rightTs).as("__rts"),
+        struct(payload.map(col): _*).as("__p")).as("__s"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__s"))).as("__states"))
+    val lts = col(leftTs)
+    val admissible: Column => Column = s => {
+      val rts = s.getField("__rts")
+      val dir =
+        if (forward) { if (strict) rts > lts else rts >= lts }
+        else { if (strict) rts < lts else rts <= lts }
+      tolerance match {
+        case None => dir
+        case Some(t) =>
+          dir && (if (forward) rts <= lts + t else rts >= lts - t)
+      }
+    }
+    val adm = filter(col("__states"), admissible)
+    val pick = element_at(adm, if (forward) 1 else -1)
+    left
+      .join(broadcast(states), keys, "left")
+      .withColumn("__m",
+        when(lts.isNotNull && size(adm) > 0, pick.getField("__p")))
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+  }
+
   /** Nearest-mode as-of join (pandas `merge_asof(direction='nearest')`):
     * each left row picks the right row whose timestamp is CLOSEST in
     * either direction, per key; equidistant candidates resolve backward

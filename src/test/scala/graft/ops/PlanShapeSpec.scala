@@ -375,6 +375,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinBroadcast: the EVENT side never shuffles — every " +
+    "exchange sits under the broadcast subtree, no window, no " +
+    "sort-merge join") {
+    withoutAqe {
+      val left = docs.select(col("doc_id").as("k"),
+        (col("doc_id") * 7).as("ts"), col("source"))
+      val right = (0 until 32).map(i => (i.toLong, i.toLong * 50, i * 1.0))
+        .toDF("k", "ts", "q")
+      val plan = executed(
+        Temporal.asOfJoinBroadcast(left, right, Seq("k")))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"broadcast as-of must plan a broadcast join:\n$plan")
+      assert(!plan.toString.contains("SortMergeJoin") &&
+        !plan.toString.contains("Window"),
+        s"unexpected shuffle-side operator:\n$plan")
+      val bcast = plan.collect { case b: BroadcastExchangeExec => b }
+      val outside = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(e => bcast.exists(b =>
+          b.collect { case x if x eq e => x }.nonEmpty))
+      assert(outside.isEmpty,
+        s"the event side gained a shuffle of its own:\n$plan")
+    }
+  }
+
   test("incremental CC fold: no cartesian product; the super-star map " +
     "joins back into the index as a BROADCAST dimension") {
     withoutAqe {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.max
 
 import graft.SparkSpec
 
@@ -26,6 +27,38 @@ class TemporalSpec extends SparkSpec {
         Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts"),
         Seq("k"), "ts", 100L)
     }
+  }
+
+  test("asOfJoinBroadcast equals asOfJoin across the whole mode matrix " +
+    "on a random corpus") {
+    val rnd = new scala.util.Random(41)
+    val l = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "obs_id")
+    val r = (1 to 150).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      .toDF("k", "ts", "state_id")
+      .groupBy("k", "ts").agg(max("state_id").as("state_id"))
+    for (fwd <- Seq(false, true); strict <- Seq(false, true);
+         tol <- Seq(None, Option(50L))) {
+      val a = Temporal.asOfJoin(l, r, Seq("k"),
+        tolerance = tol, forward = fwd, strict = strict)
+        .collect().toSet
+      val b = Temporal.asOfJoinBroadcast(l, r, Seq("k"),
+        tolerance = tol, forward = fwd, strict = strict)
+        .collect().toSet
+      assert(a === b, s"forward=$fwd strict=$strict tol=$tol")
+    }
+  }
+
+  test("asOfJoinBroadcast: a NULL left ts matches nothing; an unknown " +
+    "key keeps NULL payloads") {
+    val l = Seq((Some(1L), Some(10L), "a"), (Some(1L), None, "b"),
+      (Some(9L), Some(10L), "c")).toDF("k", "ts", "obs")
+    val r = Seq((1L, 5L, 7.0)).toDF("k", "ts", "q")
+    val got = Temporal.asOfJoinBroadcast(l, r, Seq("k"))
+      .select("obs", "r_q").as[(String, Option[Double])].collect().toSet
+    assert(got === Set(("a", Some(7.0)), ("b", None), ("c", None)))
   }
 
   test("twapBuckets: exact piecewise-constant mass per bucket; trailing " +
