@@ -57,6 +57,7 @@ import graft.sources._
   *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
   *   graft.Cli resample  [--input P | --sf-dir D] --out DIR [--keys a,b] [--ts T] [--step-us N]
   *   graft.Cli cc-incremental --delta P (--index P | --base P) --out DIR
+  *   graft.Cli expect    [--input P | --sf-dir D] [--not-null a,b] [--unique a,b] [--bounds col:lo:hi]
   */
 object Cli {
 
@@ -449,6 +450,24 @@ object Cli {
         graft.bel.IncrementalCC.fold(index, delta)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} labels -> $out")
+      case "expect" => // data-quality expectation report (a29_expectations)
+        import graft.ops.Expectations
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val checks = Seq.newBuilder[Expectations.Check]
+        opts.get("not-null").foreach(_.split(",").foreach(c =>
+          checks += Expectations.notNull(c.trim)))
+        opts.get("unique").foreach(_.split(",").foreach(c =>
+          checks += Expectations.unique(c.trim)))
+        for (b <- opts.get("bounds")) { // col:lo:hi
+          val Array(c, lo, hi) = b.split(":")
+          checks += Expectations.bounds(c, lo.toDouble, hi.toDouble)
+        }
+        val built = checks.result()
+        val suite = if (built.nonEmpty) built
+          else Seq(Expectations.rowCountBetween(1L, Long.MaxValue))
+        Expectations.run(in, suite).collect()
+          .foreach(r => println(r.mkString("\t")))
       case "compact" => // small-file hygiene (k16_compacted)
         val in = opts.getOrElse("input", docsPath)
         val out = opts.getOrElse("out", s"$warehouse/_compacted")
@@ -550,7 +569,7 @@ object Cli {
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
           "cosine-pairs walks neg-samples prepare-training compact " +
-          "zorder export-jsonl drift asof resample cc-incremental")
+          "zorder export-jsonl drift asof resample cc-incremental expect")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

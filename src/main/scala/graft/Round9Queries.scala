@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *  - `j17_asof_broadcast`: the dimension-sized-right as-of
   *    specialization ([[graft.ops.Temporal.asOfJoinBroadcast]]) — the
   *    event side never shuffles; j10's oracle reused verbatim.
+  *  - `a29_expectations`: single-pass data-quality expectation report
+  *    ([[graft.ops.Expectations]]) — completeness/uniqueness/bounds/
+  *    domain/row-count in ONE aggregation plus the referential probe,
+  *    pass AND fail paths oracle-pinned with exact fractions.
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -84,6 +88,29 @@ object Round9Queries {
         .agg(max(round(col("value") * 100, 0).cast("long")).as("cents"))
       graft.ops.Temporal.twapBuckets(obs, Seq("user_id"), "ts_us",
         "cents", stepUs = HourUs)
+    }),
+
+    // --- Data-quality expectation suite -------------------------------------
+    // The ingest-time validation report over events: completeness,
+    // uniqueness, bounds, domain membership, row count — ONE aggregation
+    // pass — plus the referential-integrity probe against customer.
+    // Failing checks are part of the gate (the narrowed domain and the
+    // tight bounds yield passed=false rows), so the fail path is
+    // oracle-pinned too, with exact fractions on both sides.
+    "a29_expectations" -> ((s, d) => {
+      import graft.ops.Expectations
+      val ev = graft.core.Tables.events(s, d)
+      Expectations.run(ev, Seq(
+          Expectations.notNull("event_id"),
+          Expectations.notNull("user_id"),
+          Expectations.unique("event_id"),
+          Expectations.bounds("value", 0.0, 500.0),
+          Expectations.bounds("value", 0.0, 100.0),
+          Expectations.valuesIn("event_type",
+            Seq("view", "click", "purchase", "error")),
+          Expectations.rowCountBetween(1L, 100000000L)))
+        .unionByName(Expectations.foreignKey(ev, "user_id",
+          t(s, d, "customer"), "c_custkey"))
     }),
 
     // --- Broadcast as-of join -----------------------------------------------
@@ -234,6 +261,52 @@ object Round9Queries {
       "SELECT true AS recall_ok, true AS truth_complete",
 
     "j17_asof_broadcast" -> Round7Queries.oracleSql("j10_asof_join"),
+
+    "a29_expectations" ->
+      """SELECT 'not_null(event_id)' AS "check",
+        |  CAST(count(event_id) AS DOUBLE) / count(*) AS metric,
+        |  count(event_id) = count(*) AS passed FROM events
+        |UNION ALL
+        |SELECT 'not_null(user_id)',
+        |  CAST(count(user_id) AS DOUBLE) / count(*),
+        |  count(user_id) = count(*) FROM events
+        |UNION ALL
+        |SELECT 'unique(event_id)',
+        |  CAST(count(DISTINCT event_id) AS DOUBLE) / count(event_id),
+        |  count(DISTINCT event_id) = count(event_id) FROM events
+        |UNION ALL
+        |SELECT 'bounds(value,0.0,500.0)',
+        |  CAST(count(*) FILTER (value BETWEEN 0 AND 500) AS DOUBLE)
+        |    / count(value),
+        |  count(*) FILTER (value BETWEEN 0 AND 500) = count(value)
+        |FROM events
+        |UNION ALL
+        |SELECT 'bounds(value,0.0,100.0)',
+        |  CAST(count(*) FILTER (value BETWEEN 0 AND 100) AS DOUBLE)
+        |    / count(value),
+        |  count(*) FILTER (value BETWEEN 0 AND 100) = count(value)
+        |FROM events
+        |UNION ALL
+        |SELECT 'values_in(event_type)',
+        |  CAST(count(*) FILTER (event_type IN
+        |    ('view', 'click', 'purchase', 'error')) AS DOUBLE)
+        |    / count(event_type),
+        |  count(*) FILTER (event_type IN
+        |    ('view', 'click', 'purchase', 'error')) = count(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'row_count(1,100000000)', CAST(count(*) AS DOUBLE),
+        |  count(*) BETWEEN 1 AND 100000000 FROM events
+        |UNION ALL
+        |SELECT 'foreign_key(user_id->c_custkey)',
+        |  CAST((SELECT count(*) FROM events e
+        |    LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |    WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL)
+        |    AS DOUBLE),
+        |  (SELECT count(*) FROM events e
+        |    LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |    WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+        |""".stripMargin,
 
     "w_twap" ->
       """WITH o AS (
