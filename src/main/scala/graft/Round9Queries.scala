@@ -34,6 +34,9 @@ import org.apache.spark.sql.functions._
   *    ([[graft.ops.Expectations]]) — completeness/uniqueness/bounds/
   *    domain/row-count in ONE aggregation plus the referential probe,
   *    pass AND fail paths oracle-pinned with exact fractions.
+  *  - `k19_cdc_apply`: CDC snapshot fold ([[graft.ops.Cdc]]) —
+  *    last-writer-wins upsert + delete tombstones in one struct-max
+  *    aggregation, vs the row_number formulation.
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -88,6 +91,29 @@ object Round9Queries {
         .agg(max(round(col("value") * 100, 0).cast("long")).as("cents"))
       graft.ops.Temporal.twapBuckets(obs, Seq("user_id"), "ts_us",
         "cents", stepUs = HourUs)
+    }),
+
+    // --- CDC apply: upsert + delete tombstones ------------------------------
+    // The lakehouse MERGE semantics over the customer snapshot: every
+    // order becomes a change row (key o_custkey; op by o_orderkey % 7 —
+    // 0 delete, 3 insert-under-new-key, else update; seq = o_orderkey,
+    // globally unique so last-writer-wins is engine-independent). One
+    // shuffle, struct-max winner (plan-pinned); oracle = the row_number
+    // formulation DuckDB-side.
+    "k19_cdc_apply" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val o = t(s, d, "orders")
+      val changes = o.select(
+        when(col("o_orderkey") % 7 === 3, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        concat(lit("n"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        when(col("o_orderkey") % 7 === 0, "D")
+          .when(col("o_orderkey") % 7 === 3, "I")
+          .otherwise("U").as("op"),
+        col("o_orderkey").as("seq"))
+      graft.ops.Cdc.applySnapshot(base, changes, Seq("c_custkey"))
     }),
 
     // --- Data-quality expectation suite -------------------------------------
@@ -261,6 +287,32 @@ object Round9Queries {
       "SELECT true AS recall_ok, true AS truth_complete",
 
     "j17_asof_broadcast" -> Round7Queries.oracleSql("j10_asof_join"),
+
+    "k19_cdc_apply" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_name, c_acctbal, CAST(0 AS BIGINT) AS seq,
+        |    'I' AS op
+        |  FROM customer
+        |), ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    'n' || o_orderkey AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CAST(o_orderkey AS BIGINT) AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+        |         WHEN o_orderkey % 7 = 3 THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM orders
+        |), u AS (
+        |  SELECT * FROM b UNION ALL SELECT * FROM ch
+        |), w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC) AS rn
+        |  FROM u
+        |)
+        |SELECT c_custkey, c_name, c_acctbal FROM w
+        |WHERE rn = 1 AND op <> 'D'
+        |""".stripMargin,
 
     "a29_expectations" ->
       """SELECT 'not_null(event_id)' AS "check",

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("id", "name", "bal")
+
+  test("applySnapshot: highest-seq update wins, delete removes, insert " +
+    "adds, untouched keys survive") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 5L),
+      (2L, "b3", 22.0, "u", 7L), // lower-case op accepted; wins by seq
+      (3L, "x", 0.0, "D", 4L),
+      (4L, "d", 40.0, "I", 2L),
+      (5L, "e", 50.0, "I", 3L),
+      (5L, "x", 0.0, "D", 9L)) // inserted then deleted: absent
+      .toDF("id", "name", "bal", "op", "seq")
+    val got = Cdc.applySnapshot(base, changes, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("a later re-insert resurrects a deleted key") {
+    val changes = Seq(
+      (3L, "x", 0.0, "D", 1L), (3L, "c2", 31.0, "I", 2L))
+      .toDF("id", "name", "bal", "op", "seq")
+    val got = Cdc.applySnapshot(base, changes, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got.contains((3L, "c2", 31.0)))
+  }
+
+  test("missing changelog columns fail fast") {
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applySnapshot(base,
+        Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq"), Seq("id"))
+    }
+    assert(e.getMessage.contains("bal"))
+  }
+
+  test("folds compose: applying two changelog batches sequentially " +
+    "equals applying their union") {
+    val rnd = new scala.util.Random(47)
+    def batch(seq0: Long) = (0 until 80).map { i =>
+      (rnd.nextInt(12).toLong, s"v${seq0 + i}", rnd.nextInt(100).toDouble,
+        Seq("I", "U", "D")(rnd.nextInt(3)), seq0 + i)
+    }.toDF("id", "name", "bal", "op", "seq")
+    val (b1, b2) = (batch(1), batch(1000))
+    val sequential = Cdc.applySnapshot(
+      Cdc.applySnapshot(base, b1, Seq("id")), b2, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    val union = Cdc.applySnapshot(base, b1.unionByName(b2), Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(sequential === union)
+  }
+}

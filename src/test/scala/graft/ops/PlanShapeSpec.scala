@@ -399,6 +399,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply: ONE shuffle on the key via the orderable-struct max " +
+    "— no window, no join") {
+    withoutAqe {
+      val base = docs.select(col("doc_id").as("id"), col("text"))
+      val changes = docs.select((col("doc_id") % 64).as("id"), col("text"),
+        lit("U").as("op"), (col("doc_id") + 1).as("seq"))
+      val plan = executed(Cdc.applySnapshot(base, changes, Seq("id")))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1,
+        s"CDC apply should shuffle once on the key:\n$plan")
+      assert(!plan.toString.contains("Window") &&
+        !plan.toString.contains("Join"),
+        s"winner selection must be the struct-max aggregate:\n$plan")
+    }
+  }
+
   test("incremental CC fold: no cartesian product; the super-star map " +
     "joins back into the index as a BROADCAST dimension") {
     withoutAqe {
