@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   *    ([[graft.ops.Expectations]]) — completeness/uniqueness/bounds/
   *    domain/row-count in ONE aggregation plus the referential probe,
   *    pass AND fail paths oracle-pinned with exact fractions.
-  *  - `k19_cdc_apply`: CDC snapshot fold ([[graft.ops.Cdc]]) —
+  *  - `k19_cdc_apply` / `w_stream_cdc`: CDC snapshot fold
+  *    ([[graft.ops.Cdc]], [[graft.streaming.CdcStream]]) —
   *    last-writer-wins upsert + delete tombstones in one struct-max
-  *    aggregation, vs the row_number formulation.
+  *    aggregation, batch and versioned-snapshot streaming faces sharing
+  *    one oracle (folds compose).
   */
 object Round9Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -115,6 +117,43 @@ object Round9Queries {
         col("o_orderkey").as("seq"))
       graft.ops.Cdc.applySnapshot(base, changes, Seq("c_custkey"))
     }),
+
+    // --- Streaming CDC maintenance ------------------------------------------
+    // The k19 changelog delivered as TWO seq-ordered micro-batches
+    // through CdcStream's versioned-snapshot foreachBatch fold; the
+    // final snapshot must equal the one-shot batch apply (folds
+    // compose), so the k19 oracle is reused verbatim.
+    "w_stream_cdc" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val tag = sfTag(d)
+        val base = t(ss, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val changes = t(ss, d, "orders").select(
+            when(col("o_orderkey") % 7 === 3, col("o_custkey") + 1000000)
+              .otherwise(col("o_custkey")).as("c_custkey"),
+            concat(lit("n"), col("o_orderkey")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"),
+            when(col("o_orderkey") % 7 === 0, "D")
+              .when(col("o_orderkey") % 7 === 3, "I")
+              .otherwise("U").as("op"),
+            col("o_orderkey").cast("long").as("seq"))
+          .as[(Long, String, Double, String, Long)]
+          .collect().sortBy(_._5)
+        val path = s"/tmp/graft_cdcstream_$tag"
+        rmrf(ss, path); rmrf(ss, s"$path-ckpt")
+        val mem = MemoryStream[(Long, String, Double, String, Long)]
+        val q = graft.streaming.CdcStream.run(
+          mem.toDS().toDF("c_custkey", "c_name", "c_acctbal", "op", "seq"),
+          path, base, Seq("c_custkey"), s"$path-ckpt")
+        try {
+          val (h1, h2) = changes.splitAt(changes.length / 2)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        graft.streaming.CdcStream.snapshot(ss, path).get
+      }),
 
     // --- Data-quality expectation suite -------------------------------------
     // The ingest-time validation report over events: completeness,
@@ -288,31 +327,9 @@ object Round9Queries {
 
     "j17_asof_broadcast" -> Round7Queries.oracleSql("j10_asof_join"),
 
-    "k19_cdc_apply" ->
-      """WITH b AS (
-        |  SELECT c_custkey, c_name, c_acctbal, CAST(0 AS BIGINT) AS seq,
-        |    'I' AS op
-        |  FROM customer
-        |), ch AS (
-        |  SELECT CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1000000
-        |           ELSE o_custkey END AS c_custkey,
-        |    'n' || o_orderkey AS c_name,
-        |    o_totalprice AS c_acctbal,
-        |    CAST(o_orderkey AS BIGINT) AS seq,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
-        |         WHEN o_orderkey % 7 = 3 THEN 'I'
-        |         ELSE 'U' END AS op
-        |  FROM orders
-        |), u AS (
-        |  SELECT * FROM b UNION ALL SELECT * FROM ch
-        |), w AS (
-        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |    ORDER BY seq DESC) AS rn
-        |  FROM u
-        |)
-        |SELECT c_custkey, c_name, c_acctbal FROM w
-        |WHERE rn = 1 AND op <> 'D'
-        |""".stripMargin,
+    "w_stream_cdc" -> cdcOracle,
+
+    "k19_cdc_apply" -> cdcOracle,
 
     "a29_expectations" ->
       """SELECT 'not_null(event_id)' AS "check",
@@ -443,4 +460,30 @@ object Round9Queries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us
         |""".stripMargin)
+
+  private lazy val cdcOracle: String =
+      """WITH b AS (
+        |  SELECT c_custkey, c_name, c_acctbal, CAST(0 AS BIGINT) AS seq,
+        |    'I' AS op
+        |  FROM customer
+        |), ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    'n' || o_orderkey AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CAST(o_orderkey AS BIGINT) AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+        |         WHEN o_orderkey % 7 = 3 THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM orders
+        |), u AS (
+        |  SELECT * FROM b UNION ALL SELECT * FROM ch
+        |), w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC) AS rn
+        |  FROM u
+        |)
+        |SELECT c_custkey, c_name, c_acctbal FROM w
+        |WHERE rn = 1 AND op <> 'D'
+        |""".stripMargin
 }

@@ -164,6 +164,45 @@ class StreamingSpec extends SparkSpec {
     assert(AsOfStream.toTs(AsOfStream.toUs(t)) === t)
   }
 
+  test("CdcStream: multi-batch folds equal the one-shot batch apply; " +
+    "replayed batch rewrites identical content; old versions vacuum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("cdcstream")
+    val path = s"$dir/snap"
+    val initial = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val b1 = Seq((2L, "b2", 21.0, "U", 1L), (4L, "d", 40.0, "I", 2L))
+    val b2 = Seq((3L, "x", 0.0, "D", 3L), (2L, "b3", 22.0, "U", 4L))
+    val mem = MemoryStream[(Long, String, Double, String, Long)]
+    val q = CdcStream.run(
+      mem.toDS().toDF("id", "name", "bal", "op", "seq"),
+      path, initial, Seq("id"), s"$dir/ckpt")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = CdcStream.snapshot(spark, path).get
+      .as[(Long, String, Double)].collect().toSet
+    val want = graft.ops.Cdc.applySnapshot(initial,
+        (b1 ++ b2).toDF("id", "name", "bal", "op", "seq"), Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)))
+    // replay of the last batch (fold from the strictly-older version)
+    // must rewrite identical content
+    CdcStream.applyBatch(spark, path, initial,
+      b2.toDF("id", "name", "bal", "op", "seq"), Seq("id"), batchId = 1L)
+    assert(CdcStream.snapshot(spark, path).get
+      .as[(Long, String, Double)].collect().toSet === want)
+    // vacuum: a third fold retires the oldest version (retain = 2)
+    CdcStream.applyBatch(spark, path, initial,
+      Seq((9L, "z", 90.0, "I", 9L)).toDF("id", "name", "bal", "op", "seq"),
+      Seq("id"), batchId = 5L)
+    val vs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(vs.length === 2 && vs.last === "v5")
+  }
+
   test("enrich: stream-static broadcast join, per micro-batch, inner") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq((100L, "gold"), (200L, "basic")).toDF("cust", "tier")
