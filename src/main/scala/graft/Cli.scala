@@ -57,7 +57,7 @@ import graft.sources._
   *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
   *   graft.Cli resample  [--input P | --sf-dir D] --out DIR [--keys a,b] [--ts T] [--step-us N]
   *   graft.Cli cc-incremental --delta P (--index P | --base P) --out DIR
-  *   graft.Cli expect    [--input P | --sf-dir D] [--not-null a,b] [--unique a,b] [--bounds col:lo:hi]
+  *   graft.Cli expect    [--input P | --sf-dir D] [--not-null a,b] [--unique a,b] [--bounds col:lo:hi[;col:lo:hi...]]
   */
 object Cli {
 
@@ -459,9 +459,18 @@ object Cli {
           checks += Expectations.notNull(c.trim)))
         opts.get("unique").foreach(_.split(",").foreach(c =>
           checks += Expectations.unique(c.trim)))
-        for (b <- opts.get("bounds")) { // col:lo:hi
-          val Array(c, lo, hi) = b.split(":")
-          checks += Expectations.bounds(c, lo.toDouble, hi.toDouble)
+        // one or more col:lo:hi specs, ';'-separated (the opts parser
+        // keeps only the last occurrence of a repeated flag)
+        for (spec <- opts.get("bounds").toSeq
+             .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)) {
+          spec.split(":") match {
+            case Array(c, lo, hi) =>
+              checks += Expectations.bounds(c, lo.toDouble, hi.toDouble)
+            case _ =>
+              println(s"bad --bounds '$spec' (want col:lo:hi, " +
+                "';'-separated for several)")
+              sys.exit(2)
+          }
         }
         val built = checks.result()
         val suite = if (built.nonEmpty) built

@@ -60,6 +60,25 @@ object Round9Queries {
     if (fs.exists(hp)) { fs.delete(hp, true); () }
   }
 
+  /** The shared k19/w_stream_cdc changelog: every order becomes one
+    * change row (seq = o_orderkey + 1: orderkey 0 exists in the corpus
+    * and sequences must be positive); BOTH gates must keep this
+    * identical because they share one oracle. */
+  private def cdcBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  private def cdcChanges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      when(col("o_orderkey") % 7 === 3, col("o_custkey") + 1000000)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      concat(lit("n"), col("o_orderkey")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"),
+      when(col("o_orderkey") % 7 === 0, "D")
+        .when(col("o_orderkey") % 7 === 3, "I")
+        .otherwise("U").as("op"),
+      (col("o_orderkey") + 1).cast("long").as("seq"))
+
   private val HourUs = 3600000000L
 
   val queries: Map[String, Q] = Map[String, Q](
@@ -102,21 +121,9 @@ object Round9Queries {
     // globally unique so last-writer-wins is engine-independent). One
     // shuffle, struct-max winner (plan-pinned); oracle = the row_number
     // formulation DuckDB-side.
-    "k19_cdc_apply" -> ((s, d) => {
-      val base = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      val o = t(s, d, "orders")
-      val changes = o.select(
-        when(col("o_orderkey") % 7 === 3, col("o_custkey") + 1000000)
-          .otherwise(col("o_custkey")).as("c_custkey"),
-        concat(lit("n"), col("o_orderkey")).as("c_name"),
-        col("o_totalprice").as("c_acctbal"),
-        when(col("o_orderkey") % 7 === 0, "D")
-          .when(col("o_orderkey") % 7 === 3, "I")
-          .otherwise("U").as("op"),
-        col("o_orderkey").as("seq"))
-      graft.ops.Cdc.applySnapshot(base, changes, Seq("c_custkey"))
-    }),
+    "k19_cdc_apply" -> ((s, d) =>
+      graft.ops.Cdc.applySnapshot(cdcBase(s, d), cdcChanges(s, d),
+        Seq("c_custkey"))),
 
     // --- Streaming CDC maintenance ------------------------------------------
     // The k19 changelog delivered as TWO seq-ordered micro-batches
@@ -128,17 +135,8 @@ object Round9Queries {
         import ss.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
         val tag = sfTag(d)
-        val base = t(ss, d, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        val changes = t(ss, d, "orders").select(
-            when(col("o_orderkey") % 7 === 3, col("o_custkey") + 1000000)
-              .otherwise(col("o_custkey")).as("c_custkey"),
-            concat(lit("n"), col("o_orderkey")).as("c_name"),
-            col("o_totalprice").as("c_acctbal"),
-            when(col("o_orderkey") % 7 === 0, "D")
-              .when(col("o_orderkey") % 7 === 3, "I")
-              .otherwise("U").as("op"),
-            col("o_orderkey").cast("long").as("seq"))
+        val base = cdcBase(ss, d)
+        val changes = cdcChanges(ss, d)
           .as[(Long, String, Double, String, Long)]
           .collect().sortBy(_._5)
         val path = s"/tmp/graft_cdcstream_$tag"
@@ -152,7 +150,7 @@ object Round9Queries {
           mem.addData(h1: _*); q.processAllAvailable()
           mem.addData(h2: _*); q.processAllAvailable()
         } finally q.stop()
-        graft.streaming.CdcStream.snapshot(ss, path).get
+        graft.streaming.CdcStream.currentView(ss, path).get
       }),
 
     // --- Data-quality expectation suite -------------------------------------
@@ -471,7 +469,7 @@ object Round9Queries {
         |           ELSE o_custkey END AS c_custkey,
         |    'n' || o_orderkey AS c_name,
         |    o_totalprice AS c_acctbal,
-        |    CAST(o_orderkey AS BIGINT) AS seq,
+        |    CAST(o_orderkey + 1 AS BIGINT) AS seq,
         |    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
         |         WHEN o_orderkey % 7 = 3 THEN 'I'
         |         ELSE 'U' END AS op

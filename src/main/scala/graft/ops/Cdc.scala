@@ -21,38 +21,73 @@ import org.apache.spark.sql.functions._
   * base side would be the bucketed table so the aggregation's exchange
   * carries only the changelog.
   *
-  * Determinism: base rows apply at sequence 0; change rows must carry
-  * POSITIVE sequences. Duplicate (key, seq) change rows are resolved by
-  * the struct order (op, then payload) — deterministic under any
-  * partitioning, but callers wanting cross-engine parity keep (key,
-  * seq) unique, the usual CDC-feed contract.
+  * Sequence threading: when `base` carries `seqCol`, its rows apply at
+  * their STORED sequences and the output retains each key's winning
+  * sequence — thread that through fold chains (as
+  * [[graft.streaming.CdcStream]] does) and out-of-order batch delivery
+  * still converges to last-writer-wins: a later batch carrying an older
+  * change loses to the snapshot row's recorded newer sequence. A
+  * seq-less base applies at sequence 0 and yields a seq-less snapshot —
+  * the one-shot shape. Change sequences must be POSITIVE and unique per
+  * key across the feed (the usual CDC contract); non-positive or null
+  * change sequences fail the job loudly rather than silently losing to
+  * base rows. Duplicate (key, seq) rows resolve by the struct order
+  * (op, then payload) — deterministic under any partitioning.
   */
 object Cdc {
 
-  /** Fold `changes` into `base`. `base` carries `keys` + payload;
+  /** Fold `changes` into `base`. `base` carries `keys` + payload (+
+    * optionally `seqCol` and `opCol`, see sequence threading above);
     * `changes` carries `keys` + the SAME payload columns + `opCol`
     * (`I`/`U`/`D`, case-insensitive) + `seqCol` (castable to long, > 0).
-    * Returns the new snapshot with `base`'s exact schema. */
+    * Returns the new snapshot with `base`'s payload schema, plus the
+    * winning sequence iff the base carried one.
+    *
+    * `retainTombstones = true` KEEPS winning delete rows (with the
+    * winning op in `opCol`) instead of dropping them — required for
+    * fold CHAINS whose batches can deliver out of order: a dropped
+    * delete forgets its sequence, so an older change arriving in a
+    * later batch would silently resurrect the key. Chains retain
+    * tombstones per fold and filter `op != 'D'` only at read time
+    * ([[graft.streaming.CdcStream.currentView]]); the default drops
+    * them — the one-shot shape, where the union carries every change
+    * and no later batch exists. */
   def applySnapshot(base: DataFrame, changes: DataFrame, keys: Seq[String],
                     opCol: String = "op",
-                    seqCol: String = "seq"): DataFrame = {
+                    seqCol: String = "seq",
+                    retainTombstones: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "CDC apply needs at least one key column")
-    val payload = base.columns.filterNot(keys.contains).toSeq
+    val hasSeq = base.columns.contains(seqCol)
+    val hasOp = base.columns.contains(opCol)
+    val payload = base.columns
+      .filterNot((keys :+ seqCol :+ opCol).contains).toSeq
     val missing = (keys ++ payload :+ opCol :+ seqCol)
       .filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"changes frame is missing columns: ${missing.mkString(", ")}")
+    val baseSeq = if (hasSeq) col(seqCol).cast("long") else lit(0L)
+    val baseOp = if (hasOp) upper(col(opCol)) else lit("I")
+    // loud failure on a non-positive/null change sequence — it would
+    // otherwise silently tie/lose against base rows at sequence 0
+    val changeSeq = when(col(seqCol).cast("long") > 0,
+      col(seqCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("CDC change sequence must be positive, got "),
+        coalesce(col(seqCol).cast("string"), lit("null")))))
     val b = base.select(keys.map(col) :+
-      struct(lit(0L).as("__seq") +: lit("I").as("__op") +:
+      struct(baseSeq.as("__seq") +: baseOp.as("__op") +:
         payload.map(col): _*).as("__w"): _*)
     val c = changes.select(keys.map(col) :+
-      struct(col(seqCol).cast("long").as("__seq") +:
-        upper(col(opCol)).as("__op") +: payload.map(col): _*).as("__w"): _*)
-    b.unionByName(c)
+      struct(changeSeq.as("__seq") +: upper(col(opCol)).as("__op") +:
+        payload.map(col): _*).as("__w"): _*)
+    val seqOut = if (hasSeq) Seq(col("__w.__seq").as(seqCol)) else Nil
+    val opOut =
+      if (retainTombstones) Seq(col("__w.__op").as(opCol)) else Nil
+    val won = b.unionByName(c)
       .groupBy(keys.map(col): _*)
       .agg(max(col("__w")).as("__w"))
-      .filter(col("__w.__op") =!= "D")
+    (if (retainTombstones) won else won.filter(col("__w.__op") =!= "D"))
       .select(keys.map(col) ++
-        payload.map(p => col(s"__w.$p").as(p)): _*)
+        payload.map(p => col(s"__w.$p").as(p)) ++ seqOut ++ opOut: _*)
   }
 }

@@ -97,13 +97,18 @@ object Expectations {
   }
 
   /** Referential integrity: every non-null `df.c` exists in
-    * `dim.dimCol`. One left-anti probe (broadcast the dimension when it
-    * fits); returns the same one-row report shape, union-compatible
-    * with [[run]]'s output. */
+    * `dim.dimCol`. One left-anti probe — hinted broadcast by default
+    * (the common dimension-sized case); pass `broadcastDim = false` for
+    * a dimension too large to broadcast and the planner picks the
+    * shuffled anti-join instead. Returns the same one-row report shape,
+    * union-compatible with [[run]]'s output. */
   def foreignKey(df: DataFrame, c: String,
-                 dim: DataFrame, dimCol: String): DataFrame = {
+                 dim: DataFrame, dimCol: String,
+                 broadcastDim: Boolean = true): DataFrame = {
+    val keys = dim.select(col(dimCol).as(c))
     val orphans = df.select(col(c)).filter(col(c).isNotNull)
-      .join(broadcast(dim.select(col(dimCol).as(c))), Seq(c), "left_anti")
+      .join(if (broadcastDim) broadcast(keys) else keys, Seq(c),
+        "left_anti")
       .agg(count(lit(1)).cast("double").as("metric"))
     orphans.select(lit(s"foreign_key($c->$dimCol)").as("check"),
       col("metric"), (col("metric") === 0.0).as("passed"))

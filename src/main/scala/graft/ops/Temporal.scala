@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Shared fail-fast for the operators whose arithmetic needs a numeric
+    * (µs-epoch-style) timestamp column. */
+  private def requireNumericTs(op: String, colName: String,
+                               t: org.apache.spark.sql.types.DataType): Unit =
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op needs a NUMERIC ts column (µs epochs etc.); " +
+        s"'$colName' is ${t.sql}")
+
+  /** SQL fragment for floor division `e div n` that is a TRUE floor for
+    * negative values too (`div` alone truncates toward zero, which would
+    * mis-bucket pre-epoch timestamps): the pmod subtraction makes the
+    * numerator an exact multiple of `n`, so truncation equals floor. */
+  private def floorDivSql(e: String, n: Long): String =
+    s"((($e) - pmod(($e), ${n}L)) div ${n}L)"
+
   /** Point-in-time join: each left row picks the latest right row at or
     * before (backward) / earliest at or after (forward) its timestamp,
     * per `keys`. Right payload columns are emitted `rightPrefix`-renamed;
@@ -181,12 +196,9 @@ object Temporal {
     // columns the distance arithmetic would otherwise run via interval
     // comparisons without tolerance, and with one it would die late with
     // a confusing timestamp+bigint analysis error
-    Seq(leftTs -> left.schema(leftTs).dataType,
-      rightTs -> right.schema(rightTs).dataType).foreach { case (n, t) =>
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"asOfJoinNearest needs NUMERIC ts columns (µs epochs etc.); " +
-          s"'$n' is ${t.sql}")
-    }
+    requireNumericTs("asOfJoinNearest", leftTs, left.schema(leftTs).dataType)
+    requireNumericTs("asOfJoinNearest", rightTs,
+      right.schema(rightTs).dataType)
     val lu = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -306,15 +318,15 @@ object Temporal {
                     stepUs: Long, rightPrefix: String = "r_"): DataFrame = {
     require(keys.nonEmpty, "resampleFfill needs at least one key column")
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    val t = df.schema(tsCol).dataType
-    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"resampleFfill needs a NUMERIC ts column (µs epochs etc.); " +
-        s"'$tsCol' is ${t.sql}")
+    requireNumericTs("resampleFfill", tsCol, df.schema(tsCol).dataType)
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).cast("long").as("__mn"),
         max(col(tsCol)).cast("long").as("__mx"))
-    val gridStart = expr(s"((__mn + ${stepUs - 1}L) div ${stepUs}L) " +
-      s"* ${stepUs}L")
+    // ceil(mn/step)·step as floorDiv(mn + step - 1, step)·step — the
+    // floor-true div keeps pre-epoch (negative) timestamps on the
+    // contract grid
+    val gridStart = expr(
+      s"${floorDivSql(s"__mn + ${stepUs - 1}L", stepUs)} * ${stepUs}L")
     val grid = bounds
       .select(keys.map(col) :+
         when(gridStart <= col("__mx"),
@@ -350,21 +362,20 @@ object Temporal {
                   valueCol: String, stepUs: Long): DataFrame = {
     require(keys.nonEmpty, "twapBuckets needs at least one key column")
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    require(df.schema(tsCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"twapBuckets needs a NUMERIC ts column; " +
-        s"'$tsCol' is ${df.schema(tsCol).dataType.sql}")
+    requireNumericTs("twapBuckets", tsCol, df.schema(tsCol).dataType)
     require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
       .contains(df.schema(valueCol).dataType.sql),
       s"twapBuckets needs an INTEGRAL value column (quantize first — " +
         s"cents/micros); '$valueCol' is ${df.schema(valueCol).dataType.sql}")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    // floor-true bucket indices: pre-epoch (negative) timestamps land in
+    // their correct buckets and dt stays non-negative
     val seg = df
       .withColumn("__nxt", lead(col(tsCol), 1).over(w))
       .filter(col("__nxt") > col(tsCol)) // drops trailing + zero-length
       .withColumn("__bspan", sequence(
-        expr(s"`$tsCol` div ${stepUs}L"),
-        expr(s"(`__nxt` - 1) div ${stepUs}L")))
+        expr(floorDivSql(s"`$tsCol`", stepUs)),
+        expr(floorDivSql("`__nxt` - 1", stepUs))))
     val exploded = seg
       .select(keys.map(col) ++ Seq(col(tsCol).cast("long").as("__ts"),
         col("__nxt").cast("long").as("__nxt"),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.Cdc
@@ -10,22 +11,25 @@ import graft.ops.Cdc
   * (op I/U/D + sequence) folds into a persisted snapshot via
   * [[graft.ops.Cdc.applySnapshot]] — the continuous shape of lakehouse
   * MERGE pipelines (a database's CDC feed keeping an analytics replica
-  * current). Batch and stream share the fold verbatim, and the fold
-  * COMPOSES (sequential == union, CdcSpec), so the stream's final
-  * snapshot equals the one-shot batch apply over the whole changelog —
-  * which is exactly what the `w_stream_cdc` gate pins against the k19
-  * oracle.
+  * current). Batch and stream share the fold verbatim, and because each
+  * persisted version THREADS the winning sequence and RETAINS delete
+  * tombstones, folds compose under arbitrary inter-batch orderings: a
+  * later micro-batch delivering an older change (normal for partitioned
+  * CDC fan-in) loses to the snapshot row's recorded newer sequence, and
+  * an older change behind an already-applied delete cannot resurrect
+  * the key. The stream's final [[currentView]] therefore equals the
+  * one-shot batch apply over the whole changelog — which is exactly
+  * what the `w_stream_cdc` gate pins against the k19 oracle.
   *
   * Snapshots are VERSIONED (`path/v<batchId>`), written whole per batch
-  * — a delete must physically drop rows, so unlike the append-only
-  * dedup/populate faces this sink rewrites; the version dance keeps the
-  * swap atomic-enough for a reader (read the max version; a version dir
-  * is visible only after its _SUCCESS). Replay-safe without any skip
-  * logic: a fold always sources the latest version STRICTLY OLDER than
-  * its batch id, so a replayed batch re-derives its version from the
-  * same predecessor and rewrites identical content (and even a re-fold
-  * of an already-absorbed batch would be the identity — every change
-  * row re-wins its own key by its own sequence). `retain` old versions
+  * — a delete must eventually drop rows from the serving view, so
+  * unlike the append-only dedup/populate faces this sink rewrites; a
+  * version counts as committed only once its `_SUCCESS` marker exists,
+  * so a crash mid-write leaves a partial dir that readers and later
+  * folds ignore. Replay-safe without any skip logic: a fold always
+  * sources the latest COMMITTED version strictly older than its batch
+  * id, so a replayed batch re-derives its version from the same
+  * predecessor and rewrites identical content. `retain` old versions
   * are kept for concurrent readers and the replay window (foreachBatch
   * replays at most the last uncommitted batch, so retain ≥ 2 always
   * leaves the needed predecessor), older ones vacuumed.
@@ -34,13 +38,16 @@ import graft.ops.Cdc
   * winner, no window) + one write. At a 100 TB snapshot the production
   * variant partitions the snapshot by key range and rewrites only
   * partitions the batch touches; the fold per partition is this same
-  * operator.
+  * operator. Tombstones accumulate at the deleted-key rate — production
+  * vacuums those older than the feed's out-of-order horizon, the usual
+  * compaction-retention dial.
   */
 object CdcStream {
 
   private def fs(spark: SparkSession, path: String) =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Committed (marker-carrying) version ids, ascending. */
   private def versions(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
     val hp = new HPath(path)
@@ -48,28 +55,39 @@ object CdcStream {
     else f.listStatus(hp).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          f.exists(new HPath(s"$path/$n/_SUCCESS")) =>
         n.drop(1).toLong }
       .sorted
   }
 
-  /** The latest persisted snapshot under `path`, if any batch landed. */
+  /** The latest committed snapshot under `path` (tombstones and the
+    * seq/op bookkeeping columns INCLUDED), if any batch landed. */
   def snapshot(spark: SparkSession, path: String): Option[DataFrame] =
     versions(spark, path).lastOption
       .map(v => spark.read.parquet(s"$path/v$v"))
 
+  /** The serving view of the latest snapshot: tombstones filtered, the
+    * fold bookkeeping (op, seq) dropped — what a consumer reads. */
+  def currentView(spark: SparkSession, path: String): Option[DataFrame] =
+    snapshot(spark, path)
+      .map(_.filter(col("op") =!= "D").drop("op", "seq"))
+
   /** Fold one changelog batch into the snapshot chain. `initial` seeds
-    * the chain on the first batch. The fold source is the latest version
-    * STRICTLY OLDER than `batchId` — never the batch's own version, so a
-    * replay cannot overwrite the parquet it is lazily reading (`retain`
-    * must cover the replay window, hence the ≥ 2 default). */
+    * the chain on the first batch (entering at sequence 0 as plain
+    * inserts). The fold source is the latest committed version STRICTLY
+    * OLDER than `batchId` — never the batch's own version, so a replay
+    * cannot overwrite the parquet it is lazily reading (`retain` must
+    * cover the replay window, hence the ≥ 2 default). */
   def applyBatch(spark: SparkSession, path: String, initial: DataFrame,
                  batch: DataFrame, keys: Seq[String], batchId: Long,
                  retain: Int = 2): Unit = {
     require(retain >= 2, s"retain must be >= 2 (replay window), got $retain")
     val cur = versions(spark, path).filter(_ < batchId).lastOption
-      .map(v => spark.read.parquet(s"$path/v$v")).getOrElse(initial)
-    Cdc.applySnapshot(cur, batch, keys)
+      .map(v => spark.read.parquet(s"$path/v$v"))
+      .getOrElse(initial
+        .withColumn("op", lit("I")).withColumn("seq", lit(0L)))
+    Cdc.applySnapshot(cur, batch, keys, retainTombstones = true)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/v$batchId")
     val f = fs(spark, path)
     versions(spark, path).dropRight(retain).foreach { v =>

@@ -41,19 +41,36 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("bal"))
   }
 
-  test("folds compose: applying two changelog batches sequentially " +
-    "equals applying their union") {
+  test("seq-threaded tombstone-retaining folds compose under " +
+    "INTERLEAVED batch sequences: sequential == union") {
     val rnd = new scala.util.Random(47)
-    def batch(seq0: Long) = (0 until 80).map { i =>
-      (rnd.nextInt(12).toLong, s"v${seq0 + i}", rnd.nextInt(100).toDouble,
-        Seq("I", "U", "D")(rnd.nextInt(3)), seq0 + i)
+    // b1 carries the odd sequences, b2 the even ones — so the second
+    // batch constantly delivers changes OLDER than ones already applied
+    // (the partitioned CDC fan-in shape); composition must still hold
+    def batch(par: Int) = (0 until 80).map { i =>
+      (rnd.nextInt(12).toLong, s"v${2 * i + par}", rnd.nextInt(100).toDouble,
+        Seq("I", "U", "D")(rnd.nextInt(3)), 2L * i + par)
     }.toDF("id", "name", "bal", "op", "seq")
-    val (b1, b2) = (batch(1), batch(1000))
-    val sequential = Cdc.applySnapshot(
-      Cdc.applySnapshot(base, b1, Seq("id")), b2, Seq("id"))
+    val (b1, b2) = (batch(1), batch(2))
+    val seeded = base
+      .withColumn("op", org.apache.spark.sql.functions.lit("I"))
+      .withColumn("seq", org.apache.spark.sql.functions.lit(0L))
+    val chained = Cdc.applySnapshot(
+      Cdc.applySnapshot(seeded, b1, Seq("id"), retainTombstones = true),
+      b2, Seq("id"), retainTombstones = true)
+    val sequential = chained.filter("op != 'D'").drop("op", "seq")
       .as[(Long, String, Double)].collect().toSet
     val union = Cdc.applySnapshot(base, b1.unionByName(b2), Seq("id"))
       .as[(Long, String, Double)].collect().toSet
     assert(sequential === union)
+  }
+
+  test("non-positive or null change sequences fail loudly") {
+    val bad = Seq((1L, "x", 1.0, "U", 0L)).toDF("id", "name", "bal", "op", "seq")
+    val e = intercept[Exception] {
+      Cdc.applySnapshot(base, bad, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive")))
   }
 }

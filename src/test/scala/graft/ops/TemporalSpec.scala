@@ -82,6 +82,23 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("resampleFfill and twapBuckets: pre-epoch (negative) timestamps " +
+    "use floor-true grid arithmetic") {
+    // ceil(-150/100)·100 = -100 — a truncating div would compute 0 and
+    // emit no rows at all for this key
+    val obs = Seq((1L, -150L, "a"), (1L, -20L, "b")).toDF("k", "ts", "v")
+    val got = Temporal.resampleFfill(obs, Seq("k"), "ts", 100L)
+      .select("grid_ts", "r_v").as[(Long, String)].collect().toSet
+    assert(got === Set((-100L, "a")))
+    // segment [-150, -50)@10 spans buckets [-200,-100) and [-100,0),
+    // 50 µs each — a truncating div would mis-bucket and emit a
+    // NEGATIVE covered duration
+    val t = Seq((1L, -150L, 10L), (1L, -50L, 99L)).toDF("k", "ts", "v")
+    val tw = Temporal.twapBuckets(t, Seq("k"), "ts", "v", 100L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(tw === Set((1L, -200L, 500L, 50L), (1L, -100L, 500L, 50L)))
+  }
+
   test("asOfJoinNearest rejects non-numeric ts columns (fail-fast " +
     "contract, mirrors transitionLags)") {
     val l = Seq((1L, new java.sql.Timestamp(0L), "x")).toDF("k", "ts", "obs")

@@ -181,18 +181,31 @@ class StreamingSpec extends SparkSpec {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    val got = CdcStream.snapshot(spark, path).get
+    val got = CdcStream.currentView(spark, path).get
       .as[(Long, String, Double)].collect().toSet
     val want = graft.ops.Cdc.applySnapshot(initial,
         (b1 ++ b2).toDF("id", "name", "bal", "op", "seq"), Seq("id"))
       .as[(Long, String, Double)].collect().toSet
     assert(got === want)
     assert(got === Set((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)))
+    // the deleted key keeps a TOMBSTONE in the raw snapshot (with the
+    // delete's sequence), so out-of-order stragglers cannot resurrect it
+    val tomb = CdcStream.snapshot(spark, path).get
+      .filter("op = 'D'").select("id", "seq")
+      .as[(Long, Long)].collect().toSet
+    assert(tomb === Set((3L, 3L)))
     // replay of the last batch (fold from the strictly-older version)
     // must rewrite identical content
     CdcStream.applyBatch(spark, path, initial,
       b2.toDF("id", "name", "bal", "op", "seq"), Seq("id"), batchId = 1L)
-    assert(CdcStream.snapshot(spark, path).get
+    assert(CdcStream.currentView(spark, path).get
+      .as[(Long, String, Double)].collect().toSet === want)
+    // an out-of-order straggler OLDER than both the delete and the last
+    // update changes nothing in the serving view
+    CdcStream.applyBatch(spark, path, initial,
+      Seq((3L, "zombie", 1.0, "U", 2L), (2L, "old", 1.0, "U", 2L))
+        .toDF("id", "name", "bal", "op", "seq"), Seq("id"), batchId = 3L)
+    assert(CdcStream.currentView(spark, path).get
       .as[(Long, String, Double)].collect().toSet === want)
     // vacuum: a third fold retires the oldest version (retain = 2)
     CdcStream.applyBatch(spark, path, initial,
