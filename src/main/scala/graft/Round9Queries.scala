@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *    ([[graft.ops.Expectations]]) — completeness/uniqueness/bounds/
   *    domain/row-count in ONE aggregation plus the referential probe,
   *    pass AND fail paths oracle-pinned with exact fractions.
+  *  - `w_stream_expect`: continuous data-quality monitoring
+  *    ([[graft.streaming.ExpectStream]]) — the a29 suite per
+  *    micro-batch, replay-idempotent partitioned reports, each batch's
+  *    rows value-exact vs the same-slice SQL.
   *  - `k19_cdc_apply` / `w_stream_cdc`: CDC snapshot fold
   *    ([[graft.ops.Cdc]], [[graft.streaming.CdcStream]]) —
   *    last-writer-wins upsert + delete tombstones in one struct-max
@@ -175,6 +179,44 @@ object Round9Queries {
         .unionByName(Expectations.foreignKey(ev, "user_id",
           t(s, d, "customer"), "c_custkey"))
     }),
+
+    // --- Streaming expectation monitoring -----------------------------------
+    // The a29 suite run per micro-batch: events delivered as two
+    // parity-split batches (even event_ids then odd — a split the
+    // oracle can reproduce), each scored by the same single-pass suite,
+    // reports appended with the batch id. Value-exact per batch: the
+    // narrowed domain check fails in BOTH batches with each half's own
+    // exact fraction.
+    "w_stream_expect" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import graft.ops.Expectations
+        val tag = sfTag(d)
+        val feed = Round6Queries.eventsFeed(ss, d)
+          .map(e => (e._1, e._3, e._4, e._5)) // (event_id, user_id, type, value)
+        val path = s"/tmp/graft_expectstream_$tag"
+        rmrf(ss, path); rmrf(ss, s"$path-ckpt")
+        val mem = MemoryStream[(Long, Long, String, Double)]
+        val checks = Seq(
+          Expectations.notNull("user_id"),
+          Expectations.bounds("value", 0.0, 500.0),
+          Expectations.valuesIn("event_type",
+            Seq("view", "click", "purchase", "error")),
+          Expectations.rowCountBetween(1L, 100000000L))
+        val q = graft.streaming.ExpectStream.run(
+          mem.toDS().toDF("event_id", "user_id", "event_type", "value"),
+          checks, path, s"$path-ckpt")
+        try {
+          mem.addData(feed.filter(_._1 % 2 == 0): _*)
+          q.processAllAvailable()
+          mem.addData(feed.filter(_._1 % 2 == 1): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        // batch_id rides back as the (int-inferred) partition column
+        ss.read.parquet(path)
+          .withColumn("batch_id", col("batch_id").cast("long"))
+      }),
 
     // --- Broadcast as-of join -----------------------------------------------
     // The SAME query as j10_asof_join (latest same-user error within the
@@ -325,6 +367,14 @@ object Round9Queries {
 
     "j17_asof_broadcast" -> Round7Queries.oracleSql("j10_asof_join"),
 
+    "w_stream_expect" ->
+      (s"""WITH h0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |h1 AS (SELECT * FROM events WHERE event_id % 2 = 1)
+        |${expectHalfSql("h0", 0)}
+        |UNION ALL
+        |${expectHalfSql("h1", 1)}
+        |""").stripMargin,
+
     "w_stream_cdc" -> cdcOracle,
 
     "k19_cdc_apply" -> cdcOracle,
@@ -458,6 +508,31 @@ object Round9Queries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us
         |""".stripMargin)
+
+  /** One micro-batch half of the w_stream_expect oracle — must mirror
+    * the gate's check list exactly. */
+  private def expectHalfSql(half: String, batchId: Int): String =
+    s"""SELECT CAST($batchId AS BIGINT) AS batch_id,
+       |  'not_null(user_id)' AS "check",
+       |  CAST(count(user_id) AS DOUBLE) / count(*) AS metric,
+       |  count(user_id) = count(*) AS passed FROM $half
+       |UNION ALL
+       |SELECT $batchId, 'bounds(value,0.0,500.0)',
+       |  CAST(count(*) FILTER (value BETWEEN 0 AND 500) AS DOUBLE)
+       |    / count(value),
+       |  count(*) FILTER (value BETWEEN 0 AND 500) = count(value)
+       |FROM $half
+       |UNION ALL
+       |SELECT $batchId, 'values_in(event_type)',
+       |  CAST(count(*) FILTER (event_type IN
+       |    ('view', 'click', 'purchase', 'error')) AS DOUBLE)
+       |    / count(event_type),
+       |  count(*) FILTER (event_type IN
+       |    ('view', 'click', 'purchase', 'error')) = count(event_type)
+       |FROM $half
+       |UNION ALL
+       |SELECT $batchId, 'row_count(1,100000000)', CAST(count(*) AS DOUBLE),
+       |  count(*) BETWEEN 1 AND 100000000 FROM $half""".stripMargin
 
   private lazy val cdcOracle: String =
       """WITH b AS (
