@@ -121,10 +121,10 @@ object Round9Queries {
     // --- CDC apply: upsert + delete tombstones ------------------------------
     // The lakehouse MERGE semantics over the customer snapshot: every
     // order becomes a change row (key o_custkey; op by o_orderkey % 7 —
-    // 0 delete, 3 insert-under-new-key, else update; seq = o_orderkey,
-    // globally unique so last-writer-wins is engine-independent). One
-    // shuffle, struct-max winner (plan-pinned); oracle = the row_number
-    // formulation DuckDB-side.
+    // 0 delete, 3 insert-under-new-key, else update; seq = o_orderkey+1,
+    // globally unique and positive so last-writer-wins is engine-
+    // independent). One shuffle, struct-max winner (plan-pinned);
+    // oracle = the row_number formulation DuckDB-side.
     "k19_cdc_apply" -> ((s, d) =>
       graft.ops.Cdc.applySnapshot(cdcBase(s, d), cdcChanges(s, d),
         Seq("c_custkey"))),
