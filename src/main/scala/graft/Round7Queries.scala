@@ -429,7 +429,7 @@ object Round7Queries {
       val base = Bpe.tokenCounts(docs, Seq.empty)
         .agg(sum("n_bpe_tokens")).collect().head.getLong(0)
       val rt = udf((w: String) =>
-        Bpe.segmentWord(w, ranks).mkString == w + Bpe.Eow)
+        Bpe.decodeString(Bpe.segmentWord(w, ranks).mkString) == w + " ")
       val lossless = docs
         .select(explode(split(TextAnalysis.normalized(col("text")), " "))
           .as("word"))

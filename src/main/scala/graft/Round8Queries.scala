@@ -267,8 +267,8 @@ object Round8Queries {
       enc.join(cnt, "doc_id")
         .select(col("doc_id"),
           (col("n_bpe_tokens") === col("n_cnt")).as("counts_agree"),
-          md5(trim(regexp_replace(concat_ws("", col("tokens")),
-            "</w>", " "))).as("detok_fp"))
+          md5(trim(graft.ops.Bpe.decodeTokens(col("tokens"))))
+            .as("detok_fp"))
     }),
 
     // --- Deterministic token masking ----------------------------------------
@@ -347,8 +347,8 @@ object Round8Queries {
       graft.ops.TrainingPrep.packTokens(docs, Seq.empty,
         budgetTokens = 1024, shards = 8)
         .select(col("shard"), col("bin"),
-          md5(trim(regexp_replace(concat_ws("", col("tokens")),
-            "</w>", " "))).as("content_fp"),
+          md5(trim(graft.ops.Bpe.decodeTokens(col("tokens"))))
+            .as("content_fp"),
           col("n_tokens"),
           size(col("doc_ids")).cast("long").as("n_docs"),
           concat_ws(",", transform(col("doc_ids"),
@@ -819,7 +819,7 @@ object Round8Queries {
         |)
         |SELECT shard, CAST((cum - n) // 1024 AS BIGINT) AS bin,
         |  md5(string_agg(t, ' ' ORDER BY doc_id)) AS content_fp,
-        |  sum(n) AS n_tokens, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |    AS doc_list
         |FROM c GROUP BY 1, 2

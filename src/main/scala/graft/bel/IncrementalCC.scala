@@ -1,6 +1,6 @@
 package graft.bel
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental connected components — the graph twin of the incremental
@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *     super-star map (a delta-sized, broadcastable dimension — only
   *     touched components appear); delta-new nodes take their
   *     super-label or themselves. Untouched components pass through
-  *     UNCHANGED — the index update is append + overwrite-touched, never
-  *     a rewrite of the world.
+  *     UNCHANGED — and the persisted form ([[writeIndex]]/[[foldIndex]])
+  *     makes that physical: the index is partitioned by component
+  *     bucket, a fold rewrites ONLY the buckets the delta touches plus
+  *     fresh-node buckets, and every other partition's files keep their
+  *     exact bytes — append + overwrite-touched, never a rewrite of the
+  *     world.
   *
   * Label identity: [[ConnectedComponents.run]] labels a component with
   * the min xxhash64 id over its nodes, and the star fixpoint over merged
@@ -48,6 +52,21 @@ object IncrementalCC {
            maxIterations: Int = 30): DataFrame = {
     val lab = index.select(col("node"), col("component"))
     val e = newEdges.select(col("src"), col("dst"))
+    val (superMap, fresh) = relabelPlan(lab, e, maxIterations)
+    // 3a. prior rows: touched components re-map, the rest pass through
+    val updated = lab
+      .join(superMap.withColumnRenamed("old", "component"),
+        Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("relabel"), col("component")).as("component"))
+    updated.unionByName(fresh)
+  }
+
+  /** Steps 1–2 of the fold, shared by the in-memory [[fold]] and the
+    * persisted [[foldIndex]]: returns `(superMap(old, relabel),
+    * fresh(node, component))` — both delta-sized. */
+  private def relabelPlan(lab: DataFrame, e: DataFrame,
+                          maxIterations: Int): (DataFrame, DataFrame) = {
     // 1. endpoints → prior labels (or own hash for first-seen nodes)
     val mapped = e
       .join(lab.select(col("node").as("src"), col("component").as("cu")),
@@ -66,12 +85,6 @@ object IncrementalCC {
       .unionByName(stars.select(col("v").as("old"),
         col("v").as("relabel")))
       .distinct()
-    // 3a. prior rows: touched components re-map, the rest pass through
-    val updated = lab
-      .join(superMap.withColumnRenamed("old", "component"),
-        Seq("component"), "left")
-      .select(col("node"),
-        coalesce(col("relabel"), col("component")).as("component"))
     // 3b. first-seen delta nodes: super-label, or themselves (a delta
     // self-loop on a new node yields a singleton — run() parity)
     val fresh = e.select(col("src").as("node"))
@@ -82,6 +95,96 @@ object IncrementalCC {
       .join(superMap.withColumnRenamed("old", "id"), Seq("id"), "left")
       .select(col("node"),
         coalesce(col("relabel"), col("id")).as("component"))
-    updated.unionByName(fresh)
+    (superMap, fresh)
+  }
+
+  /** Persist a label index partitioned by COMPONENT bucket
+    * (`pmod(component, buckets)`) — the layout [[foldIndex]]'s
+    * touched-only overwrite discipline requires: every row of a
+    * component lives in one partition directory, so a merge rewrites
+    * whole buckets and untouched buckets' files are never opened. */
+  def writeIndex(index: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    index.select(col("node"), col("component"),
+        pmod(col("component"), lit(buckets.toLong)).as("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Read a [[writeIndex]]-layout index back as `(node, component)`. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("node", "component")
+
+  /** Fold `newEdges` into the PERSISTED index at `path` — the
+    * `d_incremental_append` discipline made real for labels: only the
+    * component buckets actually touched by the delta are read back,
+    * relabeled, and overwritten (dynamic partition overwrite); every
+    * other partition's files are untouched bytes. Returns the number of
+    * bucket partitions rewritten (0 = the delta merged nothing and
+    * introduced no nodes).
+    *
+    * Why the touched set is CLOSED: a nontrivial relabel u→v makes
+    * bucket(u) touched (rows leave it) and bucket(v) touched (rows land
+    * in it, and dynamic overwrite replaces whole partitions — so v's
+    * existing rows must be in the rewrite set too); a first-seen node's
+    * label is either such a `v` or its own hash, whose bucket is added
+    * explicitly. Relabels target the min label of the merge group, so
+    * no row can land in a bucket outside this set.
+    *
+    * `buckets` must match the [[writeIndex]] that created the layout.
+    * The delta-sized superMap/fresh frames are lineage-cut BEFORE the
+    * overwrite (they read `path`); the rewrite itself is cut too, so the
+    * write never races its own scan. */
+  def foldIndex(spark: SparkSession, path: String, newEdges: DataFrame,
+                buckets: Int = 64, maxIterations: Int = 30): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val lab = readIndex(spark, path)
+    val e = newEdges.select(col("src"), col("dst"))
+    val (superMap0, fresh0) = relabelPlan(lab, e, maxIterations)
+    val b = lit(buckets.toLong)
+    // identity relabels merge nothing — only real moves touch buckets
+    val superMap = graft.core.Checkpoints.cut(
+      superMap0.filter(col("old") =!= col("relabel")))
+    val fresh = graft.core.Checkpoints.cut(fresh0)
+    val affected = superMap.select(pmod(col("old"), b).as("bucket"))
+      .unionByName(superMap.select(pmod(col("relabel"), b).as("bucket")))
+      .unionByName(fresh.select(pmod(col("component"), b).as("bucket")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) 0L
+    else {
+      // partition-pruned read: ONLY the affected bucket directories
+      val part = spark.read.parquet(path)
+        .filter(col("bucket").isin(affected.map(Long.box): _*))
+        .select(col("node"), col("component"))
+      val rewritten = part
+        .join(superMap.withColumnRenamed("old", "component"),
+          Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("relabel"), col("component")).as("component"))
+        .unionByName(fresh)
+        .select(col("node"), col("component"),
+          pmod(col("component"), b).as("bucket"))
+      val out = graft.core.Checkpoints.cut(rewritten)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try out.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(path)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written data — an affected bucket whose every row migrated to
+      // the merged label's bucket writes nothing and would keep its
+      // stale files. Drop those emptied partitions explicitly.
+      val present = out.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      affected.filterNot(present).foreach { bId =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/bucket=$bId")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      affected.length.toLong
+    }
   }
 }

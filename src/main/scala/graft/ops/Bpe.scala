@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge training and application (Sennrich, Haddow &
@@ -37,13 +37,68 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** End-of-word marker symbol (never collides with characters — it is
-    * multi-char). */
+  /** End-of-word marker symbol. Escape-safe against corpus text that
+    * contains the literal `</w>`: [[symsOf]] maps the character `<` to
+    * the ATOMIC 2-char symbol `<`+NUL (and NUL itself to NUL+NUL), so in
+    * any concatenation of symbols every `<` that came from TEXT is
+    * followed by NUL — the marker string is unspellable by corpus
+    * characters and [[decodeTokens]]/[[decodeString]] are lossless. The
+    * escape is one SYMBOL per character, so symbol counts (and the
+    * len+1 token-count contract `t_pack_ids` pins) are unchanged. */
   val Eow = "</w>"
 
-  /** A word as its current symbol sequence. */
-  private def symsOf(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ Eow
+  /** Escape character appended inside the `<` symbol (a NUL — legal in
+    * corpus text, which is why it is escaped by doubling too). */
+  private val Esc = '\u0000'
+
+  /** Escaped text of a word: what `concat` of its char-level symbols
+    * yields. One symbol per character, so `escape(w).length >= w.length`
+    * but the SYMBOL count equals `w.length`. */
+  private[graft] def escape(word: String): String = {
+    val sb = new java.lang.StringBuilder(word.length + 4)
+    var i = 0
+    while (i < word.length) {
+      val c = word.charAt(i)
+      sb.append(c)
+      if (c == '<' || c == Esc) sb.append(Esc)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** A word as its current symbol sequence (escape-aware; see [[Eow]]). */
+  private def symsOf(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    word.foreach { c =>
+      if (c == '<' || c == Esc) b += new String(Array(c, Esc))
+      else b += c.toString
+    }
+    b += Eow
+    b.result()
+  }
+
+  /** Scalar decode of a concatenated symbol stream back to text: marker →
+    * space, then un-escape (`<`+NUL → `<`, NUL+NUL → NUL — in THAT order,
+    * the reverse of [[escape]]). `decodeString(segmentWord(w).mkString)`
+    * == `w + " "` for EVERY string `w`, including ones containing the
+    * literal `</w>`. */
+  private[graft] def decodeString(s: String): String =
+    s.replace(Eow, " ")
+      .replace(new String(Array('<', Esc)), "<")
+      .replace(new String(Array(Esc, Esc)), Esc.toString)
+
+  /** Column decode of a token array (the [[encode]]/`packTokens` shape)
+    * back to the space-joined normalized text — the round-trip face the
+    * `t_bpe_encode`/`t_pack_ids` gates md5-compare. Literal (non-regex)
+    * replaces, codegen'd. */
+  def decodeTokens(tokens: Column): Column = {
+    val escS = Esc.toString
+    replace(
+      replace(
+        replace(concat_ws("", tokens), lit(Eow), lit(" ")),
+        lit("<" + escS), lit("<")),
+      lit(escS + escS), lit(escS))
+  }
 
   /** Distributed word-frequency dict pass: the ONE corpus scan. Top
     * `topWords` by (count desc, word asc) — a TakeOrdered, driver-sized

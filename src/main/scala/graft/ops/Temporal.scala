@@ -36,6 +36,20 @@ object Temporal {
       s"$op needs a NUMERIC ts column (µs epochs etc.); " +
         s"'$colName' is ${t.sql}")
 
+  /** Stricter fail-fast for the grid operators ([[resampleFfill]],
+    * [[twapBuckets]]) whose integer grid arithmetic `cast("long")`s the
+    * ts column: a FRACTIONAL numeric ts would truncate toward zero there
+    * — rounding negative (pre-epoch) values UP, off the floor-true grid
+    * the [[floorDivSql]] contract promises. Integral widths only. */
+  private def requireIntegralTs(op: String, colName: String,
+                                t: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+      s"$op needs an INTEGRAL ts column (µs epochs — LONG/INT); " +
+        s"fractional types would truncate off the floor-true grid; " +
+        s"'$colName' is ${t.sql}")
+  }
+
   /** SQL fragment for floor division `e div n` that is a TRUE floor for
     * negative values too (`div` alone truncates toward zero, which would
     * mis-bucket pre-epoch timestamps): the pmod subtraction makes the
@@ -310,7 +324,7 @@ object Temporal {
     * output), the grid explode fans out bounded by range/step, and the
     * as-of resolves with its single key-shuffle window pass. The derived
     * sequence is staged in its own projection before `explode` (the
-    * measured generator-child staging rule). Requires a NUMERIC ts
+    * measured generator-child staging rule). Requires an INTEGRAL ts
     * column (µs epochs etc.) — grid arithmetic is integer division.
     * Output: keys…, `grid_ts`, then every non-key observation column
     * `rightPrefix`-renamed (the observation ts included). */
@@ -318,7 +332,7 @@ object Temporal {
                     stepUs: Long, rightPrefix: String = "r_"): DataFrame = {
     require(keys.nonEmpty, "resampleFfill needs at least one key column")
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    requireNumericTs("resampleFfill", tsCol, df.schema(tsCol).dataType)
+    requireIntegralTs("resampleFfill", tsCol, df.schema(tsCol).dataType)
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).cast("long").as("__mn"),
         max(col(tsCol)).cast("long").as("__mx"))
@@ -356,13 +370,13 @@ object Temporal {
     * hash-aggregation on (keys, bucket) — two shuffles total, no join,
     * no interval explosion. Observations must be pre-aggregated to one
     * row per (keys, ts) — same-instant duplicates are dropped
-    * defensively (zero-length segments carry no mass). Requires a
-    * NUMERIC ts column and an integral value column. */
+    * defensively (zero-length segments carry no mass). Requires an
+    * INTEGRAL ts column and an integral value column. */
   def twapBuckets(df: DataFrame, keys: Seq[String], tsCol: String,
                   valueCol: String, stepUs: Long): DataFrame = {
     require(keys.nonEmpty, "twapBuckets needs at least one key column")
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    requireNumericTs("twapBuckets", tsCol, df.schema(tsCol).dataType)
+    requireIntegralTs("twapBuckets", tsCol, df.schema(tsCol).dataType)
     require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
       .contains(df.schema(valueCol).dataType.sql),
       s"twapBuckets needs an INTEGRAL value column (quantize first — " +

@@ -21,13 +21,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - both streams are tagged and unioned, watermarked on event time,
   *    and grouped by key — ONE shuffle, the same plan skeleton as the
   *    batch operator's single window pass;
-  *  - per key, state buffers (a) left events not yet past the watermark
-  *    and (b) right rows that could still match a future-or-buffered
-  *    left event. A left event at time t resolves exactly when the
-  *    watermark passes t: any still-arriving right row must carry event
-  *    time ≥ watermark ≥ t, so it cannot precede the event and the
-  *    backward match is FINAL (the same watermark-finality argument as
-  *    the outer interval join's null emission).
+  *  - per key, state buffers (a) left events not yet STRICTLY below the
+  *    watermark and (b) right rows that could still match a
+  *    future-or-buffered left event. A left event at time t resolves
+  *    exactly when the watermark moves strictly past t: Spark only
+  *    guarantees dropping rows strictly OLDER than the watermark (and
+  *    `flatMapGroupsWithState` does not auto-filter late rows at all),
+  *    so a right row at exactly the watermark can still arrive — but
+  *    once wm > t, any watermark-respecting arrival carries event time
+  *    ≥ wm > t, cannot precede the event, and the backward match is
+  *    FINAL (the same watermark-finality argument as the outer interval
+  *    join's null emission). Rows that arrive below the watermark are
+  *    best-effort, by Spark's own watermark contract.
   *  - state is BOUNDED by the watermark horizon: resolved lefts leave
   *    state immediately; right rows at or before the watermark compact
   *    to the single latest one — which must be kept FOREVER (it is the
@@ -42,7 +47,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Timestamps are carried as epoch MICROS through the state (the j10
   * µs-exactness contract); the watermark API yields millis, and the
   * resolution/timeout arithmetic rounds CONSERVATIVELY (a left event
-  * resolves only once `wmMs*1000 ≥ tUs`), so sub-millisecond event
+  * resolves only once `wmMs*1000 > tUs`), so sub-millisecond event
   * times never resolve early — they resolve one watermark tick later.
   *
   * Ties: right rows sharing (key, µs) resolve to the max `event_id` —
@@ -104,8 +109,15 @@ object AsOfStream {
             else rights ::= ((t, e.event_id))
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // finality: a left at t is resolvable iff wm has passed t
-          val (ready, pending) = lefts.partition(_._1 <= wmUs)
+          // finality: a left at t resolves only once the wm is STRICTLY
+          // past t. Spark's watermark drops rows strictly OLDER than wm
+          // (and flatMapGroupsWithState does not auto-filter late rows
+          // at all), so a right row with rt == wm can still arrive in a
+          // later batch — resolving lefts at t == wm would miss that
+          // backward-inclusive match. Rows below the watermark are
+          // best-effort by Spark's own contract; this keeps the operator
+          // exact for everything the watermark guarantees.
+          val (ready, pending) = lefts.partition(_._1 < wmUs)
           val rSorted = rights.sortBy(r => (-r._1, -r._2))
           val out = ready.sortBy(identity).map { case (t, id) =>
             rSorted.find(_._1 <= t) match {

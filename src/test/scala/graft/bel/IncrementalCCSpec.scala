@@ -45,6 +45,81 @@ class IncrementalCCSpec extends SparkSpec {
       ConnectedComponents.run(base.unionByName(d1).unionByName(d2))))
   }
 
+  private def bucketFiles(path: String): Map[String, Map[String, String]] = {
+    // bucket dir -> (file name -> md5 of bytes)
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("bucket=")).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+        }.toMap
+    }.toMap
+  }
+
+  test("foldIndex: persisted fold equals from-scratch labels; untouched " +
+    "bucket partitions keep byte-identical files; folds compose") {
+    val dir = java.nio.file.Files.createTempDirectory("ccidx").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    try {
+      // components sized to scatter across many buckets
+      val base = (0 until 40).map(i => (s"a$i", s"b$i")).toDF("src", "dst")
+      IncrementalCC.writeIndex(ConnectedComponents.run(base), path,
+        buckets = 16)
+      val before = bucketFiles(path)
+      // delta merges exactly two components and adds one fresh singleton
+      val d1 = Seq(("b3", "a7"), ("q", "q")).toDF("src", "dst")
+      val touched = IncrementalCC.foldIndex(spark, path, d1, buckets = 16)
+      assert(touched > 0 && touched < 16,
+        s"expected a proper subset of buckets rewritten, got $touched")
+      val got = labels(IncrementalCC.readIndex(spark, path))
+      val want = labels(ConnectedComponents.run(base.unionByName(d1)))
+      assert(got === want)
+      // untouched partitions: exact same files, exact same bytes
+      val after = bucketFiles(path)
+      val rewritten = after.keySet.filter(k =>
+        before.get(k) != after.get(k)) ++ after.keySet.diff(before.keySet)
+      assert(rewritten.size.toLong <= touched)
+      val untouched = before.keySet.intersect(after.keySet) -- rewritten
+      assert(untouched.nonEmpty, "test graph too small to leave buckets")
+      untouched.foreach { k => assert(before(k) === after(k), s"bucket $k") }
+      // second fold composes on the persisted index
+      val d2 = Seq(("a0", "b3"), ("z1", "z2")).toDF("src", "dst")
+      IncrementalCC.foldIndex(spark, path, d2, buckets = 16)
+      assert(labels(IncrementalCC.readIndex(spark, path)) === labels(
+        ConnectedComponents.run(base.unionByName(d1).unionByName(d2))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("foldIndex: an all-duplicate delta rewrites nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("ccidx0").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    try {
+      val base = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+      IncrementalCC.writeIndex(ConnectedComponents.run(base), path,
+        buckets = 8)
+      val before = bucketFiles(path)
+      val touched = IncrementalCC.foldIndex(spark, path,
+        Seq(("a", "b")).toDF("src", "dst"), buckets = 8)
+      assert(touched === 0L)
+      assert(bucketFiles(path) === before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("a delta self-loop on a first-seen node yields a singleton " +
     "(run() parity)") {
     val idx = ConnectedComponents.run(Seq(("a", "b")).toDF("src", "dst"))
