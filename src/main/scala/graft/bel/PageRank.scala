@@ -71,7 +71,31 @@ object PageRank {
     * why the old <3.5 s walltime target for the toy gate is governed by
     * scheduler overhead, not by this operator's shape. */
   def run(edges: DataFrame, iterations: Int = 8,
-          damping: Double = 0.85, cutEvery: Int = 2): DataFrame = {
+          damping: Double = 0.85, cutEvery: Int = 2): DataFrame =
+    power(edges, None, iterations, damping, cutEvery)
+
+  /** Personalized PageRank (seed-restart — Haveliwala, "Topic-Sensitive
+    * PageRank", WWW 2002): teleport and dangling mass return to a SEED
+    * distribution instead of uniformly — the domain-expansion primitive
+    * of curation pipelines ("rank the whole graph by proximity to these
+    * known-good hosts/entities"). `seeds` is a frame with a `node`
+    * column (same type as the edge endpoints) and an optional `weight`
+    * column (default 1.0; duplicates sum); weights normalize over the
+    * seeds PRESENT in the graph, so the restart vector always sums
+    * to 1. Seeds absent from the graph are ignored; at least one seed
+    * must be present (fail-fast, one dimension-sized setup job —
+    * the only driver round-trip, guarding the silent-NaN footgun).
+    * Recurrence: rank' = (1−d)·s + d·(Σ_in rank/outdeg + danglingMass·s)
+    * — [[run]] is exactly the s = 1/N case, and both share one power
+    * loop, plan shape, and scale posture. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+                      iterations: Int = 8, damping: Double = 0.85,
+                      cutEvery: Int = 2): DataFrame =
+    power(edges, Some(seeds), iterations, damping, cutEvery)
+
+  private def power(edges: DataFrame, seeds: Option[DataFrame],
+                    iterations: Int, damping: Double,
+                    cutEvery: Int): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val nodes = edges.select(col("src").as("node"))
@@ -97,12 +121,31 @@ object PageRank {
     // filter+aggregate over the previous rank frame (no anti-join), and
     // N never becomes a driver-side literal (no setup count job; an
     // empty edge set simply yields an empty result through the joins).
-    val ids = nodes.select(col("id"))
+    val base = nodes.select(col("id"))
       .join(outDeg.withColumnRenamed("u", "id"), Seq("id"), "left")
       .crossJoin(nodes.agg(count(lit(1)).cast("double").as("n")))
-      .persist()
-    var ranks = ids.select(col("id"), col("deg"),
-      (lit(1.0) / col("n")).as("rank"))
+    // restart distribution `s` per node: uniform 1/N, or the normalized
+    // seed weights (zero off-seed) for the personalized face
+    val ids = (seeds match {
+      case None => base.withColumn("s", lit(1.0) / col("n"))
+      case Some(sd) =>
+        val w = if (sd.columns.contains("weight"))
+          col("weight").cast("double") else lit(1.0)
+        val seedIds = sd.select(xxhash64(col("node")).as("id"), w.as("w"))
+          .filter(col("id").isNotNull)
+          .groupBy("id").agg(sum("w").as("w"))
+        val present = nodes.select(col("id").as("_sid"))
+          .join(seedIds.withColumnRenamed("id", "_sid"), Seq("_sid"))
+        val tw = present.agg(coalesce(sum("w"), lit(0.0)))
+          .collect()(0).getDouble(0)
+        require(tw > 0.0, "runPersonalized: no seed with positive " +
+          "weight is present in the graph — the restart vector would " +
+          "be undefined (NaN ranks)")
+        base.join(seedIds, Seq("id"), "left")
+          .withColumn("s", coalesce(col("w"), lit(0.0)) / lit(tw))
+          .drop("w")
+    }).persist()
+    var ranks = ids.select(col("id"), col("deg"), col("s").as("rank"))
     for (i <- 1 to iterations) {
       // minimal projections with disjoint names on both join sides: adj
       // and the rank vector share outDeg ancestry, and un-cut batched
@@ -121,9 +164,9 @@ object PageRank {
       val updated = ids.join(contrib, Seq("id"), "left")
         .crossJoin(dangling)
         .select(col("id"), col("deg"),
-          ((lit(1.0) - damping) / col("n") +
+          ((lit(1.0) - damping) * col("s") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("m") / col("n")))
+              col("m") * col("s")))
             .as("rank"))
       // A persist-chain (cache every step, one final job) was tried and
       // rejected: an un-cut doubly-referenced step makes the LOGICAL plan

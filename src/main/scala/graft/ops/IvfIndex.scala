@@ -167,6 +167,84 @@ object IvfIndex {
     AppendStats(n, fit, baseline)
   }
 
+  /** Outcome of a [[rebuild]]: corpus size and the whole-layout mean
+    * assigned-centroid cosine before (frozen, drifted centroids) and
+    * after (freshly refined centroids). A healthy rebuild has
+    * `fitAfter > fitBefore`; the new fit also becomes the layout's
+    * stored baseline, so subsequent [[append]]s measure drift against
+    * the post-rebuild partition. */
+  final case class RebuildStats(nRows: Long, fitBefore: Double,
+                                fitAfter: Double) {
+    def improvement: Double = fitAfter - fitBefore
+  }
+
+  /** Whole-layout fit right now: (row count, mean cosine of every stored
+    * row to its assigned frozen centroid) — the rebuild trigger metric.
+    * One partition-pruning-free narrow scan + broadcast join; compare
+    * with the build-time baseline in `stats/` to get total drift. */
+  def currentFit(spark: SparkSession, path: String): (Long, Double) =
+    meanAssignCosine(spark.read.parquet(s"$path/corpus"), spark, path)
+
+  /** Rebuild the index in place from its CURRENT contents (base build +
+    * every appended segment): re-refine `nList` centroids over the full
+    * corpus, re-partition every row onto the new Voronoi cells, retrain
+    * PQ codebooks when the layout carries them, and refresh the fit
+    * baseline — the FAISS "retrain the coarse quantizer when the
+    * distribution drifts" maintenance step. The new layout is staged
+    * beside the old one and swapped in only after it is fully written,
+    * so a failed rebuild leaves the old index intact (the swap itself
+    * is not transactional against concurrent readers — run rebuilds in
+    * the same maintenance window appends use).
+    *
+    * Scale shape: identical to [[build]] over the current corpus (the
+    * clustering's sample/refine passes + one assignment write), plus
+    * one narrow fit pass for the before-metric. Nothing is collected
+    * beyond the centroid/codebook dimensions build itself collects. */
+  def rebuild(spark: SparkSession, path: String, nList: Int,
+              refineIterations: Int = 3): RebuildStats = {
+    import spark.implicits._
+    val (n, before) = currentFit(spark, path)
+    val rows = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("embedding"))
+    val (pqM, pqK) = readBooks(spark, path)
+      .map(cb => (cb.m, cb.k)).getOrElse((0, 16))
+    val staging = s"${path}__rebuild"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingP.getFileSystem(conf)
+    if (fs.exists(stagingP)) fs.delete(stagingP, true)
+    build(rows, staging, nList, refineIterations, idCol = "vec_id",
+      vecCol = "embedding", pqM = pqM, pqK = pqK)
+    // swap: staged subdirs replace the live ones
+    Seq("corpus", "centroids", "stats", "pq_books").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$sub")
+      if (fs.exists(live)) fs.delete(live, true)
+      if (fs.exists(fresh)) { fs.rename(fresh, live); () }
+    }
+    fs.delete(stagingP, true)
+    val after = spark.read.parquet(s"$path/stats")
+      .select(col("mean_assign_cosine")).as[Double].head()
+    RebuildStats(n, before, after)
+  }
+
+  /** Staleness-driven maintenance: rebuild only when the whole-layout
+    * fit has dropped more than `maxDrift` below the stored baseline
+    * (accumulated [[append]] drift). Returns None when the index is
+    * still healthy — the cheap steady-state answer (one narrow fit
+    * pass, no clustering). */
+  def rebuildIfStale(spark: SparkSession, path: String, nList: Int,
+                     maxDrift: Double,
+                     refineIterations: Int = 3): Option[RebuildStats] = {
+    import spark.implicits._
+    val baseline = spark.read.parquet(s"$path/stats")
+      .select(col("mean_assign_cosine")).as[Double].head()
+    val (_, fit) = currentFit(spark, path)
+    if (baseline - fit > maxDrift) Some(rebuild(spark, path, nList,
+      refineIterations))
+    else None
+  }
+
   /** IVFADC query (the FAISS-style composition of partition pruning and
     * product quantization): probe cells as a PARTITION filter, score the
     * probed rows from the compact `codes` column against broadcast ADC

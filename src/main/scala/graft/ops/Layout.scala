@@ -52,13 +52,24 @@ object Layout {
     * int inputs would otherwise hit Spark's shift-amount mod-32 masking
     * past bit 31 (2·i+1 reaches 61 at bits = 31) and overflow the
     * 32-bit OR-reduce — the widening makes every `bits` ≤ 31 exact. */
-  def mortonCode(a: Column, b: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val (al, bl) = (a.cast("long"), b.cast("long"))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def mortonCode(a: Column, b: Column, bits: Int = 8): Column =
+    mortonCodeN(Seq(a, b), bits)
+
+  /** N-column Morton interleave: bit `i` of column `c` lands at position
+    * `n·i + c`, so the 2-column [[mortonCode]] is exactly the `n = 2`
+    * case. `n · bits` must stay ≤ 63 (the sign bit never participates —
+    * codes order as non-negative longs); operands widen to LONG first
+    * for the same shift-masking reason as the 2-column form. */
+  def mortonCodeN(cols: Seq[Column], bits: Int = 8): Column = {
+    val n = cols.length
+    require(n >= 2, s"mortonCodeN needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and n*bits <= 63, got n=$n bits=$bits")
+    val ls = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      ls.zipWithIndex.map { case (c, ci) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + ci)
+      }
     }.reduce(_ bitwiseOR _)
   }
 
@@ -68,13 +79,23 @@ object Layout {
     * the interleave column is computed for layout only and not written. */
   def zorderCompact(spark: SparkSession, in: String, out: String,
                     numFiles: Int, colA: String, colB: String,
-                    bits: Int = 8): DataFrame = {
+                    bits: Int = 8): DataFrame =
+    zorderCompactN(spark, in, out, numFiles, Seq(colA, colB), bits)
+
+  /** N-column Z-order layout — same contract as [[zorderCompact]] over
+    * any number of clustering columns: each column's low `bits` bits
+    * interleave into one code, files range-partition and sort by it, and
+    * min/max row-group stats prune range predicates on EVERY clustering
+    * column independently (the LayoutSpec pins per-column file-level
+    * selectivity for the 3-column case). */
+  def zorderCompactN(spark: SparkSession, in: String, out: String,
+                     numFiles: Int, cols: Seq[String],
+                     bits: Int = 8): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val mask = (1 << bits) - 1
     val df = spark.read.parquet(in)
-    df.withColumn("__z", mortonCode(
-        col(colA).bitwiseAND(lit(mask)), col(colB).bitwiseAND(lit(mask)),
-        bits))
+    df.withColumn("__z", mortonCodeN(
+        cols.map(c => col(c).bitwiseAND(lit(mask))), bits))
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

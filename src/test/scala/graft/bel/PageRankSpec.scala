@@ -59,4 +59,87 @@ class PageRankSpec extends SparkSpec {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(PageRank.run(empty).count() === 0)
   }
+
+  /** Driver-side personalized reference: restart + dangling mass to the
+    * normalized seed distribution. */
+  private def referencePpr(edges: Seq[(String, String)],
+                           seeds: Map[String, Double], iters: Int,
+                           d: Double = 0.85): Map[String, Double] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val present = seeds.filter(kv => nodes.contains(kv._1))
+    val tw = present.values.sum
+    val s = nodes.map(v => v -> present.getOrElse(v, 0.0) / tw).toMap
+    val out = es.groupBy(_._1).map { case (x, g) => x -> g.size.toDouble }
+    var r = s
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = es.filter(_._2 == v).map(e => r(e._1) / out(e._1)).sum
+        v -> ((1 - d) * s(v) + d * (in + dangling * s(v)))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized: matches the driver reference; off-graph seeds " +
+    "ignored; weights normalize; mass stays 1") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d",
+      "d" -> "e", "x" -> "y")
+    val seeds = Seq(("a", 3.0), ("d", 1.0), ("ghost", 9.0))
+      .toDF("node", "weight")
+    val got = PageRank.runPersonalized(edges.toDF("src", "dst"), seeds,
+        iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePpr(edges, Map("a" -> 3.0, "d" -> 1.0), 6)
+    assert(got.keySet === want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-10, s"node $k: ${got(k)} vs $w")
+    assert(math.abs(got.values.sum - 1.0) < 1e-10)
+    // the disconnected x→y island gets rank only via teleport — zero
+    // seed mass there means (almost) zero rank
+    assert(got("y") < 1e-12 && got("x") < 1e-12)
+  }
+
+  test("personalized: seeds frame without a weight column defaults to " +
+    "uniform-over-seeds") {
+    val edges = Seq("a" -> "b", "b" -> "a", "b" -> "c")
+    val got = PageRank.runPersonalized(edges.toDF("src", "dst"),
+        Seq("a", "b").toDF("node"), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePpr(edges, Map("a" -> 1.0, "b" -> 1.0), 4)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-10, s"node $k: ${got(k)} vs $w")
+  }
+
+  test("personalized: duplicate seed rows sum their weights") {
+    val edges = Seq("a" -> "b", "b" -> "a", "c" -> "a")
+    val dup = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0))
+      .toDF("node", "weight")
+    val merged = Seq(("a", 3.0), ("b", 3.0)).toDF("node", "weight")
+    val g1 = PageRank.runPersonalized(edges.toDF("src", "dst"), dup, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val g2 = PageRank.runPersonalized(edges.toDF("src", "dst"), merged, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g1 === g2)
+  }
+
+  test("personalized: no seed present in the graph fails fast") {
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(e, Seq("zzz").toDF("node"), 3)
+    }
+    assert(ex.getMessage.contains("no seed"))
+  }
+
+  test("personalized with every node seeded uniformly equals run()") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    val allSeeds = Seq("a", "b", "c", "d").toDF("node")
+    val ppr = PageRank.runPersonalized(edges.toDF("src", "dst"),
+        allSeeds, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val uni = ranksOf(edges, iters = 5)
+    for ((k, w) <- uni)
+      assert(math.abs(ppr(k) - w) < 1e-12, s"node $k")
+  }
 }

@@ -93,6 +93,51 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mortonCodeN: known 3-column values; n = 2 equals mortonCode") {
+    val df = Seq((3L, 1L, 2L), (0L, 0L, 0L), (3L, 3L, 3L))
+      .toDF("a", "b", "c")
+    val got = df.select(Layout.mortonCodeN(
+      Seq(col("a"), col("b"), col("c")), 2)).as[Long].collect().toSeq
+    // bit i of column ci lands at 3*i + ci
+    assert(got === Seq(43L, 0L, 63L))
+    val pairs = Seq((17L, 250L), (255L, 0L), (123L, 45L)).toDF("a", "b")
+    val two = pairs.select(Layout.mortonCode(col("a"), col("b"), 8))
+      .as[Long].collect().toSeq
+    val twoN = pairs.select(Layout.mortonCodeN(Seq(col("a"), col("b")), 8))
+      .as[Long].collect().toSeq
+    assert(two === twoN)
+  }
+
+  test("zorderCompactN: 3-column layout preserves content and gives " +
+    "file-level min/max selectivity on EACH clustering column") {
+    val dir = tmpDir("layout_z3")
+    val in = s"$dir/in"
+    val rnd = new scala.util.Random(47)
+    (0 until 2000).map(_ => (rnd.nextInt(256).toLong,
+        rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y", "z").repartition(5).write.parquet(in)
+    val out = s"$dir/out"
+    val back = Layout.zorderCompactN(spark, in, out, numFiles = 8,
+      Seq("x", "y", "z"))
+    assert(back.as[(Long, Long, Long)].collect().sorted.toSeq ===
+      spark.read.parquet(in).as[(Long, Long, Long)].collect().sorted.toSeq)
+    val fs = files(out, ".parquet")
+    assert(fs.length === 8)
+    // per-column file stats: a narrow range predicate on ANY of the
+    // three columns must overlap only a strict subset of the files —
+    // the property a single-column sort gives one column only
+    for (c <- Seq("x", "y", "z")) {
+      val overlapping = fs.count { f =>
+        val mm = spark.read.parquet(f.getPath)
+          .agg(min(col(c)), max(col(c))).as[(Long, Long)].head()
+        mm._1 <= 31L && 0L <= mm._2 // overlaps [0, 31]
+      }
+      assert(overlapping < fs.length,
+        s"range [0,31] on $c overlaps ALL ${fs.length} files — no " +
+          "per-column clustering")
+    }
+  }
+
   test("exportJsonl: gzipped shard files, schema-pinned round-trip") {
     val dir = tmpDir("layout_jsonl")
     val df = (0 until 100).map(i =>

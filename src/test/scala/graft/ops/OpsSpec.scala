@@ -846,6 +846,67 @@ class SimilaritySpec extends SparkSpec {
       s"probe filter must land in PartitionFilters:\n$plan")
   }
 
+  test("IvfIndex.rebuild: re-refined centroids restore fit after drifted " +
+    "appends; parity preserved; rebuildIfStale fires only past threshold") {
+    val d = 8
+    def mk(id: Long, axis: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(d)(j => (if (j == axis) 1.0f else 0.0f) +
+        0.05f * math.cos(id * 13 + j * 5).toFloat))
+    val baseRows = (0L until 100L).map(mk(_, 0))
+    val driftRows = (100L until 200L).map(mk(_, 4)) // orthogonal cluster
+    val path = tmpDir("ivfrebuild")
+    IvfIndex.build(baseRows.toDF("vec_id", "embedding"), path, nList = 4,
+      refineIterations = 2)
+    // freshly built: fit == baseline, no rebuild below any threshold
+    assert(IvfIndex.rebuildIfStale(spark, path, nList = 4,
+      maxDrift = 0.05).isEmpty)
+    val st = IvfIndex.append(spark, path,
+      driftRows.toDF("vec_id", "embedding"))
+    assert(st.staleness > 0.1, s"drifted append staleness ${st.staleness}")
+    val rb = IvfIndex.rebuildIfStale(spark, path, nList = 4,
+      maxDrift = 0.05, refineIterations = 2)
+    assert(rb.nonEmpty, "accumulated drift must trigger the rebuild")
+    assert(rb.get.nRows === 200L)
+    assert(rb.get.improvement > 0.05,
+      s"rebuild must restore fit: ${rb.get.fitBefore} -> ${rb.get.fitAfter}")
+    // exact-mode parity over the grown corpus through the NEW layout
+    val corpus = (baseRows ++ driftRows).toDF("vec_id", "embedding")
+    val queries = (baseRows.take(2) ++ driftRows.take(2))
+      .toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 4)
+    val viaIndex = IvfIndex.topK(spark, path, queries, k = 4, nProbe = 4)
+    assert(viaIndex.exceptAll(exact).isEmpty
+      && exact.exceptAll(viaIndex).isEmpty)
+    // baseline refreshed: the rebuilt index reads as healthy again
+    assert(IvfIndex.rebuildIfStale(spark, path, nList = 4,
+      maxDrift = 0.05).isEmpty)
+    // staging directory cleaned up after the swap
+    assert(!new java.io.File(s"${path}__rebuild").exists())
+  }
+
+  test("IvfIndex.rebuild retrains PQ codebooks when the layout has them") {
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }
+    val path = tmpDir("ivfrebuildpq")
+    IvfIndex.build(vecs.take(60).toDF("vec_id", "embedding"), path,
+      nList = 4, pqM = 4, pqK = 8)
+    IvfIndex.append(spark, path, vecs.drop(60).toDF("vec_id", "embedding"))
+    IvfIndex.rebuild(spark, path, nList = 4, refineIterations = 1)
+    val codes = spark.read.parquet(s"$path/corpus")
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(codes.length === 120)
+    assert(codes.forall(_._2.length === 4), "rebuild dropped PQ codes")
+    // ADC still serves off the rebuilt layout
+    val queries = vecs.take(2).toDF("query_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs.toDF("vec_id", "embedding"),
+      queries, k = 3)
+    val viaAdc = IvfIndex.topKAdc(spark, path, queries, k = 3, nProbe = 4,
+      rerankFrom = 120)
+    assert(viaAdc.exceptAll(exact).isEmpty
+      && exact.exceptAll(viaAdc).isEmpty)
+  }
+
   test("LSH top-k returns a subset consistent with exact ranking") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(j =>
