@@ -57,7 +57,11 @@ import graft.sources._
   *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
   *   graft.Cli resample  [--input P | --sf-dir D] --out DIR [--keys a,b] [--ts T] [--step-us N]
   *   graft.Cli cc-incremental --delta P (--index P | --base P) --out DIR
+  *   graft.Cli cc-index  --path DIR (--init BASE.parquet | --fold DELTA.parquet) [--buckets N]
   *   graft.Cli expect    [--input P | --sf-dir D] [--not-null a,b] [--unique a,b] [--bounds col:lo:hi[;col:lo:hi...]]
+  *   graft.Cli ppr       [--edges P | --sf-dir D] [--seeds node:w,node:w] [--iterations N] [--top N]
+  *   graft.Cli ivf-rebuild --path DIR [--nlist N] [--max-drift T] [--refine-iterations N]
+  *   graft.Cli curate-batch [--input P] --out DIR [--index DIR] [--min-words N] [--batch-id N]
   */
 object Cli {
 
@@ -263,6 +267,34 @@ object Cli {
         graft.bel.PageRank.run(sup.unionByName(nat), iters)
           .orderBy(col("rank").desc, col("node")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
+      case "ppr" => // personalized (seed-restart) PageRank (a30_ppr)
+        val iters = opts.getOrElse("iterations", "8").toInt
+        val n = opts.getOrElse("top", "10").toInt
+        val edges = opts.get("edges") match {
+          case Some(p) => spark.read.parquet(p) // (src, dst)
+          case None => // harness default: the reversed dimension graph
+            spark.read.parquet(s"$sfDir/nation.parquet").select(
+                concat(lit("r:"), col("n_regionkey")).as("src"),
+                concat(lit("n:"), col("n_nationkey")).as("dst"))
+              .unionByName(
+                spark.read.parquet(s"$sfDir/supplier.parquet").select(
+                  concat(lit("n:"), col("s_nationkey")).as("src"),
+                  concat(lit("s:"), col("s_suppkey")).as("dst")))
+        }
+        // --seeds "node:w,node:w" (weight optional, default 1)
+        import spark.implicits._
+        val seeds = opts.getOrElse("seeds", "r:0:3,r:1:1").split(",")
+          .map(_.trim).filter(_.nonEmpty).map { s =>
+            s.split(":").toSeq match {
+              case parts if parts.length >= 2 &&
+                  parts.last.toDoubleOption.isDefined =>
+                (parts.init.mkString(":"), parts.last.toDouble)
+              case _ => (s, 1.0)
+            }
+          }.toSeq.toDF("node", "weight")
+        graft.bel.PageRank.runPersonalized(edges, seeds, iters)
+          .orderBy(col("rank").desc, col("node")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
       case "semantic-dedup" => // SemDeDup-style pruning (d_semantic_prune)
         val out = opts.getOrElse("out", s"$warehouse/_semantic")
         val k = opts.getOrElse("k", "8").toInt
@@ -450,6 +482,59 @@ object Cli {
         graft.bel.IncrementalCC.fold(index, delta)
           .write.mode("overwrite").parquet(out)
         println(s"wrote ${spark.read.parquet(out).count()} labels -> $out")
+      case "cc-index" => // persisted bucket-partitioned label index (a28)
+        val path = opts("path")
+        val buckets = opts.getOrElse("buckets", "64").toInt
+        (opts.get("init"), opts.get("fold")) match {
+          case (Some(basePath), _) =>
+            graft.bel.IncrementalCC.writeIndex(
+              graft.bel.ConnectedComponents.run(
+                spark.read.parquet(basePath)), path, buckets)
+            println(s"indexed ${graft.bel.IncrementalCC
+              .readIndex(spark, path).count()} labels -> $path")
+          case (None, Some(deltaPath)) =>
+            val touched = graft.bel.IncrementalCC.foldIndex(spark, path,
+              spark.read.parquet(deltaPath), buckets)
+            println(s"folded $deltaPath: $touched bucket(s) rewritten")
+          case _ =>
+            println("cc-index needs --init BASE.parquet or --fold DELTA.parquet")
+            sys.exit(2)
+        }
+      case "ivf-rebuild" => // staleness-driven index maintenance (s_ivf_rebuild)
+        val path = opts("path")
+        val nList = opts.getOrElse("nlist", "16").toInt
+        val iters = opts.getOrElse("refine-iterations", "3").toInt
+        opts.get("max-drift") match {
+          case Some(th) =>
+            graft.ops.IvfIndex.rebuildIfStale(spark, path, nList,
+              th.toDouble, iters) match {
+              case Some(rb) => println(s"rebuilt ${rb.nRows} rows: fit " +
+                f"${rb.fitBefore}%.4f -> ${rb.fitAfter}%.4f")
+              case None =>
+                val (n, fit) = graft.ops.IvfIndex.currentFit(spark, path)
+                println(f"healthy: $n rows, fit $fit%.4f (drift under $th)")
+            }
+          case None =>
+            val rb = graft.ops.IvfIndex.rebuild(spark, path, nList, iters)
+            println(s"rebuilt ${rb.nRows} rows: fit " +
+              f"${rb.fitBefore}%.4f -> ${rb.fitAfter}%.4f")
+        }
+      case "curate-batch" => // one batch through the e2e chain (w_curate_e2e)
+        import graft.ops.{Expectations, TextAnalysis}
+        val in = spark.read.parquet(opts.getOrElse("input", docsPath))
+          .select("doc_id", "text")
+        val out = opts.getOrElse("out", s"$warehouse/_curated")
+        val idxPath = opts.getOrElse("index", s"$out/idx")
+        val minWords = opts.getOrElse("min-words", "10").toInt
+        val batchId = opts.getOrElse("batch-id", "0").toLong
+        val m = graft.streaming.CuratePipeline.curateBatch(spark, in,
+          batchId, Seq(Expectations.notNull("text"),
+            Expectations.rowCountBetween(1L, Long.MaxValue)),
+          df => df.filter(
+            TextAnalysis.tokenCount(col("text")) >= minWords),
+          idxPath, out)
+        println(s"batch ${m.batchId}: ${m.nIn} in, ${m.nCurated} past " +
+          s"rules, ${m.nAccepted} accepted -> $out")
       case "expect" => // data-quality expectation report (a29_expectations)
         import graft.ops.Expectations
         val in = opts.get("input").map(spark.read.parquet(_))
@@ -485,13 +570,16 @@ object Cli {
         val back = graft.ops.Layout.compact(spark, in, out,
           opts.getOrElse("files", "2").toInt, sortCols)
         println(s"compacted ${back.count()} rows -> $out")
-      case "zorder" => // multi-dimensional clustering (k18_zorder_layout)
+      case "zorder" => // multi-dimensional clustering (k18/k20 layouts)
         val in = opts.getOrElse("input", docsPath)
         val out = opts.getOrElse("out", s"$warehouse/_zordered")
-        val back = graft.ops.Layout.zorderCompact(spark, in, out,
-          opts.getOrElse("files", "2").toInt,
-          opts.getOrElse("col-a", "doc_id"),
-          opts.getOrElse("col-b", "n_chars"),
+        // --cols a,b,c... (N-column interleave) wins over --col-a/--col-b
+        val cols = opts.get("cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(opts.getOrElse("col-a", "doc_id"),
+            opts.getOrElse("col-b", "n_chars")))
+        val back = graft.ops.Layout.zorderCompactN(spark, in, out,
+          opts.getOrElse("files", "2").toInt, cols,
           opts.getOrElse("bits", "8").toInt)
         println(s"z-ordered ${back.count()} rows -> $out")
       case "export-jsonl" => // loader-facing shards (k17_jsonl_export)

@@ -1,0 +1,367 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 gates — closing the verdict's maintenance/composition asks:
+  *
+  *  - `a28_cc_index_persist`: the PERSISTED incremental-CC label index
+  *    ([[graft.bel.IncrementalCC.foldIndex]]) — two successive folds
+  *    against the bucket-partitioned on-disk index must equal the
+  *    from-scratch components of the 3-way union graph (the recursive
+  *    CTE oracle), proving the touched-only overwrite discipline loses
+  *    nothing across folds.
+  *  - `a30_ppr`: personalized (seed-restart) PageRank
+  *    ([[graft.bel.PageRank.runPersonalized]]) over the REVERSED
+  *    dimension graph (region→nation→supplier), seeds r:0 (w=3) and
+  *    r:1 (w=1) — the domain-expansion primitive, value-exact against
+  *    the unrolled-recurrence SQL with per-node restart mass.
+  *  - `s_ivf_rebuild`: staleness-driven IVF index maintenance
+  *    ([[graft.ops.IvfIndex.rebuildIfStale]]) — an off-distribution
+  *    append drifts the frozen Voronoi partition, the trigger fires
+  *    past the stated threshold, the rebuild restores fit, and
+  *    recall@10 at the bench budget still holds on the grown corpus.
+  *  - `k20_zorder3_layout`: N-column Z-order
+  *    ([[graft.ops.Layout.zorderCompactN]]) — 3-column interleave over
+  *    lineitem's key triple, bit-exact vs the shift/mask SQL.
+  *  - `w_curate_e2e`: the end-to-end continuous-curation composition
+  *    ([[graft.streaming.CuratePipeline]]) — expectations → curate
+  *    rules → dedup-index probe → append, one foreachBatch chain,
+  *    value-exact vs the equivalent batch chain with cross-batch
+  *    duplicates dropped and per-batch reports/metrics persisted.
+  */
+object Round10Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replace(".", "_")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
+
+  private def memo[A](store: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, A]],
+      s: SparkSession, d: String)(build: () => A): A =
+    store.synchronized {
+      var m = store.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, A]()
+        store.put(s, m)
+      }
+      m
+    }.computeIfAbsent(d, _ => build())
+
+  private val ccIdxMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private val ivfRebuildMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (Boolean, Boolean, Boolean, Boolean)]]())
+
+  private val zorder3Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private val curateMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (Boolean, Boolean, Boolean, Boolean)]]())
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- Persisted incremental-CC label index -------------------------------
+    // writeIndex(base) → foldIndex(nation→region) → foldIndex(customer→
+    // nation) against the bucket-partitioned layout; read-back labels
+    // canonicalized to min node per component must equal the recursive
+    // CTE over the 3-way union. The fold chain runs once per (session,
+    // sf) — the k18/w_stream_dedup_index layout-memo posture.
+    "a28_cc_index_persist" -> ((s, d) => {
+      val path = memo(ccIdxMemo, s, d) { () =>
+        val base = t(s, d, "supplier").select(
+          concat(lit("s:"), col("s_suppkey")).as("src"),
+          concat(lit("n:"), col("s_nationkey")).as("dst"))
+        val d1 = t(s, d, "nation").select(
+          concat(lit("n:"), col("n_nationkey")).as("src"),
+          concat(lit("r:"), col("n_regionkey")).as("dst"))
+        val d2 = t(s, d, "customer").select(
+          concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst"))
+        val p = s"/tmp/graft_ccidx_${sfTag(d)}"
+        rmrf(s, p)
+        graft.bel.IncrementalCC.writeIndex(
+          graft.bel.ConnectedComponents.run(base), p, buckets = 16)
+        graft.bel.IncrementalCC.foldIndex(s, p, d1, buckets = 16)
+        graft.bel.IncrementalCC.foldIndex(s, p, d2, buckets = 16)
+        p
+      }
+      val folded = graft.bel.IncrementalCC.readIndex(s, path)
+      val canon = folded.groupBy("component").agg(min("node").as("comp"))
+      folded.join(canon, "component").select("node", "comp")
+    }),
+
+    // --- Personalized PageRank (seed-restart) -------------------------------
+    // Domain expansion over the REVERSED dimension graph: restart mass
+    // 3:1 on regions r:0/r:1; ranks flow region→nation→supplier, so
+    // suppliers score by weighted proximity to the seed regions. Same
+    // AQE/partition scoping as a17 (dimension-sized graph, measured);
+    // oracle = the unrolled recurrence with per-node restart mass.
+    "a30_ppr" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      import ss.implicits._
+      val rn = t(ss, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"))
+      val ns = t(ss, d, "supplier").select(
+        concat(lit("n:"), col("s_nationkey")).as("src"),
+        concat(lit("s:"), col("s_suppkey")).as("dst"))
+      val seeds = Seq(("r:0", 3.0), ("r:1", 1.0)).toDF("node", "weight")
+      graft.bel.PageRank.runPersonalized(rn.unionByName(ns), seeds,
+        iterations = 8)
+    }),
+
+    // --- IVF index maintenance: staleness-triggered rebuild -----------------
+    // Clustered corpus (16 anchor cells); the index is built on cells
+    // 0–7 only, then an append arrives entirely from cells 8–15 — real
+    // distribution drift against the frozen centroids. The gate pins the
+    // full maintenance loop: drift is DETECTED (append staleness over
+    // the stated 0.1), the threshold TRIGGERS rebuildIfStale (layout
+    // drift > 0.05), the rebuild RESTORES fit (positive improvement),
+    // and recall@10 at the bench budget (nProbe 12 of nList 16) still
+    // holds on the grown corpus vs brute-force truth.
+    "s_ivf_rebuild" -> ((s, d) => {
+      import s.implicits._
+      val (drift, fired, restored, recallOk) =
+        memo(ivfRebuildMemo, s, d) { () =>
+          val emb = t(s, d, "embeddings").select(col("vec_id"),
+            graft.functions.Vectors.toDouble(col("embedding"))
+              .as("embedding"))
+          val anchors = broadcast(emb.filter(col("vec_id") < 16)
+            .select((col("vec_id") % 16).as("k"),
+              col("embedding").as("anchor")))
+          val clustered = emb.filter(col("vec_id") >= 16)
+            .withColumn("k", expr("(vec_id div 2) % 16"))
+            .join(anchors, "k")
+            .select(col("k"), col("vec_id"),
+              zip_with(col("anchor"), col("embedding"),
+                (a, x) => a + lit(0.05) * x).as("embedding"))
+          val base = clustered.filter(col("k") < 8)
+            .select("vec_id", "embedding")
+          val newCells = clustered.filter(col("k") >= 8)
+            .select("vec_id", "embedding")
+          val path = s"/tmp/graft_ivfrebuild_${sfTag(d)}"
+          rmrf(s, path)
+          graft.ops.IvfIndex.build(base, path, nList = 8,
+            refineIterations = 2)
+          val st = graft.ops.IvfIndex.append(s, path, newCells)
+          val rb = graft.ops.IvfIndex.rebuildIfStale(s, path, nList = 16,
+            maxDrift = 0.05, refineIterations = 2)
+          val corpus = base.unionByName(newCells)
+          val qs = corpus.filter(col("vec_id") % 97 === 0).limit(16)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val truth = graft.ops.Similarity
+            .bruteForceTopK(corpus, qs, k = 10).select("query_id", "id")
+          val got = graft.ops.IvfIndex
+            .topK(s, path, qs, k = 10, nProbe = 12)
+            .select("query_id", "id")
+          val nHit = truth.join(got, Seq("query_id", "id"), "left_semi")
+            .count().toDouble
+          val nTrue = truth.count().toDouble
+          (st.staleness > 0.1, rb.nonEmpty,
+            rb.exists(_.improvement > 0.0), nHit / nTrue >= 0.9)
+        }
+      Seq((drift, fired, restored, recallOk)).toDF("drift_detected",
+        "rebuild_fired", "fit_restored", "recall_ok_after")
+    }),
+
+    // --- 3-column Z-order layout --------------------------------------------
+    // lineitem's (l_orderkey, l_partkey, l_suppkey) triple through the
+    // N-column interleave: content preserved row-for-row (hash-compared
+    // against the plain projection) and the emitted z column bit-exact
+    // vs the DuckDB shift/mask expression — the same contract as k18,
+    // one dimension up. Layout memoized per (session, sf).
+    "k20_zorder3_layout" -> ((s, d) => {
+      val out = memo(zorder3Memo, s, d) { () =>
+        val base = s"/tmp/graft_zorder3_${sfTag(d)}"
+        rmrf(s, base)
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey")
+          .write.parquet(s"$base/in")
+        graft.ops.Layout.zorderCompactN(s, s"$base/in", s"$base/out",
+          numFiles = 2, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        s"$base/out"
+      }
+      s.read.parquet(out).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.ops.Layout.mortonCodeN(Seq(
+          col("l_orderkey").bitwiseAND(lit(255)),
+          col("l_partkey").bitwiseAND(lit(255)),
+          col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
+    }),
+
+    // --- End-to-end continuous curation -------------------------------------
+    // ONE foreachBatch chain per micro-batch: expectations report →
+    // curate rules (length floor + bloom decontamination) → dedup-index
+    // probe → append survivors + metrics. Two time-ordered batches; the
+    // second re-sends duplicate twins of first-batch content (+1e6 ids).
+    // Booleans pin: corpus == the equivalent batch chain (rules then
+    // exact survivors over the whole feed), twins never land, every
+    // batch's report is complete, and the metrics trail sums to the
+    // corpus. Each stage is its own gated primitive; this pins the
+    // COMPOSITION a production ingest runs.
+    "w_curate_e2e" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.ops.{Expectations, TextAnalysis}
+        val (eq, twins, reps, mets) = memo(curateMemo, ss, d) { () =>
+          val docs = t(ss, d, "documents")
+          val probes = docs.filter(col("doc_id") < 5)
+          val bloom = TextAnalysis.shingleBloom(probes, n = 3,
+            expectedItems = 20000L, numBits = 200000L)
+          def rules(in: DataFrame): DataFrame = in
+            .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+            .filter(!TextAnalysis.bloomContaminatedFlag(col("text"),
+              bloom, 3))
+          val checks = Seq(Expectations.notNull("text"),
+            Expectations.rowCountBetween(1L, 100000000L))
+          val feed = docs
+            .filter(col("doc_id") >= 5 && col("doc_id") % 10 === 0)
+            .select("doc_id", "text")
+          val rows = feed.as[(Long, String)].collect().sortBy(_._1)
+          val b1 = rows.filter(_._1 % 20 == 0)
+          val b2 = (rows.filter(_._1 % 20 != 0) ++
+            b1.map { case (i, txt) => (i + 1000000L, txt) }).sortBy(_._1)
+          val base = s"/tmp/graft_curate_e2e_${sfTag(d)}"
+          rmrf(ss, base)
+          val mem = MemoryStream[(Long, String)]
+          val q = graft.streaming.CuratePipeline.run(
+            mem.toDS().toDF("doc_id", "text"), checks, rules,
+            s"$base/idx", s"$base/out", s"$base/ckpt")
+          try {
+            mem.addData(b1: _*); q.processAllAvailable()
+            mem.addData(b2: _*); q.processAllAvailable()
+          } finally q.stop()
+          val corpusIds = graft.streaming.CuratePipeline
+            .corpus(ss, s"$base/out")
+            .select("doc_id").as[Long].collect().toSet
+          val want = graft.ops.Dedup.exactSurvivors(rules(feed))
+            .select("survivor_id").as[Long].collect().toSet
+          val reports = graft.streaming.CuratePipeline
+            .reports(ss, s"$base/out")
+          val repOk = reports.count() == 2L * checks.length &&
+            reports.filter(!col("passed")).count() == 0L
+          val accSum = graft.streaming.CuratePipeline
+            .metrics(ss, s"$base/out")
+            .agg(sum("n_accepted")).as[Long].head()
+          (corpusIds == want, corpusIds.forall(_ < 1000000L),
+            repOk, accSum == corpusIds.size.toLong)
+        }
+        Seq((eq, twins, reps, mets)).toDF("stream_equals_batch",
+          "twins_dropped", "reports_complete", "metrics_consistent")
+      }))
+
+  /** The PPR recurrence unrolled to chained CTEs with per-node restart
+    * mass — [[Round7Queries]]' pagerankOracle generalized: `sv` carries
+    * the normalized seed distribution and every step teleports to it. */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank / o.deg) AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS m FROM r${i - 1} r
+         |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+         |), r$i AS (
+         |  SELECT v.node,
+         |    (1 - 0.85) * v.s + 0.85 * (coalesce(c.c, 0) + d$i.m * v.s)
+         |      AS rank
+         |  FROM sv v CROSS JOIN d$i
+         |  LEFT JOIN c$i c ON c.node = v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst
+       |    FROM nation
+       |    UNION ALL
+       |    SELECT 'n:' || s_nationkey, 's:' || s_suppkey FROM supplier)
+       |), vertices AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), sv AS (
+       |  SELECT node, CASE node WHEN 'r:0' THEN 3.0 / 4.0
+       |    WHEN 'r:1' THEN 1.0 / 4.0 ELSE 0.0 END AS s
+       |  FROM vertices
+       |), outdeg AS (
+       |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT node, s AS rank FROM sv
+       |),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "a28_cc_index_persist" ->
+      """WITH edges AS (
+        |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+        |), und AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM edges
+        |    UNION SELECT dst AS u, src AS v FROM edges)
+        |  WHERE u <> v
+        |), vertices AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), walk AS (
+        |  WITH RECURSIVE walk(n, comp) AS (
+        |    SELECT node, node FROM vertices
+        |    UNION
+        |    SELECT e.v, walk.comp FROM walk JOIN und e ON walk.n = e.u
+        |  )
+        |  SELECT n, comp FROM walk
+        |)
+        |SELECT n AS node, min(comp) AS comp FROM walk GROUP BY n
+        |""".stripMargin,
+
+    "a30_ppr" -> pprOracle(8),
+
+    "s_ivf_rebuild" ->
+      ("SELECT true AS drift_detected, true AS rebuild_fired, " +
+        "true AS fit_restored, true AS recall_ok_after"),
+
+    "k20_zorder3_layout" -> {
+      val terms = (0 until 8).flatMap { i =>
+        Seq(
+          s"(((((l_orderkey & 255) >> $i) & 1) << ${3 * i}))",
+          s"(((((l_partkey & 255) >> $i) & 1) << ${3 * i + 1}))",
+          s"(((((l_suppkey & 255) >> $i) & 1) << ${3 * i + 2}))")
+      }.mkString(" | ")
+      "SELECT l_orderkey, l_partkey, l_suppkey, " +
+        s"CAST($terms AS BIGINT) AS z FROM lineitem"
+    },
+
+    "w_curate_e2e" ->
+      ("SELECT true AS stream_equals_batch, true AS twins_dropped, " +
+        "true AS reports_complete, true AS metrics_consistent"))
+}

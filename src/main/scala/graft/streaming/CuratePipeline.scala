@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Expectations
+
+/** End-to-end continuous curation — the composition a 100 TB ingest
+  * actually runs, as ONE `foreachBatch` pipeline per micro-batch:
+  *
+  *  1. expectations report ([[graft.ops.Expectations.run]]) over the raw
+  *     batch — the quality trail lands FIRST, so rejected feeds are
+  *     still observable;
+  *  2. curate rules — a caller-supplied pure filter (length floors,
+  *     decontamination, language cuts … the `w_stream_curate` shapes);
+  *  3. cross-snapshot dedup probe against the persisted fingerprint
+  *     index ([[DedupStream.dedupBatch]]) — genuinely-new survivors
+  *     append to the curated corpus and fold into the index so every
+  *     later batch (this run or the next) dedupes against them;
+  *  4. a per-batch metrics row (rows in / past rules / accepted).
+  *
+  * Each stage is the SAME primitive its standalone gate pins
+  * (`w_stream_expect`, `w_stream_curate`, `w_stream_dedup_index`); this
+  * operator pins their composition (`w_curate_e2e`): the accepted corpus
+  * equals the equivalent batch chain value-exactly.
+  *
+  * Replay idempotence, stage by stage: reports and metrics write to
+  * per-batch partition directories with Overwrite (a replayed batch
+  * rewrites its own partition, never duplicates); the corpus/index pair
+  * inherits [[DedupStream.dedupBatch]]'s probe-before-append discipline
+  * (a replayed batch's fingerprints are already indexed, so nothing
+  * re-lands). Scale: per batch, ONE aggregation pass for the report,
+  * one filter, one hash-groupBy + anti-join for the probe, small
+  * appends — nothing ever rescans prior batches or the accepted corpus.
+  */
+object CuratePipeline {
+
+  /** Per-batch outcome (also persisted under `metrics/`). */
+  final case class BatchMetrics(batchId: Long, nIn: Long, nCurated: Long,
+                                nAccepted: Long)
+
+  /** Run ONE batch through the full chain. Layout under `outPath`:
+    * `reports/batch_id=<id>/`, `metrics/batch_id=<id>/`, `corpus/`
+    * (accepted doc rows, append-only), plus the fingerprint index at
+    * `indexPath`. Safe to re-run with the same `batchId` (replay). */
+  def curateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                  checks: Seq[Expectations.Check],
+                  rules: DataFrame => DataFrame,
+                  indexPath: String, outPath: String,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): BatchMetrics = {
+    import spark.implicits._
+    val staged = batch.persist()
+    try {
+      Expectations.run(staged, checks)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outPath/reports/batch_id=$batchId")
+      val curated = rules(staged).persist()
+      try {
+        val accepted = DedupStream.dedupBatch(spark, indexPath,
+          s"$outPath/corpus", curated, idCol, textCol)
+        val m = BatchMetrics(batchId, staged.count(), curated.count(),
+          accepted)
+        Seq((m.nIn, m.nCurated, m.nAccepted))
+          .toDF("n_in", "n_curated", "n_accepted")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/metrics/batch_id=$batchId")
+        m
+      } finally { curated.unpersist(); () }
+    } finally { staged.unpersist(); () }
+  }
+
+  /** Stream face: `foreachBatch` wiring of [[curateBatch]]. */
+  def run(stream: DataFrame, checks: Seq[Expectations.Check],
+          rules: DataFrame => DataFrame,
+          indexPath: String, outPath: String, checkpoint: String,
+          idCol: String = "doc_id",
+          textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateBatch(batch.sparkSession, batch, id, checks, rules,
+          indexPath, outPath, idCol, textCol)
+        ()
+      }
+      .start()
+
+  /** Read-back faces for the persisted layout. */
+  def corpus(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/corpus")
+
+  def reports(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/reports")
+
+  def metrics(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/metrics")
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Dedup, Expectations, TextAnalysis}
+
+class CuratePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val checks = Seq(
+    Expectations.notNull("text"),
+    Expectations.rowCountBetween(1L, 1000000L))
+
+  private def rules(in: DataFrame): DataFrame =
+    in.filter(TextAnalysis.tokenCount(col("text")) >= 3)
+
+  // docs: ids 1..12; 10/11 duplicate 1/2's text; 12 fails the rule
+  private def docs = Seq(
+    (1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit"),
+    (3L, "alpha beta gamma"), (4L, "one two three four"),
+    (5L, "five six seven"), (6L, "eight nine ten"),
+    (10L, "the quick brown fox"), (11L, "lorem ipsum dolor sit"),
+    (12L, "short one")).toDF("doc_id", "text")
+
+  test("stream chain equals the batch chain; duplicates drop across " +
+    "micro-batches; reports and metrics land per batch") {
+    val dir = tmpDir("curatee2e")
+    val (idx, out, ckpt) = (s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CuratePipeline.run(mem.toDS().toDF("doc_id", "text"),
+      checks, rules, idx, out, ckpt)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    try {
+      val (h1, h2) = rows.partition(_._1 <= 4)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch chain: rules then exact survivors over the whole feed
+    val want = Dedup.exactSurvivors(rules(docs))
+      .select("survivor_id").as[Long].collect().toSet
+    val got = CuratePipeline.corpus(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(!got.contains(12L), "rule-failing doc must not land")
+    // dup content later in the stream never lands (10/11 echo 1/2)
+    assert(!got.contains(10L) && !got.contains(11L))
+    // reports: one row per check per batch, metrics: one row per batch
+    val reps = CuratePipeline.reports(spark, out)
+      .groupBy("batch_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(reps.keySet === Set(0L, 1L))
+    assert(reps.values.forall(_ === checks.length.toLong))
+    val mets = CuratePipeline.metrics(spark, out)
+      .select("batch_id", "n_in", "n_curated", "n_accepted")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(mets(0L)._2 === 4L)
+    assert(mets.values.map(_._4).sum === want.size.toLong)
+  }
+
+  test("replaying a batch is idempotent end-to-end: no duplicate corpus " +
+    "rows, report/metrics partitions rewritten not appended") {
+    val dir = tmpDir("curatereplay")
+    val (idx, out) = (s"$dir/idx", s"$dir/out")
+    val b0 = docs.filter(col("doc_id") <= 4)
+    val m1 = CuratePipeline.curateBatch(spark, b0, 0L, checks, rules,
+      idx, out)
+    val corpus1 = CuratePipeline.corpus(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // simulated crash-replay: same rows, same batch id
+    val m2 = CuratePipeline.curateBatch(spark, b0, 0L, checks, rules,
+      idx, out)
+    assert(m2.nAccepted === 0L, "replayed content must not re-land")
+    assert(m2.nIn === m1.nIn && m2.nCurated === m1.nCurated)
+    val corpus2 = CuratePipeline.corpus(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus2 === corpus1)
+    assert(CuratePipeline.reports(spark, out)
+      .filter(col("batch_id") === 0).count() === checks.length.toLong)
+    assert(CuratePipeline.metrics(spark, out)
+      .filter(col("batch_id") === 0).count() === 1L)
+  }
+}
