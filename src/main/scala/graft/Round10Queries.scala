@@ -137,6 +137,10 @@ object Round10Queries {
     // drift > 0.05), the rebuild RESTORES fit (positive improvement),
     // and recall@10 at the bench budget (nProbe 12 of nList 16) still
     // holds on the grown corpus vs brute-force truth.
+    // (an 8-partition withShufflePartitions scoping was MEASURED NEUTRAL
+    // here — 9.3 s vs 10.3 s single runs, within machine noise: the cost
+    // is the ~10 sequential build/fit/rebuild/recall jobs, not exchange
+    // width — so the gate keeps session defaults, the a28 discipline)
     "s_ivf_rebuild" -> ((s, d) => {
       import s.implicits._
       val (drift, fired, restored, recallOk) =

@@ -114,6 +114,16 @@ object IncrementalCC {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("node", "component")
 
+  /** [[foldIndex]]'s rewrite read: an IN-list on the `bucket` PARTITION
+    * column, so only the affected directories' files are opened (the
+    * PlanShapeSpec pins this lands in `PartitionFilters`, not a data
+    * filter). */
+  private[graft] def prunedBuckets(spark: SparkSession, path: String,
+                                   affected: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(affected.map(Long.box): _*))
+      .select(col("node"), col("component"))
+
   /** Fold `newEdges` into the PERSISTED index at `path` — the
     * `d_incremental_append` discipline made real for labels: only the
     * component buckets actually touched by the delta are read back,
@@ -152,9 +162,7 @@ object IncrementalCC {
     if (affected.isEmpty) 0L
     else {
       // partition-pruned read: ONLY the affected bucket directories
-      val part = spark.read.parquet(path)
-        .filter(col("bucket").isin(affected.map(Long.box): _*))
-        .select(col("node"), col("component"))
+      val part = prunedBuckets(spark, path, affected.toSeq)
       val rewritten = part
         .join(superMap.withColumnRenamed("old", "component"),
           Seq("component"), "left")

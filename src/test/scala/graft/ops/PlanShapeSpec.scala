@@ -491,6 +491,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("foldIndex rewrite read: the affected-bucket IN-list is a " +
+    "PartitionFilter at the scan — untouched buckets' files never open") {
+    withoutAqe {
+      import spark.implicits._
+      val path = s"${tmpDir("ps_ccidx")}/idx"
+      graft.bel.IncrementalCC.writeIndex(
+        graft.bel.ConnectedComponents.run(
+          (0 until 32).map(i => (s"a$i", s"b$i")).toDF("src", "dst")),
+        path, buckets = 8)
+      val read = graft.bel.IncrementalCC.prunedBuckets(spark, path,
+        Seq(1L, 3L))
+      val scan = executed(read).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "expected a file scan")
+      val s = scan.head.toString
+      assert(s.contains("PartitionFilters") && s.contains("bucket"),
+        s"bucket IN-list did not reach PartitionFilters:\n$s")
+      assert(s.contains("DataFilters: []"),
+        s"bucket column leaked into data filters:\n$s")
+    }
+  }
+
+  test("personalized PageRank: the seed-restart scaffold adds NO " +
+    "exchange over the uniform power loop") {
+    withoutAqe {
+      import spark.implicits._
+      val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+        .toDF("src", "dst")
+      val seeds = Seq(("a", 2.0), ("c", 1.0)).toDF("node", "weight")
+      def exchanges(df: DataFrame) =
+        executed(df).collect { case e: ShuffleExchangeExec => e }.length
+      val uni = exchanges(graft.bel.PageRank.run(edges, iterations = 3))
+      val ppr = exchanges(graft.bel.PageRank.runPersonalized(edges, seeds,
+        iterations = 3))
+      assert(ppr === uni,
+        s"personalized loop changed the exchange count: $ppr vs $uni")
+    }
+  }
+
   test("dedupLines: equi-join back on the line key — no cartesian, no " +
     "window, every exchange stays multi-partition") {
     withoutAqe {
