@@ -24,15 +24,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - per key, state buffers (a) left events not yet STRICTLY below the
   *    watermark and (b) right rows that could still match a
   *    future-or-buffered left event. A left event at time t resolves
-  *    exactly when the watermark moves strictly past t: Spark only
-  *    guarantees dropping rows strictly OLDER than the watermark (and
-  *    `flatMapGroupsWithState` does not auto-filter late rows at all),
-  *    so a right row at exactly the watermark can still arrive — but
-  *    once wm > t, any watermark-respecting arrival carries event time
-  *    ≥ wm > t, cannot precede the event, and the backward match is
-  *    FINAL (the same watermark-finality argument as the outer interval
-  *    join's null emission). Rows that arrive below the watermark are
-  *    best-effort, by Spark's own watermark contract.
+  *    exactly when the watermark moves strictly past t. Finality:
+  *    `flatMapGroupsWithState` under EventTimeTimeout filters its input
+  *    through `WatermarkSupport.watermarkExpression`, which is
+  *    `LessThanOrEqual(ts, wm)` — every SURVIVING arrival carries event
+  *    time strictly above the watermark (the StreamingSpec boundary
+  *    test pins this: a row at exactly the watermark is dropped). So
+  *    once wm > t, no admissible right can precede the event and the
+  *    backward match is FINAL (the same watermark-finality argument as
+  *    the outer interval join's null emission). Strict-below resolution
+  *    is one conservative tick later than the input filter strictly
+  *    requires — it keeps the operator exact even under the weakest
+  *    documented watermark contract (drop only strictly-older rows),
+  *    rather than leaning on the filter's inclusive boundary. Rows that
+  *    arrive at or below the watermark are best-effort, by Spark's own
+  *    contract.
   *  - state is BOUNDED by the watermark horizon: resolved lefts leave
   *    state immediately; right rows at or before the watermark compact
   *    to the single latest one — which must be kept FOREVER (it is the
@@ -110,13 +116,12 @@ object AsOfStream {
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // finality: a left at t resolves only once the wm is STRICTLY
-          // past t. Spark's watermark drops rows strictly OLDER than wm
-          // (and flatMapGroupsWithState does not auto-filter late rows
-          // at all), so a right row with rt == wm can still arrive in a
-          // later batch — resolving lefts at t == wm would miss that
-          // backward-inclusive match. Rows below the watermark are
-          // best-effort by Spark's own contract; this keeps the operator
-          // exact for everything the watermark guarantees.
+          // past t. Spark's FMGWS input filter (EventTimeTimeout) drops
+          // arrivals with ts <= wm, so surviving rights carry rt > wm
+          // >= t — no admissible arrival can precede a resolved left.
+          // Strict-below (rather than inclusive-at-wm) resolution stays
+          // exact even under the weakest documented watermark contract
+          // (drop only strictly-older rows); see the scaladoc.
           val (ready, pending) = lefts.partition(_._1 < wmUs)
           val rSorted = rights.sortBy(r => (-r._1, -r._2))
           val out = ready.sortBy(identity).map { case (t, id) =>

@@ -156,6 +156,53 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("asOfEnrich watermark boundary: Spark's FMGWS input filter drops " +
+    "arrivals AT the watermark (LessThanOrEqual), so strict-below " +
+    "resolution is final; strictly-above arrivals land") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val out = AsOfStream.asOfEnrich(
+      memL.toDS().toDF("event_id", "ts", "user_id"),
+      memR.toDS().toDF("event_id", "ts", "user_id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").start()
+    try {
+      // batch 1: left at ts(60), older right at ts(0); wm -> 50
+      memL.addData((10L, ts(60), 1L))
+      memR.addData((20L, ts(0), 1L))
+      q.processAllAvailable()
+      // batch 2: advance the watermark to EXACTLY the left's instant
+      // (70 - 10 = 60) via another key; the left stays pending (strict)
+      memR.addData((97L, ts(70), 8L))
+      q.processAllAvailable()
+      // batch 3a: a right at exactly ts(60) == watermark. The operator
+      // finality contract rests on Spark DROPPING this arrival — the
+      // decompiled WatermarkSupport.watermarkExpression predicate is
+      // LessThanOrEqual(ts, wm) — so the left must keep its ts(0)
+      // match. If a Spark upgrade relaxed the filter to strictly-older,
+      // the pending left would see this row instead and the expected
+      // match below would flip to 21 (strict-below resolution keeps
+      // either behavior exact; this test pins which one is in force).
+      memR.addData((21L, ts(60), 1L))
+      q.processAllAvailable()
+      // batch 3b: a left and right strictly above the watermark — the
+      // equal-instant pair must match inclusively as usual
+      memL.addData((11L, ts(61), 1L))
+      memR.addData((22L, ts(61), 1L))
+      q.processAllAvailable()
+      memL.addData((99L, ts(5000), 9L)); memR.addData((98L, ts(5000), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_boundary").filter("user_id = 1")
+      .select(col("event_id"), col("r_event_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (10L, Some(20L)), // the ==wm right was dropped before the state op
+      (11L, Some(22L)))) // >wm arrivals land and match inclusively
+  }
+
   test("asOfEnrich µs round-trip: sub-millisecond event times survive " +
     "the state passage") {
     val t = new Timestamp(1700000000123L)
