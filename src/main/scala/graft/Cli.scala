@@ -62,6 +62,8 @@ import graft.sources._
   *   graft.Cli ppr       [--edges P | --sf-dir D] [--seeds node:w,node:w] [--iterations N] [--top N]
   *   graft.Cli ivf-rebuild --path DIR [--nlist N] [--max-drift T] [--refine-iterations N]
   *   graft.Cli curate-batch [--input P] --out DIR [--index DIR] [--min-words N] [--batch-id N]
+  *   graft.Cli lpa       [--edges P | --sf-dir D] [--iterations N] [--top N]
+  *   graft.Cli er        [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
   */
 object Cli {
 
@@ -295,6 +297,45 @@ object Cli {
         graft.bel.PageRank.runPersonalized(edges, seeds, iters)
           .orderBy(col("rank").desc, col("node")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
+      case "lpa" => // label-propagation communities (a31_lpa)
+        val iters = opts.getOrElse("iterations", "5").toInt
+        val n = opts.getOrElse("top", "20").toInt
+        val edges = opts.get("edges") match {
+          case Some(p) => spark.read.parquet(p) // (src, dst)
+          case None =>
+            spark.read.parquet(s"$sfDir/supplier.parquet").select(
+                concat(lit("s:"), col("s_suppkey")).as("src"),
+                concat(lit("n:"), col("s_nationkey")).as("dst"))
+              .unionByName(
+                spark.read.parquet(s"$sfDir/nation.parquet").select(
+                  concat(lit("n:"), col("n_nationkey")).as("src"),
+                  concat(lit("r:"), col("n_regionkey")).as("dst")))
+        }
+        val labels = graft.bel.LabelPropagation.run(edges, iters)
+        labels.groupBy("label").agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("label")).limit(n)
+          .collect().foreach(r => println(r.mkString("\t")))
+      case "er" => // fuzzy-match entity resolution (j18_er_entities)
+        val out = opts.getOrElse("out", s"$warehouse/_entities")
+        val in = spark.read.parquet(opts.getOrElse("input", docsPath))
+        val (idc, sc) = (opts.getOrElse("id", "doc_id"),
+          opts.getOrElse("col", "text"))
+        val recs = in.select(col(idc).cast("long").as("id"),
+          col(sc).cast("string").as("s"))
+        val pairs = graft.ops.FuzzyJoin.fuzzyPairs(recs, "id", "s",
+          maxDist = opts.getOrElse("max-dist", "2").toInt)
+        val cc = graft.bel.ConnectedComponents.run(
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        val canon = cc.groupBy("component").agg(min("node").as("ent"))
+        val matched = cc.join(canon, "component")
+          .select(col("node").as("id"), col("ent"))
+        recs.select("id").join(matched, Seq("id"), "left")
+          .select(col("id"), coalesce(col("ent"), col("id"))
+            .as("entity_id"))
+          .write.mode("overwrite").parquet(out)
+        val back = spark.read.parquet(out)
+        println(s"${back.count()} records -> " +
+          s"${back.select("entity_id").distinct().count()} entities -> $out")
       case "semantic-dedup" => // SemDeDup-style pruning (d_semantic_prune)
         val out = opts.getOrElse("out", s"$warehouse/_semantic")
         val k = opts.getOrElse("k", "8").toInt

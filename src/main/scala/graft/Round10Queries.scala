@@ -128,6 +128,23 @@ object Round10Queries {
         iterations = 8)
     }),
 
+    // --- Label propagation communities --------------------------------------
+    // Synchronous LPA over the undirected dimension graph, 5 rounds,
+    // (count desc, label asc) tie-break — the community structure the
+    // star-shaped supplier→nation→region graph collapses to. Value-exact
+    // against the unrolled per-round SQL (count + row_number winner per
+    // node per round); determinism rides the synchronous-update + total
+    // tie-break contract the spec pins against a driver reference.
+    "a31_lpa" -> ((s, d) => {
+      val sup = t(s, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"))
+      val nat = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.bel.LabelPropagation.run(sup.unionByName(nat), iterations = 5)
+    }),
+
     // --- IVF index maintenance: staleness-triggered rebuild -----------------
     // Clustered corpus (16 anchor cells); the index is built on cells
     // 0–7 only, then an append arrives entirely from cells 8–15 — real
@@ -209,6 +226,36 @@ object Round10Queries {
           col("l_orderkey").bitwiseAND(lit(255)),
           col("l_partkey").bitwiseAND(lit(255)),
           col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
+    }),
+
+    // --- Entity resolution: fuzzy match -> clusters -> canonical ids --------
+    // The batch ER composition the fuzzy join exists for: PassJoin
+    // candidate pairs at edit distance <= 2 (j12's corpus: every doc
+    // plus a deletion-perturbed twin) become match edges, connected
+    // components merge transitive match chains, and every record maps
+    // to its cluster's min id as the canonical entity (unmatched
+    // records stay their own entity). Each stage is its own gated
+    // operator; this pins the composition — the oracle recomputes the
+    // whole chain from levenshtein + a recursive CTE.
+    "j18_er_entities" -> ((s, d) => {
+      val base = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        substring(col("text"), 1, 24).as("s"))
+      val pfx = (col("id") % 12 + 2).cast("int")
+      val pert = base.select((col("id") + 1000000L).as("id"),
+        concat(col("s").substr(lit(1), pfx),
+          col("s").substr(pfx + 2, lit(100))).as("s"))
+      val recs = base.unionByName(pert)
+      val pairs = graft.ops.FuzzyJoin.fuzzyPairs(recs, "id", "s",
+        maxDist = 2)
+      val cc = graft.bel.ConnectedComponents.run(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      val canon = cc.groupBy("component").agg(min("node").as("ent"))
+      val matched = cc.join(canon, "component")
+        .select(col("node").as("id"), col("ent"))
+      recs.select("id").join(matched, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("ent"), col("id")).as("entity_id"))
     }),
 
     // --- End-to-end continuous curation -------------------------------------
@@ -319,6 +366,46 @@ object Round10Queries {
        |""".stripMargin
   }
 
+  /** The synchronous LPA recurrence unrolled: per round, each node's
+    * neighbor-label counts then the (count desc, label asc) row_number
+    * winner, previous label kept when a node has no neighbors. */
+  private def lpaOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.u AS node, l.label, count(*) AS cnt
+         |  FROM und e JOIN l${i - 1} l ON l.node = e.v
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1
+         |), l$i AS (
+         |  SELECT l.node, coalesce(b.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
+       |  FROM supplier
+       |  UNION ALL
+       |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+       |), und AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM edges
+       |    UNION SELECT dst AS u, src AS v FROM edges)
+       |  WHERE u <> v
+       |), vertices AS (
+       |  SELECT DISTINCT u AS node FROM und
+       |), l0 AS (
+       |  SELECT node, node AS label FROM vertices
+       |),
+       |$steps
+       |SELECT node, label FROM l$iters
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "a28_cc_index_persist" ->
@@ -349,6 +436,44 @@ object Round10Queries {
         |""".stripMargin,
 
     "a30_ppr" -> pprOracle(8),
+
+    "a31_lpa" -> lpaOracle(5),
+
+    "j18_er_entities" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS s
+        |  FROM documents
+        |), pert AS (
+        |  SELECT b.id + 1000000 AS id,
+        |    substr(b.s, 1, CAST(b.id % 12 + 2 AS INT)) ||
+        |      substr(b.s, CAST(b.id % 12 + 4 AS INT)) AS s
+        |  FROM base b
+        |), u AS (SELECT * FROM base UNION ALL SELECT * FROM pert
+        |), pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM u a JOIN u b
+        |    ON (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.id < b.id))
+        |  WHERE levenshtein(a.s, b.s) <= 2
+        |), und AS (
+        |  SELECT DISTINCT eu, ev FROM (
+        |    SELECT a_id AS eu, b_id AS ev FROM pairs
+        |    UNION SELECT b_id, a_id FROM pairs)
+        |  WHERE eu <> ev
+        |), verts AS (
+        |  SELECT DISTINCT eu AS n0 FROM und
+        |), walk AS (
+        |  WITH RECURSIVE walk(n, comp) AS (
+        |    SELECT n0, n0 FROM verts
+        |    UNION
+        |    SELECT e.ev, walk.comp FROM walk JOIN und e ON walk.n = e.eu
+        |  )
+        |  SELECT n, comp FROM walk
+        |), ent AS (
+        |  SELECT n AS id, min(comp) AS entity_id FROM walk GROUP BY n
+        |)
+        |SELECT u.id, coalesce(e.entity_id, u.id) AS entity_id
+        |FROM u LEFT JOIN ent e ON e.id = u.id
+        |""".stripMargin,
 
     "s_ivf_rebuild" ->
       ("SELECT true AS drift_detected, true AS rebuild_fired, " +
