@@ -70,6 +70,10 @@ object Round10Queries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
+  private val ccStreamMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
   private val curateMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String,
@@ -127,6 +131,49 @@ object Round10Queries {
       graft.bel.PageRank.runPersonalized(rn.unionByName(ns), seeds,
         iterations = 8)
     }),
+
+    // --- Streaming connected-components maintenance -------------------------
+    // The stream face of the persisted label index: two edge batches
+    // (supplier stars, then the nation→region + customer→nation deltas)
+    // fold through CcStream's foreachBatch; the on-disk index after the
+    // stream must equal the from-scratch components of the union graph.
+    // Shares a28_cc_index_persist's oracle verbatim — identical
+    // semantics across the faces is the point (the k19/w_stream_cdc
+    // discipline).
+    "w_stream_cc" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val path = memo(ccStreamMemo, s, d) { () =>
+          val b1 = t(ss, d, "supplier").select(
+              concat(lit("s:"), col("s_suppkey")).as("src"),
+              concat(lit("n:"), col("s_nationkey")).as("dst"))
+            .as[(String, String)].collect().toSeq
+          val b2 = (t(ss, d, "nation").select(
+              concat(lit("n:"), col("n_nationkey")).as("src"),
+              concat(lit("r:"), col("n_regionkey")).as("dst"))
+            .as[(String, String)].collect() ++
+            t(ss, d, "customer").select(
+              concat(lit("c:"), col("c_custkey")).as("src"),
+              concat(lit("n:"), col("c_nationkey")).as("dst"))
+            .as[(String, String)].collect()).toSeq
+          val base = s"/tmp/graft_ccstream_${sfTag(d)}"
+          rmrf(ss, base)
+          val mem = MemoryStream[(String, String)]
+          val q = graft.streaming.CcStream.run(
+            mem.toDS().toDF("src", "dst"), s"$base/idx", s"$base/ckpt",
+            buckets = 16)
+          try {
+            mem.addData(b1: _*); q.processAllAvailable()
+            mem.addData(b2: _*); q.processAllAvailable()
+          } finally q.stop()
+          s"$base/idx"
+        }
+        val folded = graft.bel.IncrementalCC.readIndex(ss, path)
+        val canon = folded.groupBy("component").agg(min("node").as("comp"))
+        folded.join(canon, "component").select("node", "comp")
+      }),
 
     // --- Label propagation communities --------------------------------------
     // Synchronous LPA over the undirected dimension graph, 5 rounds,
@@ -406,9 +453,10 @@ object Round10Queries {
        |""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
-
-    "a28_cc_index_persist" ->
+  /** Components of supplier→nation ∪ nation→region ∪ customer→nation —
+    * shared verbatim by the batch-fold (`a28_cc_index_persist`) and
+    * streaming (`w_stream_cc`) faces of the persisted label index. */
+  private val ccUnionOracle: String =
       """WITH edges AS (
         |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
         |  FROM supplier
@@ -433,7 +481,13 @@ object Round10Queries {
         |  SELECT n, comp FROM walk
         |)
         |SELECT n AS node, min(comp) AS comp FROM walk GROUP BY n
-        |""".stripMargin,
+        |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "a28_cc_index_persist" -> ccUnionOracle,
+
+    "w_stream_cc" -> ccUnionOracle,
 
     "a30_ppr" -> pprOracle(8),
 

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.bel.{ConnectedComponents, IncrementalCC}
+
+/** Continuous connected-components maintenance — the streaming face of
+  * the persisted label index ([[graft.bel.IncrementalCC.foldIndex]]),
+  * the graph twin of [[DedupStream]]: each micro-batch of NEW EDGES
+  * folds into the bucket-partitioned on-disk index, so the component
+  * labels are always current without ever re-running the star loop over
+  * the full edge history. This is how a 100 TB entity graph (duplicate
+  * clusters, citation links, resolved identities) stays labeled under
+  * continuous ingest: per batch, two delta-sized index probes + the
+  * star fixpoint over the touched-component SUPER-graph only, then a
+  * touched-buckets-only partition overwrite.
+  *
+  * Replay idempotence rides the fold's own semantics: re-folding an
+  * already-folded edge batch maps every endpoint to its existing
+  * component, the super-graph canonicalizes to nothing, and ZERO
+  * buckets rewrite (the IncrementalCCSpec all-duplicate case) — so a
+  * crash between the index write and the checkpoint commit re-lands
+  * nothing on replay. Labels after any prefix of batches are
+  * bit-identical to a from-scratch run over the union of those batches
+  * (fold composition, gated by `w_stream_cc` against the same oracle
+  * as the batch-face `a28_cc_index_persist` — the k19/w_stream_cdc
+  * one-oracle-two-faces discipline).
+  */
+object CcStream {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val hp = new HPath(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Fold one edge batch into the index at `indexPath` (created from the
+    * batch itself on first sight). Returns rewritten-bucket count (0 for
+    * a no-op/replayed batch after creation). */
+  def foldBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
+                buckets: Int = 64): Long =
+    if (!exists(spark, indexPath)) {
+      IncrementalCC.writeIndex(ConnectedComponents.run(batch), indexPath,
+        buckets)
+      buckets.toLong
+    } else IncrementalCC.foldIndex(spark, indexPath, batch, buckets)
+
+  /** Stream face: `foreachBatch` wiring of [[foldBatch]] over an edge
+    * stream with `src`/`dst` columns. */
+  def run(stream: DataFrame, indexPath: String, checkpoint: String,
+          buckets: Int = 64): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldBatch(batch.sparkSession, indexPath, batch, buckets)
+        ()
+      }
+      .start()
+}

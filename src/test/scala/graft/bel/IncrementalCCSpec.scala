@@ -99,6 +99,34 @@ class IncrementalCCSpec extends SparkSpec {
     }
   }
 
+  test("foldIndex: randomized fold chain over the persisted index is " +
+    "bit-identical to from-scratch at every step") {
+    val dir = java.nio.file.Files.createTempDirectory("ccidxr").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    try {
+      val rnd = new scala.util.Random(59)
+      def edges(n: Int) = Seq.fill(n)(
+        (s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}"))
+      val base = edges(40).toDF("src", "dst")
+      IncrementalCC.writeIndex(ConnectedComponents.run(base), path,
+        buckets = 8)
+      var union = base
+      for (step <- 1 to 3) {
+        val delta = edges(15).toDF("src", "dst")
+        IncrementalCC.foldIndex(spark, path, delta, buckets = 8)
+        union = union.unionByName(delta)
+        assert(labels(IncrementalCC.readIndex(spark, path)) ===
+          labels(ConnectedComponents.run(union)), s"step $step")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("foldIndex: an all-duplicate delta rewrites nothing") {
     val dir = java.nio.file.Files.createTempDirectory("ccidx0").toFile
     val path = new java.io.File(dir, "idx").getAbsolutePath
