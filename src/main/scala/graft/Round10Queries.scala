@@ -275,6 +275,30 @@ object Round10Queries {
           col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
     }),
 
+    // --- Expectation trail: metric drift across the report history ----------
+    // The alerting face of continuous monitoring: the per-batch report
+    // rows (batch 0 = the error-free slice, batch 1 = the full feed)
+    // with each check's previous value, exact metric delta, and the
+    // pass-flip flag — the domain check FLIPS when the error rows enter
+    // the feed, so both the null and live flip paths are exercised.
+    // One window keyed by check; value-exact vs the lag() SQL.
+    "a29_expect_trail" -> ((s, d) => {
+      import graft.ops.Expectations
+      val ev = graft.core.Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val checks = Seq(
+        Expectations.notNull("user_id"),
+        Expectations.bounds("value", 0.0, 500.0),
+        Expectations.valuesIn("event_type",
+          Seq("view", "click", "purchase", "signup")))
+      val b0 = ev.filter(col("event_type") =!= "error")
+      val reports = Expectations.run(b0, checks)
+        .withColumn("batch_id", lit(0L))
+        .unionByName(Expectations.run(ev, checks)
+          .withColumn("batch_id", lit(1L)))
+      Expectations.trail(reports)
+    }),
+
     // --- Entity resolution: fuzzy match -> clusters -> canonical ids --------
     // The batch ER composition the fuzzy join exists for: PassJoin
     // candidate pairs at edit distance <= 2 (j12's corpus: every doc
@@ -492,6 +516,52 @@ object Round10Queries {
     "a30_ppr" -> pprOracle(8),
 
     "a31_lpa" -> lpaOracle(5),
+
+    "a29_expect_trail" ->
+      """WITH b0 AS (SELECT * FROM events WHERE event_type <> 'error'),
+        |r AS (
+        |  SELECT 'not_null(user_id)' AS chk, 0 AS bid,
+        |    CAST(count(user_id) AS DOUBLE) / count(*) AS metric,
+        |    count(user_id) = count(*) AS passed FROM b0
+        |  UNION ALL
+        |  SELECT 'not_null(user_id)', 1,
+        |    CAST(count(user_id) AS DOUBLE) / count(*),
+        |    count(user_id) = count(*) FROM events
+        |  UNION ALL
+        |  SELECT 'bounds(value,0.0,500.0)', 0,
+        |    CAST(count(*) FILTER (value BETWEEN 0 AND 500) AS DOUBLE)
+        |      / count(value),
+        |    count(*) FILTER (value BETWEEN 0 AND 500) = count(value)
+        |  FROM b0
+        |  UNION ALL
+        |  SELECT 'bounds(value,0.0,500.0)', 1,
+        |    CAST(count(*) FILTER (value BETWEEN 0 AND 500) AS DOUBLE)
+        |      / count(value),
+        |    count(*) FILTER (value BETWEEN 0 AND 500) = count(value)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'values_in(event_type)', 0,
+        |    avg(CASE WHEN event_type IN ('view', 'click', 'purchase',
+        |      'signup') THEN CAST(1 AS DOUBLE) ELSE 0 END),
+        |    count(*) FILTER (event_type IN ('view', 'click', 'purchase',
+        |      'signup')) = count(event_type)
+        |  FROM b0
+        |  UNION ALL
+        |  SELECT 'values_in(event_type)', 1,
+        |    avg(CASE WHEN event_type IN ('view', 'click', 'purchase',
+        |      'signup') THEN CAST(1 AS DOUBLE) ELSE 0 END),
+        |    count(*) FILTER (event_type IN ('view', 'click', 'purchase',
+        |      'signup')) = count(event_type)
+        |  FROM events
+        |)
+        |SELECT chk AS "check", CAST(bid AS BIGINT) AS batch_id, metric,
+        |  lag(metric) OVER w AS prev_metric,
+        |  metric - lag(metric) OVER w AS delta,
+        |  coalesce(passed <> lag(passed) OVER w, false) AS flipped,
+        |  passed
+        |FROM r
+        |WINDOW w AS (PARTITION BY chk ORDER BY bid)
+        |""".stripMargin,
 
     "j18_er_entities" ->
       """WITH base AS (

@@ -113,4 +113,34 @@ object Expectations {
     orphans.select(lit(s"foreign_key($c->$dimCol)").as("check"),
       col("metric"), (col("metric") === 0.0).as("passed"))
   }
+
+  /** Drift over the per-batch report trail (the
+    * [[graft.streaming.ExpectStream]] layout read back, or any frame
+    * with `check`/`batch_id`/`metric`/`passed`): each report row with
+    * its check's PREVIOUS batch value, the metric delta, and whether
+    * the pass verdict flipped — the alerting face of continuous
+    * monitoring ("the null rate moved 2 points in batch 17", "bounds
+    * started failing at batch 40"). First batch per check reports NULL
+    * prev/delta and no flip.
+    *
+    * Scale shape: ONE window keyed by check ordered by batch id. The
+    * trail grows by checks-per-batch (dimension × time, never
+    * data-sized), and a check's whole history sorts inside its own
+    * partition — the rolling-aggregate contract. Exact-fraction metrics
+    * in, exact deltas out: oracle-checkable value-exactly. */
+  def trail(reports: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("check").orderBy("batch_id")
+    reports
+      .select(col("check"), col("batch_id").cast("long").as("batch_id"),
+        col("metric"), col("passed"))
+      .withColumn("prev_metric", lag(col("metric"), 1).over(w))
+      .withColumn("prev_passed", lag(col("passed"), 1).over(w))
+      .select(col("check"), col("batch_id"), col("metric"),
+        col("prev_metric"),
+        (col("metric") - col("prev_metric")).as("delta"),
+        coalesce(col("passed") =!= col("prev_passed"), lit(false))
+          .as("flipped"),
+        col("passed"))
+  }
 }

@@ -78,4 +78,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(!plan.toString.contains("Window") &&
       !plan.toString.contains("Join"), s"unexpected operator:\n$plan")
   }
+
+  test("trail: per-check prev/delta/flip over the batch history; first " +
+    "batch reports null prev and no flip") {
+    val reports = Seq(
+      ("not_null(x)", 0L, 1.0, true),
+      ("not_null(x)", 1L, 0.8, false),
+      ("not_null(x)", 2L, 0.8, false),
+      ("bounds(y)", 0L, 1.0, true),
+      ("bounds(y)", 1L, 1.0, true))
+      .toDF("check", "batch_id", "metric", "passed")
+    val got = Expectations.trail(reports)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+    assert(got(("not_null(x)", 0L)) === ((None, None, false)))
+    assert(got(("not_null(x)", 1L)) ===
+      ((Some(1.0), Some(0.8 - 1.0), true))) // metric fell AND verdict flipped
+    assert(got(("not_null(x)", 2L)) === ((Some(0.8), Some(0.0), false)))
+    assert(got(("bounds(y)", 1L)) === ((Some(1.0), Some(0.0), false)))
+  }
 }
