@@ -33,7 +33,7 @@ import graft.sources._
   *   graft.Cli profile   [--input P --key K --id I --value V | --sf-dir D --table T]
   *   graft.Cli bpe-train [--docs P | --sf-dir D] [--merges N]
   *   graft.Cli hybrid-search [--docs P --emb P | --sf-dir D] --terms a,b [--qvec ID] [--top N]
-  *   graft.Cli pagerank  --sf-dir D [--iterations N] [--top N]
+  *   graft.Cli pagerank  [--edges P | --sf-dir D] [--weight COL] [--iterations N] [--top N]
   *   graft.Cli semantic-dedup [--emb P | --sf-dir D] --out DIR [--k K] [--tau T]
   *   graft.Cli kcore     [--edges P | --sf-dir D] [--k K] [--top N]
   *   graft.Cli index-build [--docs P | --sf-dir D] --out DIR
@@ -257,17 +257,25 @@ object Cli {
         graft.ops.TextSearch.rrfFuse(Seq(sparse, dense))
           .orderBy(col("rrf").desc, col("id")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
-      case "pagerank" => // graph centrality (a17_pagerank)
+      case "pagerank" => // graph centrality (a17/a32 family)
         val iters = opts.getOrElse("iterations", "8").toInt
         val n = opts.getOrElse("top", "10").toInt
-        val sup = spark.read.parquet(s"$sfDir/supplier.parquet").select(
-          concat(lit("s:"), col("s_suppkey")).as("src"),
-          concat(lit("n:"), col("s_nationkey")).as("dst"))
-        val nat = spark.read.parquet(s"$sfDir/nation.parquet").select(
-          concat(lit("n:"), col("n_nationkey")).as("src"),
-          concat(lit("r:"), col("n_regionkey")).as("dst"))
-        graft.bel.PageRank.run(sup.unionByName(nat), iters)
-          .orderBy(col("rank").desc, col("node")).limit(n)
+        val edges = opts.get("edges") match {
+          case Some(p) => spark.read.parquet(p) // (src, dst[, weight])
+          case None =>
+            spark.read.parquet(s"$sfDir/supplier.parquet").select(
+                concat(lit("s:"), col("s_suppkey")).as("src"),
+                concat(lit("n:"), col("s_nationkey")).as("dst"))
+              .unionByName(
+                spark.read.parquet(s"$sfDir/nation.parquet").select(
+                  concat(lit("n:"), col("n_nationkey")).as("src"),
+                  concat(lit("r:"), col("n_regionkey")).as("dst")))
+        }
+        val ranks = opts.get("weight") match {
+          case Some(wc) => graft.bel.PageRank.runWeighted(edges, wc, iters)
+          case None => graft.bel.PageRank.run(edges, iters)
+        }
+        ranks.orderBy(col("rank").desc, col("node")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
       case "ppr" => // personalized (seed-restart) PageRank (a30_ppr)
         val iters = opts.getOrElse("iterations", "8").toInt

@@ -132,6 +132,27 @@ object Round10Queries {
         iterations = 8)
     }),
 
+    // --- Weighted PageRank ---------------------------------------------------
+    // Link strength as transition probability: supplier→nation edges
+    // weighted s_suppkey%7+1, nation→region n_nationkey%3+1 (integer
+    // weights, engine-exact); contribution = rank·w / out-strength.
+    // Same a17 scoping (dimension graph, measured); oracle = the
+    // unrolled recurrence with per-edge weights.
+    "a32_pagerank_weighted" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      val sup = t(ss, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"),
+        (col("s_suppkey") % 7 + 1).cast("double").as("weight"))
+      val nat = t(ss, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"),
+        (col("n_nationkey") % 3 + 1).cast("double").as("weight"))
+      graft.bel.PageRank.runWeighted(sup.unionByName(nat), "weight",
+        iterations = 8)
+    }),
+
     // --- Streaming connected-components maintenance -------------------------
     // The stream face of the persisted label index: two edge batches
     // (supplier stars, then the nation→region + customer→nation deltas)
@@ -507,7 +528,55 @@ object Round10Queries {
         |SELECT n AS node, min(comp) AS comp FROM walk GROUP BY n
         |""".stripMargin
 
+  /** The WEIGHTED recurrence unrolled — [[pprOracle]]'s sibling on the
+    * transition side: contribution rank·w/out-strength, uniform
+    * restart. */
+  private def weightedPrOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank * e.w / o.s) AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outstr o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS m FROM r${i - 1} r
+         |  LEFT JOIN outstr o ON r.node = o.src WHERE o.src IS NULL
+         |), r$i AS (
+         |  SELECT v.node,
+         |    (1 - 0.85) / nn.n + 0.85 * (coalesce(c.c, 0) + d$i.m / nn.n)
+         |      AS rank
+         |  FROM vertices v CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i c ON c.node = v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst,
+       |    CAST(s_suppkey % 7 + 1 AS DOUBLE) AS w
+       |  FROM supplier
+       |  UNION ALL
+       |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey,
+       |    CAST(n_nationkey % 3 + 1 AS DOUBLE)
+       |  FROM nation
+       |), edges AS (
+       |  SELECT src, dst, sum(w) AS w FROM raw GROUP BY 1, 2
+       |), vertices AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |outstr AS (
+       |  SELECT src, sum(w) AS s FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn
+       |),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "a32_pagerank_weighted" -> weightedPrOracle(8),
 
     "a28_cc_index_persist" -> ccUnionOracle,
 

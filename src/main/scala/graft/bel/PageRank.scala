@@ -72,7 +72,23 @@ object PageRank {
     * scheduler overhead, not by this operator's shape. */
   def run(edges: DataFrame, iterations: Int = 8,
           damping: Double = 0.85, cutEvery: Int = 2): DataFrame =
-    power(edges, None, iterations, damping, cutEvery)
+    power(edges, None, iterations, damping, cutEvery, None)
+
+  /** Weighted PageRank: each out-edge contributes
+    * rank · w / out-strength (Σ of the node's out-edge weights) instead
+    * of rank / out-degree — link strength as the random surfer's
+    * transition probability (citation counts, co-occurrence mass, trust
+    * scores). PARALLEL EDGES SUM their weights (the multigraph
+    * semantics; the unweighted face collapses them instead). Weights
+    * must be positive — a zero/negative total out-strength would
+    * corrupt the column-stochastic contract, so the setup fails fast on
+    * any non-positive weight (one aggregate over the dimension-sized
+    * edge reduction). Same plan shape as [[run]]: the weight rides the
+    * cached adjacency. */
+  def runWeighted(edges: DataFrame, weightCol: String,
+                  iterations: Int = 8, damping: Double = 0.85,
+                  cutEvery: Int = 2): DataFrame =
+    power(edges, None, iterations, damping, cutEvery, Some(weightCol))
 
   /** Personalized PageRank (seed-restart — Haveliwala, "Topic-Sensitive
     * PageRank", WWW 2002): teleport and dangling mass return to a SEED
@@ -91,11 +107,21 @@ object PageRank {
   def runPersonalized(edges: DataFrame, seeds: DataFrame,
                       iterations: Int = 8, damping: Double = 0.85,
                       cutEvery: Int = 2): DataFrame =
-    power(edges, Some(seeds), iterations, damping, cutEvery)
+    power(edges, Some(seeds), iterations, damping, cutEvery, None)
+
+  /** Seed-restart AND edge-weighted — the two generalizations compose
+    * (they touch disjoint parts of the recurrence: restart vector vs
+    * transition matrix). */
+  def runPersonalizedWeighted(edges: DataFrame, seeds: DataFrame,
+                              weightCol: String, iterations: Int = 8,
+                              damping: Double = 0.85,
+                              cutEvery: Int = 2): DataFrame =
+    power(edges, Some(seeds), iterations, damping, cutEvery,
+      Some(weightCol))
 
   private def power(edges: DataFrame, seeds: Option[DataFrame],
-                    iterations: Int, damping: Double,
-                    cutEvery: Int): DataFrame = {
+                    iterations: Int, damping: Double, cutEvery: Int,
+                    weightCol: Option[String]): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val nodes = edges.select(col("src").as("node"))
@@ -105,11 +131,28 @@ object PageRank {
       .withColumn("id", xxhash64(col("node")))
       .persist()
 
-    val e = edges.select(xxhash64(col("src")).as("u"),
-        xxhash64(col("dst")).as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-    val outDeg = e.groupBy("u").agg(count(lit(1)).cast("double").as("deg"))
+    // unweighted: DISTINCT edges, unit transition mass; weighted:
+    // parallel edges SUM, transition mass = w / out-strength
+    val e = weightCol match {
+      case None =>
+        edges.select(xxhash64(col("src")).as("u"),
+            xxhash64(col("dst")).as("v"))
+          .filter(col("u").isNotNull && col("v").isNotNull)
+          .distinct()
+          .withColumn("w", lit(1.0))
+      case Some(wc) =>
+        val g = edges.select(xxhash64(col("src")).as("u"),
+            xxhash64(col("dst")).as("v"),
+            col(wc).cast("double").as("w0"))
+          .filter(col("u").isNotNull && col("v").isNotNull)
+          .groupBy("u", "v").agg(sum("w0").as("w"))
+        val bad = g.filter(col("w").isNull || col("w") <= 0.0).count()
+        require(bad == 0L, s"runWeighted: $bad edge(s) with non-positive" +
+          " or null total weight — weights must be > 0 (the transition" +
+          " matrix must stay column-stochastic)")
+        g
+    }
+    val outDeg = e.groupBy("u").agg(sum(col("w")).as("deg"))
     // adjacency with out-degree attached, built once and reused k times.
     // Lazy persist — no eager count job: the first cut action populates
     // the cache and every later iteration reads blocks
@@ -151,11 +194,12 @@ object PageRank {
       // and the rank vector share outDeg ancestry, and un-cut batched
       // frames share ids ancestry — qualified column refs across those
       // would trip the ambiguous-self-join check
-      val contrib = adj.select(col("u"), col("v"), col("deg").as("_adeg"))
+      val contrib = adj.select(col("u"), col("v"), col("w").as("_aw"),
+          col("deg").as("_adeg"))
         .join(ranks.select(col("id").as("_rid"), col("rank")),
           col("u") === col("_rid"))
         .groupBy(col("v").as("id"))
-        .agg(sum(col("rank") / col("_adeg")).as("c"))
+        .agg(sum(col("rank") * col("_aw") / col("_adeg")).as("c"))
       // mass parked on dangling nodes (deg NULL) — 1-row aggregate
       // crossJoined into the rank plan, so it rides the next cut action
       // instead of a driver collect per iteration

@@ -132,6 +132,89 @@ class PageRankSpec extends SparkSpec {
     assert(ex.getMessage.contains("no seed"))
   }
 
+  /** Driver-side weighted reference: transition mass w / out-strength,
+    * parallel edges summed. */
+  private def referenceW(edges: Seq[(String, String, Double)], iters: Int,
+                         d: Double = 0.85): Map[String, Double] = {
+    val es = edges.groupBy(e => (e._1, e._2))
+      .map { case ((u, v), g) => (u, v, g.map(_._3).sum) }.toSeq
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = es.groupBy(_._1).map { case (u, g) => u -> g.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = es.filter(_._2 == v)
+          .map(e => r(e._1) * e._3 / out(e._1)).sum
+        v -> ((1 - d) / n + d * (in + dangling / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("weighted: transition mass follows edge weights; parallel edges " +
+    "sum; matches the driver reference") {
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 2.0),
+      ("c", "a", 1.0), ("a", "b", 1.0), // parallel a->b: sums to 4
+      ("c", "d", 1.0)) // d dangling
+    val got = PageRank.runWeighted(edges.toDF("src", "dst", "weight"),
+        "weight", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referenceW(edges, 6)
+    assert(got.keySet === want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-10, s"node $k: ${got(k)} vs $w")
+    // b receives 4/5 of a's damped mass, c only 1/5: strict order
+    assert(got("b") > got("c"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-10)
+  }
+
+  test("weighted with unit weights equals the unweighted run on a " +
+    "simple (no parallel edges) graph") {
+    val simple = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    val viaW = PageRank.runWeighted(
+        simple.map(e => (e._1, e._2, 1.0)).toDF("src", "dst", "weight"),
+        "weight", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val uni = ranksOf(simple, iters = 5)
+    for ((k, w) <- uni)
+      assert(math.abs(viaW(k) - w) < 1e-15, s"node $k")
+  }
+
+  test("weighted: non-positive weights fail fast") {
+    val e = Seq(("a", "b", 0.0)).toDF("src", "dst", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.runWeighted(e, "weight", 3)
+    }
+    assert(ex.getMessage.contains("non-positive"))
+  }
+
+  test("personalized + weighted compose: restart to seeds, transitions " +
+    "by weight") {
+    val edges = Seq(("a", "b", 3.0), ("b", "a", 1.0), ("b", "c", 1.0))
+    val got = PageRank.runPersonalizedWeighted(
+        edges.toDF("src", "dst", "weight"),
+        Seq("a").toDF("node"), "weight", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver reference with s = delta(a)
+    val es = edges
+    val nodes = Seq("a", "b", "c")
+    val out = es.groupBy(_._1).map { case (u, g) => u -> g.map(_._3).sum }
+    val s = Map("a" -> 1.0, "b" -> 0.0, "c" -> 0.0)
+    var r = s
+    for (_ <- 1 to 5) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = es.filter(_._2 == v)
+          .map(e => r(e._1) * e._3 / out(e._1)).sum
+        v -> (0.15 * s(v) + 0.85 * (in + dangling * s(v)))
+      }.toMap
+    }
+    for ((k, w) <- r)
+      assert(math.abs(got(k) - w) < 1e-10, s"node $k: ${got(k)} vs $w")
+  }
+
   test("personalized with every node seeded uniformly equals run()") {
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
     val allSeeds = Seq("a", "b", "c", "d").toDF("node")
