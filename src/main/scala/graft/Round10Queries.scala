@@ -296,6 +296,41 @@ object Round10Queries {
           col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
     }),
 
+    // --- Embedding standardization ------------------------------------------
+    // Per-dimension z-score over the corpus (the pre-PQ/IVF feature
+    // scaling step): one posexplode aggregation for (mu, sigma) per
+    // dimension, then a narrow transform against the broadcast-literal
+    // stats. Gate emits EXPLODED (vec_id, dim, z) rows so the compare
+    // sorts on the integer (dim, vec_id) prefix, never on float keys;
+    // the 1e-9 relative tolerance absorbs the engines' accumulation-
+    // order ulps in mu/sigma.
+    "s_embed_standardize" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      graft.ops.Similarity.standardize(emb)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "z")))
+    }),
+
+    // --- Behavioral-sequence fuzzy join -------------------------------------
+    // Users as trajectories: each user's first 8 event-type initials in
+    // (ts, event_id) order form a compact behavior string; the PassJoin
+    // fuzzy join finds user pairs within edit distance 2 — "who behaves
+    // alike" without a cross product. Composition of the sequence
+    // build (one sort-under-aggregation, the Bpe.encode discipline)
+    // with j12's operator; value-exact vs DuckDB levenshtein over the
+    // same ordered string_agg.
+    "j19_seq_fuzzy" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val traj = ev
+        .groupBy("user_id")
+        .agg(substring(concat_ws("",
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))))
+            .getField("c")), 1, 8).as("s"))
+      graft.ops.FuzzyJoin.fuzzyPairs(traj, "user_id", "s", maxDist = 2)
+    }),
+
     // --- Expectation trail: metric drift across the report history ----------
     // The alerting face of continuous monitoring: the per-batch report
     // rows (batch 0 = the error-free slice, batch 1 = the full feed)
@@ -585,6 +620,35 @@ object Round10Queries {
     "a30_ppr" -> pprOracle(8),
 
     "a31_lpa" -> lpaOracle(5),
+
+    "s_embed_standardize" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+        |    unnest(generate_series(1, len(embedding))) AS dimp
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT dimp, avg(e) AS mu, stddev_pop(e) AS sigma
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT x.vec_id, CAST(x.dimp - 1 AS INT) AS dim,
+        |  CASE WHEN st.sigma = 0 THEN 0.0
+        |    ELSE (x.e - st.mu) / st.sigma END AS z
+        |FROM x JOIN st USING (dimp)
+        |""".stripMargin,
+
+    "j19_seq_fuzzy" ->
+      """WITH traj AS (
+        |  SELECT user_id AS id,
+        |    substr(string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id), 1, 8) AS s
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM traj a JOIN traj b
+        |  ON (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.id < b.id))
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |""".stripMargin,
 
     "a29_expect_trail" ->
       """WITH b0 AS (SELECT * FROM events WHERE event_type <> 'error'),

@@ -23,6 +23,35 @@ import graft.functions.{TopKAgg, Vectors}
   */
 object Similarity {
 
+  /** Per-dimension standardization (z-score) of an embedding corpus —
+    * the feature-scaling step quantization/clustering pipelines run
+    * before PQ/IVF training so no dimension dominates the sub-space
+    * distances. One posexplode + hash-aggregation computes each
+    * dimension's mean and population stddev (d rows — driver-sized by
+    * contract, the centroid/codebook posture); the normalized vectors
+    * are then a NARROW `transform` against the broadcast-literal stat
+    * arrays — no join, no second shuffle. A zero-variance dimension
+    * standardizes to 0.0 (it carries no signal; dividing would NaN the
+    * corpus). Vectors must share one dimensionality (the embedding-
+    * corpus contract everywhere else in this file). Output:
+    * `(idCol, vecCol: array<double>)`. */
+  def standardize(vecs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val x = vecs.select(col(idCol),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    val stats = x.select(posexplode(col("__v")).as(Seq("dim", "e")))
+      .groupBy("dim")
+      .agg(avg("e").as("mu"), stddev_pop("e").as("sigma"))
+      .orderBy("dim").collect()
+    require(stats.nonEmpty, "standardize: empty or vector-less input")
+    val muLit = typedlit(stats.map(_.getDouble(1)).toSeq)
+    val sgLit = typedlit(stats.map(_.getDouble(2)).toSeq)
+    x.select(col(idCol), transform(col("__v"), (e, i) =>
+      when(element_at(sgLit, i + 1) === 0.0, lit(0.0))
+        .otherwise((e - element_at(muLit, i + 1)) /
+          element_at(sgLit, i + 1))).as(vecCol))
+  }
+
   /** Per-query exact top-k of a `(query_id, id, cosine)` scored frame.
     * ObjectHashAggregate + partial merge: each task locally reduces its
     * slice to ≤ k rows before the shuffle, so no single-task stage exists

@@ -527,6 +527,35 @@ class SimilaritySpec extends SparkSpec {
 
   import graft.functions.Vectors
 
+  test("standardize: per-dimension mean 0 / pop-std 1; zero-variance " +
+    "dimension maps to 0.0; driver-reference parity") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 10.0f, 7.0f)),
+      (2L, Array(3.0f, 10.0f, 1.0f)),
+      (3L, Array(5.0f, 10.0f, 4.0f))) // dim 1 constant
+    val got = Similarity.standardize(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // driver reference
+    val cols = (0 until 3).map(j => vecs.map(_._2(j).toDouble))
+    val mus = cols.map(c => c.sum / c.size)
+    val sgs = cols.zip(mus).map { case (c, m) =>
+      math.sqrt(c.map(x => (x - m) * (x - m)).sum / c.size) }
+    for ((id, v) <- vecs) {
+      val want = v.toSeq.zipWithIndex.map { case (x, j) =>
+        if (sgs(j) == 0.0) 0.0 else (x - mus(j)) / sgs(j) }
+      got(id).zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-12, s"id $id") }
+    }
+    // each non-constant dimension: mean 0, population std 1
+    for (j <- Seq(0, 2)) {
+      val zs = vecs.map(v => got(v._1)(j))
+      assert(math.abs(zs.sum / zs.size) < 1e-12)
+      assert(math.abs(math.sqrt(
+        zs.map(z => z * z).sum / zs.size) - 1.0) < 1e-12)
+    }
+    assert(vecs.forall(v => got(v._1)(1) === 0.0), "constant dim -> 0")
+  }
+
   test("vector math: dot/norm/cosine golden values") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
       .toDF("a", "b")
