@@ -64,6 +64,7 @@ import graft.sources._
   *   graft.Cli curate-batch [--input P] --out DIR [--index DIR] [--min-words N] [--batch-id N]
   *   graft.Cli lpa       [--edges P | --sf-dir D] [--iterations N] [--top N]
   *   graft.Cli er        [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
+  *   graft.Cli standardize [--emb P | --sf-dir D] --out DIR
   */
 object Cli {
 
@@ -344,6 +345,13 @@ object Cli {
         val back = spark.read.parquet(out)
         println(s"${back.count()} records -> " +
           s"${back.select("entity_id").distinct().count()} entities -> $out")
+      case "standardize" => // per-dim z-score scaling (s_embed_standardize)
+        val out = opts.getOrElse("out", s"$warehouse/_standardized")
+        graft.ops.Similarity.standardize(spark.read.parquet(embPath)
+            .select("vec_id", "embedding"))
+          .write.mode("overwrite").parquet(out)
+        println(s"standardized ${spark.read.parquet(out).count()} " +
+          s"vectors -> $out")
       case "semantic-dedup" => // SemDeDup-style pruning (d_semantic_prune)
         val out = opts.getOrElse("out", s"$warehouse/_semantic")
         val k = opts.getOrElse("k", "8").toInt

@@ -514,6 +514,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("standardize: the normalized output is NARROW — stats ride a " +
+    "collected literal, zero exchanges, no join in the emitted frame") {
+    withoutAqe {
+      import spark.implicits._
+      val vecs = (0 until 50).map(i =>
+        (i.toLong, Array.tabulate(6)(j => (i * 7 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+      val plan = executed(Similarity.standardize(vecs))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"standardize output gained an exchange:\n$plan")
+      assert(!plan.toString.contains("Join"),
+        s"standardize output must not join the stats:\n$plan")
+    }
+  }
+
   test("personalized PageRank: the seed-restart scaffold adds NO " +
     "exchange over the uniform power loop") {
     withoutAqe {
