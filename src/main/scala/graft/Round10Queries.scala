@@ -296,6 +296,30 @@ object Round10Queries {
           col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
     }),
 
+    // --- HTML/markup strip ---------------------------------------------------
+    // The text-extraction step a web crawl runs before every other text
+    // operator: each corpus doc is wrapped in deterministic HTML
+    // scaffolding (script block with a literal '<' inside, style block,
+    // per-doc attrs, entities) and stripped — script/style content must
+    // vanish wholesale, tags become spaces, entities decode (&amp;
+    // last), whitespace collapses. The chain is RE2-safe by design, so
+    // the oracle runs the IDENTICAL regex pipeline in DuckDB.
+    "t_html_strip" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = " +
+          "1 < 2 && y;</script><style>.a{color:red}</style>" +
+          "</head><body id=\"b"),
+        (col("doc_id") % 5).cast("string"),
+        lit("\"><h1>T&amp;C &lt;terms&gt;</h1><p>"), col("text"),
+        lit("</p><br/><div>&nbsp;&#39;footer&#39; &copy; 2020" +
+          "</div></body></html>"))
+      val clean = TextAnalysis.stripMarkup(html)
+      docs.select(col("doc_id"), md5(clean).as("clean_fp"),
+        length(clean).cast("long").as("n_clean"))
+    }),
+
     // --- Embedding standardization ------------------------------------------
     // Per-dimension z-score over the corpus (the pre-PQ/IVF feature
     // scaling step): one posexplode aggregation for (mu, sigma) per
@@ -620,6 +644,35 @@ object Round10Queries {
     "a30_ppr" -> pprOracle(8),
 
     "a31_lpa" -> lpaOracle(5),
+
+    "t_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2 && y;</script><style>.a{color:red}</style></head><body id="b'
+        |    || CAST(doc_id % 5 AS VARCHAR)
+        |    || '"><h1>T&amp;C &lt;terms&gt;</h1><p>' || text
+        |    || '</p><br/><div>&nbsp;&#39;footer&#39; &copy; 2020</div></body></html>'
+        |      AS html
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |    t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t
+        |  FROM s3
+        |)
+        |SELECT doc_id, md5(t) AS clean_fp, CAST(len(t) AS BIGINT) AS n_clean
+        |FROM s4
+        |""".stripMargin,
 
     "s_embed_standardize" ->
       """WITH x AS (

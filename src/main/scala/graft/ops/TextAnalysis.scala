@@ -19,6 +19,30 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Markup strip for crawled documents — the text-extraction step a
+    * web corpus runs BEFORE every other text operator (the
+    * trafilatura/jusText role, reduced to the deterministic core): drop
+    * script/style blocks wholesale (their content is code, not text — a
+    * naive tag-strip would leak `var x = 1 < 2;` into the corpus),
+    * replace remaining tags with spaces (so `</p><p>` never glues two
+    * words), decode the common entities, and collapse whitespace.
+    * Deliberately regex-only and RE2-safe (lazy `.*?`, inline `(?is)`,
+    * NO backreferences), so the exact same chain runs in any engine —
+    * the `t_html_strip` gate executes it in DuckDB verbatim. Codegen'd
+    * end-to-end; unknown entities pass through untouched. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST: the standard order that keeps "&amp;lt;" from
+    // double-decoding into a bare "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical whitespace-collapsed lowercase form used for fingerprints
     * and exact dedup. */
   def normalized(text: Column): Column =

@@ -10,6 +10,26 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String, c: org.apache.spark.sql.Column): Any =
     Seq(text).toDF("text").select(c.as("r")).collect().head.get(0)
 
+  test("stripMarkup: script/style blocks vanish wholesale, tags become " +
+    "spaces, entities decode (&amp; last), unknown entities survive") {
+    def strip(s: String): String =
+      one(s, TextAnalysis.stripMarkup(col("text"))).asInstanceOf[String]
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    // naive tag-strip would leak the script body's "1 2;"
+    assert(strip("<script>var x = 1 < 2;</script>after") === "after")
+    assert(strip("<style>.a{x}</style>text") === "text")
+    // multi-line lazy block match
+    assert(strip("<script type=\"a\">\nline1\nline2</script>ok") === "ok")
+    // tags as separators: </p><p> must not glue words
+    assert(strip("<p>one</p><p>two</p>") === "one two")
+    assert(strip("T&amp;C &lt;x&gt; &quot;q&quot; &#39;a&#39;&nbsp;b")
+      === "T&C <x> \"q\" 'a' b")
+    // &amp; decodes LAST: &amp;lt; is the literal text "&lt;", not "<"
+    assert(strip("&amp;lt;") === "&lt;")
+    assert(strip("&copy; stays") === "&copy; stays")
+    assert(strip("  a\t\tb\n c  ") === "a b c")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     assert(one("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) === 4)
     assert(one("", TextAnalysis.tokenCount(col("text"))) === 0)
