@@ -203,11 +203,17 @@ object Round10Queries {
     // against the unrolled per-round SQL (count + row_number winner per
     // node per round); determinism rides the synchronous-update + total
     // tie-break contract the spec pins against a driver reference.
-    "a31_lpa" -> ((s, d) => {
-      val sup = t(s, d, "supplier").select(
+    // Perf, MEASURED (sf0.1, local[32], min-of-2): default cut-per-round
+    // + session conf = 6.5 s; cutEvery=2 (the step is singly-referenced,
+    // so un-cut pairs re-evaluate nothing) = 3.8 s; + the a17 scoping
+    // (8 shuffle partitions, AQE off — dimension-sized loop) = 2.5 s.
+    "a31_lpa" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      val sup = t(ss, d, "supplier").select(
         concat(lit("s:"), col("s_suppkey")).as("src"),
         concat(lit("n:"), col("s_nationkey")).as("dst"))
-      val nat = t(s, d, "nation").select(
+      val nat = t(ss, d, "nation").select(
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.bel.LabelPropagation.run(sup.unionByName(nat), iterations = 5)

@@ -40,8 +40,10 @@ object LabelPropagation {
     * members agreed on). Edges are undirected and de-duplicated;
     * self-loops drop (a node is not its own neighbor); isolated
     * endpoints keep their own label. */
-  def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def run(edges: DataFrame, iterations: Int = 5,
+          cutEvery: Int = 2): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u").isNotNull && col("v").isNotNull &&
@@ -64,7 +66,11 @@ object LabelPropagation {
         .join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
-      labels = if (i != iterations) Checkpoints.cut(updated) else updated
+      // unlike PageRank's doubly-referenced step, `updated` is consumed
+      // ONCE by the next round — an un-cut pair of steps re-evaluates
+      // nothing, so batching cuts only trades plan depth for jobs
+      labels = if (i % cutEvery == 0 && i != iterations)
+        Checkpoints.cut(updated) else updated
     }
     val out = Checkpoints.cut(labels)
     und.unpersist()
