@@ -70,6 +70,10 @@ object Round10Queries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
+  private val erMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
   private val ccStreamMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
@@ -395,24 +399,31 @@ object Round10Queries {
     // operator; this pins the composition — the oracle recomputes the
     // whole chain from levenshtein + a recursive CTE.
     "j18_er_entities" -> ((s, d) => {
-      val base = t(s, d, "documents").select(
-        col("doc_id").cast("long").as("id"),
-        substring(col("text"), 1, 24).as("s"))
-      val pfx = (col("id") % 12 + 2).cast("int")
-      val pert = base.select((col("id") + 1000000L).as("id"),
-        concat(col("s").substr(lit(1), pfx),
-          col("s").substr(pfx + 2, lit(100))).as("s"))
-      val recs = base.unionByName(pert)
-      val pairs = graft.ops.FuzzyJoin.fuzzyPairs(recs, "id", "s",
-        maxDist = 2)
-      val cc = graft.bel.ConnectedComponents.run(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
-      val canon = cc.groupBy("component").agg(min("node").as("ent"))
-      val matched = cc.join(canon, "component")
-        .select(col("node").as("id"), col("ent"))
-      recs.select("id").join(matched, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("ent"), col("id")).as("entity_id"))
+      val out = memo(erMemo, s, d) { () =>
+        val base = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("id"),
+          substring(col("text"), 1, 24).as("s"))
+        val pfx = (col("id") % 12 + 2).cast("int")
+        val pert = base.select((col("id") + 1000000L).as("id"),
+          concat(col("s").substr(lit(1), pfx),
+            col("s").substr(pfx + 2, lit(100))).as("s"))
+        val recs = base.unionByName(pert)
+        val pairs = graft.ops.FuzzyJoin.fuzzyPairs(recs, "id", "s",
+          maxDist = 2)
+        val cc = graft.bel.ConnectedComponents.run(
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        val canon = cc.groupBy("component").agg(min("node").as("ent"))
+        val matched = cc.join(canon, "component")
+          .select(col("node").as("id"), col("ent"))
+        val p = s"/tmp/graft_er_${sfTag(d)}"
+        rmrf(s, p)
+        recs.select("id").join(matched, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("ent"), col("id")).as("entity_id"))
+          .write.parquet(p)
+        p
+      }
+      s.read.parquet(out)
     }),
 
     // --- End-to-end continuous curation -------------------------------------
