@@ -223,6 +223,27 @@ object Round10Queries {
       graft.bel.LabelPropagation.run(sup.unionByName(nat), iterations = 5)
     }),
 
+    // --- Modularity of the LPA communities ----------------------------------
+    // Newman Q per community over the SAME undirected dimension graph
+    // and the SAME 5-round LPA labeling: internal edge count, degree
+    // mass, and q_c = l_c/m − (d_c/2m)² — the accept/reject quality
+    // score for discovered clusters. All inputs exact integers; the Q
+    // expression is written identically in the oracle (which re-derives
+    // the labeling through the shared LPA CTE chain).
+    "a33_modularity" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      val sup = t(ss, d, "supplier").select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"))
+      val nat = t(ss, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      val edges = sup.unionByName(nat)
+      graft.bel.Modularity.perCommunity(edges,
+        graft.bel.LabelPropagation.run(edges, iterations = 5))
+    }),
+
     // --- IVF index maintenance: staleness-triggered rebuild -----------------
     // Clustered corpus (16 anchor cells); the index is built on cells
     // 0–7 only, then an append arrives entirely from cells 8–15 — real
@@ -536,8 +557,9 @@ object Round10Queries {
 
   /** The synchronous LPA recurrence unrolled: per round, each node's
     * neighbor-label counts then the (count desc, label asc) row_number
-    * winner, previous label kept when a node has no neighbors. */
-  private def lpaOracle(iters: Int): String = {
+    * winner, previous label kept when a node has no neighbors. The CTE
+    * prefix is shared with the modularity oracle (which scores l5). */
+  private def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT e.u AS node, l.label, count(*) AS cnt
@@ -554,7 +576,7 @@ object Round10Queries {
          |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""edges AS (
        |  SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst
        |  FROM supplier
        |  UNION ALL
@@ -569,10 +591,11 @@ object Round10Queries {
        |), l0 AS (
        |  SELECT node, node AS label FROM vertices
        |),
-       |$steps
-       |SELECT node, label FROM l$iters
-       |""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def lpaOracle(iters: Int): String =
+    s"WITH ${lpaCtes(iters)}\nSELECT node, label FROM l$iters\n"
 
   /** Components of supplier→nation ∪ nation→region ∪ customer→nation —
     * shared verbatim by the batch-fold (`a28_cc_index_persist`) and
@@ -661,6 +684,32 @@ object Round10Queries {
     "a30_ppr" -> pprOracle(8),
 
     "a31_lpa" -> lpaOracle(5),
+
+    "a33_modularity" ->
+      (s"""WITH ${lpaCtes(5)},
+        |lab AS (SELECT node, label FROM l5),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+        |mm AS (SELECT count(*) / 2 AS m FROM und),
+        |intra AS (
+        |  SELECT la.label AS label, count(*) / 2 AS l_c
+        |  FROM und e
+        |  JOIN lab la ON la.node = e.u
+        |  JOIN lab lb ON lb.node = e.v
+        |  WHERE la.label = lb.label
+        |  GROUP BY 1
+        |), dsum AS (
+        |  SELECT l.label, count(*) AS n_nodes, sum(d.deg) AS d_c
+        |  FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1
+        |)
+        |SELECT ds.label, ds.n_nodes, coalesce(i.l_c, 0.0) AS l_c,
+        |  CAST(ds.d_c AS DOUBLE) AS d_c,
+        |  coalesce(i.l_c, 0.0) / mm.m -
+        |    (CAST(ds.d_c AS DOUBLE) / (2.0 * mm.m)) *
+        |    (CAST(ds.d_c AS DOUBLE) / (2.0 * mm.m)) AS q_c
+        |FROM dsum ds
+        |LEFT JOIN intra i ON i.label = ds.label
+        |CROSS JOIN mm
+        |""").stripMargin,
 
     "t_html_strip" ->
       """WITH h AS (

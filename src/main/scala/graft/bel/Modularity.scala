@@ -1,0 +1,62 @@
+package graft.bel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Newman modularity of a community assignment (Newman & Girvan 2004) —
+  * the quality score for [[LabelPropagation]]'s output (and any other
+  * labeling): Q = Σ_c [ L_c/m − (D_c/2m)² ], where L_c is the
+  * community's internal undirected edge count, D_c its degree mass and
+  * m the graph's undirected edge count. High-Q labelings mean the
+  * communities are denser inside than a degree-preserving random graph
+  * would predict — the accept/reject metric a curation pipeline applies
+  * before trusting discovered domain clusters.
+  *
+  * Graph semantics match [[LabelPropagation]] exactly: undirected,
+  * de-duplicated, self-loops dropped — so scoring LPA's own labeling
+  * needs no re-canonicalization. Unlabeled nodes are ignored (their
+  * edges count toward m but join no community; pass a complete labeling
+  * for the textbook score).
+  *
+  * Scale shape: two equi-joins of the edge set against the label
+  * vector + per-label hash aggregations; m rides the plan as a 1-row
+  * crossJoined aggregate (never a driver literal). All inputs to the
+  * final arithmetic are exact integer counts, and the Q expression is
+  * written identically in the SQL oracle — value-exact doubles.
+  */
+object Modularity {
+
+  /** Per-community modularity terms over `edges(src, dst)` and
+    * `labels(node, label)`: `(label, n_nodes, l_c, d_c, q_c)`; total
+    * Q = Σ q_c. */
+  def perCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val lab = labels.select(col("node"), col("label"))
+    val deg = und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val m = und.agg((count(lit(1)) / 2).as("m")) // |und| is even: exact
+    val intra = und
+      .join(lab.select(col("node").as("u"), col("label").as("cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("cv")),
+        Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("label"))
+      .agg((count(lit(1)) / 2).as("l_c"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+    dsum.join(intra, Seq("label"), "left")
+      .crossJoin(m)
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("l_c"), lit(0.0)).as("l_c"),
+        col("d_c").cast("double").as("d_c"),
+        (coalesce(col("l_c"), lit(0.0)) / col("m") -
+          (col("d_c") / (lit(2.0) * col("m"))) *
+            (col("d_c") / (lit(2.0) * col("m")))).as("q_c"))
+  }
+}
