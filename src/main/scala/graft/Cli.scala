@@ -65,6 +65,7 @@ import graft.sources._
   *   graft.Cli lpa       [--edges P | --sf-dir D] [--iterations N] [--top N]
   *   graft.Cli er        [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
   *   graft.Cli standardize [--emb P | --sf-dir D] --out DIR
+  *   graft.Cli modularity [--edges P | --sf-dir D] [--labels P] [--iterations N]
   */
 object Cli {
 
@@ -324,6 +325,28 @@ object Cli {
         labels.groupBy("label").agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("label")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
+      case "modularity" => // community-quality score (a33_modularity)
+        val edges = opts.get("edges") match {
+          case Some(p) => spark.read.parquet(p)
+          case None =>
+            spark.read.parquet(s"$sfDir/supplier.parquet").select(
+                concat(lit("s:"), col("s_suppkey")).as("src"),
+                concat(lit("n:"), col("s_nationkey")).as("dst"))
+              .unionByName(
+                spark.read.parquet(s"$sfDir/nation.parquet").select(
+                  concat(lit("n:"), col("n_nationkey")).as("src"),
+                  concat(lit("r:"), col("n_regionkey")).as("dst")))
+        }
+        val labels = opts.get("labels") match {
+          case Some(p) => spark.read.parquet(p) // (node, label)
+          case None => graft.bel.LabelPropagation.run(edges,
+            opts.getOrElse("iterations", "5").toInt)
+        }
+        val per = graft.bel.Modularity.perCommunity(edges, labels)
+        per.orderBy(col("q_c").desc, col("label")).limit(20)
+          .collect().foreach(r => println(r.mkString("\t")))
+        val q = per.agg(sum("q_c")).collect()(0).getDouble(0)
+        println(f"Q = $q%.6f")
       case "er" => // fuzzy-match entity resolution (j18_er_entities)
         val out = opts.getOrElse("out", s"$warehouse/_entities")
         val in = spark.read.parquet(opts.getOrElse("input", docsPath))

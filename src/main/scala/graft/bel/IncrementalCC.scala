@@ -108,6 +108,32 @@ object IncrementalCC {
     index.select(col("node"), col("component"),
         pmod(col("component"), lit(buckets.toLong)).as("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+    // the bucket count IS the layout: persist it so a later fold can
+    // never silently misplace rows by assuming a different modulus
+    val spark = index.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val MetaFile = "_graft_buckets"
+
+  /** The bucket count a [[writeIndex]] layout was created with, if the
+    * marker is present (layouts predating it return None). */
+  def readBucketCount(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
   }
 
   /** Read a [[writeIndex]]-layout index back as `(node, component)`. */
@@ -147,6 +173,16 @@ object IncrementalCC {
   def foldIndex(spark: SparkSession, path: String, newEdges: DataFrame,
                 buckets: Int = 64, maxIterations: Int = 30): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // fail fast on a modulus mismatch: folding with the wrong bucket
+    // count would prune the WRONG partitions and silently corrupt the
+    // index (rows rewritten into directories the layout never reads
+    // consistently). Layouts predating the marker trust the caller.
+    readBucketCount(spark, path).foreach { stored =>
+      require(stored == buckets, s"foldIndex: layout at $path was " +
+        s"written with buckets=$stored but the fold was asked for " +
+        s"buckets=$buckets — the partition modulus is part of the " +
+        "layout and cannot change without a rewrite")
+    }
     val lab = readIndex(spark, path)
     val e = newEdges.select(col("src"), col("dst"))
     val (superMap0, fresh0) = relabelPlan(lab, e, maxIterations)

@@ -127,6 +127,33 @@ class IncrementalCCSpec extends SparkSpec {
     }
   }
 
+  test("foldIndex: a mismatched bucket count fails fast instead of " +
+    "silently corrupting the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ccidxm").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    try {
+      IncrementalCC.writeIndex(ConnectedComponents.run(
+        Seq(("a", "b")).toDF("src", "dst")), path, buckets = 8)
+      assert(IncrementalCC.readBucketCount(spark, path) === Some(8))
+      val ex = intercept[IllegalArgumentException] {
+        IncrementalCC.foldIndex(spark, path,
+          Seq(("b", "c")).toDF("src", "dst"), buckets = 16)
+      }
+      assert(ex.getMessage.contains("buckets=8"))
+      // the matching count still folds fine
+      IncrementalCC.foldIndex(spark, path,
+        Seq(("b", "c")).toDF("src", "dst"), buckets = 8)
+      assert(labels(IncrementalCC.readIndex(spark, path)).keySet ===
+        Set("a", "b", "c"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("foldIndex: an all-duplicate delta rewrites nothing") {
     val dir = java.nio.file.Files.createTempDirectory("ccidx0").toFile
     val path = new java.io.File(dir, "idx").getAbsolutePath
