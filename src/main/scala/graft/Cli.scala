@@ -59,11 +59,11 @@ import graft.sources._
   *   graft.Cli cc-incremental --delta P (--index P | --base P) --out DIR
   *   graft.Cli cc-index  --path DIR (--init BASE.parquet | --fold DELTA.parquet) [--buckets N]
   *   graft.Cli expect    [--input P | --sf-dir D] [--not-null a,b] [--unique a,b] [--bounds col:lo:hi[;col:lo:hi...]]
-  *   graft.Cli ppr       [--edges P | --sf-dir D] [--seeds node:w,node:w] [--iterations N] [--top N]
+  *   graft.Cli ppr       [--edges P | --sf-dir D] [--seeds node[=w],node[=w]] [--iterations N] [--top N]
   *   graft.Cli ivf-rebuild --path DIR [--nlist N] [--max-drift T] [--refine-iterations N]
   *   graft.Cli curate-batch [--input P] --out DIR [--index DIR] [--min-words N] [--batch-id N]
   *   graft.Cli lpa       [--edges P | --sf-dir D] [--iterations N] [--top N]
-  *   graft.Cli er        [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
+  *   graft.Cli resolve   [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
   *   graft.Cli standardize [--emb P | --sf-dir D] --out DIR
   *   graft.Cli modularity [--edges P | --sf-dir D] [--labels P] [--iterations N]
   */
@@ -293,14 +293,16 @@ object Cli {
                   concat(lit("n:"), col("s_nationkey")).as("src"),
                   concat(lit("s:"), col("s_suppkey")).as("dst")))
         }
-        // --seeds "node:w,node:w" (weight optional, default 1)
+        // --seeds "node[=w],node[=w]" (weight optional, default 1).
+        // '=' separates the weight so node names containing ':' (the
+        // harness's own naming, e.g. "r:0") parse unambiguously —
+        // splitting on ':' would turn a weightless "r:0" into node "r"
+        // with weight 0
         import spark.implicits._
-        val seeds = opts.getOrElse("seeds", "r:0:3,r:1:1").split(",")
+        val seeds = opts.getOrElse("seeds", "r:0=3,r:1=1").split(",")
           .map(_.trim).filter(_.nonEmpty).map { s =>
-            s.split(":").toSeq match {
-              case parts if parts.length >= 2 &&
-                  parts.last.toDoubleOption.isDefined =>
-                (parts.init.mkString(":"), parts.last.toDouble)
+            s.split("=") match {
+              case Array(node, w) => (node, w.toDouble)
               case _ => (s, 1.0)
             }
           }.toSeq.toDF("node", "weight")
@@ -347,7 +349,9 @@ object Cli {
           .collect().foreach(r => println(r.mkString("\t")))
         val q = per.agg(sum("q_c")).collect()(0).getDouble(0)
         println(f"Q = $q%.6f")
-      case "er" => // fuzzy-match entity resolution (j18_er_entities)
+      case "resolve" => // fuzzy-match entity resolution (j18_er_entities)
+        // NOT "er" — that name is taken by the K13 ER-diagram export
+        // above, which would shadow this case (first match wins)
         val out = opts.getOrElse("out", s"$warehouse/_entities")
         val in = spark.read.parquet(opts.getOrElse("input", docsPath))
         val (idc, sc) = (opts.getOrElse("id", "doc_id"),

@@ -39,11 +39,8 @@ object Round10Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.load(s, dir, name)
 
-  private def rmrf(s: SparkSession, path: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) { fs.delete(hp, true); () }
-  }
+  private def rmrf(s: SparkSession, path: String): Unit =
+    graft.core.Fs.delete(s, path)
 
   private def memo[A](store: java.util.Map[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, A]],
@@ -285,7 +282,10 @@ object Round10Queries {
           val rb = graft.ops.IvfIndex.rebuildIfStale(s, path, nList = 16,
             maxDrift = 0.05, refineIterations = 2)
           val corpus = base.unionByName(newCells)
-          val qs = corpus.filter(col("vec_id") % 97 === 0).limit(16)
+          // TakeOrdered: a bare limit over a shuffle-derived frame is
+          // not stable across the several independent actions below
+          val qs = corpus.filter(col("vec_id") % 97 === 0)
+            .orderBy("vec_id").limit(16)
             .select(col("vec_id").as("query_id"), col("embedding"))
           val truth = graft.ops.Similarity
             .bruteForceTopK(corpus, qs, k = 10).select("query_id", "id")
@@ -463,7 +463,9 @@ object Round10Queries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.ops.{Expectations, TextAnalysis}
-        val (eq, twins, reps, mets) = memo(curateMemo, ss, d) { () =>
+        // memo keyed on the OUTER session: `ss` is a fresh newSession()
+        // per call and would never hit
+        val (eq, twins, reps, mets) = memo(curateMemo, s, d) { () =>
           val docs = t(ss, d, "documents")
           val probes = docs.filter(col("doc_id") < 5)
           val bloom = TextAnalysis.shingleBloom(probes, n = 3,

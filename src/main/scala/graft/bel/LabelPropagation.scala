@@ -35,6 +35,17 @@ import graft.core.Checkpoints
   */
 object LabelPropagation {
 
+  /** Undirected simple-graph canonicalization shared with
+    * [[Modularity]] (whose scores must be over EXACTLY this graph):
+    * both directions, nulls and self-loops dropped, de-duplicated —
+    * `(u, v)` with every edge present in both orientations. */
+  private[bel] def undirectedSimple(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+
   /** edges(src, dst) → (node, label) after `iterations` synchronous
     * rounds; label values are node values (community = the label its
     * members agreed on). Edges are undirected and de-duplicated;
@@ -44,12 +55,7 @@ object LabelPropagation {
           cutEvery: Int = 2): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
-    val und = edges.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
-      .filter(col("u").isNotNull && col("v").isNotNull &&
-        col("u") =!= col("v"))
-      .distinct()
-      .persist()
+    val und = undirectedSimple(edges).persist()
     val nodes = und.select(col("u").as("node")).distinct().persist()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (i <- 1 to iterations) {

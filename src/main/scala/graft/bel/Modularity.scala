@@ -30,11 +30,8 @@ object Modularity {
     * `labels(node, label)`: `(label, n_nodes, l_c, d_c, q_c)`; total
     * Q = Σ q_c. */
   def perCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
-      .filter(col("u").isNotNull && col("v").isNotNull &&
-        col("u") =!= col("v"))
-      .distinct()
+    // the SAME canonicalization LPA labels over — shared, not mirrored
+    val und = LabelPropagation.undirectedSimple(edges)
     val lab = labels.select(col("node"), col("label"))
     val deg = und.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))

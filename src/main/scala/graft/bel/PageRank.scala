@@ -179,8 +179,13 @@ object PageRank {
           .groupBy("id").agg(sum("w").as("w"))
         val present = nodes.select(col("id").as("_sid"))
           .join(seedIds.withColumnRenamed("id", "_sid"), Seq("_sid"))
-        val tw = present.agg(coalesce(sum("w"), lit(0.0)))
-          .collect()(0).getDouble(0)
+        val r0 = present.agg(coalesce(sum("w"), lit(0.0)),
+          coalesce(min("w"), lit(0.0))).collect()(0)
+        val (tw, minW) = (r0.getDouble(0), r0.getDouble(1))
+        require(minW >= 0.0, "runPersonalized: a seed present in the " +
+          "graph has NEGATIVE net weight — restart masses are " +
+          "probabilities and must be >= 0 (same fail-fast posture as " +
+          "the weighted-edge face)")
         require(tw > 0.0, "runPersonalized: no seed with positive " +
           "weight is present in the graph — the restart vector would " +
           "be undefined (NaN ranks)")

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 /** Filesystem helpers that follow the path *scheme* (file://, hdfs://,
   * s3a://…) through Hadoop's FileSystem API — java.nio would silently only
   * work on the local filesystem, at odds with the 100 TB design point. */
-private[core] object Fs {
+private[graft] object Fs {
   def fs(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   def exists(spark: SparkSession, path: String): Boolean = {

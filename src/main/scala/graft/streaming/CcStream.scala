@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -30,21 +29,27 @@ import graft.bel.{ConnectedComponents, IncrementalCC}
   */
 object CcStream {
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val hp = new HPath(path)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-  }
-
   /** Fold one edge batch into the index at `indexPath` (created from the
     * batch itself on first sight). Returns rewritten-bucket count (0 for
-    * a no-op/replayed batch after creation). */
+    * a no-op/replayed batch after creation).
+    *
+    * "Index exists" is decided by the layout's bucket-count marker —
+    * which [[IncrementalCC.writeIndex]] writes LAST, so it doubles as
+    * the commit record: a crash mid-creation leaves a marker-less
+    * partial directory, and the replayed batch re-CREATES (Overwrite
+    * cleans the debris) instead of folding a delta into garbage. A bare
+    * directory-existence check would conflate "present" with
+    * "committed". */
   def foldBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
                 buckets: Int = 64): Long =
-    if (!exists(spark, indexPath)) {
-      IncrementalCC.writeIndex(ConnectedComponents.run(batch), indexPath,
-        buckets)
-      buckets.toLong
-    } else IncrementalCC.foldIndex(spark, indexPath, batch, buckets)
+    IncrementalCC.readBucketCount(spark, indexPath) match {
+      case None =>
+        IncrementalCC.writeIndex(ConnectedComponents.run(batch), indexPath,
+          buckets)
+        buckets.toLong
+      case Some(_) =>
+        IncrementalCC.foldIndex(spark, indexPath, batch, buckets)
+    }
 
   /** Stream face: `foreachBatch` wiring of [[foldBatch]] over an edge
     * stream with `src`/`dst` columns. */

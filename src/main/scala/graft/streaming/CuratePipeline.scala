@@ -28,9 +28,11 @@ import graft.ops.Expectations
   * Replay idempotence, stage by stage: reports and metrics write to
   * per-batch partition directories with Overwrite (a replayed batch
   * rewrites its own partition, never duplicates); the corpus/index pair
-  * inherits [[DedupStream.dedupBatch]]'s probe-before-append discipline
-  * (a replayed batch's fingerprints are already indexed, so nothing
-  * re-lands). Scale: per batch, ONE aggregation pass for the report,
+  * uses [[DedupStream.dedupBatch]]'s batch-partitioned replay-exact
+  * discipline — every crash window re-lands identical content, and a
+  * full replay returns the batch's TRUE accepted count (its corpus
+  * partition's rows), so the rewritten metrics row still sums with the
+  * corpus. Scale: per batch, ONE aggregation pass for the report,
   * one filter, one hash-groupBy + anti-join for the probe, small
   * appends — nothing ever rescans prior batches or the accepted corpus.
   */
@@ -59,7 +61,7 @@ object CuratePipeline {
       val curated = rules(staged).persist()
       try {
         val accepted = DedupStream.dedupBatch(spark, indexPath,
-          s"$outPath/corpus", curated, idCol, textCol)
+          s"$outPath/corpus", curated, Some(batchId), idCol, textCol)
         val m = BatchMetrics(batchId, staged.count(), curated.count(),
           accepted)
         Seq((m.nIn, m.nCurated, m.nAccepted))

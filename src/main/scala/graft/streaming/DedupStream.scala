@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,13 +17,27 @@ import graft.ops.Dedup
   * primitives verbatim, so batch-vs-stream equality is testable and the
   * harness gates it against a pure-SQL oracle (`w_stream_dedup_index`).
   *
-  * Idempotence on micro-batch REPLAY: a replayed batch re-runs the
-  * anti-join against an index that already holds its fingerprints, so
-  * nothing re-lands — exactly-once per CONTENT even though both sinks
-  * are append-only. (A crash between the two appends of one batch can
-  * drop the index entry for an already-emitted doc until the replay
-  * re-appends it; replays re-emit nothing because the probe runs against
-  * the index FIRST and the index append is last.)
+  * Idempotence on micro-batch REPLAY: with a `batchId` (the stream
+  * face always passes one), survivor rows land in their own
+  * `batch_id=<id>` partition directory, which closes EVERY crash
+  * window exactly-once:
+  *  - crash before any write → replay recomputes the same survivors
+  *    (same batch, same index state) and lands them;
+  *  - crash between the corpus write and the index append → replay's
+  *    probe still reports the docs novel (their fingerprints never
+  *    indexed) and the partition OVERWRITE replaces the identical
+  *    rows instead of appending duplicates, then the index append
+  *    completes;
+  *  - crash after the index append (before the checkpoint commit) →
+  *    replay's probe reports nothing novel, the existing partition is
+  *    KEPT (never overwritten with empty), and the partition's row
+  *    count is returned so accounting stays truthful.
+  * Without a batchId (ad-hoc batch use) the corpus append is plain
+  * append-only and only the probe-first content guarantee holds —
+  * callers that may replay should pass the id. The corpus directory
+  * and the stream checkpoint share a lifecycle (a fresh checkpoint
+  * against an old output directory restarts batch ids at 0 — the same
+  * contract as every per-batch-partition sink here).
   *
   * Scale: per batch one hash-groupBy of the batch + one anti-join on the
   * fingerprint key (broadcast when the index is small, shuffle-on-key
@@ -33,42 +46,62 @@ import graft.ops.Dedup
   */
 object DedupStream {
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val hp = new HPath(path)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.core.Fs.exists(spark, path)
 
   /** Probe-and-fold one batch: novel survivor DOC rows (full schema)
-    * append to `outPath`, their index rows to `indexPath` (created on
-    * first batch). Returns the number of accepted documents. */
+    * land under `outPath`, their index rows append to `indexPath`
+    * (created on first batch). With a `batchId` the corpus write is the
+    * replay-exact partition discipline documented above; without one it
+    * is plain append. Returns the number of accepted documents — on a
+    * full replay, the batch's TRUE accepted count (its partition's
+    * rows), never a misleading 0. */
   def dedupBatch(spark: SparkSession, indexPath: String, outPath: String,
-                 batch: DataFrame, idCol: String = "doc_id",
+                 batch: DataFrame, batchId: Option[Long] = None,
+                 idCol: String = "doc_id",
                  textCol: String = "text"): Long = {
     val fresh = (if (exists(spark, indexPath))
       Dedup.incrementalSurvivors(spark, indexPath, batch, idCol, textCol)
     else Dedup.exactSurvivors(batch, idCol, textCol)).persist()
     try {
       val n = fresh.count()
-      if (n > 0) {
-        batch.join(fresh.select(col("survivor_id").as(idCol)),
-            Seq(idCol), "left_semi")
-          .write.mode(SaveMode.Append).parquet(outPath)
-        fresh.write.mode(SaveMode.Append).parquet(indexPath)
+      val docs = batch.join(fresh.select(col("survivor_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      batchId match {
+        case Some(id) =>
+          val part = s"$outPath/batch_id=$id"
+          if (n > 0) {
+            // (re)write the batch's own partition — identical rows on
+            // a replay-before-index-append, never duplicate appends
+            docs.write.mode(SaveMode.Overwrite).parquet(part)
+            fresh.write.mode(SaveMode.Append).parquet(indexPath)
+            n
+          } else if (exists(spark, part)) {
+            // full replay after the index append: keep the landed rows
+            // and report their true count
+            spark.read.parquet(part).count()
+          } else 0L
+        case None =>
+          if (n > 0) {
+            docs.write.mode(SaveMode.Append).parquet(outPath)
+            fresh.write.mode(SaveMode.Append).parquet(indexPath)
+          }
+          n
       }
-      n
     } finally { fresh.unpersist(); () }
   }
 
-  /** Stream face: `foreachBatch` wiring of [[dedupBatch]]. */
+  /** Stream face: `foreachBatch` wiring of [[dedupBatch]], batch ids
+    * threaded through for the replay-exact corpus layout. */
   def run(stream: DataFrame, indexPath: String, outPath: String,
           checkpoint: String, idCol: String = "doc_id",
           textCol: String = "text"): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         dedupBatch(batch.sparkSession, indexPath, outPath, batch,
-          idCol, textCol)
+          Some(id), idCol, textCol)
         ()
       }
       .start()

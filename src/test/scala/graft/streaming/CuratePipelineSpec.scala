@@ -73,14 +73,19 @@ class CuratePipelineSpec extends SparkSpec {
     // simulated crash-replay: same rows, same batch id
     val m2 = CuratePipeline.curateBatch(spark, b0, 0L, checks, rules,
       idx, out)
-    assert(m2.nAccepted === 0L, "replayed content must not re-land")
+    assert(m2.nAccepted === m1.nAccepted,
+      "replay must report the batch's TRUE accepted count, not 0 — " +
+        "the metrics row it rewrites must still sum with the corpus")
     assert(m2.nIn === m1.nIn && m2.nCurated === m1.nCurated)
     val corpus2 = CuratePipeline.corpus(spark, out)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(corpus2 === corpus1)
     assert(CuratePipeline.reports(spark, out)
       .filter(col("batch_id") === 0).count() === checks.length.toLong)
-    assert(CuratePipeline.metrics(spark, out)
-      .filter(col("batch_id") === 0).count() === 1L)
+    // the REWRITTEN metrics partition still carries the true count
+    val acc = CuratePipeline.metrics(spark, out)
+      .filter(col("batch_id") === 0)
+      .select("n_accepted").as[Long].collect().toSeq
+    assert(acc === Seq(m1.nAccepted))
   }
 }

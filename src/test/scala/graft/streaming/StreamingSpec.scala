@@ -309,6 +309,36 @@ class StreamingSpec extends SparkSpec {
     assert(n === 0L)
   }
 
+  test("dedupBatch crash windows: corpus-write-then-crash replays to " +
+    "identical rows (no duplicates); index-append-then-crash replays " +
+    "keep the partition and report the true count") {
+    val dir = tmpDir("sdedupcrash")
+    val (idx, out) = (s"$dir/idx", s"$dir/out")
+    val b = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val n1 = DedupStream.dedupBatch(spark, idx, out, b, Some(0L))
+    assert(n1 === 2L)
+    // window A: crash BETWEEN the corpus partition write and the index
+    // append — simulate by deleting the index, leaving the partition
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(idx))
+    val nA = DedupStream.dedupBatch(spark, idx, out, b, Some(0L))
+    assert(nA === 2L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "replay must OVERWRITE the partition, not append duplicates")
+    assert(spark.read.parquet(idx).count() === 2L, "index repopulated")
+    // window B: crash AFTER the index append — full replay: partition
+    // kept, true count reported (not 0)
+    val nB = DedupStream.dedupBatch(spark, idx, out, b, Some(0L))
+    assert(nB === 2L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("dedupStream: duplicate keys within and across batches land once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
