@@ -51,7 +51,7 @@ import graft.sources._
   *   graft.Cli neg-samples [--triples P] [--entities P] --out DIR [--k K] [--buckets B]
   *   graft.Cli prepare-training [--docs P | --sf-dir D] --out DIR [--seq-len N] [--shards K] [--merges M] [--lang L] [--min-words W]
   *   graft.Cli compact   [--input P] --out DIR [--files N] [--sort-by a,b]
-  *   graft.Cli zorder    [--input P] --out DIR [--files N] [--col-a A] [--col-b B] [--bits N]
+  *   graft.Cli zorder    [--input P] --out DIR [--files N] [--col-a A] [--col-b B] [--bits N] [--curve morton|hilbert]
   *   graft.Cli export-jsonl [--input P] --out DIR [--shards K]
   *   graft.Cli drift     --a P --b P [--group COL]
   *   graft.Cli asof      --left P --right P --out DIR [--keys a,b] [--ts T] [--right-ts T] [--direction backward|forward|nearest] [--tolerance N] [--strict 1]
@@ -654,7 +654,7 @@ object Cli {
         val back = graft.ops.Layout.compact(spark, in, out,
           opts.getOrElse("files", "2").toInt, sortCols)
         println(s"compacted ${back.count()} rows -> $out")
-      case "zorder" => // multi-dimensional clustering (k18/k20 layouts)
+      case "zorder" => // multi-dimensional clustering (k18/k20/k21 layouts)
         val in = opts.getOrElse("input", docsPath)
         val out = opts.getOrElse("out", s"$warehouse/_zordered")
         // --cols a,b,c... (N-column interleave) wins over --col-a/--col-b
@@ -662,10 +662,20 @@ object Cli {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq(opts.getOrElse("col-a", "doc_id"),
             opts.getOrElse("col-b", "n_chars")))
-        val back = graft.ops.Layout.zorderCompactN(spark, in, out,
-          opts.getOrElse("files", "2").toInt, cols,
-          opts.getOrElse("bits", "8").toInt)
-        println(s"z-ordered ${back.count()} rows -> $out")
+        val files = opts.getOrElse("files", "2").toInt
+        val bits = opts.getOrElse("bits", "8").toInt
+        val curve = opts.getOrElse("curve", "morton")
+        val back = curve match {
+          case "hilbert" =>
+            graft.ops.Layout.hilbertCompactN(spark, in, out, files, cols,
+              bits)
+          case "morton" =>
+            graft.ops.Layout.zorderCompactN(spark, in, out, files, cols,
+              bits)
+          case other => sys.error(
+            s"unknown --curve '$other' (morton|hilbert)")
+        }
+        println(s"$curve-clustered ${back.count()} rows -> $out")
       case "export-jsonl" => // loader-facing shards (k17_jsonl_export)
         val out = opts.getOrElse("out", s"$warehouse/_jsonl")
         val back = graft.ops.Layout.exportJsonl(

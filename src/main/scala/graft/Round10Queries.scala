@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   *  - `k20_zorder3_layout`: N-column Z-order
   *    ([[graft.ops.Layout.zorderCompactN]]) — 3-column interleave over
   *    lineitem's key triple, bit-exact vs the shift/mask SQL.
+  *  - `k21_hilbert_layout`: Hilbert-curve clustering
+  *    ([[graft.ops.Layout.hilbertCompactN]]) — same triple through the
+  *    better-locality curve; content hash-preserved, code injectivity
+  *    asserted at data scale in-gate.
+  *  - `t_ngram_counts`: corpus trigram frequency table
+  *    ([[graft.ops.TextAnalysis.ngramCounts]]), tail-pruned.
+  *  - `t_url_parse`: URL scheme/host/registrable-domain/path extraction
+  *    ([[graft.ops.TextAnalysis.urlHost]] family) over adversarial
+  *    synthetic URLs.
+  *  - `j21_resample_interp`: hourly-grid LINEAR interpolation
+  *    ([[graft.ops.Temporal.resampleInterp]]) — j16's continuous-signal
+  *    sibling, one window shuffle, no join.
   *  - `w_curate_e2e`: the end-to-end continuous-curation composition
   *    ([[graft.streaming.CuratePipeline]]) — expectations → curate
   *    rules → dedup-index probe → append, one foreachBatch chain,
@@ -32,6 +44,8 @@ import org.apache.spark.sql.functions._
   */
 object Round10Queries {
   private type Q = (SparkSession, String) => DataFrame
+
+  private val HourUs = 3600000000L
 
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
@@ -64,6 +78,10 @@ object Round10Queries {
         (Boolean, Boolean, Boolean, Boolean)]]())
 
   private val zorder3Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private val hilbertMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
 
@@ -325,6 +343,92 @@ object Round10Queries {
           col("l_orderkey").bitwiseAND(lit(255)),
           col("l_partkey").bitwiseAND(lit(255)),
           col("l_suppkey").bitwiseAND(lit(255))), 8).as("z"))
+    }),
+
+    // --- Hilbert-curve layout ------------------------------------------------
+    // The same lineitem key triple through the Hilbert interleave
+    // (liquid-clustering's curve): content must survive the rewrite
+    // row-for-row (driver hash vs the plain projection), and the code
+    // itself is cross-checked IN-GATE at data scale — bijectivity means
+    // #distinct codes == #distinct masked cells, asserted once inside
+    // the memo (the unit-step adjacency + exhaustive encode/decode
+    // round-trip live in LayoutSpec; no SQL engine can express the
+    // Gray-code transform, so the per-row code has no DuckDB oracle).
+    "k21_hilbert_layout" -> ((s, d) => {
+      val out = memo(hilbertMemo, s, d) { () =>
+        val base = s"/tmp/graft_hilbert3_${sfTag(d)}"
+        rmrf(s, base)
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey")
+          .write.parquet(s"$base/in")
+        val back = graft.ops.Layout.hilbertCompactN(s, s"$base/in",
+          s"$base/out", numFiles = 2,
+          Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        val cells = Seq("l_orderkey", "l_partkey", "l_suppkey")
+          .map(c => col(c).bitwiseAND(lit(255)))
+        val agg = back
+          .withColumn("__h", graft.ops.Layout.hilbertCodeN(cells, 8))
+          .agg(countDistinct(col("__h")).as("codes"),
+            countDistinct(cells.head, cells.tail: _*).as("cells"))
+          .head()
+        require(agg.getLong(0) == agg.getLong(1),
+          s"hilbert code not injective on the data: ${agg.getLong(0)} " +
+            s"codes for ${agg.getLong(1)} cells")
+        s"$base/out"
+      }
+      s.read.parquet(out).select("l_orderkey", "l_partkey", "l_suppkey")
+    }),
+
+    // --- Corpus n-gram counts ------------------------------------------------
+    // The Web-1T job: every word trigram over the corpus with its
+    // occurrence count, tail pruned below minCount. One explode + one
+    // map-side-combined hash aggregation; the oracle regenerates the
+    // grams positionally in DuckDB over the identical normalized
+    // tokenization.
+    "t_ngram_counts" -> ((s, d) =>
+      graft.ops.TextAnalysis.ngramCounts(
+        t(s, d, "documents").select("text"), "text", n = 3,
+        minCount = 2L)),
+
+    // --- URL parsing / registrable domain ------------------------------------
+    // The crawl-curation key extraction: each doc gets a deterministic
+    // URL exercising userinfo, ports, mixed-case hosts, ccTLD public
+    // suffixes (co.uk), empty paths and fragments; scheme/host/domain/
+    // path must come back normalized. The accessor chains are RE2-safe
+    // by construction, so the oracle runs them verbatim.
+    "t_url_parse" -> ((s, d) => {
+      import graft.ops.TextAnalysis._
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 7 === 0, lit("crawler:pw@")).otherwise(lit("")),
+        lit("sub"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".example.com"))
+          .when(col("doc_id") % 3 === 1, lit(".data.co.uk"))
+          .otherwise(lit(".Archive.ORG")),
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(""))
+          .otherwise(concat(lit("/p/"), (col("doc_id") % 11).cast("string"),
+            lit(".html"))),
+        lit("?q="), col("doc_id").cast("string"), lit("#frag"))
+      t(s, d, "documents").select(col("doc_id"),
+        urlScheme(url).as("scheme"), urlHost(url).as("host"),
+        urlDomain(urlHost(url)).as("domain"), urlPath(url).as("path"))
+    }),
+
+    // --- Resample + linear interpolation --------------------------------------
+    // Each user's event value (quantized to cents, the twap contract)
+    // projected onto the hourly grid with straight-line interpolation
+    // between bracketing observations — the continuous-signal sibling
+    // of j16's forward fill. ONE window shuffle, no join; interp is an
+    // exact-integer chain + one IEEE division, engine-reproducible.
+    "j21_resample_interp" -> ((s, d) => {
+      val obs = graft.core.Tables.events(s, d)
+        .groupBy(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(max(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.ops.Temporal.resampleInterp(obs, Seq("user_id"), "ts_us",
+        "cents", stepUs = HourUs)
     }),
 
     // --- HTML/markup strip ---------------------------------------------------
@@ -867,6 +971,91 @@ object Round10Queries {
       "SELECT l_orderkey, l_partkey, l_suppkey, " +
         s"CAST($terms AS BIGINT) AS z FROM lineitem"
     },
+
+    "k21_hilbert_layout" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem",
+
+    "t_ngram_counts" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(lower(trim(regexp_replace(
+        |    text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        |  FROM w WHERE len(tk) >= 3
+        |)
+        |SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY 1 HAVING count(*) >= 2
+        |""".stripMargin,
+
+    "t_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END)
+        |    || 'sub' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+        |             WHEN doc_id % 3 = 1 THEN '.data.co.uk'
+        |             ELSE '.Archive.ORG' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ''
+        |        ELSE '/p/' || CAST(doc_id % 11 AS VARCHAR) || '.html' END)
+        |    || '?q=' || CAST(doc_id AS VARCHAR) || '#frag' AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@/]*@', ''), ':[0-9]*$', '')) AS host,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p
+        |  FROM u
+        |), dm AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN p = '' THEN '/' ELSE p END AS path,
+        |    CASE WHEN regexp_matches(host,
+        |        '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS d
+        |  FROM h
+        |)
+        |SELECT doc_id, scheme, host,
+        |  CASE WHEN len(d) > 0 THEN d ELSE host END AS domain, path
+        |FROM dm
+        |""".stripMargin,
+
+    "j21_resample_interp" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), seg AS (
+        |  SELECT user_id, ts_us, v,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS nxt,
+        |    lead(v) OVER (PARTITION BY user_id ORDER BY ts_us) AS nv
+        |  FROM o
+        |), st AS (
+        |  SELECT user_id, ts_us, v, nxt, nv,
+        |    ((ts_us + 3599999999) // 3600000000) AS i0,
+        |    ((nxt - 1) // 3600000000) AS i1
+        |  FROM seg WHERE nxt IS NOT NULL AND nxt > ts_us
+        |), g AS (
+        |  SELECT user_id, ts_us, v, nxt, nv,
+        |    unnest(generate_series(i0, i1)) * 3600000000 AS grid_ts
+        |  FROM st WHERE i0 <= i1
+        |)
+        |SELECT user_id, grid_ts,
+        |  CAST(v AS DOUBLE) + CAST((nv - v) * (grid_ts - ts_us) AS DOUBLE)
+        |    / CAST(nxt - ts_us AS DOUBLE) AS interp
+        |FROM g
+        |UNION ALL
+        |SELECT user_id, ts_us AS grid_ts, CAST(v AS DOUBLE) AS interp
+        |FROM seg WHERE nxt IS NULL AND ts_us % 3600000000 = 0
+        |""".stripMargin,
 
     "w_curate_e2e" ->
       ("SELECT true AS stream_equals_batch, true AS twins_dropped, " +

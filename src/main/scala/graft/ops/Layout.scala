@@ -103,6 +103,119 @@ object Layout {
     spark.read.parquet(out)
   }
 
+  /** Hilbert-curve index of `n` coordinates, each truncated to `bits`
+    * low bits — [[mortonCodeN]]'s better-locality sibling (the curve
+    * behind Databricks liquid clustering / Amazon Ion layouts): every
+    * consecutive pair of Hilbert indices differs by ±1 in EXACTLY one
+    * coordinate, so a range of codes is a connected cell path and
+    * min/max file stats prune even tighter than the Z-order's jumps.
+    * Skilling's public-domain axes→transpose algorithm (J. Skilling,
+    * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004),
+    * driver arithmetic per row via a deterministic UDF — layout
+    * rewrites run it once per row, off the query hot path. `n·bits`
+    * must stay ≤ 63, like the Morton form. */
+  private[graft] def hilbertScalar(coords: Array[Long], bits: Int): Long = {
+    val n = coords.length
+    val x = coords.clone()
+    // Skilling: inverse undo of excess work (axes -> transpose)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transposed form: bit j of x(i) lands at
+    // position j*n + (n-1-i) — column 0 carries the most significant
+    // bit of each group
+    var code = 0L
+    var j = 0
+    while (j < bits) {
+      i = 0
+      while (i < n) {
+        code |= ((x(i) >> j) & 1L) << (j * n + (n - 1 - i))
+        i += 1
+      }
+      j += 1
+    }
+    code
+  }
+
+  /** Inverse of [[hilbertScalar]] — used by the bijectivity/adjacency
+    * specs and any reader that wants the cell back from a code. */
+  private[graft] def hilbertDecode(code: Long, n: Int,
+                                   bits: Int): Array[Long] = {
+    val x = new Array[Long](n)
+    var j = 0
+    while (j < bits) {
+      var i = 0
+      while (i < n) {
+        x(i) |= ((code >> (j * n + (n - 1 - i))) & 1L) << j
+        i += 1
+      }
+      j += 1
+    }
+    // Gray decode
+    var t = x(n - 1) >> 1
+    var i = n - 1
+    while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t
+    // redo excess work (transpose -> axes)
+    var q = 2L
+    while (q != (1L << bits)) {
+      val p = q - 1
+      i = n - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t2 = (x(0) ^ x(i)) & p; x(0) ^= t2; x(i) ^= t2 }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
+
+  /** Column form of [[hilbertScalar]] over `cols` (each masked to
+    * `bits` low bits first, the [[zorderCompactN]] discipline). */
+  def hilbertCodeN(cols: Seq[Column], bits: Int = 8): Column = {
+    val n = cols.length
+    require(n >= 2, s"hilbertCodeN needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and n*bits <= 63, got n=$n bits=$bits")
+    val enc = udf((xs: Seq[Long]) => hilbertScalar(xs.toArray, bits))
+    enc(array(cols.map(_.cast("long")): _*))
+  }
+
+  /** [[zorderCompactN]] with the Hilbert interleave — same contract
+    * (content preserved, range-partitioned + in-file sorted by the
+    * code), tighter per-column locality. */
+  def hilbertCompactN(spark: SparkSession, in: String, out: String,
+                      numFiles: Int, cols: Seq[String],
+                      bits: Int = 8): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val mask = (1 << bits) - 1
+    val df = spark.read.parquet(in)
+    df.withColumn("__h", hilbertCodeN(
+        cols.map(c => col(c).bitwiseAND(lit(mask))), bits))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+  }
+
   /** Write `df` as `shards` gzipped JSON-Lines files under `out`.
     * Returns the re-read frame (schema-pinned to `df`'s — JSON carries
     * no types, so the reader must never infer). */

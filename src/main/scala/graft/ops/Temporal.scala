@@ -351,6 +351,63 @@ object Temporal {
       rightPrefix = rightPrefix)
   }
 
+  /** Resample with LINEAR interpolation — [[resampleFfill]]'s sibling for
+    * continuously-varying signals (sensor series, price marks): each
+    * on-grid instant between two observations carries
+    * `pv + (nv - pv)·(g - pt)/(nt - pt)`; a final observation that lands
+    * exactly on the grid contributes itself. The grid is the ffill
+    * contract's: multiples of `stepUs` from the key's first observation
+    * (rounded up) through its last. Values must be INTEGRAL (quantize
+    * first — the [[twapBuckets]] contract), so `interp` is ONE exact
+    * integer product/difference chain followed by one IEEE division and
+    * one addition — bit-reproducible in any engine, never an
+    * accumulation-order artifact. Callers pre-aggregate to one row per
+    * (keys, ts); same-instant duplicates are dropped defensively.
+    *
+    * Scale shape: ONE key-shuffle (the `lead` window) and nothing else —
+    * unlike the ffill (grid ⋈ observations as-of), the interpolation
+    * needs BOTH bracketing neighbors, so the segment form `[ts, nxt)`
+    * IS the join: each segment emits its interior grid points directly,
+    * fan-out bounded by segment_length/step, staged in its own
+    * projection before `explode`. No join, no second shuffle.
+    * Output: keys…, `grid_ts` (µs), `interp` (double). */
+  def resampleInterp(df: DataFrame, keys: Seq[String], tsCol: String,
+                     valueCol: String, stepUs: Long): DataFrame = {
+    require(keys.nonEmpty, "resampleInterp needs at least one key column")
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    requireIntegralTs("resampleInterp", tsCol, df.schema(tsCol).dataType)
+    require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
+      .contains(df.schema(valueCol).dataType.sql),
+      s"resampleInterp needs an INTEGRAL value column (quantize first — " +
+        s"cents/micros); '$valueCol' is ${df.schema(valueCol).dataType.sql}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts").asc)
+    val seg = df
+      .select(keys.map(col) ++ Seq(col(tsCol).cast("long").as("__ts"),
+        col(valueCol).cast("long").as("__v")): _*)
+      .withColumn("__nxt", lead(col("__ts"), 1).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+    // interior grid indices of [ts, nxt): ceil(ts/step) .. floor((nxt-1)/step)
+    val g0 = expr(floorDivSql(s"__ts + ${stepUs - 1}L", stepUs))
+    val g1 = expr(floorDivSql("__nxt - 1", stepUs))
+    val staged = seg.filter(col("__nxt") > col("__ts"))
+      .withColumn("__gspan", when(g0 <= g1, sequence(g0, g1))
+        .otherwise(array().cast("array<long>")))
+    val interior = staged
+      .select(keys.map(col) ++ Seq(col("__ts"), col("__v"), col("__nxt"),
+        col("__nv"), explode(col("__gspan")).as("__gi")): _*)
+      .withColumn("grid_ts", col("__gi") * stepUs)
+      .select(keys.map(col) ++ Seq(col("grid_ts"),
+        (col("__v").cast("double") +
+          ((col("__nv") - col("__v")) * (col("grid_ts") - col("__ts")))
+            .cast("double") /
+          (col("__nxt") - col("__ts")).cast("double")).as("interp")): _*)
+    // the trailing observation opens no segment; it appears iff on-grid
+    val fin = seg.filter(col("__nxt").isNull && col("__ts") % stepUs === 0)
+      .select(keys.map(col) ++ Seq(col("__ts").as("grid_ts"),
+        col("__v").cast("double").as("interp")): _*)
+    interior.unionByName(fin)
+  }
+
   /** Time-weighted aggregation onto fixed buckets (the TWAP/feature-store
     * "average state per hour" export): each observation opens a
     * piecewise-constant segment `[ts, next_ts)` carrying its value; every

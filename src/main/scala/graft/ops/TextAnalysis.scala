@@ -28,8 +28,11 @@ object TextAnalysis {
     * words), decode the common entities, and collapse whitespace.
     * Deliberately regex-only and RE2-safe (lazy `.*?`, inline `(?is)`,
     * NO backreferences), so the exact same chain runs in any engine —
-    * the `t_html_strip` gate executes it in DuckDB verbatim. Codegen'd
-    * end-to-end; unknown entities pass through untouched. */
+    * the `t_html_strip` gate executes it in DuckDB verbatim. Known
+    * engine boundary: `\s` includes vertical tab (0x0B) under Java but
+    * not RE2 — text carrying raw VTs collapses differently across
+    * engines (the corpus has none; normalize VTs first if yours does).
+    * Codegen'd end-to-end; unknown entities pass through untouched. */
   def stripMarkup(text: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
@@ -507,4 +510,72 @@ object TextAnalysis {
           .otherwise(transform(sequence(lit(0), count - n),
             i => xxhash64((1 to n).map(j => element_at(words, i + j)): _*)))))
     }
+
+  /** Corpus word n-gram frequency table — the classic "count every
+    * 5-gram over the crawl" job (Brants & Franz's Web 1T n-grams; also
+    * the contamination-check input). Tokens are [[normalized]]-form
+    * words; each document contributes `max(0, len - n + 1)` grams; the
+    * output keeps grams occurring at least `minCount` times.
+    *
+    * Scale shape: the gram array is staged in its own projection before
+    * `explode` (the measured generator-child staging rule), and the
+    * count is ONE hash aggregation with map-side partials — the
+    * explode's fan-out never crosses the shuffle un-combined. At 100 TB
+    * the reduce side is vocabulary-sized (gram-space), not corpus-sized;
+    * `minCount` prunes the long tail after the partial merge. */
+  def ngramCounts(df: DataFrame, textCol: String = "text", n: Int = 3,
+                  minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val words = filter(split(normalized(col(textCol)), " "),
+      w => length(w) > 0)
+    val grams = df
+      .select(words.as("__w"))
+      .select(when(size(col("__w")) >= n,
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")).as("__grams"))
+    grams.select(explode(col("__grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** URL scheme, lowercased (`""` when the value is not an absolute
+    * URL). All four URL accessors are RE2-safe regex chains — the same
+    * expressions run verbatim as the DuckDB oracle — and codegen'd. */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** URL host, lowercased, with userinfo (`user:pw@`) and `:port`
+    * stripped — the per-site key a crawl curation pipeline groups on
+    * (source caps, robots lookups, domain-level quality priors). */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^[^@/]*@", ""),
+      ":[0-9]*$", ""))
+  }
+
+  /** URL path (`/` when absent; query/fragment excluded). */
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Registrable-domain HEURISTIC from a [[urlHost]] value: the last two
+    * labels, or the last three when the second-level label is a common
+    * public-suffix word under a 2-letter ccTLD (`co.uk`, `com.au`,
+    * `ac.jp`, …). NOT the full Mozilla public-suffix list — at
+    * production scale broadcast-join the PSL instead; this is the
+    * list-free approximation for when the PSL isn't shipped. Hosts with
+    * fewer labels than the rule wants (bare `localhost`, or a host that
+    * IS a suffix) fall back to the host itself. */
+  def urlDomain(host: Column): Column = {
+    val three = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val d = when(
+      host.rlike("\\.(co|com|org|net|ac|gov|edu)\\.[a-z][a-z]$"), three)
+      .otherwise(two)
+    when(length(d) > 0, d).otherwise(host)
+  }
 }

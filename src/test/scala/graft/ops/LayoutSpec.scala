@@ -138,6 +138,63 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbert curve: exhaustive bijectivity AND the unit-step " +
+    "adjacency property for (n=2,b=3) and (n=3,b=2)") {
+    for ((n, b) <- Seq((2, 3), (3, 2), (2, 4))) {
+      val total = 1L << (n * b)
+      var prev: Array[Long] = null
+      var code = 0L
+      while (code < total) {
+        val pt = Layout.hilbertDecode(code, n, b)
+        // bijective: encode(decode(c)) == c
+        assert(Layout.hilbertScalar(pt.clone(), b) === code,
+          s"n=$n b=$b code=$code")
+        assert(pt.forall(x => x >= 0 && x < (1L << b)))
+        if (prev != null) {
+          // THE Hilbert property: consecutive codes are adjacent cells
+          val diffs = prev.zip(pt).map { case (a, x) => math.abs(a - x) }
+          assert(diffs.sum === 1L,
+            s"n=$n b=$b step $code not a unit move: " +
+              s"${prev.toSeq} -> ${pt.toSeq}")
+        }
+        prev = pt
+        code += 1
+      }
+    }
+  }
+
+  test("hilbertCodeN column form equals the scalar; hilbertCompactN " +
+    "preserves content with per-column file selectivity") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 1500).map(_ => (rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("x", "y", "z")
+    val got = df.select(Layout.hilbertCodeN(
+      Seq(col("x"), col("y"), col("z")), 8).as("h")).as[Long].collect()
+    rows.zip(got).foreach { case ((x, y, z), h) =>
+      assert(h === Layout.hilbertScalar(Array(x, y, z), 8))
+    }
+    val dir = tmpDir("layout_h3")
+    val in = s"$dir/in"
+    df.repartition(5).write.parquet(in)
+    val out = s"$dir/out"
+    val back = Layout.hilbertCompactN(spark, in, out, numFiles = 8,
+      Seq("x", "y", "z"))
+    assert(back.as[(Long, Long, Long)].collect().sorted.toSeq ===
+      rows.sorted.toSeq)
+    val fs = files(out, ".parquet")
+    assert(fs.length === 8)
+    for (c <- Seq("x", "y", "z")) {
+      val overlapping = fs.count { f =>
+        val mm = spark.read.parquet(f.getPath)
+          .agg(min(col(c)), max(col(c))).as[(Long, Long)].head()
+        mm._1 <= 31L && 0L <= mm._2
+      }
+      assert(overlapping < fs.length,
+        s"range [0,31] on $c overlaps ALL files — no clustering")
+    }
+  }
+
   test("exportJsonl: gzipped shard files, schema-pinned round-trip") {
     val dir = tmpDir("layout_jsonl")
     val df = (0 until 100).map(i =>

@@ -30,6 +30,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("  a\t\tb\n c  ") === "a b c")
   }
 
+  test("ngramCounts: positional grams over normalized tokens, short " +
+    "docs contribute nothing, tail pruned below minCount") {
+    val docs = Seq("a b C  b c", "b\tc b", "x").toDF("text")
+    val got = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a b" -> 1L, "b c" -> 3L, "c b" -> 2L))
+    val pruned = TextAnalysis
+      .ngramCounts(docs, "text", n = 2, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned === Map("b c" -> 3L, "c b" -> 2L))
+    // n longer than every doc: empty, not an error
+    assert(TextAnalysis.ngramCounts(docs, "text", n = 9).count() === 0L)
+  }
+
+  test("url accessors: scheme/host/domain/path across userinfo, ports, " +
+    "case, ccTLD suffixes, and degenerate hosts") {
+    def parts(u: String): (String, String, String, String) = {
+      val r = Seq(u).toDF("text").select(
+        TextAnalysis.urlScheme(col("text")).as("s"),
+        TextAnalysis.urlHost(col("text")).as("h"),
+        TextAnalysis.urlDomain(TextAnalysis.urlHost(col("text"))).as("d"),
+        TextAnalysis.urlPath(col("text")).as("p"))
+        .as[(String, String, String, String)].collect().head
+      r
+    }
+    assert(parts("https://User:pw@Sub.Example.CO.UK:8080/a/b?q=1#f") ===
+      (("https", "sub.example.co.uk", "example.co.uk", "/a/b")))
+    assert(parts("http://a.b.example.com/x") ===
+      (("http", "a.b.example.com", "example.com", "/x")))
+    // no path -> "/", query/fragment excluded
+    assert(parts("http://example.org?q=1") ===
+      (("http", "example.org", "example.org", "/")))
+    // single-label host falls back to itself as the domain
+    assert(parts("http://localhost:9000/health") ===
+      (("http", "localhost", "localhost", "/health")))
+    // not an absolute URL: empty scheme/host, path defaults
+    assert(parts("not a url") === (("", "", "", "/")))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     assert(one("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) === 4)
     assert(one("", TextAnalysis.tokenCount(col("text"))) === 0)

@@ -29,6 +29,59 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterp: exact endpoints, straight-line interior, " +
+    "off-grid trailing obs and between-lines keys contribute nothing") {
+    val obs = Seq(
+      (1L, 100L, 10L), (1L, 300L, 30L), // on-grid endpoints
+      (2L, 100L, 10L), (2L, 250L, 40L), // off-grid trailing obs
+      (3L, 105L, 5L),                   // lone, between grid lines
+      (4L, 200L, 7L))                   // lone, exactly on a grid line
+      .toDF("k", "ts", "v")
+    val got = Temporal.resampleInterp(obs, Seq("k"), "ts", "v", 100L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 100L, 10.0), // segment start: (nv-pv)*0/dt is exactly 0
+      (1L, 200L, 20.0), // halfway along 10 -> 30
+      (1L, 300L, 30.0), // trailing obs on the grid contributes itself
+      (2L, 100L, 10.0),
+      (2L, 200L, 30.0), // 10 + 30*(100/150)
+      (4L, 200L, 7.0)))
+    intercept[IllegalArgumentException] { // fractional values refused
+      Temporal.resampleInterp(Seq((1L, 100L, 1.5)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", "v", 100L)
+    }
+    intercept[IllegalArgumentException] { // non-integral ts refused
+      Temporal.resampleInterp(
+        Seq((1L, new java.sql.Timestamp(0L), 1L)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", "v", 100L)
+    }
+  }
+
+  test("resampleInterp matches a brute-force reference on a random " +
+    "corpus, pre-epoch timestamps included") {
+    val rnd = new scala.util.Random(47)
+    val obs = (1 to 400).map { _ =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong - 1000L,
+        rnd.nextInt(1000).toLong)
+    }.distinct.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val got = Temporal.resampleInterp(obs.toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v", 70L).as[(Long, Long, Double)].collect().toSet
+    val want = obs.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val g0 = math.floorDiv(sorted.head._1 + 69L, 70L) * 70L
+      (g0 to sorted.last._1 by 70L).map { g =>
+        val (pt, pv) = sorted.filter(_._1 <= g).last
+        val (nt, nv) = sorted.filter(_._1 >= g).head
+        val v = if (nt == pt) pv.toDouble
+          else pv.toDouble + ((nv - pv) * (g - pt)).toDouble /
+            (nt - pt).toDouble
+        (k, g, v)
+      }
+    }.toSet
+    assert(got === want)
+  }
+
   test("asOfJoinBroadcast equals asOfJoin across the whole mode matrix " +
     "on a random corpus") {
     val rnd = new scala.util.Random(41)
