@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   *  - `j21_resample_interp`: hourly-grid LINEAR interpolation
   *    ([[graft.ops.Temporal.resampleInterp]]) — j16's continuous-signal
   *    sibling, one window shuffle, no join.
+  *  - `o11_topk_per_group`: bounded top-k rows per group
+  *    ([[graft.ops.Rank.topKPerGroup]] over the native
+  *    [[graft.functions.TopKRowsAgg]]) — map-side-pruned, vs the
+  *    row_number-window oracle.
+  *  - `a34_closeness`: landmark harmonic closeness
+  *    ([[graft.bel.Bfs.harmonicCloseness]]) — per-seed BFS + lcm-exact
+  *    harmonic sums, engine-bit-exact.
   *  - `w_curate_e2e`: the end-to-end continuous-curation composition
   *    ([[graft.streaming.CuratePipeline]]) — expectations → curate
   *    rules → dedup-index probe → append, one foreachBatch chain,
@@ -97,6 +104,42 @@ object Round10Queries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String,
         (Boolean, Boolean, Boolean, Boolean)]]())
+
+  /** Per-seed unrolled BFS relaxation + the lcm-exact harmonic fold —
+    * the a21 `bfsOracle` pattern keyed on (seed, node). `levels` must
+    * sit past the graph's eccentricity (extra levels are the
+    * identity). */
+  private def closenessOracle(levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, min(hops) AS hops FROM (
+         |    SELECT seed, node, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d${i - 1}.seed, adj.v, d${i - 1}.hops + 1
+         |    FROM d${i - 1} JOIN adj ON d${i - 1}.node = adj.u)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+       |), d0 AS MATERIALIZED (
+       |  SELECT p_partkey AS seed, p_partkey AS node, 0 AS hops FROM part
+       |  WHERE p_partkey % 97 = 0
+       |),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(count(*) AS BIGINT) AS n_landmarks,
+       |  CAST(sum(hops) AS BIGINT) AS hop_mass,
+       |  CAST(sum(232792560 // hops) AS DOUBLE) / 232792560 AS harmonic
+       |FROM d$levels WHERE hops > 0 GROUP BY 1
+       |""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map[String, Q](
 
@@ -377,6 +420,37 @@ object Round10Queries {
         s"$base/out"
       }
       s.read.parquet(out).select("l_orderkey", "l_partkey", "l_suppkey")
+    }),
+
+    // --- Group-wise top-k without a window funnel -----------------------------
+    // Top-3 orders per customer by (totalprice, orderkey) descending —
+    // the native TopKRowsAgg runs as ObjectHashAggregate with map-side
+    // partials (only k-row buffers shuffle), where the row_number window
+    // the oracle uses funnels every order of a customer through one
+    // task. orderkey is unique, so the tie-break is total and the
+    // result partitioning-independent.
+    "o11_topk_per_group" -> ((s, d) =>
+      graft.ops.Rank.topKPerGroup(
+        t(s, d, "orders").select("o_custkey", "o_totalprice",
+          "o_orderkey", "o_orderdate"),
+        Seq("o_custkey"), Seq("o_totalprice", "o_orderkey"), k = 3,
+        ascending = false)),
+
+    // --- Landmark harmonic closeness ------------------------------------------
+    // "How central is every part to the promoted set?" — per-landmark
+    // BFS over the memoized co-purchase graph (landmarks = p_partkey %
+    // 97), folded to exact integer (n_landmarks, hop_mass) and the
+    // lcm-exact harmonic sum, so every column is engine-bit-exact. The
+    // oracle unrolls the per-seed relaxation 12 levels (past the sf0.01
+    // eccentricity of 7, where extra levels are the identity).
+    "a34_closeness" -> ((s, d) => {
+      val landmarks = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("seed"))
+      graft.bel.Bfs.harmonicCloseness(
+          Round8Queries.coPurchaseEdges(s, d), landmarks)
+        .select(col("node").cast("long").as("node"), col("n_landmarks"),
+          col("hop_mass"), col("harmonic"))
     }),
 
     // --- Corpus n-gram counts ------------------------------------------------
@@ -974,6 +1048,16 @@ object Round10Queries {
 
     "k21_hilbert_layout" ->
       "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem",
+
+    "o11_topk_per_group" ->
+      """SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |""".stripMargin,
+
+    "a34_closeness" -> closenessOracle(12),
 
     "t_ngram_counts" ->
       """WITH w AS (

@@ -36,6 +36,34 @@ class BfsSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1))
   }
 
+  test("hopsPerSeed keys distances by origin; harmonicCloseness folds " +
+    "lcm-exact masses, self-rows excluded") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("seed")
+    val per = Bfs.hopsPerSeed(edges, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(per === Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3,
+      (1L, 5L) -> 4,
+      (5L, 5L) -> 0, (5L, 4L) -> 1, (5L, 3L) -> 2, (5L, 2L) -> 3,
+      (5L, 1L) -> 4))
+    val close = Bfs.harmonicCloseness(edges, seeds)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val L = 232792560L
+    // node 3 is 2 hops from both landmarks; node 1 only 4 from seed 5
+    assert(close(3L) === ((2L, 4L, 1.0)))
+    assert(close(1L) === ((1L, 4L, 0.25)))
+    assert(close(2L) === ((2L, 4L, (L / 1 + L / 3).toDouble / L)))
+    assert(close.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Bfs.harmonicCloseness(edges, seeds, maxDepth = 21)
+    }
+  }
+
   test("matches brute-force shortest hop counts on a random graph") {
     val rnd = new scala.util.Random(13)
     val n = 60
