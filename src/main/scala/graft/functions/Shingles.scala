@@ -123,6 +123,88 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
       newChild: Expression): WordShingleHashesExpr = copy(child = newChild)
 }
 
+/** Per-row word n-gram STRING materialization (the countable face of
+  * [[ShingleKernel]], which only ever emits hashes): same normalize +
+  * single-space split pipeline, then every positional n-gram joined with
+  * a single space — WITH multiplicity and in document order, because the
+  * consumer is a frequency count, not a set. The composed
+  * `transform(sequence(...), i => concat_ws(...element_at...))` form this
+  * replaces is an interpreted HOF whose shared word-array child gets
+  * collapsed back INTO the lambda by CollapseProject and re-split per
+  * gram (measured 42µs/gram on the t_ngram_counts corpus — the whole
+  * document re-normalized n times per row). */
+final class NgramKernel(n: Int) extends Serializable {
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  private val empty: ArrayData = new GenericArrayData(new Array[AnyRef](0))
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): ArrayData = {
+    if (text == null) return empty
+    val replaced = UTF8String.fromString(
+      ws.matcher(text.toString).replaceAll(" "))
+    val norm = replaced.trim().toLowerCase()
+    if (norm.numBytes() == 0) return empty
+    val words = norm.split(sep, -1)
+    val m = words.length
+    if (m < n) return empty
+    val out = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      out(i) = UTF8String.concatWs(sep,
+        java.util.Arrays.copyOfRange(words, i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native word n-gram strings: `array<string>` of the positional n-grams
+  * of a string column, document order, with multiplicity. See
+  * [[NgramKernel]]. */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"need n($n) >= 1")
+
+  override def prettyName: String = "graft_word_ngrams"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val kernel = new NgramKernel(n)
+
+  // a null text degrades to the empty gram array (it has no grams), so
+  // the null passes through to the kernel rather than short-circuiting
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    kernel.compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramKernel", kernel,
+      classOf[NgramKernel].getName)
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    val strCls = classOf[UTF8String].getName
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |$arrCls ${ev.value} = $ref.compute(
+        |  ${childGen.isNull} ? null : ($strCls) ${childGen.value});
+       """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramsExpr = copy(child = newChild)
+}
+
 /** Per-row MinHash signature work: Carter–Wegman double hashing exactly as
   * the composed `Dedup.minHashSignature` family — h1(s) = xxhash64(s),
   * h2(s) = xxhash64(s, 1) (a LONG hash chained with an INT literal hash,

@@ -89,12 +89,17 @@ case class TopKRowsAgg(
     new GenericArrayData(buffer.sorted(ord).take(k).toArray)
 
   // the Collect-aggregate serialization pattern: one UnsafeRow holding
-  // the buffer as an array value
+  // the buffer as an array value. The projection is cached per
+  // (deserialized-per-task) instance — serialize runs once per GROUP at
+  // partial-output time, and re-running UnsafeProjection.create's
+  // codegen pipeline per group dominated the aggregate's cost before
+  // this was hoisted (measured ~3x on the o11 gate).
+  @transient private lazy val bufferProjection =
+    UnsafeProjection.create(Array[DataType](dataType))
+
   override def serialize(buffer: mutable.ArrayBuffer[Any]): Array[Byte] = {
     val array = new GenericArrayData(shrink(buffer).toArray)
-    val projection =
-      UnsafeProjection.create(Array[DataType](dataType))
-    projection(InternalRow(array)).getBytes
+    bufferProjection(InternalRow(array)).getBytes
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {

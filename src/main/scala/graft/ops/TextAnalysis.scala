@@ -527,14 +527,15 @@ object TextAnalysis {
                   minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     require(minCount >= 1, s"minCount must be positive, got $minCount")
-    val words = filter(split(normalized(col(textCol)), " "),
-      w => length(w) > 0)
-    val grams = df
-      .select(words.as("__w"))
-      .select(when(size(col("__w")) >= n,
-        transform(sequence(lit(0), size(col("__w")) - n),
-          i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>")).as("__grams"))
+    // native codegen'd gram materialization (one normalize+split per
+    // row); the composed transform/element_at form re-normalized the
+    // whole document once PER GRAM after CollapseProject inlined the
+    // shared word array into the lambda — see WordNgramsExpr's scaladoc
+    val grams = df.select(
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
+          n)).as("__grams"))
     grams.select(explode(col("__grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
