@@ -208,15 +208,13 @@ object IncrementalCC {
         .select(col("node"), col("component"),
           pmod(col("component"), b).as("bucket"))
       val out = graft.core.Checkpoints.cut(rewritten)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try out.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      // dynamic overwrite scoped to THIS writer (not a session-conf
+      // toggle, which a concurrent write on the same session would
+      // silently inherit — and whose finally-restore races with it)
+      out.write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
         .parquet(path)
-      finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
       // dynamic overwrite only replaces partitions PRESENT in the
       // written data — an affected bucket whose every row migrated to
       // the merged label's bucket writes nothing and would keep its

@@ -187,15 +187,21 @@ object Layout {
     x
   }
 
-  /** Column form of [[hilbertScalar]] over `cols` (each masked to
-    * `bits` low bits first, the [[zorderCompactN]] discipline). */
+  /** Column form of [[hilbertScalar]] over `cols` — each masked to
+    * `bits` low bits INSIDE the kernel (the [[zorderCompactN]]
+    * truncation contract), null if any coordinate is null (the
+    * [[mortonCodeN]] null semantics — the curves agree). Native
+    * codegen'd expression ([[graft.functions.HilbertCodeExpr]]), not a
+    * UDF: no boxed `Seq[Long]` conversion per row and no `ScalaUDF`
+    * codegen fence in the layout rewrite. */
   def hilbertCodeN(cols: Seq[Column], bits: Int = 8): Column = {
     val n = cols.length
     require(n >= 2, s"hilbertCodeN needs at least 2 columns, got $n")
     require(bits >= 1 && n * bits <= 63,
       s"need 1 <= bits and n*bits <= 63, got n=$n bits=$bits")
-    val enc = udf((xs: Seq[Long]) => hilbertScalar(xs.toArray, bits))
-    enc(array(cols.map(_.cast("long")): _*))
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.functions.HilbertCodeExpr(
+      ColumnShim.expression(array(cols.map(_.cast("long")): _*)), bits))
   }
 
   /** [[zorderCompactN]] with the Hilbert interleave — same contract
@@ -205,10 +211,8 @@ object Layout {
                       numFiles: Int, cols: Seq[String],
                       bits: Int = 8): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val mask = (1 << bits) - 1
     val df = spark.read.parquet(in)
-    df.withColumn("__h", hilbertCodeN(
-        cols.map(c => col(c).bitwiseAND(lit(mask))), bits))
+    df.withColumn("__h", hilbertCodeN(cols.map(col), bits))
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")

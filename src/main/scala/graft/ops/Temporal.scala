@@ -361,8 +361,15 @@ object Temporal {
     * first — the [[twapBuckets]] contract), so `interp` is ONE exact
     * integer product/difference chain followed by one IEEE division and
     * one addition — bit-reproducible in any engine, never an
-    * accumulation-order artifact. Callers pre-aggregate to one row per
-    * (keys, ts); same-instant duplicates are dropped defensively.
+    * accumulation-order artifact. The product `(nv−pv)·(g−pt)` runs in
+    * DECIMAL(38,0), not LONG: at production magnitudes (value deltas
+    * ~1e8 over day-long µs segments ~8.6e10) the long product exceeds
+    * 2⁶³ and would silently wrap under non-ANSI Spark while the oracle
+    * computes exactly — decimal keeps every product up to 10³⁸ exact,
+    * and a (physically absurd) overflow past that surfaces as NULL, a
+    * visible divergence instead of a wrong number. Callers
+    * pre-aggregate to one row per (keys, ts); same-instant duplicates
+    * are dropped defensively.
     *
     * Scale shape: ONE key-shuffle (the `lead` window) and nothing else —
     * unlike the ffill (grid ⋈ observations as-of), the interpolation
@@ -398,7 +405,10 @@ object Temporal {
       .withColumn("grid_ts", col("__gi") * stepUs)
       .select(keys.map(col) ++ Seq(col("grid_ts"),
         (col("__v").cast("double") +
-          ((col("__nv") - col("__v")) * (col("grid_ts") - col("__ts")))
+          ((col("__nv").cast("decimal(38,0)") -
+            col("__v").cast("decimal(38,0)")) *
+            (col("grid_ts").cast("decimal(38,0)") -
+              col("__ts").cast("decimal(38,0)")))
             .cast("double") /
           (col("__nxt") - col("__ts")).cast("double")).as("interp")): _*)
     // the trailing observation opens no segment; it appears iff on-grid

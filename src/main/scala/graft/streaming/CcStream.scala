@@ -30,8 +30,10 @@ import graft.bel.{ConnectedComponents, IncrementalCC}
 object CcStream {
 
   /** Fold one edge batch into the index at `indexPath` (created from the
-    * batch itself on first sight). Returns rewritten-bucket count (0 for
-    * a no-op/replayed batch after creation).
+    * batch itself on first sight). Returns the number of bucket
+    * directories actually written — on creation the count of DISTINCT
+    * buckets the base components hash into (≤ the nominal modulus), on
+    * a fold the rewritten-bucket count (0 for a no-op/replayed batch).
     *
     * "Index exists" is decided by the layout's bucket-count marker —
     * which [[IncrementalCC.writeIndex]] writes LAST, so it doubles as
@@ -46,7 +48,14 @@ object CcStream {
       case None =>
         IncrementalCC.writeIndex(ConnectedComponents.run(batch), indexPath,
           buckets)
-        buckets.toLong
+        // truthful accounting, same contract as foldIndex: the number of
+        // bucket directories actually WRITTEN, not the nominal modulus —
+        // a base graph whose components hash into fewer than `buckets`
+        // distinct buckets writes fewer directories. `bucket` is the
+        // PARTITION column, so this distinct-count is a metadata-only
+        // scan (directory listing), no data files open.
+        spark.read.parquet(indexPath)
+          .select("bucket").distinct().count()
       case Some(_) =>
         IncrementalCC.foldIndex(spark, indexPath, batch, buckets)
     }

@@ -71,11 +71,38 @@ object DedupStream {
         case Some(id) =>
           val part = s"$outPath/batch_id=$id"
           if (n > 0) {
-            // (re)write the batch's own partition — identical rows on
-            // a replay-before-index-append, never duplicate appends
-            docs.write.mode(SaveMode.Overwrite).parquet(part)
-            fresh.write.mode(SaveMode.Append).parquet(indexPath)
-            n
+            if (exists(spark, part)) {
+              // replay after a PARTIALLY committed index append (a
+              // non-atomic committer / object-store rename can land a
+              // subset of the fingerprint files before the crash): the
+              // probe then recomputes only the not-yet-indexed subset
+              // of survivors, and a bare Overwrite would replace the
+              // previously-landed FULL set with that subset. Union the
+              // recomputed survivors with the partition's existing rows
+              // (staged through a sibling tmp dir — parquet can't
+              // overwrite its own input) so accepted rows are never
+              // lost; dedup on idCol keeps the overlap single. With the
+              // default rename-based committer the append is atomic
+              // per-file, and this branch degenerates to rewriting the
+              // identical row set.
+              val tmp = s"$outPath/.batch_id=${id}_replay_tmp"
+              docs.unionByName(spark.read.parquet(part), allowMissingColumns = true)
+                .dropDuplicates(idCol)
+                .write.mode(SaveMode.Overwrite).parquet(tmp)
+              val f = graft.core.Fs.fs(spark, part)
+              f.delete(new org.apache.hadoop.fs.Path(part), true)
+              f.rename(new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(part))
+              fresh.write.mode(SaveMode.Append).parquet(indexPath)
+              spark.read.parquet(part).count()
+            } else {
+              // first processing of this batch: write the partition,
+              // THEN append the index (probe-before-append replay
+              // discipline)
+              docs.write.mode(SaveMode.Overwrite).parquet(part)
+              fresh.write.mode(SaveMode.Append).parquet(indexPath)
+              n
+            }
           } else if (exists(spark, part)) {
             // full replay after the index append: keep the landed rows
             // and report their true count

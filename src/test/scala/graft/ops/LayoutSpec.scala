@@ -195,6 +195,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertCodeN native expression: masks to low bits inside the " +
+    "kernel, null coordinate yields null (agreeing with morton), and " +
+    "the plan carries no UDF node") {
+    // masking: 300 & 255 = 44 — the column form must equal the scalar
+    // over the MASKED coordinates
+    val got = Seq((1L, 2L), (300L, 2L)).toDF("x", "y")
+      .select(Layout.hilbertCodeN(Seq(col("x"), col("y")), 8).as("h"))
+      .as[Long].collect()
+    assert(got(0) === Layout.hilbertScalar(Array(1L, 2L), 8))
+    assert(got(1) === Layout.hilbertScalar(Array(44L, 2L), 8))
+    // sibling-curve null contract: both propagate a null coordinate
+    val hm = Seq((Option(1L), Option.empty[Long])).toDF("x", "y")
+      .select(Layout.hilbertCodeN(Seq(col("x"), col("y")), 8).as("h"),
+        Layout.mortonCode(col("x"), col("y"), 8).as("m"))
+      .collect().head
+    assert(hm.isNullAt(0), "hilbert must propagate a null coordinate")
+    assert(hm.isNullAt(1), "morton must propagate a null coordinate")
+    // native expression, not a UDF: nothing fences whole-stage codegen
+    val plan = Seq((1L, 2L)).toDF("x", "y")
+      .select(Layout.hilbertCodeN(Seq(col("x"), col("y")), 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"layout rewrite plan must carry no UDF node:\n$plan")
+  }
+
   test("exportJsonl: gzipped shard files, schema-pinned round-trip") {
     val dir = tmpDir("layout_jsonl")
     val df = (0 until 100).map(i =>

@@ -57,6 +57,22 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterp at production magnitudes: the (nv-pv)·(g-pt) " +
+    "product runs in decimal, not long — no silent wrap past 2^63") {
+    // value delta 2e9 over a day-long µs segment: the long product at
+    // the midpoint is 2e9 · 43.2e9 = 8.64e19 > Long.MaxValue and would
+    // wrap to a wrong interp under non-ANSI long arithmetic
+    val day = 86400000000L
+    val obs = Seq((1L, 0L, 0L), (1L, day, 2000000000L))
+      .toDF("k", "ts", "v")
+    val got = Temporal.resampleInterp(obs, Seq("k"), "ts", "v", day / 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0.0),
+      (1L, day / 2, 1.0e9), // exact midpoint — wrapped long gives garbage
+      (1L, day, 2.0e9)))
+  }
+
   test("resampleInterp matches a brute-force reference on a random " +
     "corpus, pre-epoch timestamps included") {
     val rnd = new scala.util.Random(47)

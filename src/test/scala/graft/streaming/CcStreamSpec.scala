@@ -39,8 +39,11 @@ class CcStreamSpec extends SparkSpec {
   test("first batch creates the index; a lone later singleton folds in") {
     val dir = tmpDir("ccstream2")
     val idx = s"$dir/idx"
+    // creation reports the buckets actually WRITTEN (truthful
+    // accounting, the foldIndex contract): one component → one bucket
+    // directory, not the nominal modulus 4
     assert(CcStream.foldBatch(spark, idx,
-      Seq(("p", "q")).toDF("src", "dst"), buckets = 4) === 4L)
+      Seq(("p", "q")).toDF("src", "dst"), buckets = 4) === 1L)
     CcStream.foldBatch(spark, idx, Seq(("z", "z")).toDF("src", "dst"),
       buckets = 4)
     val got = labels(IncrementalCC.readIndex(spark, idx))

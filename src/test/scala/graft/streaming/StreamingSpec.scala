@@ -337,6 +337,23 @@ class StreamingSpec extends SparkSpec {
     assert(nB === 2L)
     assert(spark.read.parquet(out).select("doc_id")
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // window C: PARTIALLY committed index append (non-atomic committer /
+    // object-store rename landed a subset of the fingerprint files
+    // before the crash) — the replayed probe recomputes only the
+    // not-yet-indexed survivors, and the partition rewrite must UNION
+    // them with the landed rows instead of replacing the full set with
+    // the subset
+    rm(new java.io.File(idx))
+    graft.ops.Dedup.exactSurvivors(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+      .write.parquet(idx) // index knows doc 1 only — the partial append
+    val nC = DedupStream.dedupBatch(spark, idx, out, b, Some(0L))
+    assert(nC === 2L, "replay reports the partition's TRUE row count")
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "previously-accepted rows must survive a partial-append replay")
+    assert(spark.read.parquet(idx).count() === 2L,
+      "the missing fingerprints complete the index")
   }
 
   test("dedupStream: duplicate keys within and across batches land once") {
