@@ -16,26 +16,99 @@ import graft.core.Checkpoints
   * formulation (Pregel/Pegasus-style iterated min-plus), never a
   * driver-side traversal.
   *
-  * Algorithm: synchronous label relaxation to fixpoint. `dist` starts at 0
+  * Algorithm: synchronous label relaxation to fixpoint — ONE loop
+  * ([[relaxLoop]]) parameterized by the state key (`node` for the folded
+  * distance, `(seed, node)` for the per-seed face). `dist` starts at 0
   * on the seeds; each round candidates = `dist ⋈ edges` + 1 unioned with
-  * the current frame, folded by `min(hops)` per node. The frame grows only
+  * the current frame, folded by `min(hops)` per key. The frame grows only
   * while strictly-shorter paths exist, so the round count is the graph's
   * eccentricity from the seed set (small on the dense co-occurrence graphs
   * this engine builds), and iterating past the fixpoint is the identity —
   * the property the unrolled-CTE oracle relies on.
   *
-  * Scale shape: each round is one equi-join on the frontier key plus one
-  * hash-aggregation on node id — nothing all-pairs, no driver-side graph,
-  * and the per-round frame is lineage-cut so round r+1 never replays
-  * round r's plan. Relaxing the FULL dist frame each round (not a delta
-  * frontier) keeps every round a 2-stage job; a delta-frontier variant
-  * saves join input at high diameters but adds a third shuffle per round,
-  * the wrong trade on low-diameter graphs.
+  * Scale shape: the loop runs DICT-ENCODED — endpoints and seeds hash to
+  * longs (`xxhash64`) at entry and the values join back through one
+  * dictionary at the rim (the [[PageRank]] encode posture, with the same
+  * negligible-collision caveat; nothing in a min-plus relaxation orders
+  * by id, so the hash encode suffices where [[LabelPropagation]] needs
+  * order-preserving ids). Each round is then one equi-join on the 8-byte
+  * frontier key plus one hash-aggregation — raw node values never
+  * shuffle inside the loop — and the per-round frame is lineage-cut so
+  * round r+1 never replays round r's plan. Relaxing the FULL dist frame
+  * each round (not a delta frontier) keeps every round a 2-stage job; a
+  * delta-frontier variant saves join input at high diameters but adds a
+  * third shuffle per round, the wrong trade on low-diameter graphs.
   *
   * Output: `(node, hops)` for every node REACHABLE from the seed set
   * (unreachable nodes are absent, the relational mirror of +∞).
   */
 object Bfs {
+
+  /** Undirected encoded adjacency: one row per direction, null
+    * endpoints and self-loops dropped ON VALUES (hashing first would
+    * turn nulls into joinable seeds), then hashed to `(u, v)` longs. */
+  private def encodedAdj(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("nu"), col(dstCol).as("nv"))
+    val rev = edges.select(col(dstCol).as("nu"), col(srcCol).as("nv"))
+    fwd.unionByName(rev)
+      .filter(col("nu").isNotNull && col("nv").isNotNull &&
+        col("nu") =!= col("nv"))
+      .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"))
+      .distinct()
+  }
+
+  /** Rim dictionary `(id, value)` over every endpoint and seed value —
+    * built once, joined once after the loop (seeds absent from the
+    * edges still need a decode row: they report hops = 0). */
+  private def rimDict(edges: DataFrame, seeds: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val seedCol = seeds.columns.head
+    edges.select(col(srcCol).as("value"))
+      .unionByName(edges.select(col(dstCol).as("value")))
+      .unionByName(seeds.select(col(seedCol).as("value")))
+      .distinct()
+      .select(xxhash64(col("value")).as("id"), col("value"))
+  }
+
+  /** ONE relaxation round: frontier join on the encoded `node` key +
+    * min-fold on `keyCols`. Exposed for the plan pin: every exchange
+    * this round plans must hash on long keys. */
+  private[bel] def relaxOnce(adj: DataFrame, dist: DataFrame,
+                             keyCols: Seq[String]): DataFrame = {
+    val carried = keyCols.filterNot(_ == "node").map(col)
+    val relaxed = dist.join(adj, dist("node") === adj("u"))
+      .select(carried ++ Seq(col("v").as("node"),
+        (col("hops") + 1).as("hops")): _*)
+    dist.unionByName(relaxed)
+      .groupBy(keyCols.map(col): _*).agg(min("hops").as("hops"))
+  }
+
+  /** Synchronous min-plus relaxation to fixpoint over the encoded
+    * graph. `dist0` carries `keyCols` + `hops`; fixpoint when no key
+    * gained a first-or-shorter distance — rows only ever append and
+    * per-key hops only ever decrease, so the (row count, hop sum) pair
+    * is a strictly-monotone progress measure. */
+  private def relaxLoop(adj: DataFrame, dist0: DataFrame,
+                        keyCols: Seq[String], maxDepth: Int): DataFrame = {
+    def footprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var dist = Checkpoints.cut(dist0)
+    var prev = footprint(dist)
+    var converged = false
+    var depth = 0
+    while (!converged && depth < maxDepth) {
+      val next = Checkpoints.cut(relaxOnce(adj, dist, keyCols))
+      val cur = footprint(next)
+      converged = cur == prev
+      prev = cur
+      dist = next
+      depth += 1
+    }
+    dist
+  }
 
   /** Hop distance from `seeds` (one column, same type as the edge
     * endpoints) over the UNDIRECTED graph of `edges`. `maxDepth` bounds
@@ -45,90 +118,49 @@ object Bfs {
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val seedCol = seeds.columns.head
-    // undirected adjacency: one row per direction, self-loops dropped
-    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val rev = edges.select(col(dstCol).as("u"), col(srcCol).as("v"))
-    val adj = fwd.unionByName(rev).filter(col("u") =!= col("v"))
-      .distinct().persist()
-    adj.count()
-
-    def footprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var dist = Checkpoints.cut(
-      seeds.select(col(seedCol).as("node")).distinct()
-        .withColumn("hops", lit(0)))
-    var prev = footprint(dist)
-    var converged = false
-    var depth = 0
-    while (!converged && depth < maxDepth) {
-      val relaxed = dist.join(adj, dist("node") === adj("u"))
-        .select(col("v").as("node"), (col("hops") + 1).as("hops"))
-      val next = Checkpoints.cut(
-        dist.unionByName(relaxed)
-          .groupBy("node").agg(min("hops").as("hops")))
-      // fixpoint when no node gained a first-or-shorter distance: rows
-      // only ever append and per-node hops only ever decrease, so the
-      // (row count, hop sum) pair is a strictly-monotone progress measure
-      val cur = footprint(next)
-      converged = cur == prev
-      prev = cur
-      dist = next
-      depth += 1
-    }
-    adj.unpersist()
-    dist
+    val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
+    val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
+      .select(xxhash64(col("nv")).as("node"), lit(0).as("hops"))
+    val dist = relaxLoop(adj, dist0, Seq("node"), maxDepth)
+    dist.join(rimDict(edges, seeds, srcCol, dstCol)
+        .withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("hops"))
   }
 
   /** Per-seed hop distances: `(seed, node, hops)` for every (seed,
     * reachable node) pair — [[hops]] keyed by origin instead of folded
-    * to the min. Same synchronous relaxation, same strictly-monotone
-    * (row count, hop sum) fixpoint measure, with the state keyed on the
-    * COMPOSITE (seed, node): each round is one equi-join on the frontier
-    * node plus one hash-aggregation, and the frame is bounded by
-    * |seeds| × |reachable|, which is why callers hand this a LANDMARK
-    * seed set, not the full vertex set (all-pairs BFS is not a 100 TB
-    * plan; landmark selection is the standard approximation — Potamias
-    * et al., "Fast shortest path distance estimation in large networks",
-    * CIKM 2009). */
+    * to the min. Same loop, state keyed on the COMPOSITE (seed, node):
+    * the frame is bounded by |seeds| × |reachable|, which is why callers
+    * hand this a LANDMARK seed set, not the full vertex set (all-pairs
+    * BFS is not a 100 TB plan; landmark selection is the standard
+    * approximation — Potamias et al., "Fast shortest path distance
+    * estimation in large networks", CIKM 2009). */
   def hopsPerSeed(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 20,
                   srcCol: String = "src", dstCol: String = "dst")
       : DataFrame = {
+    val dict = rimDict(edges, seeds, srcCol, dstCol)
+    hopsPerSeedEncoded(edges, seeds, maxDepth, srcCol, dstCol)
+      .join(dict.select(col("id").as("seed"), col("value").as("__s")),
+        Seq("seed"))
+      .join(dict.select(col("id").as("node"), col("value").as("__n")),
+        Seq("node"))
+      .select(col("__s").as("seed"), col("__n").as("node"), col("hops"))
+  }
+
+  /** The ENCODED per-seed distances `(seed, node, hops)` as long ids —
+    * shared by [[hopsPerSeed]] (which decodes both keys) and
+    * [[harmonicCloseness]] (which aggregates FIRST and decodes the
+    * one surviving key after the fold). */
+  private def hopsPerSeedEncoded(edges: DataFrame, seeds: DataFrame,
+                                 maxDepth: Int, srcCol: String,
+                                 dstCol: String): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val seedCol = seeds.columns.head
-    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val rev = edges.select(col(dstCol).as("u"), col(srcCol).as("v"))
-    val adj = fwd.unionByName(rev).filter(col("u") =!= col("v"))
-      .distinct().persist()
-    adj.count()
-
-    def footprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var dist = Checkpoints.cut(
-      seeds.select(col(seedCol).as("seed")).distinct()
-        .select(col("seed"), col("seed").as("node"),
-          lit(0).as("hops")))
-    var prev = footprint(dist)
-    var converged = false
-    var depth = 0
-    while (!converged && depth < maxDepth) {
-      val relaxed = dist.join(adj, dist("node") === adj("u"))
-        .select(col("seed"), col("v").as("node"),
-          (col("hops") + 1).as("hops"))
-      val next = Checkpoints.cut(
-        dist.unionByName(relaxed)
-          .groupBy("seed", "node").agg(min("hops").as("hops")))
-      val cur = footprint(next)
-      converged = cur == prev
-      prev = cur
-      dist = next
-      depth += 1
-    }
-    adj.unpersist()
-    dist
+    val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
+    val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
+      .select(xxhash64(col("nv")).as("seed"))
+      .select(col("seed"), col("seed").as("node"), lit(0).as("hops"))
+    relaxLoop(adj, dist0, Seq("seed", "node"), maxDepth)
   }
 
   /** Landmark harmonic closeness: for every node reachable from at
@@ -136,8 +168,10 @@ object Bfs {
     * (self excluded), `hop_mass` = Σ distance, and `harmonic` =
     * Σ 1/distance (the harmonic-centrality estimator restricted to the
     * landmark sample — Boldi & Vigna, "Axioms for centrality", Internet
-    * Math. 10, 2014). One aggregation over [[hopsPerSeed]]; a landmark's
-    * own row (d = 0) carries no mass by definition.
+    * Math. 10, 2014). One aggregation over the encoded per-seed
+    * distances — the fold runs on 8-byte node ids and the values decode
+    * AFTER it, so the aggregation exchange never carries node values;
+    * a landmark's own row (d = 0) carries no mass by definition.
     *
     * Exactness: a float Σ 1/d is accumulation-order-dependent, so it
     * would differ between engines by ulps. Instead the sum runs over
@@ -152,11 +186,15 @@ object Bfs {
     require(maxDepth <= 20,
       s"harmonicCloseness caps maxDepth at 20 (lcm-exact sums), got $maxDepth")
     val L = 232792560L // lcm(1..20)
-    hopsPerSeed(edges, landmarks, maxDepth, srcCol, dstCol)
+    hopsPerSeedEncoded(edges, landmarks, maxDepth, srcCol, dstCol)
       .filter(col("hops") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_landmarks"),
         sum(col("hops").cast("long")).as("hop_mass"),
         (sum(expr(s"$L div hops")).cast("double") / L).as("harmonic"))
+      .join(rimDict(edges, landmarks, srcCol, dstCol)
+        .withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("n_landmarks"),
+        col("hop_mass"), col("harmonic"))
   }
 }

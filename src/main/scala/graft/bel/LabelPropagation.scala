@@ -25,13 +25,19 @@ import graft.core.Checkpoints
   * bipartite structures) is the price of determinism and is why the
   * iteration count is fixed rather than convergence-tested.
   *
-  * Scale shape: labels carry the NODE value itself (strings at
-  * dimension scale; a 10⁹-node deployment would dict-encode to longs
-  * first — the [[PageRank]] posture); each iteration is one equi-join
-  * of the undirected edge set against the label vector + two
-  * hash-aggregations keyed on node — the minimal synchronous-step
-  * shape — under per-iteration lineage cuts (the iterative-plan
-  * discipline measured in [[PageRank]]).
+  * Scale shape: the loop runs DICT-ENCODED — node values map to longs
+  * once at entry ([[orderedIds]]) and map back once at the rim,
+  * so every in-loop exchange hashes 8-byte keys instead of re-shuffling
+  * raw node/label values round after round (the [[PageRank]] encode
+  * posture; at 10⁹ nodes the value shuffle is the loop's whole cost).
+  * Unlike PageRank's hash encode, the ids here are ORDER-PRESERVING
+  * (global sort + per-partition index at entry): the label is part of
+  * the tie-break, so `min(label_id)` must agree with `min(label_value)`
+  * — a hash encode would change which label wins ties. Each iteration
+  * is then one equi-join of the encoded edge set against the label
+  * vector + two hash-aggregations keyed on longs — the minimal
+  * synchronous-step shape — under per-iteration lineage cuts (the
+  * iterative-plan discipline measured in [[PageRank]]).
   */
 object LabelPropagation {
 
@@ -46,6 +52,43 @@ object LabelPropagation {
         col("u") =!= col("v"))
       .distinct()
 
+  /** Order-preserving id dictionary `(node, id)` for a one-column
+    * frame: ids are longs STRICTLY ASCENDING in `node` order —
+    * range-repartition + in-partition sort, then
+    * `monotonically_increasing_id` (ascending partition index in the
+    * high bits, ascending row position in the low bits, and range
+    * partitions are ordered by index — so the composite is globally
+    * monotone). Not dense, and not the same values across runs — but
+    * `min(id)` over any subset picks the same element as `min(node)`,
+    * which is the only property the LPA tie-break needs and the one a
+    * hash encode cannot give. Chosen over the distributed-zipWithIndex
+    * idiom because it skips the partition-sizing job and the RDD
+    * round-trip (stays codegen'd, one shuffle total). */
+  private[bel] def orderedIds(nodes: DataFrame): DataFrame =
+    nodes.repartitionByRange(col("node"))
+      .sortWithinPartitions("node")
+      .withColumn("id", monotonically_increasing_id())
+
+  /** ONE synchronous LPA round over the ENCODED graph: `e` is `(u, v)`
+    * long pairs (both orientations present), `labels` is `(node, label)`
+    * longs. Exposed for the plan pin: every exchange this step plans
+    * must hash on long keys. */
+  private[bel] def step(e: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = e
+      .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+      .groupBy(col("u").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    // (cnt desc, label asc) via one orderable-struct min — no window
+    val best = counts
+      .groupBy("node")
+      .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("b"))
+      .select(col("node"), col("b.label").as("new_label"))
+    labels
+      .join(best, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
   /** edges(src, dst) → (node, label) after `iterations` synchronous
     * rounds; label values are node values (community = the label its
     * members agreed on). Edges are undirected and de-duplicated;
@@ -55,32 +98,33 @@ object LabelPropagation {
           cutEvery: Int = 2): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
-    val und = undirectedSimple(edges).persist()
-    val nodes = und.select(col("u").as("node")).distinct().persist()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    val und = undirectedSimple(edges)
+    // entry encode: order-preserving dict, then the edge list as longs.
+    // Two dimension-sized joins, paid ONCE — every round then shuffles
+    // 16-byte rows instead of value pairs.
+    val dict = Checkpoints.cut(
+      orderedIds(und.select(col("u").as("node")).distinct()))
+    val e = Checkpoints.cut(und
+      .join(dict.select(col("node").as("u"), col("id").as("__u")), Seq("u"))
+      .join(dict.select(col("node").as("v"), col("id").as("__v")), Seq("v"))
+      .select(col("__u").as("u"), col("__v").as("v")))
+    var labels = dict.select(col("id").as("node"), col("id").as("label"))
     for (i <- 1 to iterations) {
-      val counts = und
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      // (cnt desc, label asc) via one orderable-struct min — no window
-      val best = counts
-        .groupBy("node")
-        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("b"))
-        .select(col("node"), col("b.label").as("new_label"))
-      val updated = labels
-        .join(best, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label"))
+      val updated = step(e, labels)
       // unlike PageRank's doubly-referenced step, `updated` is consumed
       // ONCE by the next round — an un-cut pair of steps re-evaluates
       // nothing, so batching cuts only trades plan depth for jobs
       labels = if (i % cutEvery == 0 && i != iterations)
         Checkpoints.cut(updated) else updated
     }
-    val out = Checkpoints.cut(labels)
-    und.unpersist()
-    nodes.unpersist()
-    out
+    val enc = Checkpoints.cut(labels)
+    // rim decode: ids back to node VALUES for both columns (labels are
+    // node values in the contract)
+    enc
+      .join(dict.select(col("id").as("node"), col("node").as("__n")),
+        Seq("node"))
+      .join(dict.select(col("id").as("label"), col("node").as("__l")),
+        Seq("label"))
+      .select(col("__n").as("node"), col("__l").as("label"))
   }
 }
