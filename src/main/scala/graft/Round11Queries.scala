@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 gates — closing the round-10 verdict's asks:
+  *
+  *  - `a35_ppr_weighted`: seed-restart AND edge-weighted PageRank
+  *    ([[graft.bel.PageRank.runPersonalizedWeighted]]) — the two
+  *    generalizations compose (restart vector vs transition matrix are
+  *    disjoint parts of the recurrence); oracle = the unrolled weighted
+  *    recurrence with the a30 personalized restart mass.
+  */
+object Round11Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replace(".", "_")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def rmrf(s: SparkSession, path: String): Unit =
+    graft.core.Fs.delete(s, path)
+
+  val queries: Map[String, Q] = Map(
+
+    // --- Personalized AND weighted PageRank ----------------------------------
+    // The a30 seed set (r:0 w=3, r:1 w=1 over the reversed dimension
+    // graph) with the a32 edge weights (n_nationkey%3+1, s_suppkey%7+1):
+    // teleport and dangling mass return to the normalized seed
+    // distribution while transitions carry rank·w/out-strength. Same
+    // ONE power loop as a17/a30/a32 (PageRank.power — the composition
+    // touches disjoint parts of the recurrence, zero new plan shape);
+    // same a17 scoping, measured there.
+    "a35_ppr_weighted" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      import ss.implicits._
+      val rn = t(ss, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"),
+        (col("n_nationkey") % 3 + 1).cast("double").as("weight"))
+      val ns = t(ss, d, "supplier").select(
+        concat(lit("n:"), col("s_nationkey")).as("src"),
+        concat(lit("s:"), col("s_suppkey")).as("dst"),
+        (col("s_suppkey") % 7 + 1).cast("double").as("weight"))
+      val seeds = Seq(("r:0", 3.0), ("r:1", 1.0)).toDF("node", "weight")
+      graft.bel.PageRank.runPersonalizedWeighted(rn.unionByName(ns),
+        seeds, "weight", iterations = 8)
+    }))
+
+  /** The FULL recurrence unrolled — [[Round10Queries]]' pprOracle
+    * restart vector composed with its weightedPrOracle transition
+    * terms: rank' = (1−d)·s + d·(Σ_in rank·w/outstr + danglingMass·s)
+    * over the reversed weighted dimension graph. */
+  private def pprWeightedOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank * e.w / o.s) AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outstr o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS m FROM r${i - 1} r
+         |  LEFT JOIN outstr o ON r.node = o.src WHERE o.src IS NULL
+         |), r$i AS (
+         |  SELECT v.node,
+         |    (1 - 0.85) * v.s + 0.85 * (coalesce(c.c, 0) + d$i.m * v.s)
+         |      AS rank
+         |  FROM sv v CROSS JOIN d$i
+         |  LEFT JOIN c$i c ON c.node = v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst,
+       |    CAST(n_nationkey % 3 + 1 AS DOUBLE) AS w
+       |  FROM nation
+       |  UNION ALL
+       |  SELECT 'n:' || s_nationkey, 's:' || s_suppkey,
+       |    CAST(s_suppkey % 7 + 1 AS DOUBLE)
+       |  FROM supplier
+       |), edges AS (
+       |  SELECT src, dst, sum(w) AS w FROM raw GROUP BY 1, 2
+       |), vertices AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), sv AS (
+       |  SELECT node, CASE node WHEN 'r:0' THEN 3.0 / 4.0
+       |    WHEN 'r:1' THEN 1.0 / 4.0 ELSE 0.0 END AS s
+       |  FROM vertices
+       |), outstr AS (
+       |  SELECT src, sum(w) AS s FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT node, s AS rank FROM sv
+       |),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "a35_ppr_weighted" -> pprWeightedOracle(8))
+}
