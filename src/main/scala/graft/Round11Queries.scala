@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   *    generalizations compose (restart vector vs transition matrix are
   *    disjoint parts of the recurrence); oracle = the unrolled weighted
   *    recurrence with the a30 personalized restart mass.
+  *  - `k22_compact_ingest`: OPTIMIZE-style maintenance for the
+  *    streaming-append layout ([[graft.streaming.CuratePipeline
+  *    .compactIngest]]) — corpus partitions fold into a sorted archive,
+  *    the fingerprint index rewrites sorted, and the batch-partition
+  *    replay discipline survives the rewrite.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -22,6 +27,23 @@ object Round11Queries {
 
   private def rmrf(s: SparkSession, path: String): Unit =
     graft.core.Fs.delete(s, path)
+
+  private def memo[A](store: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, A]],
+      s: SparkSession, d: String)(build: () => A): A =
+    store.synchronized {
+      var m = store.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, A]()
+        store.put(s, m)
+      }
+      m
+    }.computeIfAbsent(d, _ => build())
+
+  private val compactMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (Boolean, Boolean, Boolean, Boolean)]]())
 
   val queries: Map[String, Q] = Map(
 
@@ -48,6 +70,57 @@ object Round11Queries {
       val seeds = Seq(("r:0", 3.0), ("r:1", 1.0)).toDF("node", "weight")
       graft.bel.PageRank.runPersonalizedWeighted(rn.unionByName(ns),
         seeds, "weight", iterations = 8)
+    }),
+
+    // --- Ingest small-file compaction ----------------------------------------
+    // The OPTIMIZE-style maintenance the streaming-append layout needs
+    // at 100 TB (one small file set per micro-batch): the curate chain
+    // runs two batches, compactIngest folds corpus partitions into the
+    // batch_id=-1 archive (N sorted files) and rewrites the fingerprint
+    // index to N fingerprint-sorted files. The gate pins the FULL loop:
+    // the compacted corpus still equals the batch-chain oracle, file
+    // counts are bounded, a replayed pre-compaction batch lands NOTHING
+    // (fingerprints all indexed, its partition gone), and a genuinely
+    // new post-compaction batch still appends beside the archive.
+    "k22_compact_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.CuratePipeline
+      val (chainOk, filesOk, replayOk, appendOk) =
+        memo(compactMemo, s, d) { () =>
+          val docs = t(s, d, "documents").select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0)
+          val b0 = docs.filter(col("doc_id") % 20 === 0)
+          val b1 = docs.filter(col("doc_id") % 20 =!= 0)
+          val base = s"/tmp/graft_compact_${sfTag(d)}"
+          rmrf(s, base)
+          val checks = Seq(graft.ops.Expectations.notNull("text"))
+          def rules(in: DataFrame): DataFrame =
+            in.filter(graft.ops.TextAnalysis.tokenCount(col("text")) >= 5)
+          val (idx, out) = (s"$base/idx", s"$base/out")
+          CuratePipeline.curateBatch(s, b0, 0L, checks, rules, idx, out)
+          CuratePipeline.curateBatch(s, b1, 1L, checks, rules, idx, out)
+          def ids() = CuratePipeline.corpus(s, out)
+            .select("doc_id").as[Long].collect().toSet
+          val want = graft.ops.Dedup.exactSurvivors(rules(docs))
+            .select("survivor_id").as[Long].collect().toSet
+          val (nc, ni) = CuratePipeline.compactIngest(s, idx, out,
+            numFiles = 4)
+          val compacted = ids()
+          val replay = CuratePipeline.curateBatch(s, b1, 1L, checks,
+            rules, idx, out)
+          val replayed = ids()
+          val fresh = Seq((9000000001L, "six brand new tokens never seen"))
+            .toDF("doc_id", "text")
+          val m2 = CuratePipeline.curateBatch(s, fresh, 2L, checks,
+            rules, idx, out)
+          (compacted == want,
+            nc <= 4L && ni <= 4L,
+            replay.nAccepted == 0L && replayed == want,
+            m2.nAccepted == 1L && ids() == (want + 9000000001L))
+        }
+      Seq((chainOk, filesOk, replayOk, appendOk)).toDF(
+        "chain_equals_batch", "files_bounded", "replay_lands_nothing",
+        "new_batch_appends")
     }))
 
   /** The FULL recurrence unrolled — [[Round10Queries]]' pprOracle
@@ -101,5 +174,9 @@ object Round11Queries {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "a35_ppr_weighted" -> pprWeightedOracle(8))
+    "a35_ppr_weighted" -> pprWeightedOracle(8),
+
+    "k22_compact_ingest" ->
+      ("SELECT true AS chain_equals_batch, true AS files_bounded, " +
+        "true AS replay_lands_nothing, true AS new_batch_appends"))
 }

@@ -41,6 +41,29 @@ object Layout {
     spark.read.parquet(out)
   }
 
+  /** IN-PLACE [[compact]]: rewrite `dir` itself to `numFiles` sorted
+    * files through a sibling tmp directory and two renames (parquet
+    * cannot overwrite its own input). The swap windows: a crash before
+    * the first rename leaves `dir` untouched (tmp debris is re-created
+    * next run); between the renames, `dir` is momentarily absent with
+    * the full old copy at `dir__compact_old` — so run maintenance from
+    * ONE process with no concurrent reader/writer of `dir` (the same
+    * single-writer constraint every OPTIMIZE without a transaction log
+    * carries). */
+  def compactInPlace(spark: SparkSession, dir: String, numFiles: Int,
+                     sortCols: Seq[String]): Unit = {
+    val tmp = s"${dir}__compact_tmp"
+    val old = s"${dir}__compact_old"
+    val fs = graft.core.Fs.fs(spark, dir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(tmp), true); fs.delete(p(old), true)
+    compact(spark, dir, tmp, numFiles, sortCols)
+    fs.rename(p(dir), p(old))
+    fs.rename(p(tmp), p(dir))
+    fs.delete(p(old), true)
+    ()
+  }
+
   /** Morton (Z-order) code: bit-interleave of two non-negative columns,
     * each truncated to `bits` low bits — the multi-dimensional
     * clustering key behind Z-ordered lakehouse layouts. Points close in

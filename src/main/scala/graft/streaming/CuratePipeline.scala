@@ -90,6 +90,67 @@ object CuratePipeline {
       }
       .start()
 
+  /** OPTIMIZE-style maintenance for the streaming-append layout — the
+    * answer to the classic ingest small-file problem: every micro-batch
+    * appends one small parquet file set to the corpus partition and the
+    * fingerprint index, and after 10⁵ batches a 100 TB corpus scan pays
+    * more in file opens than in bytes. This rewrite:
+    *
+    *  - folds every corpus `batch_id=<k>` partition into ONE archive
+    *    partition `batch_id=-1` (a batch id streaming never issues) of
+    *    `numFiles` files, in-file sorted by `idCol` — the root stays a
+    *    pure partitioned layout, so post-compaction batches keep
+    *    appending their own `batch_id=<k>` directories beside it;
+    *  - rewrites the fingerprint index to `numFiles` files sorted by
+    *    `fingerprint` (tighter row-group min/max for the probe side);
+    *  - leaves `reports/` and `metrics/` per-batch partitions UNTOUCHED
+    *    — the quality/metrics trail keeps its batch-partition replay
+    *    discipline and its full history.
+    *
+    * Replay discipline after compaction: every compacted fingerprint is
+    * still in the index, so a replayed pre-compaction batch probes to
+    * zero survivors; its corpus partition is gone, so the zero-survivor
+    * path writes NOTHING and reports 0 (see the crash-window note in
+    * [[DedupStream.dedupBatch]]). Run compaction only for batches the
+    * stream checkpoint has committed (a replay past the compaction
+    * horizon is a checkpoint reset, and its metrics row then truthfully
+    * records 0 newly-accepted rows), from one maintenance process with
+    * the stream quiesced — the [[graft.ops.Layout.compactInPlace]]
+    * single-writer constraint; both rewrites stage through a sibling
+    * tmp directory and swap by rename.
+    *
+    * Returns (corpus files, index files) after the rewrite. */
+  def compactIngest(spark: SparkSession, indexPath: String,
+                    outPath: String, numFiles: Int,
+                    idCol: String = "doc_id"): (Long, Long) = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val corpusPath = s"$outPath/corpus"
+    val tmp = s"$outPath/.corpus_compact_tmp"
+    val old = s"$outPath/.corpus_compact_old"
+    val fs = graft.core.Fs.fs(spark, corpusPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(tmp), true); fs.delete(p(old), true)
+    spark.read.parquet(corpusPath).drop("batch_id")
+      .repartition(numFiles)
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch_id=-1")
+    fs.rename(p(corpusPath), p(old))
+    fs.rename(p(tmp), p(corpusPath))
+    fs.delete(p(old), true)
+    graft.ops.Layout.compactInPlace(spark, indexPath, numFiles,
+      Seq("fingerprint"))
+    def nFiles(dir: String): Long = {
+      val it = fs.listFiles(p(dir), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    (nFiles(corpusPath), nFiles(indexPath))
+  }
+
   /** Read-back faces for the persisted layout. */
   def corpus(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(s"$outPath/corpus")

@@ -88,4 +88,50 @@ class CuratePipelineSpec extends SparkSpec {
       .select("n_accepted").as[Long].collect().toSeq
     assert(acc === Seq(m1.nAccepted))
   }
+
+  test("compactIngest: corpus and index fold to N files, content and " +
+    "dedup semantics preserved, per-batch reports/metrics untouched, " +
+    "replayed pre-compaction batch lands nothing") {
+    val dir = tmpDir("curatecompact")
+    val (idx, out) = (s"$dir/idx", s"$dir/out")
+    val b0 = docs.filter(col("doc_id") <= 4)
+    val b1 = docs.filter(col("doc_id") > 4)
+    CuratePipeline.curateBatch(spark, b0, 0L, checks, rules, idx, out)
+    CuratePipeline.curateBatch(spark, b1, 1L, checks, rules, idx, out)
+    val before = CuratePipeline.corpus(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    val idxBefore = spark.read.parquet(idx)
+      .select("fingerprint").as[String].collect().sorted.toSeq
+    val (nc, ni) = CuratePipeline.compactIngest(spark, idx, out,
+      numFiles = 2)
+    assert(nc <= 2L && ni <= 2L, s"file counts after compact: $nc, $ni")
+    // content identical (batch provenance folds into the archive
+    // partition; doc rows and fingerprints byte-preserved)
+    assert(CuratePipeline.corpus(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+      === before)
+    assert(spark.read.parquet(idx)
+      .select("fingerprint").as[String].collect().sorted.toSeq
+      === idxBefore)
+    // reports/metrics keep their per-batch partitions and history
+    assert(CuratePipeline.reports(spark, out)
+      .select("batch_id").distinct().as[Long].collect().toSet
+      === Set(0L, 1L))
+    assert(CuratePipeline.metrics(spark, out).count() === 2L)
+    // a replayed pre-compaction batch probes to zero survivors and its
+    // partition is gone: nothing lands, the corpus stays compacted
+    val m = CuratePipeline.curateBatch(spark, b1, 1L, checks, rules,
+      idx, out)
+    assert(m.nAccepted === 0L)
+    assert(CuratePipeline.corpus(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+      === before)
+    // and a genuinely NEW batch still appends beside the archive
+    val b2 = Seq((20L, "brand new words here")).toDF("doc_id", "text")
+    val m2 = CuratePipeline.curateBatch(spark, b2, 2L, checks, rules,
+      idx, out)
+    assert(m2.nAccepted === 1L)
+    assert(CuratePipeline.corpus(spark, out)
+      .filter(col("batch_id") === 2).count() === 1L)
+  }
 }
