@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *    .compactIngest]]) — corpus partitions fold into a sorted archive,
   *    the fingerprint index rewrites sorted, and the batch-partition
   *    replay discipline survives the rewrite.
+  *  - `mm_decode_wav` / `mm_wav_rejects`: the REAL audio codec —
+  *    RIFF/WAVE 16-bit PCM parse ([[graft.ops.Multimodal.decodeWav]])
+  *    with exact integer sample statistics and a corrupt-blob reject
+  *    side output, the audio sibling of the PPM image codec.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -121,6 +125,41 @@ object Round11Queries {
       Seq((chainOk, filesOk, replayOk, appendOk)).toDF(
         "chain_equals_batch", "files_bounded", "replay_lands_nothing",
         "new_batch_appends")
+    }),
+
+    // --- Real audio codec: RIFF/WAVE 16-bit PCM decode gate ------------------
+    // wavEncode builds REAL RIFF/WAVE PCM clips whose samples are a pure
+    // function of doc_id (with a LIST chunk between fmt and data, so the
+    // decoder must walk the chunk grammar); decodeWav parses the actual
+    // container inside the batched mapPartitions and emits exact integer
+    // sample statistics. The oracle recomputes peak/Σ|s|/Σs² arithmetically
+    // from the sample formula, never seeing the bytes — a header-offset,
+    // endianness, or interleave bug breaks the hash.
+    "mm_decode_wav" -> ((s, d) =>
+      graft.ops.Multimodal.decodeWav(
+        graft.ops.Multimodal.wavEncode(t(s, d, "documents")))),
+
+    // The corrupt-blob side output: every 7th clip loses its magic,
+    // every 7th+1 its sample tail, every 7th+2 gets its fmt audioFormat
+    // patched to non-PCM; the reject stream must carry exactly those
+    // doc_ids with the stable reason codes the oracle predicts, and no
+    // clean row may leak into it.
+    "mm_wav_rejects" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val blobs = Multimodal.wavEncode(t(s, d, "documents"))
+      val corrupted = blobs.withColumn("content",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("X".getBytes("US-ASCII")),
+            col("content").substr(lit(2), length(col("content")))))
+          .when(col("doc_id") % 7 === 1,
+            col("content").substr(lit(1), length(col("content")) - 10))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("content").substr(lit(1), lit(20)),
+              lit(Array(3.toByte)),
+              col("content").substr(lit(22),
+                length(col("content")) - 21)))
+          .otherwise(col("content")))
+      Multimodal.decodeWavRejects(corrupted)
     }))
 
   /** The FULL recurrence unrolled — [[Round10Queries]]' pprOracle
@@ -178,5 +217,33 @@ object Round11Queries {
 
     "k22_compact_ingest" ->
       ("SELECT true AS chain_equals_batch, true AS files_bounded, " +
-        "true AS replay_lands_nothing, true AS new_batch_appends"))
+        "true AS replay_lands_nothing, true AS new_batch_appends"),
+
+    "mm_decode_wav" ->
+      """WITH spec AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |    16 + doc_id % 9 AS frames
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, n_channels, frames,
+        |    CAST(unnest(range(frames * n_channels)) AS BIGINT) AS i
+        |  FROM spec
+        |), sm AS (
+        |  SELECT doc_id, n_channels, frames,
+        |    ((doc_id * 131 + (i // n_channels) * 17 + (i % n_channels) * 71)
+        |      % 65536) - 32768 AS s
+        |  FROM px
+        |)
+        |SELECT doc_id, n_channels, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(frames AS INT) AS n_frames,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |FROM sm GROUP BY 1, 2, 3, 4
+        |""".stripMargin,
+
+    "mm_wav_rejects" ->
+      ("SELECT doc_id, CASE doc_id % 7 WHEN 0 THEN 'bad_magic' " +
+        "WHEN 1 THEN 'truncated' ELSE 'bad_fmt' END AS reason " +
+        "FROM documents WHERE doc_id % 7 <= 2"))
 }

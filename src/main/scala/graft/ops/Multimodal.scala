@@ -420,4 +420,202 @@ object Multimodal {
     metadata(
       df.withColumn("content", col("content").substr(lit(1), lit(maxBytes))),
       idCol)
+
+  // --------------------------------------------------------------------------
+  // REAL audio codec: RIFF/WAVE 16-bit PCM — the audio sibling of the PPM
+  // image codec. Same posture: a public container format parsed for real
+  // (RIFF chunk walk, fmt validation, interleaved little-endian samples),
+  // deterministic synthetic fixtures an oracle can recompute without the
+  // bytes, and corrupt blobs routed to a reject side output with stable
+  // reason codes instead of failing the job.
+  // --------------------------------------------------------------------------
+
+  final case class MmWavRow(doc_id: Long, ok: Boolean, n_channels: Int,
+                            sample_rate: Int, n_frames: Int, peak: Long,
+                            sum_abs: Long, sum_sq: Long, reason: String)
+
+  /** Deterministic RIFF/WAVE (16-bit PCM) clip per row — real WAV bytes
+    * built from `idCol` alone, so an independent oracle can recompute
+    * the expected sample statistics without ever seeing the blob:
+    * channels = 1 + id%2, sample rate 8000 Hz, frames = 16 + id%9,
+    * sample (frame k, channel c) = ((id·131 + k·17 + c·71) mod 65536) −
+    * 32768, interleaved little-endian. A `LIST` chunk sits between
+    * `fmt ` and `data`, so decoders must walk the chunk grammar, not
+    * assume the happy-path 44-byte header. */
+  def wavEncode(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as("doc_id"))
+      .as(Encoders.scalaLong)
+    in.mapPartitions { iter =>
+      iter.map { d =>
+        val ch = 1 + (d % 2).toInt
+        val frames = 16 + (d % 9).toInt
+        val rate = 8000
+        val blockAlign = ch * 2
+        val dataBytes = frames * blockAlign
+        val listPayload = "INFO".getBytes("US-ASCII")
+        val total = 12 + (8 + 16) + (8 + listPayload.length) +
+          (8 + dataBytes)
+        val out = new Array[Byte](total)
+        var i = 0
+        def ascii(s: String): Unit = {
+          val b = s.getBytes("US-ASCII")
+          System.arraycopy(b, 0, out, i, b.length); i += b.length
+        }
+        def u16(v: Int): Unit = {
+          out(i) = (v & 0xff).toByte
+          out(i + 1) = ((v >> 8) & 0xff).toByte
+          i += 2
+        }
+        def u32(v: Long): Unit = {
+          out(i) = (v & 0xff).toByte
+          out(i + 1) = ((v >> 8) & 0xff).toByte
+          out(i + 2) = ((v >> 16) & 0xff).toByte
+          out(i + 3) = ((v >> 24) & 0xff).toByte
+          i += 4
+        }
+        ascii("RIFF"); u32(total - 8L); ascii("WAVE")
+        ascii("fmt "); u32(16L)
+        u16(1); u16(ch); u32(rate.toLong); u32(rate.toLong * blockAlign)
+        u16(blockAlign); u16(16)
+        ascii("LIST"); u32(listPayload.length.toLong)
+        System.arraycopy(listPayload, 0, out, i, listPayload.length)
+        i += listPayload.length
+        ascii("data"); u32(dataBytes.toLong)
+        var k = 0
+        while (k < frames) {
+          var c = 0
+          while (c < ch) {
+            val s = ((d * 131 + k * 17 + c * 71) % 65536).toInt - 32768
+            u16(s & 0xffff)
+            c += 1
+          }
+          k += 1
+        }
+        MmIn(d, out)
+      }
+    }(Encoders.product[MmIn]).toDF()
+  }
+
+  /** Decode failure with a STABLE reason code — the WAV face of
+    * [[PpmException]]. */
+  final class WavException(val code: String, detail: String)
+    extends IllegalArgumentException(s"$code: $detail")
+
+  /** RIFF/WAVE 16-bit PCM parser: RIFF magic, chunk walk (unknown
+    * chunks skipped, odd sizes padded per spec), `fmt ` validated
+    * (PCM format 1, 16-bit, positive channels/rate) before `data`,
+    * then `frames = data_size / block_align` interleaved little-endian
+    * samples folded to EXACT integer statistics (peak = max |s|,
+    * Σ|s|, Σs²). Throws [[WavException]] with code ∈ {bad_magic,
+    * bad_fmt, truncated, malformed}; [[decodeWav]] routes those rows
+    * to the reject side output instead of failing the job. All
+    * offsets/sizes walk as Long — hostile 32-bit chunk sizes must not
+    * wrap the cursor. */
+  private[graft] def parseWav(
+      bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long) = {
+    def fail(code: String, detail: String): Nothing =
+      throw new WavException(code, detail)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def ascii(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      fail("bad_magic", "not a RIFF/WAVE container")
+    var pos = 12L
+    var haveFmt = false
+    var channels = 0
+    var rate = 0
+    while (pos + 8 <= bytes.length) {
+      val id = ascii(pos.toInt)
+      val size = u32(pos.toInt + 4)
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16 || body + 16 > bytes.length)
+            fail("bad_fmt", s"fmt chunk too short ($size bytes)")
+          val format = u16(body.toInt)
+          channels = u16(body.toInt + 2)
+          rate = u32(body.toInt + 4).toInt
+          val bits = u16(body.toInt + 14)
+          if (format != 1)
+            fail("bad_fmt", s"not integer PCM (format $format)")
+          if (bits != 16)
+            fail("bad_fmt", s"only 16-bit samples supported, got $bits")
+          if (channels <= 0 || rate <= 0)
+            fail("bad_fmt", s"bad channels/rate $channels/$rate")
+          haveFmt = true
+        case "data" =>
+          if (!haveFmt) fail("bad_fmt", "data chunk before fmt")
+          if (body + size > bytes.length)
+            fail("truncated", s"data chunk: need $size bytes, have " +
+              s"${bytes.length - body}")
+          val blockAlign = channels * 2
+          if (size % blockAlign != 0)
+            fail("malformed", s"data size $size not a multiple of the " +
+              s"$blockAlign-byte frame")
+          val frames = (size / blockAlign).toInt
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+          var j = body.toInt
+          val end = (body + size).toInt
+          while (j < end) {
+            val s = u16(j).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            sumSq += s * s
+            j += 2
+          }
+          return (channels, rate, frames, peak, sumAbs, sumSq)
+        case _ => // unknown chunk (LIST, fact, …): skip body + pad byte
+      }
+      pos = body + size + (size % 2) // RIFF pads chunks to even sizes
+    }
+    fail("malformed", "no data chunk")
+  }
+
+  private def decodeWavAll(df: DataFrame, idCol: String, batchSize: Int)
+      : org.apache.spark.sql.Dataset[MmWavRow] = {
+    val in = df.select(col(idCol).cast("long").as("doc_id"), col("content"))
+      .as(Encoders.product[MmIn])
+    in.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        // one codec "session" per batch, the decodePpmAll shape
+        batch.iterator.map { r =>
+          try {
+            val (ch, rate, frames, peak, sumAbs, sumSq) = parseWav(r.content)
+            MmWavRow(r.doc_id, ok = true, ch, rate, frames, peak, sumAbs,
+              sumSq, null)
+          } catch {
+            case e: WavException =>
+              MmWavRow(r.doc_id, ok = false, 0, 0, 0, 0L, 0L, 0L, e.code)
+            case _: RuntimeException =>
+              MmWavRow(r.doc_id, ok = false, 0, 0, 0, 0L, 0L, 0L,
+                "malformed")
+          }
+        }
+      }
+    }(Encoders.product[MmWavRow])
+  }
+
+  /** Per-clip exact integer audio features over decoded PCM samples:
+    * `(doc_id, n_channels, sample_rate, n_frames, peak, sum_abs,
+    * sum_sq)` — peak/RMS inputs as exact integers (divide/sqrt
+    * downstream if a float RMS is wanted; the stored form stays
+    * engine-bit-exact). */
+  def decodeWav(df: DataFrame, idCol: String = "doc_id",
+                batchSize: Int = 64): DataFrame =
+    decodeWavAll(df, idCol, batchSize)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("n_channels"), col("sample_rate"),
+        col("n_frames"), col("peak"), col("sum_abs"), col("sum_sq"))
+
+  /** The corrupt-blob side output of [[decodeWav]]: (doc_id, reason)
+    * with reason ∈ {bad_magic, bad_fmt, truncated, malformed}. */
+  def decodeWavRejects(df: DataFrame, idCol: String = "doc_id",
+                       batchSize: Int = 64): DataFrame =
+    decodeWavAll(df, idCol, batchSize)
+      .filter(!col("ok"))
+      .select(col("doc_id"), col("reason"))
 }
