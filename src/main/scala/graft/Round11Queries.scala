@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *    RIFF/WAVE 16-bit PCM parse ([[graft.ops.Multimodal.decodeWav]])
   *    with exact integer sample statistics and a corrupt-blob reject
   *    side output, the audio sibling of the PPM image codec.
+  *  - `t_url_domain_psl`: registrable domain via a broadcast
+  *    public-suffix list ([[graft.ops.TextAnalysis
+  *    .urlDomainWithSuffixes]]) — longest-literal-match over staged
+  *    label-suffix candidates, heuristic fallback, exercised on
+  *    multi-label suffixes the list-free heuristic gets wrong.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -160,6 +165,33 @@ object Round11Queries {
                 length(col("content")) - 21)))
           .otherwise(col("content")))
       Multimodal.decodeWavRejects(corrupted)
+    }),
+
+    // --- Registrable domain via a broadcast public-suffix list ---------------
+    // The production form of t_url_parse's heuristic: an injected
+    // suffix fixture including multi-label suffixes the list-free rule
+    // gets WRONG (pvt.k12.ma.us, github.io), longest-literal-match via
+    // a broadcast join over staged label-suffix candidates, heuristic
+    // fallback for unlisted hosts, host-is-a-suffix edge. The oracle
+    // mirrors the candidate/longest-match/fallback logic in SQL over
+    // the same VALUES fixture.
+    "t_url_domain_psl" -> ((s, d) => {
+      import s.implicits._
+      val m = col("doc_id") % 8
+      val x = (col("doc_id") % 50).cast("string")
+      val hosts = t(s, d, "documents").select(
+        when(m === 0, concat(lit("s"), x, lit(".pvt.k12.ma.us")))
+          .when(m === 1, concat(lit("s"), x, lit(".co.uk")))
+          .when(m === 2, concat(lit("s"), x, lit(".github.io")))
+          .when(m === 3, concat(lit("www.s"), x, lit(".com")))
+          .when(m === 4, lit("co.uk"))
+          .when(m === 5, lit("localhost"))
+          .when(m === 6, concat(lit("s"), x, lit(".ac.jp")))
+          .otherwise(lit("internal.example")).as("host"))
+      val suffixes = Seq("com", "org", "net", "uk", "co.uk", "ac.uk",
+        "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us", "jp", "ac.jp",
+        "io", "github.io", "au", "com.au").toDF("suffix")
+      graft.ops.TextAnalysis.urlDomainWithSuffixes(hosts, suffixes)
     }))
 
   /** The FULL recurrence unrolled — [[Round10Queries]]' pprOracle
@@ -245,5 +277,54 @@ object Round11Queries {
     "mm_wav_rejects" ->
       ("SELECT doc_id, CASE doc_id % 7 WHEN 0 THEN 'bad_magic' " +
         "WHEN 1 THEN 'truncated' ELSE 'bad_fmt' END AS reason " +
-        "FROM documents WHERE doc_id % 7 <= 2"))
+        "FROM documents WHERE doc_id % 7 <= 2"),
+
+    "t_url_domain_psl" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT CASE doc_id % 8
+        |    WHEN 0 THEN 's' || (doc_id % 50) || '.pvt.k12.ma.us'
+        |    WHEN 1 THEN 's' || (doc_id % 50) || '.co.uk'
+        |    WHEN 2 THEN 's' || (doc_id % 50) || '.github.io'
+        |    WHEN 3 THEN 'www.s' || (doc_id % 50) || '.com'
+        |    WHEN 4 THEN 'co.uk'
+        |    WHEN 5 THEN 'localhost'
+        |    WHEN 6 THEN 's' || (doc_id % 50) || '.ac.jp'
+        |    ELSE 'internal.example' END AS host
+        |  FROM documents
+        |), sfx AS (
+        |  SELECT * FROM (VALUES ('com'),('org'),('net'),('uk'),('co.uk'),
+        |    ('ac.uk'),('us'),('ma.us'),('k12.ma.us'),('pvt.k12.ma.us'),
+        |    ('jp'),('ac.jp'),('io'),('github.io'),('au'),('com.au'))
+        |    AS t(suffix)
+        |), lab AS (
+        |  SELECT host, string_split(host, '.') AS labels,
+        |    len(string_split(host, '.')) AS n
+        |  FROM hosts
+        |), cand AS (
+        |  SELECT host, n, k,
+        |    array_to_string(labels[n - k + 1 : n], '.') AS cand
+        |  FROM lab, (SELECT unnest(range(1, 6)) AS k) ks
+        |  WHERE k <= least(n, 5)
+        |), m AS (
+        |  SELECT host, max(k) AS k
+        |  FROM cand JOIN sfx ON cand.cand = sfx.suffix
+        |  GROUP BY host
+        |), heur AS (
+        |  SELECT host, CASE WHEN length(d) > 0 THEN d ELSE host END AS h
+        |  FROM (
+        |    SELECT host, CASE WHEN regexp_matches(host,
+        |        '\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$')
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS d
+        |    FROM hosts)
+        |)
+        |SELECT l.host,
+        |  CASE WHEN m.k IS NULL THEN heur.h
+        |    WHEN m.k >= l.n THEN l.host
+        |    ELSE array_to_string(l.labels[l.n - m.k : l.n], '.')
+        |  END AS registrable_domain
+        |FROM lab l
+        |LEFT JOIN m ON m.host = l.host
+        |JOIN heur ON heur.host = l.host
+        |""".stripMargin)
 }

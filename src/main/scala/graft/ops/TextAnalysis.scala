@@ -579,4 +579,52 @@ object TextAnalysis {
       .otherwise(two)
     when(length(d) > 0, d).otherwise(host)
   }
+
+  /** Registrable domain via an INJECTED public-suffix list — the
+    * production form [[urlDomain]]'s scaladoc promises: `suffixes` is a
+    * one-column frame of literal suffixes (ship the Mozilla PSL,
+    * wildcard rules pre-expanded upstream — this operator does longest
+    * LITERAL match, no `*`/`!` grammar), and the registrable domain is
+    * the longest matching suffix plus one label. The F8/F9
+    * grounding-dict posture: per DISTINCT host, every label-suffix up
+    * to 5 labels deep (the PSL's practical depth) is generated in a
+    * STAGED projection (complex generator children measured ~7× slower
+    * inline), equi-joined against the BROADCAST suffix list, and the
+    * longest match folds with one max — never a per-row driver lookup,
+    * never a regex scan of the list.
+    *
+    * Fallbacks keep the operator total: a host matching NO suffix falls
+    * back to the [[urlDomain]] heuristic; a host that IS a suffix (or
+    * whose every label matched) returns itself — the heuristic's
+    * behavior on both edges. Returns `(host, registrable_domain)` for
+    * every distinct non-null host in `hosts`'s first column; callers
+    * join it back to the corpus (domain is a per-host fact — computing
+    * it per document row would redo the work once per duplicate). */
+  def urlDomainWithSuffixes(hosts: DataFrame,
+                            suffixes: DataFrame): DataFrame = {
+    val hostCol = hosts.columns.head
+    val suffixCol = suffixes.columns.head
+    val staged = hosts.select(col(hostCol).as("host")).distinct()
+      .filter(col("host").isNotNull)
+      .withColumn("__labels", split(col("host"), "\\."))
+      .withColumn("__n", size(col("__labels")))
+      .withColumn("__kmax", least(col("__n"), lit(5)))
+    val cands = staged
+      .select(col("host"),
+        explode(sequence(lit(1), col("__kmax"))).as("__k"),
+        col("__labels"))
+      .select(col("host"), col("__k"),
+        expr("array_join(slice(__labels, -__k, __k), '.')").as("__cand"))
+    val matched = cands
+      .join(broadcast(suffixes.select(col(suffixCol).as("__cand"))
+        .distinct()), Seq("__cand"))
+      .groupBy("host").agg(max("__k").as("__k"))
+    staged.join(matched, Seq("host"), "left")
+      .select(col("host"),
+        when(col("__k").isNull, urlDomain(col("host")))
+          .when(col("__k") >= col("__n"), col("host"))
+          .otherwise(expr(
+            "array_join(slice(__labels, -(__k + 1), __k + 1), '.')"))
+          .as("registrable_domain"))
+  }
 }

@@ -69,6 +69,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(parts("not a url") === (("", "", "", "/")))
   }
 
+  test("urlDomainWithSuffixes: broadcast longest-match PSL beats the " +
+    "heuristic on multi-label suffixes; fallback and suffix-host edges") {
+    val suffixes = Seq("com", "uk", "co.uk", "us", "ma.us", "k12.ma.us",
+      "pvt.k12.ma.us", "io", "github.io").toDF("suffix")
+    val hosts = Seq(
+      "site.pvt.k12.ma.us",  // 4-label suffix the heuristic truncates
+      "pages.github.io",     // private-registry suffix
+      "www.example.co.uk",
+      "example.com",
+      "co.uk",               // host IS a suffix -> itself
+      "localhost",           // unlisted -> heuristic fallback
+      "internal.example"     // unlisted 2-label -> heuristic fallback
+    ).toDF("host")
+    val got = TextAnalysis.urlDomainWithSuffixes(hosts, suffixes)
+      .as[(String, String)].collect().toMap
+    assert(got("site.pvt.k12.ma.us") === "site.pvt.k12.ma.us")
+    assert(got("pages.github.io") === "pages.github.io")
+    assert(got("www.example.co.uk") === "example.co.uk")
+    assert(got("example.com") === "example.com")
+    assert(got("co.uk") === "co.uk")
+    assert(got("localhost") === "localhost")
+    assert(got("internal.example") === "internal.example")
+    // the heuristic alone gets the multi-label cases WRONG — the gap
+    // this operator closes
+    val heur = hosts.select(col("host"),
+      TextAnalysis.urlDomain(col("host")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(heur("site.pvt.k12.ma.us") === "ma.us")
+    assert(heur("pages.github.io") === "github.io")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     assert(one("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) === 4)
     assert(one("", TextAnalysis.tokenCount(col("text"))) === 0)
