@@ -6,17 +6,18 @@ import org.apache.spark.sql.SparkSession
   * A failed query is reported under "errors" (and excluded from timings) —
   * never as a fast time (a broken query must not look like a fast query).
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and reports
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
   * the MIN: the r2/r3 driver runs recorded contention artifacts (one
   * descheduled run made g2 look 6× slower than it measures on idle
-  * hardware); min-of-n is the standard way to report the query's cost
-  * rather than the machine's weather.
+  * hardware), and the r10 driver bench hit the same weather on BOTH of
+  * two runs for several keys — min-of-3 makes one descheduled pair
+  * unable to poison a key's reported cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()

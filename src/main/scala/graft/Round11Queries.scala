@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *    .urlDomainWithSuffixes]]) — longest-literal-match over staged
   *    label-suffix candidates, heuristic fallback, exercised on
   *    multi-label suffixes the list-free heuristic gets wrong.
+  *  - `k23_snapshot_diff`: dataset versioning ([[graft.ops.Cdc
+  *    .snapshotDiff]]) — two corpus versions reduce to (key, digest)
+  *    per side and one full-outer join yields the delta-sized
+  *    added/removed/changed feed.
+  *  - `o12_group_quantiles`: exact group-wise continuous quantiles
+  *    ([[graft.ops.Rank.groupQuantiles]]) — the precise face of the
+  *    a15 sketch profile for quantized domains; one map-side-combinable
+  *    aggregation, no window.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -192,7 +200,34 @@ object Round11Queries {
         "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us", "jp", "ac.jp",
         "io", "github.io", "au", "com.au").toDF("suffix")
       graft.ops.TextAnalysis.urlDomainWithSuffixes(hosts, suffixes)
-    }))
+    }),
+
+    // --- Snapshot diff (dataset versioning) ----------------------------------
+    // Two corpus versions → the delta-sized change feed: docs % 13 == 0
+    // vanish (removed), % 13 == 1 get edited text (changed), % 13 == 2
+    // reappear under new ids (added). Each side reduces to
+    // (key, xxhash64(content)) BEFORE the one full-outer join, so the
+    // shuffle ships 8-byte digests, never document payloads.
+    "k23_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Cdc.snapshotDiff(docs, newSnap, Seq("doc_id"),
+        Seq("text"))
+    }),
+
+    // --- Exact group-wise quantiles ------------------------------------------
+    // The precise face of the a15 sketch profile: per-returnflag
+    // continuous quantiles of the (quantized, low-cardinality) quantity
+    // domain — one map-side-combinable hash aggregation, no window, no
+    // global sort; value-comparable with ANSI percentile_cont.
+    "o12_group_quantiles" -> ((s, d) =>
+      graft.ops.Rank.groupQuantiles(
+        t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.9))))
 
   /** The FULL recurrence unrolled — [[Round10Queries]]' pprOracle
     * restart vector composed with its weightedPrOracle transition
@@ -326,5 +361,29 @@ object Round11Queries {
         |FROM lab l
         |LEFT JOIN m ON m.host = l.host
         |JOIN heur ON heur.host = l.host
+        |""".stripMargin,
+
+    "k23_snapshot_diff" ->
+      """SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents WHERE doc_id % 13 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'added' FROM documents
+        |WHERE doc_id % 13 = 2
+        |""".stripMargin,
+
+    "o12_group_quantiles" ->
+      """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+        |  quantile_cont(l_quantity, 0.25) AS q
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+        |  quantile_cont(l_quantity, 0.5)
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+        |  quantile_cont(l_quantity, 0.9)
+        |FROM lineitem GROUP BY 1
         |""".stripMargin)
 }

@@ -90,4 +90,45 @@ object Cdc {
       .select(keys.map(col) ++
         payload.map(p => col(s"__w.$p").as(p)) ++ seqOut ++ opOut: _*)
   }
+
+  /** Snapshot DIFF — [[applySnapshot]]'s inverse: given two corpus
+    * versions, derive the change feed `(keys…, change)` with change ∈
+    * {added, removed, changed} (unchanged keys are absent — the diff of
+    * two 100 TB snapshots is delta-sized output). The dataset-versioning
+    * primitive: audit what a pipeline release did to the corpus,
+    * generate a CDC feed from systems that only hand over full dumps,
+    * or drive incremental re-embedding of exactly the changed docs.
+    *
+    * Scale shape: each side reduces to `(keys, xxhash64(compareCols))`
+    * BEFORE the join, so the one full-outer shuffle ships 8-byte
+    * digests instead of document payloads — content equality via hash
+    * equality, the engine's standard negligible-collision posture (a
+    * colliding changed row would report unchanged; at 2⁻⁶⁴ per pair
+    * this is the fingerprint-dedup trade, documented there). Duplicate
+    * keys within a snapshot are rejected loudly — a diff over an
+    * ambiguous key is not a diff. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compare column")
+    def digest(df: DataFrame, hName: String): DataFrame = df
+      .groupBy(keys.map(col): _*)
+      .agg(max(xxhash64(struct(compareCols.map(col): _*))).as(hName),
+        count(lit(1)).as("__n"))
+      .select(keys.map(col) :+
+        when(col("__n") === 1, col(hName)).otherwise(raise_error(concat(
+          lit("snapshotDiff: duplicate key in snapshot: "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+          .as(hName): _*)
+    digest(oldSnap, "__h_old")
+      .join(digest(newSnap, "__h_new"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("change"): _*)
+      .filter(col("change") =!= "unchanged")
+  }
 }

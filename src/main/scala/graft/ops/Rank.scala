@@ -42,4 +42,34 @@ object Rank {
       .select(groupCols.map(col) ++
         fields.map(c => col(s"__r.`$c`").as(c)): _*)
   }
+
+  /** EXACT group-wise quantiles — the precise face of the sketch
+    * profiler ([[Profile]]'s approx percentiles): per group, the
+    * continuous (linearly interpolated) quantile of `valueCol` at each
+    * requested fraction, long form `(keys…, p, q)`. Built on Spark's
+    * exact `percentile` aggregate: ONE hash aggregation whose partial
+    * state is a per-group value→count map — map-side combinable, no
+    * window, no global sort. That state is bounded by the group's
+    * DISTINCT value count, which is the honest scale contract: exact
+    * quantiles are for QUANTIZED domains (scores in [0,100], cents,
+    * token counts); for unbounded continuous domains use the KLL
+    * sketch profile, which is what it exists for. Interpolation is the
+    * standard `(1−f)·x_lo + f·x_hi` at rank `p·(n−1)` — the same
+    * definition as ANSI `percentile_cont`, so the result is
+    * value-comparable across engines. */
+  def groupQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(keys.nonEmpty, "groupQuantiles needs at least one key column")
+    require(ps.nonEmpty, "groupQuantiles needs at least one fraction")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"fractions must be in [0, 1], got ${ps.mkString(", ")}")
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol),
+        array(ps.map(lit): _*)).as("__qs"))
+      .withColumn("__ps", array(ps.map(lit): _*))
+      .select(keys.map(col) :+
+        explode(arrays_zip(col("__ps"), col("__qs"))).as("__z"): _*)
+      .select(keys.map(col) :+ col("__z.__ps").as("p") :+
+        col("__z.__qs").as("q"): _*)
+  }
 }

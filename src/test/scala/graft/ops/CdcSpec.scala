@@ -73,4 +73,28 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("positive") ||
       Option(e.getCause).exists(_.getMessage.contains("positive")))
   }
+
+  test("snapshotDiff: delta-sized added/removed/changed feed; " +
+    "unchanged keys absent; duplicate keys rejected loudly") {
+    import org.apache.spark.sql.functions._
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val newSnap = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("id", "name", "bal")
+    val got = Cdc.snapshotDiff(oldSnap, newSnap, Seq("id"),
+      Seq("name", "bal")).as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // a change confined to EXCLUDED columns is not a change
+    val gotNameOnly = Cdc.snapshotDiff(oldSnap, newSnap, Seq("id"),
+      Seq("name")).as[(Long, String)].collect().toMap
+    assert(gotNameOnly === Map(1L -> "removed", 4L -> "added"))
+    // ambiguous key → loud failure, not a silent arbitrary diff
+    val dup = oldSnap.unionByName(
+      Seq((1L, "a2", 11.0)).toDF("id", "name", "bal"))
+    val e = intercept[Exception] {
+      Cdc.snapshotDiff(dup, newSnap, Seq("id"), Seq("name")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate key")))
+  }
 }
