@@ -306,8 +306,15 @@ object Cli {
               case _ => (s, 1.0)
             }
           }.toSeq.toDF("node", "weight")
-        graft.bel.PageRank.runPersonalized(edges, seeds, iters)
-          .orderBy(col("rank").desc, col("node")).limit(n)
+        // --weight <col> composes the seed restart with edge-weighted
+        // transitions (a35_ppr_weighted — same shared power loop)
+        val ranks = opts.get("weight") match {
+          case Some(wc) => graft.bel.PageRank.runPersonalizedWeighted(
+            edges, seeds, wc, iters)
+          case None => graft.bel.PageRank.runPersonalized(edges, seeds,
+            iters)
+        }
+        ranks.orderBy(col("rank").desc, col("node")).limit(n)
           .collect().foreach(r => println(r.mkString("\t")))
       case "lpa" => // label-propagation communities (a31_lpa)
         val iters = opts.getOrElse("iterations", "5").toInt
@@ -752,6 +759,73 @@ object Cli {
         graft.ops.Profile.sketchProfile(df, key, id, value)
           .orderBy(key).collect()
           .foreach(r => println(r.mkString("\t")))
+      case "compact-ingest" => // streaming-append maintenance (k22)
+        val out = opts.getOrElse("out", s"$warehouse/_curated")
+        val idxPath = opts.getOrElse("index", s"$out/idx")
+        val files = opts.getOrElse("files", "8").toInt
+        val (nc, ni) = graft.streaming.CuratePipeline.compactIngest(
+          spark, idxPath, out, files,
+          opts.getOrElse("id-col", "doc_id"))
+        println(s"compacted corpus -> $nc files, index -> $ni files")
+      case "snapshot-diff" => // dataset versioning (k23_snapshot_diff)
+        val oldP = opts.getOrElse("old", docsPath)
+        val newP = opts.getOrElse("new",
+          sys.error("snapshot-diff needs --new <path>"))
+        val keys = opts.getOrElse("keys", "doc_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val oldDf = spark.read.parquet(oldP)
+        val cmp = opts.get("compare")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(oldDf.columns.toSeq.filterNot(keys.contains))
+        val diff = graft.ops.Cdc.snapshotDiff(oldDf,
+          spark.read.parquet(newP), keys, cmp)
+        opts.get("out") match {
+          case Some(o) =>
+            diff.write.mode("overwrite").parquet(o)
+            println(s"wrote ${spark.read.parquet(o).count()} changes -> $o")
+          case None =>
+            diff.groupBy("change").agg(count(lit(1)).as("n"))
+              .orderBy("change").collect()
+              .foreach(r => println(r.mkString("\t")))
+        }
+      case "quantiles" => // exact group quantiles (o12_group_quantiles)
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "lineitem"))
+        val keys = opts.getOrElse("keys", "l_returnflag")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val value = opts.getOrElse("value", "l_quantity")
+        val ps = opts.getOrElse("ps", "0.25,0.5,0.9")
+          .split(",").map(_.trim.toDouble).toSeq
+        graft.ops.Rank.groupQuantiles(in, keys, value, ps)
+          .orderBy(keys.map(col) :+ col("p"): _*).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "wav-features" => // audio decode features (mm_decode_wav)
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.ops.Multimodal.wavEncode(
+            spark.read.parquet(docsPath)))
+        val feats = graft.ops.Multimodal.decodeWav(in)
+        val rejects = graft.ops.Multimodal.decodeWavRejects(in)
+        feats.orderBy("doc_id")
+          .limit(opts.getOrElse("top", "10").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+        println(s"${feats.count()} decoded, ${rejects.count()} rejected")
+      case "psl-domain" => // registrable domains (t_url_domain_psl)
+        val hosts = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse {
+            import spark.implicits._
+            opts.getOrElse("hosts", "www.example.co.uk,pages.github.io")
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq.toDF("host")
+          }
+        val suffixes = opts.get("suffixes").map(spark.read.parquet(_))
+          .getOrElse {
+            import spark.implicits._
+            Seq("com", "org", "net", "uk", "co.uk", "ac.uk", "io",
+              "github.io", "jp", "ac.jp", "us", "ma.us", "k12.ma.us",
+              "pvt.k12.ma.us").toDF("suffix")
+          }
+        graft.ops.TextAnalysis.urlDomainWithSuffixes(hosts, suffixes)
+          .orderBy("host").collect()
+          .foreach(r => println(r.mkString("\t")))
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
@@ -760,7 +834,8 @@ object Cli {
           "semantic-dedup kcore index-build dedup-incremental " +
           "quality-filter top-values lm-score funnel bfs scd2 " +
           "cosine-pairs walks neg-samples prepare-training compact " +
-          "zorder export-jsonl drift asof resample cc-incremental expect")
+          "zorder export-jsonl drift asof resample cc-incremental expect " +
+          "compact-ingest snapshot-diff quantiles wav-features psl-domain")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

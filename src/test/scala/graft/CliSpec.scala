@@ -279,4 +279,35 @@ class CliSpec extends SparkSpec {
     val kept = spark.read.parquet(out).count()
     assert(kept > 0 && kept < 40, s"expected pruning, kept $kept of 40")
   }
+
+  test("snapshot-diff / quantiles / psl-domain / wav-features / " +
+    "compact-ingest run over arbitrary inputs") {
+    val dir = tmpDir("clir11")
+    val oldP = s"$dir/old"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").write.parquet(oldP)
+    val newP = s"$dir/new"
+    Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text").write.parquet(newP)
+    val diffOut = s"$dir/diff"
+    Cli.main(Array("snapshot-diff", "--old", oldP, "--new", newP,
+      "--out", diffOut))
+    assert(spark.read.parquet(diffOut)
+      .as[(Long, String)].collect().toMap ===
+      Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    val vals = s"$dir/vals"
+    (1 to 50).map(i => (i % 2L, i.toLong)).toDF("k", "v")
+      .write.parquet(vals)
+    Cli.main(Array("quantiles", "--input", vals, "--keys", "k",
+      "--value", "v", "--ps", "0.5"))
+    Cli.main(Array("psl-domain", "--hosts",
+      "x.pvt.k12.ma.us,pages.github.io"))
+    val docs = writeDocs(dir)
+    Cli.main(Array("wav-features", "--docs", docs, "--top", "3"))
+    // curate a batch, then compact its layout in place
+    val curated = s"$dir/curated"
+    Cli.main(Array("curate-batch", "--input", docs, "--out", curated,
+      "--min-words", "3"))
+    Cli.main(Array("compact-ingest", "--out", curated, "--files", "1"))
+    assert(spark.read.parquet(s"$curated/corpus").count() === 60L)
+    assert(!spark.sparkContext.isStopped)
+  }
 }
