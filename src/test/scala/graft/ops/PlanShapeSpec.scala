@@ -562,4 +562,27 @@ class PlanShapeSpec extends SparkSpec {
         s"an exchange collapsed to a single partition:\n$plan")
     }
   }
+
+  test("urlDomainWithSuffixes: the suffix list BROADCASTS (never a " +
+    "shuffle join against the candidate fan-out) and every shuffle " +
+    "keys on host") {
+    withoutAqe {
+      val hosts = docs.select(concat(lit("h"), col("doc_id") % 40,
+        lit(".example.co.uk")).as("host"))
+      val suffixes = Seq("uk", "co.uk", "com").toDF("suffix")
+      val plan = executed(
+        TextAnalysis.urlDomainWithSuffixes(hosts, suffixes))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"suffix match must plan a broadcast join:\n$plan")
+      val bcast = plan.collect { case b: BroadcastExchangeExec => b }
+      val outside = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(e => bcast.exists(b =>
+          b.collect { case x if x eq e => x }.nonEmpty))
+      // the non-broadcast exchanges are the host-keyed distinct and the
+      // longest-match fold — both hash on host, nothing else
+      assert(outside.nonEmpty)
+      outside.foreach(e => assert(e.toString.contains("host"),
+        s"an exchange is not keyed on host:\n$plan"))
+    }
+  }
 }
