@@ -74,21 +74,42 @@ object CuratePipeline {
     } finally { staged.unpersist(); () }
   }
 
-  /** Stream face: `foreachBatch` wiring of [[curateBatch]]. */
+  /** Stream face: `foreachBatch` wiring of [[curateBatch]], with the
+    * maintenance loop CLOSED in-line: `compactEveryBatches = Some(n)`
+    * runs [[compactIngest]] after every n-th batch, so the layout never
+    * accretes more than n micro-batch file sets before folding back to
+    * `compactFiles` sorted files (the s_ivf_rebuild posture — the
+    * trigger lives with the ingest, not in a cron no one wires up).
+    * Safe where a concurrent OPTIMIZE would not be: `foreachBatch`
+    * bodies run serially on the query thread, so the single-writer
+    * constraint holds by construction, and the batch that compacts has
+    * already appended its own partition — a crash straddling the
+    * compaction replays the batch, which probes to zero survivors and
+    * lands nothing (the [[compactIngest]] replay discipline). */
   def run(stream: DataFrame, checks: Seq[Expectations.Check],
           rules: DataFrame => DataFrame,
           indexPath: String, outPath: String, checkpoint: String,
           idCol: String = "doc_id",
-          textCol: String = "text"): StreamingQuery =
+          textCol: String = "text",
+          compactEveryBatches: Option[Int] = None,
+          compactFiles: Int = 8): StreamingQuery = {
+    compactEveryBatches.foreach(n => require(n > 0,
+      s"compactEveryBatches must be positive, got $n"))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         curateBatch(batch.sparkSession, batch, id, checks, rules,
           indexPath, outPath, idCol, textCol)
+        compactEveryBatches.foreach { n =>
+          if ((id + 1) % n == 0)
+            compactIngest(batch.sparkSession, indexPath, outPath,
+              compactFiles, idCol)
+        }
         ()
       }
       .start()
+  }
 
   /** OPTIMIZE-style maintenance for the streaming-append layout — the
     * answer to the classic ingest small-file problem: every micro-batch

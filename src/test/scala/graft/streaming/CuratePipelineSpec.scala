@@ -134,4 +134,33 @@ class CuratePipelineSpec extends SparkSpec {
     assert(CuratePipeline.corpus(spark, out)
       .filter(col("batch_id") === 2).count() === 1L)
   }
+
+  test("in-stream auto-compaction: compactEveryBatches folds the " +
+    "layout mid-stream, content equals the batch chain, later batches " +
+    "keep appending") {
+    val dir = tmpDir("curateautocompact")
+    val (idx, out, ckpt) = (s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CuratePipeline.run(mem.toDS().toDF("doc_id", "text"),
+      checks, rules, idx, out, ckpt,
+      compactEveryBatches = Some(2), compactFiles = 1)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    try {
+      val (h1, rest) = rows.partition(_._1 <= 3)
+      // batch 2 must carry a NOVEL doc (6) — 10/11 are cross-batch dups
+      // and 12 fails the rule, so a {10,11,12}-only batch lands nothing
+      val (h2, h3) = rest.partition(_._1 <= 5)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable() // batch 1 → compact
+      mem.addData(h3: _*); q.processAllAvailable() // appends beside it
+    } finally q.stop()
+    val corpus = CuratePipeline.corpus(spark, out)
+    // batches 0/1 folded into the archive partition, batch 2 beside it
+    assert(corpus.select("batch_id").distinct()
+      .as[Int].collect().toSet === Set(-1, 2))
+    val want = Dedup.exactSurvivors(rules(docs))
+      .select("survivor_id").as[Long].collect().toSet
+    assert(corpus.select("doc_id").as[Long].collect().toSet === want)
+  }
 }
