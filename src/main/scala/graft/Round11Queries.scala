@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *    ([[graft.ops.Rank.groupQuantiles]]) — the precise face of the
   *    a15 sketch profile for quantized domains; one map-side-combinable
   *    aggregation, no window.
+  *  - `a36_path_counts`: landmark shortest-path counts
+  *    ([[graft.bel.Bfs.pathCounts]]) — the σ stage of Brandes'
+  *    betweenness, depth-bounded, exact BIGINT counts via the
+  *    level-synchronous delta frontier.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -219,6 +223,24 @@ object Round11Queries {
         Seq("text"))
     }),
 
+    // --- Landmark shortest-path counts (the σ stage of Brandes) --------------
+    // Per (landmark, node): hop distance AND the exact number of
+    // distinct shortest paths, depth-bounded at 4 (σ grows as
+    // branching^depth — the k-betweenness posture; the cap also keeps
+    // both engines inside BIGINT). Level-synchronous delta-frontier
+    // over the memoized co-purchase graph; the oracle unrolls the same
+    // frontier/visited recurrence 4 levels.
+    "a36_path_counts" -> ((s, d) => {
+      val landmarks = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("seed"))
+      graft.bel.Bfs.pathCounts(Round8Queries.coPurchaseEdges(s, d),
+          landmarks, maxDepth = 4)
+        .select(col("seed").cast("long").as("seed"),
+          col("node").cast("long").as("node"), col("hops"),
+          col("sigma"))
+    }),
+
     // --- Exact group-wise quantiles ------------------------------------------
     // The precise face of the a15 sketch profile: per-returnflag
     // continuous quantiles of the (quantized, low-cardinality) quantity
@@ -279,8 +301,54 @@ object Round11Queries {
        |""".stripMargin
   }
 
+  /** Level-synchronous σ recurrence unrolled: frontier f_i = new nodes
+    * with summed path counts from f_{i-1}, visited v_i accumulates —
+    * the exact delta-frontier form [[graft.bel.Bfs.pathCounts]] runs
+    * (a full-frame relaxation would add non-shortest contributions). */
+  private def pathCountsOracle(levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT f.seed, adj.v AS node,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} f JOIN adj ON f.node = adj.u
+         |  GROUP BY 1, 2
+         |), f$i AS MATERIALIZED (
+         |  SELECT c.seed, c.node, c.sigma
+         |  FROM c$i c LEFT JOIN v${i - 1} v
+         |    ON v.seed = c.seed AND v.node = c.node
+         |  WHERE v.node IS NULL
+         |), v$i AS MATERIALIZED (
+         |  SELECT seed, node, hops, sigma FROM v${i - 1}
+         |  UNION ALL
+         |  SELECT seed, node, $i, sigma FROM f$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+       |), v0 AS MATERIALIZED (
+       |  SELECT p_partkey AS seed, p_partkey AS node, 0 AS hops,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM part WHERE p_partkey % 97 = 0
+       |), f0 AS MATERIALIZED (
+       |  SELECT seed, node, sigma FROM v0
+       |),
+       |$steps
+       |SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
+       |  hops, sigma
+       |FROM v$levels
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "a35_ppr_weighted" -> pprWeightedOracle(8),
+
+    "a36_path_counts" -> pathCountsOracle(4),
 
     "k22_compact_ingest" ->
       ("SELECT true AS chain_equals_batch, true AS files_bounded, " +

@@ -163,6 +163,72 @@ object Bfs {
     relaxLoop(adj, dist0, Seq("seed", "node"), maxDepth)
   }
 
+  /** Shortest-path COUNTS from landmark seeds — the σ stage of Brandes'
+    * betweenness (Brandes, "A faster algorithm for betweenness
+    * centrality", J. Math. Sociol. 2001), bounded-depth and
+    * landmark-sampled (the [[hopsPerSeed]] scale posture — never
+    * all-pairs): per (seed, reachable node), the hop distance and the
+    * EXACT number of distinct shortest paths, `(seed, node, hops,
+    * sigma)`. σ is the standard path-redundancy signal ("how many ways
+    * does the curated core reach this entity") and the input Brandes'
+    * backward pass consumes.
+    *
+    * Unlike [[hops]]' full-frame min-relaxation, σ REQUIRES the
+    * level-synchronous delta-frontier form: a node's count must sum
+    * contributions ONLY from neighbors one level nearer the seed, so
+    * each round expands exactly the previous level's frontier and
+    * anti-joins the visited set — σ(v, d+1) = Σ σ(u, d) over frontier
+    * neighbors, new nodes only. Three long-keyed exchanges per level
+    * (frontier join, (seed, node) fold, visited anti-join), encoded
+    * ids throughout, values decoded at the rim.
+    *
+    * `maxDepth` defaults LOW (4): σ grows multiplicatively with depth
+    * (branching^d) and a BIGINT overflow past 2⁶³ would WRAP silently
+    * under non-ANSI arithmetic while an exact oracle errors — the
+    * k-bounded form is the standard betweenness approximation anyway
+    * (k-betweenness). The cap is enforced, not advisory. */
+  def pathCounts(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 4,
+                 srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 12,
+      s"pathCounts caps maxDepth at 12 (σ grows as branching^depth " +
+        s"and must stay inside BIGINT), got $maxDepth")
+    val seedCol = seeds.columns.head
+    val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
+    var visited = Checkpoints.cut(
+      seeds.select(col(seedCol).as("nv")).distinct()
+        .select(xxhash64(col("nv")).as("seed"))
+        .select(col("seed"), col("seed").as("node"),
+          lit(0).as("hops"), lit(1L).as("sigma")))
+    var frontier = visited
+    var depth = 0
+    var exhausted = false
+    while (!exhausted && depth < maxDepth) {
+      val contrib = frontier.join(adj, frontier("node") === adj("u"))
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum("sigma").as("sigma"))
+      val nxt = Checkpoints.cut(contrib
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"),
+          lit(depth + 1).as("hops"), col("sigma")))
+      if (nxt.isEmpty) exhausted = true
+      else {
+        visited = Checkpoints.cut(visited.unionByName(nxt))
+        frontier = nxt
+        depth += 1
+      }
+    }
+    val dict = rimDict(edges, seeds, srcCol, dstCol)
+    visited
+      .join(dict.select(col("id").as("seed"), col("value").as("__s")),
+        Seq("seed"))
+      .join(dict.select(col("id").as("node"), col("value").as("__n")),
+        Seq("node"))
+      .select(col("__s").as("seed"), col("__n").as("node"), col("hops"),
+        col("sigma"))
+  }
+
   /** Landmark harmonic closeness: for every node reachable from at
     * least one landmark, `n_landmarks` = how many landmarks reach it
     * (self excluded), `hop_mass` = Σ distance, and `harmonic` =

@@ -88,4 +88,55 @@ class BfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === dist)
   }
+
+  test("pathCounts: exact σ on a diamond (two shortest paths merge, " +
+    "then extend); depth cap stops the expansion; reference match on " +
+    "a random graph") {
+    import spark.implicits._
+    // a -> {b, c} -> d -> e : σ(d) = 2 via b and c, σ(e) = 2
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    val got = Bfs.pathCounts(diamond, Seq("a").toDF("seed"))
+      .as[(String, String, Int, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got === Map("a" -> ((0, 1L)), "b" -> ((1, 1L)),
+      "c" -> ((1, 1L)), "d" -> ((2, 2L)), "e" -> ((3, 2L))))
+    // depth cap: e (3 hops) vanishes at maxDepth = 2
+    val capped = Bfs.pathCounts(diamond, Seq("a").toDF("seed"),
+      maxDepth = 2).select("node").as[String].collect().toSet
+    assert(capped === Set("a", "b", "c", "d"))
+    intercept[IllegalArgumentException] {
+      Bfs.pathCounts(diamond, Seq("a").toDF("seed"), maxDepth = 13)
+    }
+    // random graph vs a driver-side level-synchronous reference
+    val rnd = new scala.util.Random(29)
+    val n = 40
+    val edges = (1 to 90).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def ref(seed: Long, depth: Int): Map[Long, (Int, Long)] = {
+      var state = Map(seed -> ((0, 1L)))
+      var frontier = Map(seed -> 1L)
+      var d = 0
+      while (frontier.nonEmpty && d < depth) {
+        val contrib = frontier.toSeq
+          .flatMap { case (u, s) =>
+            adj.getOrElse(u, Set.empty).map(_ -> s) }
+          .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+          .filterNot { case (v, _) => state.contains(v) }
+        d += 1
+        state = state ++ contrib.map { case (v, s) => v -> ((d, s)) }
+        frontier = contrib
+      }
+      state
+    }
+    val want = Seq(0L, 5L).flatMap(s =>
+      ref(s, 4).map { case (v, (h, sg)) => (s, v, h, sg) }).toSet
+    val gotR = Bfs.pathCounts(edges.toDF("src", "dst"),
+        Seq(0L, 5L).toDF("seed"), maxDepth = 4)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(gotR === want)
+  }
 }
