@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   *    ([[graft.bel.Bfs.pathCounts]]) — the σ stage of Brandes'
   *    betweenness, depth-bounded, exact BIGINT counts via the
   *    level-synchronous delta frontier.
+  *  - `a37_weighted_paths`: weighted shortest-path costs
+  *    ([[graft.bel.Bfs.weightedHops]]) — min-plus relaxation with the
+  *    integral edge weight as the step, exact BIGINT costs, bounded
+  *    rounds engine-identical by construction.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -241,6 +245,22 @@ object Round11Queries {
           col("sigma"))
     }),
 
+    // --- Weighted shortest-path costs ----------------------------------------
+    // Min-plus relaxation with the edge weight as the step: exact
+    // BIGINT costs over the co-purchase graph with symmetric integral
+    // weights (p1+p2)%7+1, 12 relaxation rounds in BOTH engines (each
+    // oracle level IS one relaxOnce, so the bounded-round contract is
+    // engine-identical whether or not the fixpoint lands inside it).
+    "a37_weighted_paths" -> ((s, d) => {
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("seed"))
+      val edges = Round8Queries.coPurchaseEdges(s, d)
+        .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+      graft.bel.Bfs.weightedHops(edges, seeds, "w", maxHops = 12)
+        .select(col("node").cast("long").as("node"), col("cost"))
+    }),
+
     // --- Exact group-wise quantiles ------------------------------------------
     // The precise face of the a15 sketch profile: per-returnflag
     // continuous quantiles of the (quantized, low-cardinality) quantity
@@ -345,10 +365,47 @@ object Round11Queries {
        |""".stripMargin
   }
 
+  /** The min-plus relaxation unrolled with per-edge weights — each
+    * level is exactly one [[graft.bel.Bfs.relaxOnce]] with the weight
+    * step, so a bounded round count is engine-identical whether or not
+    * the fixpoint lands inside it. */
+  private def weightedPathsOracle(levels: Int): String = {
+    val steps = (1 to levels).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT adjw.v, d${i - 1}.cost + adjw.w
+         |    FROM d${i - 1} JOIN adjw ON d${i - 1}.node = adjw.u)
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adjw AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, (a + b) % 7 + 1 AS w FROM e0
+       |  UNION ALL
+       |  SELECT b, a, (a + b) % 7 + 1 FROM e0
+       |), d0 AS MATERIALIZED (
+       |  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS cost FROM part
+       |  WHERE p_partkey % 97 = 0
+       |),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(cost AS BIGINT) AS cost
+       |FROM d$levels
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "a35_ppr_weighted" -> pprWeightedOracle(8),
 
     "a36_path_counts" -> pathCountsOracle(4),
+
+    "a37_weighted_paths" -> weightedPathsOracle(12),
 
     "k22_compact_ingest" ->
       ("SELECT true AS chain_equals_batch, true AS files_bounded, " +

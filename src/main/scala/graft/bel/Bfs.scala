@@ -1,6 +1,6 @@
 package graft.bel
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Checkpoints
@@ -72,14 +72,17 @@ object Bfs {
   }
 
   /** ONE relaxation round: frontier join on the encoded `node` key +
-    * min-fold on `keyCols`. Exposed for the plan pin: every exchange
-    * this round plans must hash on long keys. */
+    * min-fold on `keyCols`. `inc` is the per-edge step — `lit(1)` for
+    * hop counting, the adjacency's weight column for weighted costs
+    * (min-plus is the same fold either way). Exposed for the plan pin:
+    * every exchange this round plans must hash on long keys. */
   private[bel] def relaxOnce(adj: DataFrame, dist: DataFrame,
-                             keyCols: Seq[String]): DataFrame = {
+                             keyCols: Seq[String],
+                             inc: Column = lit(1)): DataFrame = {
     val carried = keyCols.filterNot(_ == "node").map(col)
     val relaxed = dist.join(adj, dist("node") === adj("u"))
       .select(carried ++ Seq(col("v").as("node"),
-        (col("hops") + 1).as("hops")): _*)
+        (col("hops") + inc).as("hops")): _*)
     dist.unionByName(relaxed)
       .groupBy(keyCols.map(col): _*).agg(min("hops").as("hops"))
   }
@@ -90,7 +93,8 @@ object Bfs {
     * per-key hops only ever decrease, so the (row count, hop sum) pair
     * is a strictly-monotone progress measure. */
   private def relaxLoop(adj: DataFrame, dist0: DataFrame,
-                        keyCols: Seq[String], maxDepth: Int): DataFrame = {
+                        keyCols: Seq[String], maxDepth: Int,
+                        inc: Column = lit(1)): DataFrame = {
     def footprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
@@ -100,7 +104,7 @@ object Bfs {
     var converged = false
     var depth = 0
     while (!converged && depth < maxDepth) {
-      val next = Checkpoints.cut(relaxOnce(adj, dist, keyCols))
+      val next = Checkpoints.cut(relaxOnce(adj, dist, keyCols, inc))
       val cur = footprint(next)
       converged = cur == prev
       prev = cur
@@ -108,6 +112,52 @@ object Bfs {
       depth += 1
     }
     dist
+  }
+
+  /** Weighted shortest-path COSTS from `seeds` — [[hops]] with a
+    * min-plus step of the edge weight instead of 1: `(node, cost)` for
+    * every node reachable within `maxHops` EDGES, cost = the exact
+    * minimum sum of weights over such paths (once the relaxation
+    * fixpoint lands inside the bound, that IS the shortest-path
+    * distance; with positive weights every shortest path uses fewer
+    * edges than the node count, so a bound past the hop eccentricity
+    * is exact). Weights must be POSITIVE and INTEGRAL — positivity
+    * keeps min-plus monotone (a ≤ 0 weight would cycle), integrality
+    * keeps every cost an exact BIGINT sum (the [[harmonicCloseness]]
+    * exactness posture: quantize weights upstream, divide at the rim).
+    * Parallel edges keep their MINIMUM weight (only the cheapest copy
+    * can sit on a shortest path). Same encoded loop, same per-round
+    * shape, weight riding the adjacency. */
+  def weightedHops(edges: DataFrame, seeds: DataFrame, weightCol: String,
+                   maxHops: Int = 20, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
+      .contains(edges.schema(weightCol).dataType.sql),
+      s"weightedHops needs an INTEGRAL weight column (quantize first " +
+        s"— cents/micros); '$weightCol' is " +
+        edges.schema(weightCol).dataType.sql)
+    val seedCol = seeds.columns.head
+    val fwd = edges.select(col(srcCol).as("nu"), col(dstCol).as("nv"),
+      col(weightCol).cast("long").as("w"))
+    val rev = edges.select(col(dstCol).as("nu"), col(srcCol).as("nv"),
+      col(weightCol).cast("long").as("w"))
+    val undW = fwd.unionByName(rev)
+      .filter(col("nu").isNotNull && col("nv").isNotNull &&
+        col("nu") =!= col("nv"))
+      .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"),
+        col("w"))
+      .groupBy("u", "v").agg(min("w").as("w"))
+    val bad = undW.filter(col("w").isNull || col("w") <= 0L).count()
+    require(bad == 0L, s"weightedHops: $bad edge(s) with non-positive " +
+      "or null weight — min-plus needs strictly positive weights")
+    val adj = Checkpoints.cut(undW)
+    val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
+      .select(xxhash64(col("nv")).as("node"), lit(0L).as("hops"))
+    val dist = relaxLoop(adj, dist0, Seq("node"), maxHops, col("w"))
+    dist.join(rimDict(edges, seeds, srcCol, dstCol)
+        .withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("hops").as("cost"))
   }
 
   /** Hop distance from `seeds` (one column, same type as the edge

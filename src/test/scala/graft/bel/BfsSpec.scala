@@ -89,6 +89,56 @@ class BfsSpec extends SparkSpec {
     assert(got === dist)
   }
 
+  test("weightedHops: min-plus costs prefer the cheap long way round; " +
+    "parallel edges keep the min weight; non-positive weights refused; " +
+    "random-graph Dijkstra match") {
+    import spark.implicits._
+    // direct a-c costs 10; a-b-c costs 3 — weighted unwinds the hop win
+    val tri = Seq(("a", "b", 1L), ("b", "c", 2L), ("a", "c", 10L),
+      ("a", "c", 12L)) // parallel heavier copy must not matter
+      .toDF("src", "dst", "w")
+    val got = Bfs.weightedHops(tri, Seq("a").toDF("seed"), "w")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 3L))
+    intercept[IllegalArgumentException] {
+      Bfs.weightedHops(Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        Seq("a").toDF("seed"), "w").collect()
+    }
+    intercept[IllegalArgumentException] { // fractional weights refused
+      Bfs.weightedHops(Seq(("a", "b", 1.5)).toDF("src", "dst", "w"),
+        Seq("a").toDF("seed"), "w")
+    }
+    // random graph vs driver-side Dijkstra
+    val rnd = new scala.util.Random(17)
+    val n = 40
+    val edges = (1 to 100).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, rnd.nextInt(9).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k ->
+        vs.groupBy(_._2).map { case (v, ws) => v -> ws.map(_._3).min } }
+    def dijkstra(s: Long): Map[Long, Long] = {
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, s))(
+        Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (dc, u) = pq.dequeue()
+        if (dc == dist(u))
+          for ((v, w) <- adj.getOrElse(u, Map.empty))
+            if (dist.get(v).forall(_ > dc + w)) {
+              dist(v) = dc + w; pq.enqueue((dc + w, v))
+            }
+      }
+      dist.toMap
+    }
+    val gotR = Bfs.weightedHops(edges.toDF("src", "dst", "w"),
+        Seq(0L).toDF("seed"), "w", maxHops = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(gotR === dijkstra(0L))
+  }
+
   test("pathCounts: exact σ on a diamond (two shortest paths merge, " +
     "then extend); depth cap stops the expansion; reference match on " +
     "a random graph") {
