@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
   *    ([[graft.bel.Bfs.weightedHops]]) — min-plus relaxation with the
   *    integral edge weight as the step, exact BIGINT costs, bounded
   *    rounds engine-identical by construction.
+  *  - `a38_betweenness`: landmark betweenness centrality
+  *    ([[graft.bel.Bfs.landmarkBetweenness]]) — the full Brandes
+  *    backward pass over the a36 σ state: shortest-path DAG via one
+  *    3-way join, per-level dependency folds, pivot-sampled estimate.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -245,6 +249,20 @@ object Round11Queries {
           col("sigma"))
     }),
 
+    // --- Landmark betweenness centrality -------------------------------------
+    // The full Brandes composition over the a36 forward state: DAG via
+    // one 3-way join, per-level backward dependency folds, source rows
+    // excluded. Double δ sums (σ-ratios are inherently fractional) —
+    // the PageRank float posture, tolerant-compared.
+    "a38_betweenness" -> ((s, d) => {
+      val landmarks = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("seed"))
+      graft.bel.Bfs.landmarkBetweenness(
+          Round8Queries.coPurchaseEdges(s, d), landmarks, maxDepth = 4)
+        .select(col("node").cast("long").as("node"), col("betweenness"))
+    }),
+
     // --- Weighted shortest-path costs ----------------------------------------
     // Min-plus relaxation with the edge weight as the step: exact
     // BIGINT costs over the co-purchase graph with symmetric integral
@@ -324,8 +342,9 @@ object Round11Queries {
   /** Level-synchronous σ recurrence unrolled: frontier f_i = new nodes
     * with summed path counts from f_{i-1}, visited v_i accumulates —
     * the exact delta-frontier form [[graft.bel.Bfs.pathCounts]] runs
-    * (a full-frame relaxation would add non-shortest contributions). */
-  private def pathCountsOracle(levels: Int): String = {
+    * (a full-frame relaxation would add non-shortest contributions).
+    * Shared by the σ gate and the betweenness oracle's forward phase. */
+  private def sigmaForwardCtes(levels: Int): String = {
     val steps = (1 to levels).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT f.seed, adj.v AS node,
@@ -343,7 +362,7 @@ object Round11Queries {
          |  SELECT seed, node, $i, sigma FROM f$i
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), e0 AS MATERIALIZED (
        |  SELECT a.pk AS a, b.pk AS b
@@ -358,10 +377,55 @@ object Round11Queries {
        |), f0 AS MATERIALIZED (
        |  SELECT seed, node, sigma FROM v0
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pathCountsOracle(levels: Int): String =
+    s"""WITH ${sigmaForwardCtes(levels)}
        |SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
        |  hops, sigma
        |FROM v$levels
+       |""".stripMargin
+
+  /** Brandes' backward pass unrolled over the σ forward state: the
+    * shortest-path DAG as one 3-way join, then per-level dependency
+    * folds δ(v) = Σ ratio·(1+δ(w)) from the deepest level down —
+    * exactly the per-level joins [[graft.bel.Bfs.landmarkBetweenness]]
+    * runs. Level `levels` enters with δ = 0 (reached, no successors in
+    * bound); level 0 (v = s) is excluded. */
+  private def betweennessOracle(levels: Int): String = {
+    val back = ((levels - 1) to 1 by -1).map { i =>
+      s"""del$i AS MATERIALIZED (
+         |  SELECT l.seed, l.node, coalesce(c.delta, 0) AS delta
+         |  FROM (SELECT seed, node FROM v$levels WHERE hops = $i) l
+         |  LEFT JOIN (
+         |    SELECT g.seed, g.v AS node,
+         |      sum(g.ratio * (1 + dn.delta)) AS delta
+         |    FROM dag g JOIN del${i + 1} dn
+         |      ON dn.seed = g.seed AND dn.node = g.w
+         |    WHERE g.hv = $i GROUP BY 1, 2) c
+         |  ON c.seed = l.seed AND c.node = l.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (levels to 1 by -1)
+      .map(i => s"SELECT seed, node, delta FROM del$i")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${sigmaForwardCtes(levels)},
+       |dag AS MATERIALIZED (
+       |  SELECT a.seed, a.node AS v, b.node AS w, a.hops AS hv,
+       |    CAST(a.sigma AS DOUBLE) / b.sigma AS ratio
+       |  FROM v$levels a
+       |  JOIN adj ON a.node = adj.u
+       |  JOIN v$levels b ON b.seed = a.seed AND b.node = adj.v
+       |    AND b.hops = a.hops + 1
+       |), del$levels AS MATERIALIZED (
+       |  SELECT seed, node, CAST(0 AS DOUBLE) AS delta
+       |  FROM v$levels WHERE hops = $levels
+       |),
+       |$back
+       |SELECT CAST(node AS BIGINT) AS node, sum(delta) AS betweenness
+       |FROM ($union)
+       |GROUP BY 1
        |""".stripMargin
   }
 
@@ -406,6 +470,8 @@ object Round11Queries {
     "a36_path_counts" -> pathCountsOracle(4),
 
     "a37_weighted_paths" -> weightedPathsOracle(12),
+
+    "a38_betweenness" -> betweennessOracle(4),
 
     "k22_compact_ingest" ->
       ("SELECT true AS chain_equals_batch, true AS files_bounded, " +

@@ -240,6 +240,25 @@ object Bfs {
   def pathCounts(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 4,
                  srcCol: String = "src", dstCol: String = "dst")
       : DataFrame = {
+    val (_, visited) =
+      pathCountsEncoded(edges, seeds, maxDepth, srcCol, dstCol)
+    val dict = rimDict(edges, seeds, srcCol, dstCol)
+    visited
+      .join(dict.select(col("id").as("seed"), col("value").as("__s")),
+        Seq("seed"))
+      .join(dict.select(col("id").as("node"), col("value").as("__n")),
+        Seq("node"))
+      .select(col("__s").as("seed"), col("__n").as("node"), col("hops"),
+        col("sigma"))
+  }
+
+  /** The ENCODED forward phase shared by [[pathCounts]] and
+    * [[landmarkBetweenness]]: returns the encoded adjacency and the
+    * visited frame `(seed, node, hops, sigma)` as long ids. */
+  private def pathCountsEncoded(edges: DataFrame, seeds: DataFrame,
+                                maxDepth: Int, srcCol: String,
+                                dstCol: String)
+      : (DataFrame, DataFrame) = {
     require(maxDepth >= 0 && maxDepth <= 12,
       s"pathCounts caps maxDepth at 12 (σ grows as branching^depth " +
         s"and must stay inside BIGINT), got $maxDepth")
@@ -269,14 +288,81 @@ object Bfs {
         depth += 1
       }
     }
-    val dict = rimDict(edges, seeds, srcCol, dstCol)
-    visited
-      .join(dict.select(col("id").as("seed"), col("value").as("__s")),
-        Seq("seed"))
-      .join(dict.select(col("id").as("node"), col("value").as("__n")),
-        Seq("node"))
-      .select(col("__s").as("seed"), col("__n").as("node"), col("hops"),
-        col("sigma"))
+    (adj, visited)
+  }
+
+  /** Landmark (source-sampled, depth-bounded) BETWEENNESS centrality —
+    * the full Brandes dependency accumulation over the [[pathCounts]]
+    * forward state (Brandes 2001): for each landmark s, the backward
+    * pass folds δ_s(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ_s(w)) down
+    * the shortest-path DAG level by level, and the estimate is
+    * Σ_s δ_s(v) over the sampled sources (the standard
+    * pivot-sampling estimator — Brandes & Pich 2007; exact betweenness
+    * is all-pairs and not a 100 TB plan). Depth-bounding truncates
+    * both passes consistently (k-betweenness semantics).
+    *
+    * Scale shape: the shortest-path DAG is ONE three-way equi-join of
+    * the visited frame with the adjacency (successor = neighbor one
+    * level deeper, same seed), then `maxDepth − 1` backward rounds of
+    * one join + one (seed, node)-keyed fold each — every exchange on
+    * encoded longs, values decoded once at the rim. δ is a double
+    * (the σ-ratio is inherently fractional); each δ is ONE
+    * aggregation's sum, the [[PageRank]] float posture.
+    *
+    * Output: `(node, betweenness)` for every node reached at ≥ 1 hop
+    * by at least one landmark. A source's own row (v = s, level 0) is
+    * excluded per Brandes — but a landmark reached by OTHER landmarks
+    * still accumulates like any node. Unreached nodes are absent. */
+  def landmarkBetweenness(edges: DataFrame, seeds: DataFrame,
+                          maxDepth: Int = 4, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val (adj, visited) =
+      pathCountsEncoded(edges, seeds, maxDepth, srcCol, dstCol)
+    // shortest-path DAG edges: v → w with hops(w) = hops(v) + 1, per
+    // seed; carries the σ-ratio the backward fold multiplies
+    val va = visited.select(col("seed"), col("node").as("v"),
+      col("hops").as("hv"), col("sigma").as("sv"))
+    val vb = visited.select(col("seed").as("sb"), col("node").as("w"),
+      col("hops").as("hw"), col("sigma").as("sw"))
+    val adjR = adj.select(col("u").as("au"), col("v").as("aw"))
+    val dag = Checkpoints.cut(va
+      .join(adjR, col("v") === col("au"))
+      .join(vb, col("sb") === col("seed") && col("w") === col("aw") &&
+        col("hw") === col("hv") + 1)
+      .select(col("seed"), col("v"), col("w"), col("hv"),
+        (col("sv").cast("double") / col("sw").cast("double"))
+          .as("ratio")))
+    // backward accumulation, deepest level first; level maxDepth has no
+    // successors within the bound (δ = 0) but its nodes were reached,
+    // so they enter the output with zero contribution. Level 0 (v = s)
+    // is excluded per Brandes — a source's own row never accumulates.
+    var deltaNext = visited.filter(col("hops") === maxDepth)
+      .select(col("seed"), col("node"), lit(0.0).as("delta"))
+    var acc: DataFrame =
+      if (maxDepth >= 1) deltaNext
+      else visited.limit(0)
+        .select(col("seed"), col("node"), lit(0.0).as("delta"))
+    for (dLev <- (maxDepth - 1) to 1 by -1) {
+      val contrib = dag.filter(col("hv") === dLev)
+        .join(deltaNext.select(col("seed"), col("node").as("w"),
+          col("delta")), Seq("seed", "w"))
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum(col("ratio") * (lit(1.0) + col("delta"))).as("delta"))
+      val level = Checkpoints.cut(
+        visited.filter(col("hops") === dLev)
+          .select(col("seed"), col("node"))
+          .join(contrib, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+      acc = acc.unionByName(level)
+      deltaNext = level
+    }
+    val folded = acc
+      .groupBy("node").agg(sum("delta").as("betweenness"))
+    folded
+      .join(rimDict(edges, seeds, srcCol, dstCol)
+        .withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("betweenness"))
   }
 
   /** Landmark harmonic closeness: for every node reachable from at

@@ -139,6 +139,63 @@ class BfsSpec extends SparkSpec {
     assert(gotR === dijkstra(0L))
   }
 
+  test("landmarkBetweenness matches textbook Brandes on a path and on " +
+    "a random graph (sampled sources, depth past the eccentricity)") {
+    import spark.implicits._
+    // path a-b-c-d, source a: δ(c)=σc/σd·(1+0)=1, δ(b)=σb/σc·(1+1)=2
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Bfs.landmarkBetweenness(path, Seq("a").toDF("seed"),
+        maxDepth = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet === Set("b", "c", "d"))
+    assert(math.abs(got("b") - 2.0) < 1e-12)
+    assert(math.abs(got("c") - 1.0) < 1e-12)
+    assert(math.abs(got("d") - 0.0) < 1e-12)
+    // random graph vs driver-side Brandes restricted to the same seeds
+    val rnd = new scala.util.Random(41)
+    val n = 30
+    val edges = (1 to 70).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = Seq(0L, 3L, 7L)
+    val want = scala.collection.mutable.Map[Long, Double]()
+      .withDefaultValue(0.0)
+    for (s <- seeds if adj.contains(s)) {
+      // forward BFS: σ, levels, predecessors
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+        .withDefaultValue(0L)
+      val preds = scala.collection.mutable.Map[Long, List[Long]]()
+        .withDefaultValue(Nil)
+      val order = scala.collection.mutable.ArrayBuffer[Long]()
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        order += u
+        for (v <- adj.getOrElse(u, Set.empty)) {
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue += v }
+          if (dist(v) == dist(u) + 1) {
+            sigma(v) += sigma(u); preds(v) = u :: preds(v)
+          }
+        }
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (w <- order.reverse; u <- preds(w)) {
+        delta(u) += sigma(u).toDouble / sigma(w) * (1.0 + delta(w))
+      }
+      for (v <- order if v != s) want(v) = want(v) + delta(v)
+    }
+    val gotR = Bfs.landmarkBetweenness(edges.toDF("src", "dst"),
+        seeds.toDF("seed"), maxDepth = 12)
+      .as[(Long, Double)].collect().toMap
+    assert(gotR.keySet === want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(gotR(k) - v) < 1e-9, s"node $k: ${gotR(k)} vs $v")
+  }
+
   test("pathCounts: exact σ on a diamond (two shortest paths merge, " +
     "then extend); depth cap stops the expansion; reference match on " +
     "a random graph") {
