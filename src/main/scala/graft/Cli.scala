@@ -489,7 +489,7 @@ object Cli {
           typeCol = opts.getOrElse("type", "event_type"))
           .orderBy("stage").collect()
           .foreach(r => println(r.mkString("\t")))
-      case "bfs" => // multi-source hop distances (a21_bfs_hops)
+      case "bfs" => // hop distances + the σ/betweenness/weighted faces
         val edges = opts.get("edges").map(spark.read.parquet(_))
           .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
         val seeds = opts.get("seeds") match {
@@ -498,11 +498,34 @@ object Cli {
             csv.split(",").map(_.trim.toLong).toSeq.toDF("seed")
           case None => edges.select(col("src").as("seed")).limit(10)
         }
-        graft.bel.Bfs.hops(edges, seeds,
-          maxDepth = opts.getOrElse("max-depth", "20").toInt)
-          .groupBy("hops").agg(count(lit(1)).as("nodes"))
-          .orderBy("hops").collect()
-          .foreach(r => println(r.mkString("\t")))
+        // --stat hops (default) | sigma (a36) | betweenness (a38);
+        // --weight <col> switches to min-plus costs (a37)
+        (opts.get("weight"), opts.getOrElse("stat", "hops")) match {
+          case (Some(wc), _) =>
+            graft.bel.Bfs.weightedHops(edges, seeds, wc,
+              maxHops = opts.getOrElse("max-depth", "20").toInt)
+              .orderBy(col("cost"), col("node"))
+              .limit(opts.getOrElse("top", "20").toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+          case (None, "sigma") =>
+            graft.bel.Bfs.pathCounts(edges, seeds,
+              maxDepth = opts.getOrElse("max-depth", "4").toInt)
+              .orderBy(col("sigma").desc, col("seed"), col("node"))
+              .limit(opts.getOrElse("top", "20").toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+          case (None, "betweenness") =>
+            graft.bel.Bfs.landmarkBetweenness(edges, seeds,
+              maxDepth = opts.getOrElse("max-depth", "4").toInt)
+              .orderBy(col("betweenness").desc, col("node"))
+              .limit(opts.getOrElse("top", "20").toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+          case _ =>
+            graft.bel.Bfs.hops(edges, seeds,
+              maxDepth = opts.getOrElse("max-depth", "20").toInt)
+              .groupBy("hops").agg(count(lit(1)).as("nodes"))
+              .orderBy("hops").collect()
+              .foreach(r => println(r.mkString("\t")))
+        }
       case "scd2" => // dimension-history intervals (w_scd2_intervals)
         val out = opts.getOrElse("out", s"$warehouse/_scd2")
         val ev = opts.get("input").map(spark.read.parquet(_))

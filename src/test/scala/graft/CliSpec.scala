@@ -308,6 +308,16 @@ class CliSpec extends SparkSpec {
       "--min-words", "3"))
     Cli.main(Array("compact-ingest", "--out", curated, "--files", "1"))
     assert(spark.read.parquet(s"$curated/corpus").count() === 60L)
+    // the bfs faces over a custom edge parquet
+    val edges = s"$dir/edges"
+    Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 9L))
+      .toDF("src", "dst", "w").write.parquet(edges)
+    Cli.main(Array("bfs", "--edges", edges, "--seeds", "1",
+      "--stat", "sigma"))
+    Cli.main(Array("bfs", "--edges", edges, "--seeds", "1",
+      "--stat", "betweenness"))
+    Cli.main(Array("bfs", "--edges", edges, "--seeds", "1",
+      "--weight", "w"))
     assert(!spark.sparkContext.isStopped)
   }
 }
