@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions._
   *    ([[graft.bel.Bfs.landmarkBetweenness]]) — the full Brandes
   *    backward pass over the a36 σ state: shortest-path DAG via one
   *    3-way join, per-level dependency folds, pivot-sampled estimate.
+  *  - `w_stream_topk`: the o11 native bounded top-k aggregate as
+  *    STREAMING state ([[graft.streaming.EventStreams
+  *    .topKPerWindowStream]]) — ≤ k rows per (window, type) key in the
+  *    state store regardless of volume.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -248,6 +252,42 @@ object Round11Queries {
           col("node").cast("long").as("node"), col("hops"),
           col("sigma"))
     }),
+
+    // --- Streaming windowed top-k --------------------------------------------
+    // The o11 native bounded top-k aggregate running INSIDE a
+    // watermarked streaming aggregation: per (hour, event_type) the 3
+    // largest events, the TopKRowsAgg buffer as the state store's
+    // per-key state (≤ k rows regardless of volume — streaming windows
+    // don't even admit rank functions). Two time-ordered batches,
+    // complete-mode sink; oracle = the batch row_number SQL.
+    "w_stream_topk" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val tag = sfTag(d).replace(".", "_")
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .filter(_._1 % 20 == 0).sortBy(_._2.getTime)
+        val mem =
+          MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+        val out = graft.streaming.EventStreams.topKPerWindowStream(
+          mem.toDS().toDF("event_id", "ts", "user_id", "event_type",
+            "value"), k = 3)
+        val sink = s"w_stream_topk_$tag"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try {
+          val (h1, h2) = rows.splitAt(rows.length / 2)
+          mem.addData(h1: _*)
+          q.processAllAvailable()
+          mem.addData(h2: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink).select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("value"), col("user_id"))
+      }),
 
     // --- Landmark betweenness centrality -------------------------------------
     // The full Brandes composition over the a36 forward state: DAG via
@@ -472,6 +512,25 @@ object Round11Queries {
     "a37_weighted_paths" -> weightedPathsOracle(12),
 
     "a38_betweenness" -> betweennessOracle(4),
+
+    "w_stream_topk" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value
+        |  FROM events WHERE event_id % 20 = 0
+        |), r AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, value,
+        |    user_id,
+        |    row_number() OVER (
+        |      PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value DESC, user_id DESC, ts DESC,
+        |        event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  value, user_id
+        |FROM r WHERE rn <= 3
+        |""".stripMargin,
 
     "k22_compact_ingest" ->
       ("SELECT true AS chain_equals_batch, true AS files_bounded, " +

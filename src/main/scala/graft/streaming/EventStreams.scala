@@ -95,6 +95,33 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed top-k rows per (window, event_type) — the STREAMING face
+    * of [[graft.ops.Rank.topKPerGroup]] ("the 3 biggest events per type
+    * per hour, continuously"): the native bounded
+    * [[graft.functions.TopKRowsAgg]] buffer IS the streaming
+    * aggregation state, so each (window, type) key holds at most k rows
+    * in the state store regardless of event volume — the same
+    * every-row-through-one-task funnel a streaming
+    * `row_number().over(...)` would hit doesn't exist here (windows
+    * don't even admit rank functions in streaming). Total order
+    * (value, user_id, ts, event_id) descending — event_id makes the
+    * top-k SET deterministic under ties, though only
+    * (value, user_id) are emitted. Complete mode re-emits the window
+    * table; the batch twin is the row_number SQL the gate's oracle
+    * runs. */
+  def topKPerWindowStream(events: DataFrame, k: Int,
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.TopKRows.topKStructs(
+        struct(col("value"), col("user_id"), col("ts"), col("event_id")),
+        k, ascending = false).as("__top"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        explode(col("__top")).as("__r"))
+      .select(col("hour"), col("event_type"),
+        col("__r.value").as("value"), col("__r.user_id").as("user_id"))
+
   /** Watermarked streaming dedup — the stream face of exact dedup:
     * duplicate keys arriving within the watermark horizon are dropped
     * with BOUNDED state (a key's state is evicted once the watermark
