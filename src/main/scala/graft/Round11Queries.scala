@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   *    STREAMING state ([[graft.streaming.EventStreams
   *    .topKPerWindowStream]]) — ≤ k rows per (window, type) key in the
   *    state store regardless of volume.
+  *  - `g13_neighbor_fanout`: GraphSAGE minibatch neighborhoods
+  *    ([[graft.bel.RandomWalks.neighborFanout]]) — per hop one
+  *    frontier join + one bounded top-k, md5-order deterministic draw.
   */
 object Round11Queries {
   private type Q = (SparkSession, String) => DataFrame
@@ -251,6 +254,23 @@ object Round11Queries {
         .select(col("seed").cast("long").as("seed"),
           col("node").cast("long").as("node"), col("hops"),
           col("sigma"))
+    }),
+
+    // --- GNN neighbor-fanout sampling ----------------------------------------
+    // The GraphSAGE minibatch extractor: 2-hop (3, 2)-fanout sampled
+    // neighborhoods of the %199 landmark parts over the co-purchase
+    // graph — per hop one frontier join + one bounded top-k (only
+    // parents × k rows cross the exchange), the md5-order draw
+    // identical in both engines.
+    "g13_neighbor_fanout" -> ((s, d) => {
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 199 === 0)
+        .select(col("p_partkey").as("seed"))
+      graft.bel.RandomWalks.neighborFanout(
+          Round8Queries.coPurchaseEdges(s, d), seeds, Seq(3, 2))
+        .select(col("seed").cast("long").as("seed"), col("hop"),
+          col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
     }),
 
     // --- Streaming windowed top-k --------------------------------------------
@@ -512,6 +532,44 @@ object Round11Queries {
     "a37_weighted_paths" -> weightedPathsOracle(12),
 
     "a38_betweenness" -> betweennessOracle(4),
+
+    "g13_neighbor_fanout" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+        |), f0 AS MATERIALIZED (
+        |  SELECT p_partkey AS seed, p_partkey AS node FROM part
+        |  WHERE p_partkey % 199 = 0
+        |), p1 AS MATERIALIZED (
+        |  SELECT seed, u, v FROM (
+        |    SELECT f0.seed, adj.u, adj.v, row_number() OVER (
+        |      PARTITION BY f0.seed, adj.u
+        |      ORDER BY md5(adj.u || ':1:' || adj.v), adj.v) AS rn
+        |    FROM f0 JOIN adj ON f0.node = adj.u)
+        |  WHERE rn <= 3
+        |), f1 AS MATERIALIZED (
+        |  SELECT DISTINCT seed, v AS node FROM p1
+        |), p2 AS MATERIALIZED (
+        |  SELECT seed, u, v FROM (
+        |    SELECT f1.seed, adj.u, adj.v, row_number() OVER (
+        |      PARTITION BY f1.seed, adj.u
+        |      ORDER BY md5(adj.u || ':2:' || adj.v), adj.v) AS rn
+        |    FROM f1 JOIN adj ON f1.node = adj.u)
+        |  WHERE rn <= 2
+        |)
+        |SELECT CAST(seed AS BIGINT) AS seed, 1 AS hop,
+        |  CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst
+        |FROM p1
+        |UNION ALL
+        |SELECT CAST(seed AS BIGINT), 2, CAST(u AS BIGINT),
+        |  CAST(v AS BIGINT)
+        |FROM p2
+        |""".stripMargin,
 
     "w_stream_topk" ->
       """WITH e AS (

@@ -70,6 +70,63 @@ object RandomWalks {
     result
   }
 
+  /** GraphSAGE-style neighbor-FANOUT sampling (Hamilton, Ying &
+    * Leskovec, "Inductive representation learning on large graphs",
+    * NeurIPS 2017): per hop t, every frontier node keeps at most
+    * `fanouts(t)` neighbors — the bounded computation DAG a GNN
+    * minibatch trains on, extracted relationally ("the 10-25-sampled
+    * 2-hop neighborhood of these seeds" without ever materializing the
+    * full neighborhood explosion). Same determinism contract as
+    * [[walks]]: the kept neighbors are the k smallest
+    * `(md5(u ":" hop ":" v), v)` — hash-seeded uniform-ish, engine- and
+    * partitioning-independent, no `rand()`. The draw is per (parent,
+    * hop), not per seed, so overlapping seed neighborhoods sample
+    * IDENTICAL edges — the cacheable-expansion property real samplers
+    * exploit.
+    *
+    * Scale shape: per hop ONE frontier⋈adjacency equi-join and ONE
+    * bounded top-k aggregation ([[graft.ops.Rank.topKPerGroup]]'s
+    * native k-row buffers — only `parents × k` rows cross the
+    * exchange, the o11 posture; a row_number window would ship every
+    * candidate edge through one task per parent). Frontiers dedup per
+    * (seed, node) so a node reached twice in a hop expands once.
+    *
+    * Output: `(seed, hop, src, dst)` — the sampled edges, hop 1-based;
+    * a seed absent from the graph contributes nothing. */
+  def neighborFanout(edges: DataFrame, seeds: DataFrame,
+                     fanouts: Seq[Int], srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    require(fanouts.nonEmpty, "neighborFanout needs at least one fanout")
+    require(fanouts.forall(_ >= 1),
+      s"fanouts must be >= 1, got ${fanouts.mkString(", ")}")
+    val seedCol = seeds.columns.head
+    val adj = Checkpoints.cut(edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct())
+    var frontier = seeds.select(col(seedCol).as("seed")).distinct()
+      .withColumn("node", col("seed"))
+    var out: DataFrame = null
+    for ((k, i) <- fanouts.zipWithIndex) {
+      val hop = i + 1
+      val cand = frontier.join(adj, frontier("node") === adj("u"))
+        .select(col("seed"), col("u"), col("v"),
+          md5(concat(col("u").cast("string"), lit(s":$hop:"),
+            col("v").cast("string"))).as("h"))
+      val picked = Checkpoints.cut(
+        graft.ops.Rank.topKPerGroup(cand, Seq("seed", "u"),
+            Seq("h", "v"), k)
+          .select(col("seed"), lit(hop).as("hop"), col("u").as("src"),
+            col("v").as("dst")))
+      out = if (out == null) picked else out.unionByName(picked)
+      frontier = picked.select(col("seed"), col("dst").as("node"))
+        .distinct()
+    }
+    out
+  }
+
   /** Skip-gram (center, context) pair extraction from a walk corpus —
     * the final hop to embedder input: every ordered pair of walk
     * positions within `window` of each other, aggregated to counts.

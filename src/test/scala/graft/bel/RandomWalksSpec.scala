@@ -67,4 +67,51 @@ class RandomWalksSpec extends SparkSpec {
     val out = RandomWalks.walks(edges, steps = 5)
     assert(out.count() === 3 * 6) // 3 walkers x (steps + 1) positions
   }
+
+  test("neighborFanout: bounded per-parent samples matching the " +
+    "md5-order reference, identical across seeds and partitionings") {
+    val rnd = new scala.util.Random(59)
+    val n = 25
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val fanouts = Seq(3, 2)
+    // driver reference: per hop, each frontier node keeps the k
+    // neighbors with smallest (md5("u:hop:v"), v)
+    def ref(seed: Long): Set[(Long, Int, Long, Long)] = {
+      var frontier = Set(seed)
+      var out = Set.empty[(Long, Int, Long, Long)]
+      for ((k, i) <- fanouts.zipWithIndex) {
+        val hop = i + 1
+        val picked = frontier.flatMap { u =>
+          adj.getOrElse(u, Set.empty).toSeq
+            .sortBy(v => (md5hex(s"$u:$hop:$v"), v)).take(k)
+            .map(v => (seed, hop, u, v))
+        }
+        out = out ++ picked
+        frontier = picked.map(_._4)
+      }
+      out
+    }
+    val seeds = Seq(0L, 4L)
+    val want = seeds.flatMap(ref).toSet
+    val got = RandomWalks.neighborFanout(
+        edges.toDF("src", "dst").repartition(7), seeds.toDF("seed"),
+        fanouts)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.toSet === want)
+    assert(got.length === got.toSet.size, "no duplicate sampled edges")
+    // per-(seed, hop, parent) bound holds
+    got.groupBy(t => (t._1, t._2, t._3)).foreach { case ((_, h, _), es) =>
+      assert(es.length <= fanouts(h - 1))
+    }
+    // overlapping neighborhoods sample IDENTICAL edges across seeds
+    val byParent = got.groupBy(t => (t._2, t._3))
+      .map { case (k, es) => k -> es.groupBy(_._1)
+        .values.map(_.map(e => (e._3, e._4)).toSet).toSet }
+    byParent.values.foreach(sets => assert(sets.size === 1,
+      "the per-parent draw must not depend on the seed"))
+  }
 }
