@@ -499,7 +499,14 @@ object Cli {
           case None => edges.select(col("src").as("seed")).limit(10)
         }
         // --stat hops (default) | sigma (a36) | betweenness (a38);
-        // --weight <col> switches to min-plus costs (a37)
+        // --weight <col> switches to min-plus costs (a37). The two
+        // selectors are mutually exclusive — silently preferring one
+        // would hand the user weighted costs labeled as betweenness
+        if (opts.contains("weight") && opts.contains("stat")) {
+          println("bfs: --weight and --stat are mutually exclusive " +
+            "(weighted σ/betweenness are not implemented)")
+          sys.exit(2)
+        }
         (opts.get("weight"), opts.getOrElse("stat", "hops")) match {
           case (Some(wc), _) =>
             graft.bel.Bfs.weightedHops(edges, seeds, wc,

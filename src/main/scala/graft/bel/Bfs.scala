@@ -44,6 +44,28 @@ import graft.core.Checkpoints
   */
 object Bfs {
 
+  /** The encode compares xxhash64 digests, and Spark hashes by PHYSICAL
+    * type — `xxhash64(1: int) != xxhash64(1L)` — so a seed column whose
+    * type differs from the edge endpoints would silently join NOTHING
+    * (empty or seeds-only output) where the pre-encode code's implicit
+    * join casts still matched. Fail fast with the cast instruction
+    * instead. */
+  private[bel] def requireSameKeyType(op: String, edges: DataFrame,
+                                      srcCol: String, dstCol: String,
+                                      other: DataFrame,
+                                      otherCol: String,
+                                      role: String): Unit = {
+    val st = edges.schema(srcCol).dataType
+    val dt = edges.schema(dstCol).dataType
+    require(st == dt, s"$op: edge endpoint types differ ('$srcCol' is " +
+      s"${st.sql}, '$dstCol' is ${dt.sql}) — cast to one type upstream " +
+      "(the dict encode hashes by physical type)")
+    val ot = other.schema(otherCol).dataType
+    require(ot == st, s"$op: $role column '$otherCol' is ${ot.sql} but " +
+      s"the edge endpoints are ${st.sql} — cast upstream (xxhash64 " +
+      "hashes by physical type; a mismatch silently matches nothing)")
+  }
+
   /** Undirected encoded adjacency: one row per direction, null
     * endpoints and self-loops dropped ON VALUES (hashing first would
     * turn nulls into joinable seeds), then hashed to `(u, v)` longs. */
@@ -138,20 +160,27 @@ object Bfs {
         s"— cents/micros); '$weightCol' is " +
         edges.schema(weightCol).dataType.sql)
     val seedCol = seeds.columns.head
+    requireSameKeyType("weightedHops", edges, srcCol, dstCol, seeds,
+      seedCol, "seed")
     val fwd = edges.select(col(srcCol).as("nu"), col(dstCol).as("nv"),
       col(weightCol).cast("long").as("w"))
     val rev = edges.select(col(dstCol).as("nu"), col(srcCol).as("nv"),
       col(weightCol).cast("long").as("w"))
-    val undW = fwd.unionByName(rev)
+    val raw = fwd.unionByName(rev)
       .filter(col("nu").isNotNull && col("nv").isNotNull &&
         col("nu") =!= col("nv"))
       .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"),
         col("w"))
-      .groupBy("u", "v").agg(min("w").as("w"))
-    val bad = undW.filter(col("w").isNull || col("w") <= 0L).count()
-    require(bad == 0L, s"weightedHops: $bad edge(s) with non-positive " +
-      "or null weight — min-plus needs strictly positive weights")
-    val adj = Checkpoints.cut(undW)
+    // validate on the PRE-fold rows — min(w) would silently skip a null
+    // parallel copy — and as a narrow scan (no shuffle); the min-fold
+    // then runs exactly once, materialized by the cut (the earlier
+    // count-then-cut shape paid the fold shuffle twice)
+    val bad = raw.filter(col("w").isNull || col("w") <= 0L).count()
+    require(bad == 0L, s"weightedHops: $bad edge cop(y/ies) with " +
+      "non-positive or null weight — min-plus needs strictly positive " +
+      "weights")
+    val adj = Checkpoints.cut(
+      raw.groupBy("u", "v").agg(min("w").as("w")))
     val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
       .select(xxhash64(col("nv")).as("node"), lit(0L).as("hops"))
     val dist = relaxLoop(adj, dist0, Seq("node"), maxHops, col("w"))
@@ -168,6 +197,8 @@ object Bfs {
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val seedCol = seeds.columns.head
+    requireSameKeyType("hops", edges, srcCol, dstCol, seeds,
+      seedCol, "seed")
     val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
     val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
       .select(xxhash64(col("nv")).as("node"), lit(0).as("hops"))
@@ -206,6 +237,8 @@ object Bfs {
                                  dstCol: String): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val seedCol = seeds.columns.head
+    requireSameKeyType("hopsPerSeedEncoded", edges, srcCol, dstCol, seeds,
+      seedCol, "seed")
     val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
     val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
       .select(xxhash64(col("nv")).as("seed"))
@@ -263,6 +296,8 @@ object Bfs {
       s"pathCounts caps maxDepth at 12 (σ grows as branching^depth " +
         s"and must stay inside BIGINT), got $maxDepth")
     val seedCol = seeds.columns.head
+    requireSameKeyType("pathCountsEncoded", edges, srcCol, dstCol, seeds,
+      seedCol, "seed")
     val adj = Checkpoints.cut(encodedAdj(edges, srcCol, dstCol))
     var visited = Checkpoints.cut(
       seeds.select(col(seedCol).as("nv")).distinct()

@@ -36,6 +36,10 @@ object Modularity {
     * `labels(node, label)`: `(label, n_nodes, l_c, d_c, q_c)`; total
     * Q = Σ q_c. */
   def perCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // xxhash64 hashes by PHYSICAL type — a labels frame whose node type
+    // differs from the edge endpoints would silently join nothing
+    Bfs.requireSameKeyType("Modularity.perCommunity", edges, "src",
+      "dst", labels, "node", "labels node")
     // the SAME canonicalization LPA labels over — shared, not mirrored
     // (null/self-loop dropping happens on VALUES, before the encode)
     val und = LabelPropagation.undirectedSimple(edges)

@@ -124,6 +124,11 @@ object PageRank {
                     weightCol: Option[String]): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    // xxhash64 hashes by PHYSICAL type — a seeds frame whose node type
+    // differs from the edge endpoints would silently match no node and
+    // trip the no-seed-present fail-fast with a misleading message
+    seeds.foreach(sd => Bfs.requireSameKeyType("runPersonalized", edges,
+      "src", "dst", sd, "node", "seed node"))
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .filter(col("node").isNotNull)

@@ -106,7 +106,10 @@ object Cdc {
     * colliding changed row would report unchanged; at 2⁻⁶⁴ per pair
     * this is the fingerprint-dedup trade, documented there). Duplicate
     * keys within a snapshot are rejected loudly — a diff over an
-    * ambiguous key is not a diff. */
+    * ambiguous key is not a diff — and so are NULL key values: a null
+    * never equi-joins, so the same unchanged null-keyed row would
+    * otherwise report as both 'added' and 'removed' on every diff,
+    * churning downstream consumers forever. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
@@ -114,6 +117,11 @@ object Cdc {
     require(compareCols.nonEmpty,
       "snapshotDiff needs at least one compare column")
     def digest(df: DataFrame, hName: String): DataFrame = df
+      .select(keys.map(k =>
+        when(col(k).isNotNull, col(k)).otherwise(raise_error(lit(
+          s"snapshotDiff: null value in key column '$k' — keys must " +
+            "be non-null (a null never equi-joins and would misreport " +
+            "as added+removed)"))).as(k)) ++ compareCols.map(col): _*)
       .groupBy(keys.map(col): _*)
       .agg(max(xxhash64(struct(compareCols.map(col): _*))).as(hName),
         count(lit(1)).as("__n"))

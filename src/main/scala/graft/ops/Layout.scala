@@ -41,27 +41,47 @@ object Layout {
     spark.read.parquet(out)
   }
 
+  /** Atomically-as-possible replace `dir` with the fully-written `tmp`
+    * directory: rename `dir` aside, rename `tmp` into place, delete the
+    * old copy LAST — and every rename's boolean result is CHECKED
+    * (Hadoop `FileSystem.rename` signals quota/permission/existing-dst
+    * failures by returning false, not throwing; an unchecked swap that
+    * proceeds to the delete would destroy the only copy). A failed
+    * second rename rolls the original back before erroring, so no
+    * failure path loses data. The swap windows: before the first
+    * rename, `dir` is untouched; between the renames, `dir` is
+    * momentarily absent with the full old copy at `dir__swap_old` —
+    * run maintenance from ONE process with no concurrent reader/writer
+    * of `dir` (the single-writer constraint every OPTIMIZE without a
+    * transaction log carries). */
+  private[graft] def swapInto(spark: SparkSession, dir: String,
+                              tmp: String): Unit = {
+    val fs = graft.core.Fs.fs(spark, dir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"${dir}__swap_old"
+    fs.delete(p(old), true)
+    require(fs.rename(p(dir), p(old)),
+      s"swapInto: rename $dir -> $old failed; $dir left untouched")
+    if (!fs.rename(p(tmp), p(dir))) {
+      val restored = fs.rename(p(old), p(dir))
+      sys.error(s"swapInto: rename $tmp -> $dir failed" +
+        (if (restored) s"; original restored from $old"
+         else s"; RESTORE ALSO FAILED — original preserved at $old"))
+    }
+    fs.delete(p(old), true)
+    ()
+  }
+
   /** IN-PLACE [[compact]]: rewrite `dir` itself to `numFiles` sorted
-    * files through a sibling tmp directory and two renames (parquet
-    * cannot overwrite its own input). The swap windows: a crash before
-    * the first rename leaves `dir` untouched (tmp debris is re-created
-    * next run); between the renames, `dir` is momentarily absent with
-    * the full old copy at `dir__compact_old` — so run maintenance from
-    * ONE process with no concurrent reader/writer of `dir` (the same
-    * single-writer constraint every OPTIMIZE without a transaction log
-    * carries). */
+    * files through a sibling tmp directory and the checked
+    * [[swapInto]] rename swap (parquet cannot overwrite its own
+    * input). */
   def compactInPlace(spark: SparkSession, dir: String, numFiles: Int,
                      sortCols: Seq[String]): Unit = {
     val tmp = s"${dir}__compact_tmp"
-    val old = s"${dir}__compact_old"
-    val fs = graft.core.Fs.fs(spark, dir)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.delete(p(tmp), true); fs.delete(p(old), true)
+    graft.core.Fs.delete(spark, tmp)
     compact(spark, dir, tmp, numFiles, sortCols)
-    fs.rename(p(dir), p(old))
-    fs.rename(p(tmp), p(dir))
-    fs.delete(p(old), true)
-    ()
+    swapInto(spark, dir, tmp)
   }
 
   /** Morton (Z-order) code: bit-interleave of two non-negative columns,

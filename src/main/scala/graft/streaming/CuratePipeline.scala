@@ -147,19 +147,17 @@ object CuratePipeline {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val corpusPath = s"$outPath/corpus"
     val tmp = s"$outPath/.corpus_compact_tmp"
-    val old = s"$outPath/.corpus_compact_old"
-    val fs = graft.core.Fs.fs(spark, corpusPath)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.delete(p(tmp), true); fs.delete(p(old), true)
+    graft.core.Fs.delete(spark, tmp)
     spark.read.parquet(corpusPath).drop("batch_id")
       .repartition(numFiles)
       .sortWithinPartitions(idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch_id=-1")
-    fs.rename(p(corpusPath), p(old))
-    fs.rename(p(tmp), p(corpusPath))
-    fs.delete(p(old), true)
+    // checked rename swap (rollback on failure, old copy deleted LAST)
+    graft.ops.Layout.swapInto(spark, corpusPath, tmp)
     graft.ops.Layout.compactInPlace(spark, indexPath, numFiles,
       Seq("fingerprint"))
+    val fs = graft.core.Fs.fs(spark, corpusPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def nFiles(dir: String): Long = {
       val it = fs.listFiles(p(dir), true)
       var n = 0L

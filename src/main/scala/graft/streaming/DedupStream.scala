@@ -78,21 +78,35 @@ object DedupStream {
               // probe then recomputes only the not-yet-indexed subset
               // of survivors, and a bare Overwrite would replace the
               // previously-landed FULL set with that subset. Union the
-              // recomputed survivors with the partition's existing rows
-              // (staged through a sibling tmp dir — parquet can't
-              // overwrite its own input) so accepted rows are never
-              // lost; dedup on idCol keeps the overlap single. With the
-              // default rename-based committer the append is atomic
-              // per-file, and this branch degenerates to rewriting the
-              // identical row set.
+              // recomputed survivors with the partition rows THIS
+              // pipeline accepted — membership = fingerprint present in
+              // the current index, so a stale partition left by an old
+              // run against a fresh index contributes nothing (the
+              // plain-Overwrite truth semantics) while every partially-
+              // indexed row survives. Staged through a sibling tmp dir
+              // (parquet can't overwrite its own input) and swapped by
+              // CHECKED renames with the old copy deleted last
+              // (Layout.swapInto) — no crash window loses the landed
+              // rows. dropDuplicates on idCol keeps the overlap single.
               val tmp = s"$outPath/.batch_id=${id}_replay_tmp"
-              docs.unionByName(spark.read.parquet(part), allowMissingColumns = true)
+              graft.core.Fs.delete(spark, tmp)
+              // no index at all (the corpus-write-then-crash window
+              // lost it entirely): the probe recomputed the FULL
+              // survivor set, so `docs` alone is the truth
+              val landedKept =
+                if (exists(spark, indexPath)) {
+                  val indexed = spark.read.parquet(indexPath)
+                    .select(col("fingerprint").as("__fp"))
+                  spark.read.parquet(part)
+                    .withColumn("__fp",
+                      graft.ops.TextAnalysis.fingerprint(col(textCol)))
+                    .join(indexed, Seq("__fp"), "left_semi")
+                    .drop("__fp")
+                } else docs.limit(0)
+              docs.unionByName(landedKept, allowMissingColumns = true)
                 .dropDuplicates(idCol)
                 .write.mode(SaveMode.Overwrite).parquet(tmp)
-              val f = graft.core.Fs.fs(spark, part)
-              f.delete(new org.apache.hadoop.fs.Path(part), true)
-              f.rename(new org.apache.hadoop.fs.Path(tmp),
-                new org.apache.hadoop.fs.Path(part))
+              graft.ops.Layout.swapInto(spark, part, tmp)
               fresh.write.mode(SaveMode.Append).parquet(indexPath)
               spark.read.parquet(part).count()
             } else {

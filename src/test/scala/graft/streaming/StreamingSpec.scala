@@ -354,6 +354,20 @@ class StreamingSpec extends SparkSpec {
       "previously-accepted rows must survive a partial-append replay")
     assert(spark.read.parquet(idx).count() === 2L,
       "the missing fingerprints complete the index")
+    // window D: a STALE partition left by a previous run (fresh run —
+    // no index yet — against a reused outPath, batch ids restarting at
+    // 0): the stale rows are not in this run's index, so the
+    // union-on-replay must NOT resurrect them; the new batch replaces
+    // the partition as truth
+    rm(new java.io.File(idx))
+    Seq((99L, "stale old content never accepted by this run"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    val nD = DedupStream.dedupBatch(spark, idx, out, b, Some(0L))
+    assert(nD === 2L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "stale rows from a previous run must not resurrect")
   }
 
   test("dedupStream: duplicate keys within and across batches land once") {
