@@ -856,6 +856,48 @@ object Cli {
         graft.ops.TextAnalysis.urlDomainWithSuffixes(hosts, suffixes)
           .orderBy("host").collect()
           .foreach(r => println(r.mkString("\t")))
+      case "pca" => // embedding PCA / whitening (s_pca_gram, s_pca_invariants)
+        val vecs = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "embeddings"))
+        val k = opts.getOrElse("k", "8").toInt
+        val model = graft.ops.Pca.fit(vecs)
+        println(s"dim=${model.dim} top-$k eigvals: " +
+          model.eigvals.take(k).map(v => f"$v%.6g").mkString(", "))
+        val out = if (opts.contains("whiten"))
+          graft.ops.Pca.whiten(vecs, model, k)
+        else graft.ops.Pca.project(vecs, model, k)
+        opts.get("out") match {
+          case Some(o) =>
+            out.write.mode("overwrite").parquet(o)
+            println(s"wrote ${spark.read.parquet(o).count()} vectors -> $o")
+          case None => out.limit(3).collect()
+            .foreach(r => println(r.mkString("\t")))
+        }
+      case "sample" => // weighted priority sampling (o13_weighted_sample)
+        val docsDf = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "documents"))
+        val k = opts.getOrElse("k", "25").toInt
+        val w = opts.getOrElse("weight", "n_chars")
+        graft.ops.TrainingPrep.prioritySample(docsDf, k, col(w))
+          .orderBy("doc_id").collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "transitions" => // Markov transition matrix (a39_transitions)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.Funnel.transitionCounts(ev)
+          .orderBy("from_type", "to_type").collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "anomalies" => // rolling z-score outliers (w_anomaly_zscore)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val flagged = graft.ops.Anomaly.flagOutliers(ev,
+          n = opts.getOrElse("n", "20").toInt,
+          k = opts.getOrElse("sigmas", "3").toInt)
+        val hits = flagged.filter(col("is_outlier"))
+        hits.orderBy("user_id", "event_id")
+          .limit(opts.getOrElse("top", "10").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+        println(s"${hits.count()} outliers of ${flagged.count()} events")
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
@@ -865,7 +907,8 @@ object Cli {
           "quality-filter top-values lm-score funnel bfs scd2 " +
           "cosine-pairs walks neg-samples prepare-training compact " +
           "zorder export-jsonl drift asof resample cc-incremental expect " +
-          "compact-ingest snapshot-diff quantiles wav-features psl-domain")
+          "compact-ingest snapshot-diff quantiles wav-features psl-domain " +
+          "pca sample transitions anomalies")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

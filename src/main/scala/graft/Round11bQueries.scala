@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 extension gates, second batch — the linear-algebra /
+  * behavior-modeling additions beyond the verdict's asks:
+  *
+  *  - `s_pca_gram`: the distributed half of a PCA fit
+  *    ([[graft.ops.Pca.gramExact]]) — quantized second-moment matrix,
+  *    BIGINT-exact vs the same sums in SQL.
+  *  - `s_pca_invariants`: the eigensolve half ([[graft.ops.Pca.fit]] /
+  *    [[graft.ops.Pca.whiten]]) — orthonormal components, sorted
+  *    spectrum, trace preservation, and identity covariance after
+  *    whitening; the s_lsh_recall boolean-invariant posture (an
+  *    eigendecomposition is not SQL-expressible, its defining algebraic
+  *    properties are machine-checkable).
+  *  - `o13_weighted_sample`: weighted sampling without replacement via
+  *    priority sampling ([[graft.ops.TrainingPrep.prioritySample]],
+  *    Duffield–Lund–Thorup JACM 2007) — selection-set-exact vs the SQL
+  *    oracle because the priority is one IEEE division of the md5-draw
+  *    integers, never a libm call.
+  *  - `a39_transitions`: first-order Markov transition counts over
+  *    per-user event sequences ([[graft.ops.Funnel.transitionCounts]])
+  *    — exact BIGINT counts + per-source totals.
+  *  - `w_anomaly_zscore`: rolling z-score outlier flags
+  *    ([[graft.ops.Anomaly.flagOutliers]]) — the sigma test run in
+  *    BIGINT algebra (no sqrt, no division), bit-exact vs the window
+  *    SQL.
+  *  - `w_stream_anomaly`: the same flags from the STREAMING face
+  *    ([[graft.streaming.AnomalyStream]]) — watermark-sealed rolling
+  *    windows, flushed by the sentinel discipline, equal to the batch
+  *    SQL on the same feed.
+  */
+object Round11bQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replace(".", "_")
+
+  val queries: Map[String, Q] = Map(
+
+    // --- PCA: the distributed stage, integer-exact ---------------------------
+    // One explode + one map-side-combined hash aggregation produce the
+    // d(d+1)/2 quantized second-moment cells — the ONLY corpus-sized
+    // work in a PCA fit. floor-quantization (never half-up rounding)
+    // keeps the BIGINT sums engine-identical.
+    "s_pca_gram" -> ((s, d) =>
+      graft.ops.Pca.gramExact(t(s, d, "embeddings"))),
+
+    // --- PCA: the eigensolve stage, invariant-gated ---------------------------
+    // The driver-side Jacobi eigensolve is not SQL-expressible; its
+    // defining properties are: components orthonormal, spectrum sorted
+    // and PSD-nonnegative, trace preserved (Σλ = Σ per-dim variance),
+    // and — the whole point of the operator — the whitened corpus has
+    // identity covariance. All four checked against the live corpus,
+    // the s_lsh_recall boolean posture.
+    "s_pca_invariants" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val model = graft.ops.Pca.fit(emb)
+      val dm = model.dim
+      val comps = model.components
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val orthoOk = (0 until dm).forall(i => (i until dm).forall { j =>
+        math.abs(dot(comps(i), comps(j)) - (if (i == j) 1.0 else 0.0)) <
+          1e-8
+      })
+      val eigSortedOk =
+        model.eigvals.zip(model.eigvals.tail).forall { case (a, b) =>
+          a >= b - 1e-12
+        } && model.eigvals.last > -1e-8
+      // trace: Σ eigvals == Σ per-dimension population variance
+      val varSum = emb
+        .select(posexplode(graft.functions.Vectors.toDouble(
+          col("embedding"))).as(Seq("dim", "e")))
+        .groupBy("dim").agg(var_pop("e").as("v"))
+        .agg(sum("v")).collect()(0).getDouble(0)
+      val traceOk =
+        math.abs(model.eigvals.sum - varSum) <= 1e-6 * math.abs(varSum)
+      // whitening: covariance of the whitened top-8 corpus ≈ I
+      val wcov = graft.ops.Pca
+        .covariance(graft.ops.Pca.whiten(emb, model, k = 8))
+        .collect()
+      val whitenOk = wcov.nonEmpty && wcov.forall { r =>
+        val expect = if (r.getInt(1) == r.getInt(0)) 1.0 else 0.0
+        math.abs(r.getDouble(2) - expect) < 1e-6
+      }
+      Seq((orthoOk, eigSortedOk, traceOk, whitenOk))
+        .toDF("ortho_ok", "eig_sorted_ok", "trace_ok", "whiten_ok")
+    }),
+
+    // --- k-truss decomposition --------------------------------------------------
+    // Support peeling with a genuine multi-round cascade: per 16-key
+    // part group, a planted 5-clique (edge support 3 — survives k=4
+    // forever) and a "bowtie" (hub edge in TWO triangles whose wing
+    // edges each sit in one): round 1 peels the wings (support 1),
+    // round 2 peels the now-naked hub (support 2 → 0) — the driver
+    // corpora's natural graphs are truss-degenerate (co-supply is
+    // near-complete at sf0.01, co-purchase triangle-sparse), so the
+    // gate plants the regime the operator serves, the s_lsh_recall
+    // posture. Bounded-round contract: maxRounds = 3 here, and each
+    // oracle level IS one peel (the a37 discipline); the operator
+    // early-stops at the round-2 fixpoint.
+    // 8-partition + AQE-off scoping: the peel loop's per-round joins run
+    // on a dimension-sized edge list (the a31/a35 iterative-loop
+    // posture; measured 12.6 → ~4 s at sf0.1 — 32-partition task
+    // overhead dominated every round)
+    "a40_ktruss" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      val p = t(ss, d, "part").select(col("p_partkey").as("pk"),
+        (col("p_partkey") % 16).as("m"),
+        expr("p_partkey div 16").as("g"))
+      val pairs = p.select(col("g"), col("pk").as("src"), col("m").as("m1"))
+        .join(p.select(col("g"), col("pk").as("dst"), col("m").as("m2")),
+          "g")
+        .filter(col("m1") < col("m2"))
+      val edges = pairs.filter(
+        col("m2") <= 4 ||
+          (col("m1") >= 5 && col("m2") <= 8 &&
+            !(col("m1") === 7 && col("m2") === 8)))
+        .select("src", "dst")
+      graft.bel.KTruss.run(edges, k = 4, maxRounds = 3)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+    }),
+
+    // --- Weighted sampling without replacement --------------------------------
+    // 25 documents sampled proportional to length via priority sampling:
+    // q = w·10⁶/draw, top-k, ties by id. The sample SET is exact vs the
+    // oracle (IEEE division of exact integers); output keeps the integer
+    // witnesses (w, draw), never the float priority.
+    "o13_weighted_sample" -> ((s, d) =>
+      graft.ops.TrainingPrep.prioritySample(
+        t(s, d, "documents"), k = 25, weight = col("n_chars"))),
+
+    // --- Markov transition counts ----------------------------------------------
+    // Per-user next-event transition matrix over the full event log —
+    // the behavior-modeling aggregate. (ts, event_id) ordering makes
+    // same-µs pairs deterministic in both engines.
+    "a39_transitions" -> ((s, d) =>
+      graft.ops.Funnel.transitionCounts(
+        graft.core.Tables.events(s, d))),
+
+    // --- Rolling z-score outliers (batch) --------------------------------------
+    // Every event judged against its user's 20 preceding values: the
+    // |x−μ| > 3σ test multiplied through by cnt² runs entirely in
+    // BIGINT (floor-quantized ×1000 values) — bit-exact vs the window
+    // SQL, no float accumulation anywhere.
+    "w_anomaly_zscore" -> ((s, d) =>
+      graft.ops.Anomaly.flagOutliers(graft.core.Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("q"), col("cnt"),
+          col("s"), col("ss"), col("is_outlier"))),
+
+    // --- Rolling z-score outliers (streaming face) ------------------------------
+    // The same flags from watermark-sealed state: two time-ordered
+    // batches split at a common boundary (nothing below the post-batch
+    // watermark), then the far-future sentinel seals every window — the
+    // w_stream_asof flush discipline. Every 20th event keeps the feed
+    // micro-batch-sized; the oracle is the batch window SQL over the
+    // same subset.
+    "w_stream_anomaly" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .filter(_._1 % 20 == 0)
+          .map(r => (r._1, r._2, r._3, r._5)) // (event_id, ts, user, value)
+        val mem =
+          MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+        val out = graft.streaming.AnomalyStream.flagOutliersStream(
+          mem.toDS().toDF("event_id", "ts", "user_id", "value"))
+        val sink = s"w_stream_anomaly_${sfTag(d)}"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val times = rows.map(_._2.getTime)
+          val cut = times.min + (times.max - times.min) / 2
+          mem.addData(rows.filter(_._2.getTime < cut): _*)
+          q.processAllAvailable()
+          mem.addData(rows.filter(_._2.getTime >= cut): _*)
+          q.processAllAvailable()
+          mem.addData((-1L,
+            new java.sql.Timestamp(times.max + 30L * 86400000L), -1L, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink).filter(col("user_id") =!= -1L)
+      }))
+
+  private def anomalySql(filter: String): String =
+    s"""WITH b AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(floor(value * 1000) AS BIGINT) AS q
+       |  FROM events$filter
+       |), w AS (
+       |  SELECT user_id, event_id, q,
+       |    CAST(count(*) OVER win AS BIGINT) AS cnt,
+       |    CAST(coalesce(sum(q) OVER win, 0) AS BIGINT) AS s,
+       |    CAST(coalesce(sum(q * q) OVER win, 0) AS BIGINT) AS ss
+       |  FROM b
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT user_id, event_id, q, cnt, s, ss,
+       |  cnt >= 8 AND
+       |    (cnt * q - s) * (cnt * q - s) > 9 * (cnt * ss - s * s)
+       |    AS is_outlier
+       |FROM w
+       |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "s_pca_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, unnest(qv) AS qx,
+        |    CAST(unnest(generate_series(1, len(qv))) - 1 AS INT) AS i
+        |  FROM q
+        |)
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(sum(a.qx * b.qx) AS BIGINT) AS s_xy,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "s_pca_invariants" ->
+      ("SELECT true AS ortho_ok, true AS eig_sorted_ok, " +
+        "true AS trace_ok, true AS whiten_ok"),
+
+    "a40_ktruss" -> {
+      def peel(r: Int): String = {
+        val p = r - 1
+        s"""t$r AS (SELECT a.u AS x, a.v AS y, b.v AS z
+           |  FROM e$p a JOIN e$p b ON b.u = a.v
+           |  JOIN e$p c ON c.u = a.u AND c.v = b.v),
+           |s$r AS (SELECT u, v, count(*) AS c FROM (
+           |  SELECT x AS u, y AS v FROM t$r
+           |  UNION ALL SELECT x, z FROM t$r
+           |  UNION ALL SELECT y, z FROM t$r) GROUP BY 1, 2),
+           |e$r AS (SELECT e.u, e.v FROM e$p e
+           |  JOIN s$r s ON s.u = e.u AND s.v = e.v WHERE s.c >= 2)"""
+          .stripMargin
+      }
+      s"""WITH p AS (
+         |  SELECT p_partkey AS pk, p_partkey % 16 AS m,
+         |    p_partkey // 16 AS g
+         |  FROM part
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM p a JOIN p b ON a.g = b.g AND a.m < b.m
+         |  WHERE b.m <= 4 OR (a.m >= 5 AND b.m <= 8
+         |    AND NOT (a.m = 7 AND b.m = 8))
+         |),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b FROM e3
+         |""".stripMargin
+    },
+
+    "o13_weighted_sample" ->
+      """WITH dr AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':priority'),
+        |      1, 8))::BIGINT % 1000000) + 1 AS draw
+        |  FROM documents
+        |)
+        |SELECT doc_id, w, CAST(draw AS BIGINT) AS draw
+        |FROM dr
+        |ORDER BY CAST(w AS DOUBLE) * 1000000.0 / draw DESC, doc_id
+        |LIMIT 25
+        |""".stripMargin,
+
+    "a39_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "w_anomaly_zscore" -> anomalySql(""),
+
+    "w_stream_anomaly" -> anomalySql(" WHERE event_id % 20 = 0"))
+}

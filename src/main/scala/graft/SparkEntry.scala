@@ -12,7 +12,8 @@ object SparkEntry {
       Round4Queries.queries ++ Round6Queries.queries ++
       Round7Queries.queries ++ Round8Queries.queries ++
       Round8bQueries.queries ++ Round9Queries.queries ++
-      Round10Queries.queries ++ Round11Queries.queries
+      Round10Queries.queries ++ Round11Queries.queries ++
+      Round11bQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every registered query has an oracle: the
     * two approximate/engine-hash ops are gated via boolean invariant
@@ -22,5 +23,6 @@ object SparkEntry {
       Round4Queries.oracleSql ++ Round6Queries.oracleSql ++
       Round7Queries.oracleSql ++ Round8Queries.oracleSql ++
       Round8bQueries.oracleSql ++ Round9Queries.oracleSql ++
-      Round10Queries.oracleSql ++ Round11Queries.oracleSql
+      Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
+      Round11bQueries.oracleSql
 }

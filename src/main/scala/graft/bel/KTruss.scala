@@ -1,0 +1,132 @@
+package graft.bel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-truss decomposition (Cohen, "Trusses: cohesive subgraphs for social
+  * network analysis", NSA TR 2008): the maximal subgraph in which every
+  * edge closes at least k−2 triangles WITHIN the subgraph — the
+  * edge-cohesion analogue of [[KCore]]'s node peeling, and the standard
+  * community-core extractor one notch stronger than cores (every k-truss
+  * is inside the (k−1)-core). Same graph surface as
+  * [[Triangles]]/[[KCore]] (the reference stops at counts;
+  * `manager/abstract_manager.py:224`).
+  *
+  * Algorithm: support peeling — iteratively drop every edge whose
+  * triangle support in the CURRENT survivor graph is < k−2, until
+  * fixpoint. The graph orients ONCE by the (degree, id) total order
+  * ([[Triangles]]' Suri–Vassilvitskii posture: oriented out-degrees
+  * stay O(√m), so hub neighborhoods never self-join); each round then
+  * enumerates triangles of the oriented SURVIVOR list and counts each
+  * into its THREE canonical edges — per round: one wedge equi-join, one
+  * closing equi-join, one map-side-combined support aggregation, one
+  * survivor filter join. Nothing quadratic; ids ride the loop
+  * xxhash64-encoded (8-byte shuffle keys, the PageRank encode posture)
+  * and decode once at the rim.
+  *
+  * Bounded-round contract: `maxRounds` caps the peel; the gate runs a
+  * fixed small bound whose unrolled SQL oracle is engine-identical by
+  * construction (each oracle level IS one peel — the a37 weighted-paths
+  * discipline), while the operator's default runs to fixpoint (the loop
+  * stops early the first round nothing drops — peeling is monotone, so
+  * a fixpoint is final). Lineage cuts every round (the LPA/CC loop
+  * convention). Output: surviving canonical edges `(a, b)` with
+  * `a = least(value), b = greatest(value)`.
+  */
+object KTruss {
+
+  def run(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val nodes = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .distinct()
+      .withColumn("id", xxhash64(col("node")))
+      .persist()
+    val enc = und.select(xxhash64(col("a")).as("u"),
+      xxhash64(col("b")).as("v"))
+
+    // Orient ONCE, before the loop: the (degree, id) total order only
+    // has to be consistent to count each triangle exactly once, so the
+    // initial-graph degrees stay a valid (if staleness-suboptimal)
+    // order for every later round — peeling then just FILTERS the
+    // oriented list, and the per-round work drops to wedge join +
+    // closing join + support aggregation + survivor filter. This is
+    // also the production-truss posture (orientation reuse between peel
+    // rounds); re-orienting by live degree each round costs a degree
+    // aggregation plus two joins per round for a second-order wedge-size
+    // improvement.
+    val deg = enc.select(col("u").as("id"))
+      .unionByName(enc.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val uKey = struct(col("du").as("d"), col("u").as("n"))
+    val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    var oriented = graft.core.Checkpoints.cut(enc
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(uKey < vKey, col("u")).otherwise(col("v")).as("x"),
+        when(uKey < vKey, col("v")).otherwise(col("u")).as("y"),
+        when(uKey < vKey, vKey).otherwise(uKey).as("ykey")))
+      .persist()
+    // the 2-truss is the whole simple graph (every edge has ≥ 0
+    // triangles); skip the loop rather than special-case the filter
+    var round = 0
+    var done = k == 2
+    var nEdges = oriented.count()
+    while (!done && round < maxRounds) {
+      val next = graft.core.Checkpoints.cut(peelOnce(oriented, k))
+        .persist()
+      val n2 = next.count()
+      oriented.unpersist()
+      oriented = next
+      done = n2 == nEdges || n2 == 0
+      nEdges = n2
+      round += 1
+    }
+    val out = graft.core.Checkpoints.cut(oriented
+      .join(nodes.select(col("id").as("x"), col("node").as("na")), "x")
+      .join(nodes.select(col("id").as("y"), col("node").as("nb")), "y")
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b")))
+    oriented.unpersist(); nodes.unpersist(); und.unpersist()
+    out
+  }
+
+  /** One support-peel round over the oriented survivor list: wedges from
+    * each apex close against the oriented edge set, each triangle counts
+    * into its three edges (canonical (min, max) id pairs), and survivors
+    * keep support ≥ k−2 — an edge in NO triangle has no support row and
+    * drops via the inner join (support 0 < k−2 for every k ≥ 3). The
+    * survivor filter re-derives the canonical pair from (x, y), so the
+    * oriented frame flows through rounds unchanged in shape. */
+  private def peelOnce(oriented: DataFrame, k: Int): DataFrame = {
+    val o1 = oriented.select(col("x"), col("y").as("y1"),
+      col("ykey").as("k1"))
+    val o2 = oriented.select(col("x"), col("y").as("y2"),
+      col("ykey").as("k2"))
+    val tris = o1.join(o2, Seq("x")).filter(col("k1") < col("k2"))
+      .join(oriented.select(col("x").as("y1"), col("y").as("y2")),
+        Seq("y1", "y2"))
+      .select(col("x"), col("y1"), col("y2"))
+    val contrib = tris.select(least(col("x"), col("y1")).as("u"),
+        greatest(col("x"), col("y1")).as("v"))
+      .unionByName(tris.select(least(col("x"), col("y2")).as("u"),
+        greatest(col("x"), col("y2")).as("v")))
+      .unionByName(tris.select(least(col("y1"), col("y2")).as("u"),
+        greatest(col("y1"), col("y2")).as("v")))
+    val sup = contrib.groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    oriented
+      .withColumn("u", least(col("x"), col("y")))
+      .withColumn("v", greatest(col("x"), col("y")))
+      .join(sup, Seq("u", "v")).filter(col("sup") >= k - 2)
+      .select(col("x"), col("y"), col("ykey"))
+  }
+}

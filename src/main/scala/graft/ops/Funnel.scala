@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-sequence (funnel) analysis: of the users who performed
@@ -150,5 +151,34 @@ object Funnel {
         col("depth") >= col("stage"), "left")
       .groupBy("stage", "stage_name")
       .agg(coalesce(sum("n"), lit(0L)).as("users"))
+  }
+
+  /** First-order Markov transition counts over each key's event-time-
+    * ordered sequence — the behavior-modeling aggregate (user-journey
+    * transition matrices, next-event prediction labels, synthetic-
+    * trajectory priors). For every adjacent pair in a key's sequence
+    * (ordered by `(tsCol, tieCol)` — the tie column makes same-µs
+    * ordering deterministic, the j19 trajectory discipline) one
+    * `(from_type, to_type)` observation counts.
+    *
+    * Scale shape: ONE data-sized shuffle — the per-key lead window —
+    * then a map-side-combined aggregation onto the |types|² key domain;
+    * the `from_total` denominator rides a second window over that
+    * dimension-sized frame, never over the corpus. Exact BIGINT counts
+    * (probability = n / from_total is the consumer's one division).
+    * Output: (from_type, to_type, n, from_total). */
+  def transitionCounts(events: DataFrame, keyCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("from_total",
+      sum("n").over(Window.partitionBy("from_type")))
   }
 }

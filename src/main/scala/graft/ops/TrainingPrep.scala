@@ -364,6 +364,45 @@ object TrainingPrep {
       sourceCol = keyCol, idCol = idCol)
       .drop("score")
 
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (Duffield, Lund & Thorup, "Priority Sampling for Estimation of
+    * Arbitrary Subset Sums", JACM 54(6) 2007): each row draws the
+    * deterministic uniform `u = draw/10⁶ ∈ (0, 1]` from the one salted
+    * md5 recipe ([[saltedHex]]) and gets priority `q = w/u`; the k
+    * largest priorities form the sample. Selection probability rises
+    * with weight, no row repeats, and the whole draw is a pure function
+    * of (id, salt) — reproducible across runs and dataset versions, the
+    * [[hashSplit]] leakage-free property. This is the mixture-sampling
+    * primitive for "sample 1M docs proportional to quality score".
+    *
+    * Exactness: priority is ONE IEEE double division of exact integers
+    * (`w·10⁶ / draw`) — identical bits in any IEEE-754 engine, so the
+    * selected SET matches the SQL oracle row-for-row (no `ln`, whose
+    * libm rounding may differ across engines — why this is priority
+    * sampling and not A-ES exponential keys). Ties break by id.
+    *
+    * Scale shape: narrow draw + global top-k = TakeOrderedAndProject
+    * (per-partition bounded heap, driver merges k rows) — no full sort,
+    * no shuffle of the corpus. Fails fast on non-positive weights (a
+    * silent zero/negative weight corrupts the estimator, the
+    * weighted-PageRank posture). Output: (idCol, w, draw) of the k
+    * selected rows. */
+  def prioritySample(df: DataFrame, k: Int, weight: Column,
+                     idCol: String = "doc_id",
+                     salt: String = "priority"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = when(weight.cast("long") > 0, weight.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("prioritySample: weight must be positive, got "),
+        coalesce(weight.cast("string"), lit("null")))))
+    df.select(col(idCol), w.as("w"),
+      (pmod(hexDraw(saltedHex(col(idCol), salt)), lit(1000000L)) + 1L)
+        .as("draw"))
+      .orderBy((col("w").cast("double") * 1000000.0 / col("draw")).desc,
+        col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle into shards (the pre-training shuffle:
     * trainers need the corpus in a reproducible pseudo-random order that
     * any re-run, resume, or re-shard reproduces exactly): each row's

@@ -145,6 +145,38 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("transitionCounts: adjacent pairs per key, tie-broken by event id") {
+    val ev = Seq(
+      // u1 in ts order: view → click → view (two transitions)
+      (1L, 1L, 10L, "view"), (2L, 2L, 10L, "click"), (3L, 3L, 10L, "view"),
+      // u2: two events at the SAME ts — event_id orders them
+      (5L, 7L, 20L, "buy"), (4L, 7L, 20L, "click"),
+      // u3: single event → no transition
+      (6L, 1L, 30L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.transitionCounts(ev)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 1L)),
+      // "click" fans out to view (u1) and buy (u2) → from_total 2
+      ("click", "view") -> ((1L, 2L)),
+      // u2: id 4 (click) precedes id 5 (buy) at the shared ts
+      ("click", "buy") -> ((1L, 2L))))
+  }
+
+  test("transitionCounts: from_total sums the row's outgoing counts") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (2L, 2L, 1L, "b"),
+      (3L, 1L, 2L, "a"), (4L, 2L, 2L, "c"),
+      (5L, 1L, 3L, "a"), (6L, 2L, 3L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Funnel.transitionCounts(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == Set(("a", "b", 2L, 3L), ("a", "c", 1L, 3L)))
+  }
+
   test("funnel counts are monotonically non-increasing") {
     val rnd = new scala.util.Random(23)
     val types = Seq("view", "click", "buy")

@@ -585,4 +585,82 @@ class PlanShapeSpec extends SparkSpec {
         s"an exchange is not keyed on host:\n$plan"))
     }
   }
+
+  test("Pca.gramExact: pair join is an EQUI-join on the row key (no " +
+    "cartesian), partial aggregation below the cell exchange, all " +
+    "codegen'd (no interpreted HOF in the product path)") {
+    withoutAqe {
+      val vecs = docs.select(col("doc_id").as("vec_id"),
+        array((0 to 3).map(i => (col("doc_id") % (i + 7)).cast("double")
+          * 0.1): _*).as("embedding"))
+      val plan = executed(Pca.gramExact(vecs))
+      assert(plan.collect { case j: CartesianProductExec => j }.isEmpty &&
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"pairing must be an equi-join:\n$plan")
+      // map-side combine: a partial aggregate below the final exchange,
+      // so the cell shuffle carries cells × partitions, not rows
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partial.nonEmpty, s"no partial aggregate:\n$plan")
+      // the product path must stay codegen'd: no HigherOrderFunction
+      // survives in the executed plan's projections
+      val hofs = plan.expressions.flatMap(_.collect {
+        case h: org.apache.spark.sql.catalyst.expressions
+          .HigherOrderFunction => h
+      })
+      assert(hofs.isEmpty, s"interpreted HOF in the hot path:\n$plan")
+    }
+  }
+
+  test("Anomaly.flagOutliers: ONE shuffle keyed on the entity, ONE " +
+    "window pass for all three frame aggregates") {
+    withoutAqe {
+      val ev = docs.select(col("doc_id").as("event_id"),
+        (col("doc_id") % 16).as("user_id"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("ts"),
+        (col("doc_id") % 97).cast("double").as("value"))
+      val plan = executed(Anomaly.flagOutliers(ev))
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1 &&
+        shuffles.head.toString.contains("user_id"),
+        s"expected one user-keyed exchange:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.size == 1,
+        s"cnt/s/ss must share one WindowExec:\n$plan")
+    }
+  }
+
+  test("prioritySample: global top-k plans as TakeOrderedAndProject — " +
+    "per-partition heaps, no full sort, no exchange") {
+    withoutAqe {
+      val plan = executed(TrainingPrep.prioritySample(
+        docs, k = 10, weight = length(col("text")).cast("long")))
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"expected TakeOrderedAndProject:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+        plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+          .isEmpty,
+        s"global sample must not sort or shuffle the corpus:\n$plan")
+    }
+  }
+
+  test("Pca projection/whitening is NARROW: broadcast-literal matrix, " +
+    "zero exchanges") {
+    withoutAqe {
+      val vecs = docs.select(col("doc_id").as("vec_id"),
+        array((0 to 2).map(i => (col("doc_id") % (i + 5)).cast("double"))
+          : _*).as("embedding"))
+      val model = Pca.fit(vecs)
+      val plan = executed(Pca.whiten(vecs, model, k = 2))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"projection gained a shuffle:\n$plan")
+    }
+  }
 }

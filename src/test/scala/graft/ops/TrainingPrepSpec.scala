@@ -320,4 +320,45 @@ class TrainingPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.chunk(docs, chunkTokens = 5, overlap = 5))
   }
+
+  test("prioritySample: deterministic, exactly k, weight-monotone") {
+    val docs = (0L until 500L).map(i => (i, 10L + i % 50))
+      .toDF("doc_id", "w0")
+    val a = TrainingPrep.prioritySample(docs, k = 40, weight = col("w0"))
+      .select("doc_id").as[Long].collect().toSet
+    val b = TrainingPrep.prioritySample(docs, k = 40, weight = col("w0"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 40)
+    // inflating one unselected row's weight enough always selects it:
+    // priority = w·10⁶/draw with draw ≤ 10⁶, so w > max(all priorities)
+    // guarantees the top slot
+    val out = docs.filter(!col("doc_id").isin(a.toSeq: _*)).limit(1)
+      .select("doc_id").as[Long].collect().head
+    val boosted = docs.withColumn("w0",
+      when(col("doc_id") === out, lit(100000000000L)).otherwise(col("w0")))
+    val c = TrainingPrep.prioritySample(boosted, k = 40, weight = col("w0"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.contains(out))
+  }
+
+  test("prioritySample: heavier corpora are sampled more often") {
+    // two strata of equal size, weights 1 vs 9 → the heavy stratum must
+    // dominate the sample (statistical, but deterministic given the
+    // fixed md5 draws)
+    val docs = (0L until 1000L).map(i => (i, if (i < 500) 1L else 9L))
+      .toDF("doc_id", "w0")
+    val got = TrainingPrep.prioritySample(docs, k = 100, weight = col("w0"))
+      .select("doc_id").as[Long].collect()
+    val heavy = got.count(_ >= 500L)
+    assert(heavy > 70, s"heavy stratum got $heavy of 100")
+  }
+
+  test("prioritySample fails fast on non-positive weight and bad k") {
+    val docs = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "w0")
+    val ex = intercept[Exception](
+      TrainingPrep.prioritySample(docs, k = 1, weight = col("w0")).collect())
+    assert(ex.getMessage.contains("weight must be positive"))
+    intercept[IllegalArgumentException](
+      TrainingPrep.prioritySample(docs, k = 0, weight = col("w0")))
+  }
 }
