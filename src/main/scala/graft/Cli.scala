@@ -887,6 +887,46 @@ object Cli {
         graft.ops.Funnel.transitionCounts(ev)
           .orderBy("from_type", "to_type").collect()
           .foreach(r => println(r.mkString("\t")))
+      case "ktruss" => // cohesive-subgraph extraction (a40_ktruss)
+        val ed = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse {
+            val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+              .distinct()
+            li.select(col("ok"), col("pk").as("src"))
+              .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+              .filter(col("src") < col("dst"))
+              .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+              .filter(col("c") >= 2).select("src", "dst")
+          }
+        val truss = graft.bel.KTruss.run(ed,
+          k = opts.getOrElse("k", "3").toInt,
+          maxRounds = opts.getOrElse("rounds", "50").toInt)
+        println(s"${truss.count()} edges in the " +
+          s"${opts.getOrElse("k", "3")}-truss")
+      case "assortativity" => // degree mixing (a41_assortativity)
+        val ed = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse {
+            val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+              .distinct()
+            li.select(col("ok"), col("pk").as("src"))
+              .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+              .filter(col("src") < col("dst"))
+              .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+              .filter(col("c") >= 2).select("src", "dst")
+          }
+        graft.bel.Assortativity.degreeAssortativity(ed).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "wav-energy" => // windowed audio energy (mm_wav_energy)
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.ops.Multimodal.wavEncode(
+            spark.read.parquet(docsPath)))
+        graft.ops.Multimodal.wavEnergyWindows(in,
+            windowFrames = opts.getOrElse("window", "8").toInt)
+          .orderBy("doc_id", "win")
+          .limit(opts.getOrElse("top", "12").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
       case "anomalies" => // rolling z-score outliers (w_anomaly_zscore)
         val ev = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.events(spark, sfDir))
@@ -908,7 +948,8 @@ object Cli {
           "cosine-pairs walks neg-samples prepare-training compact " +
           "zorder export-jsonl drift asof resample cc-incremental expect " +
           "compact-ingest snapshot-diff quantiles wav-features psl-domain " +
-          "pca sample transitions anomalies")
+          "pca sample transitions anomalies ktruss assortativity " +
+          "wav-energy")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -131,6 +131,68 @@ object Round11bQueries {
           col("b").cast("long").as("b"))
     }),
 
+    // --- Incremental Gram maintenance -------------------------------------------
+    // fold(gram(evens), gram(odds)) must equal gram(corpus) BIT-EXACTLY
+    // (moment sums are pure integer additions) — the streaming upkeep
+    // path for covariance/PCA: the persisted index is the KB-sized cell
+    // matrix, each ingest batch folds in, the corpus never re-scans.
+    // Oracle = the s_pca_gram SQL verbatim over the full corpus.
+    "s_pca_gram_fold" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Pca.foldGram(
+        graft.ops.Pca.gramExact(emb.filter(col("vec_id") % 2 === 0)),
+        graft.ops.Pca.gramExact(emb.filter(col("vec_id") % 2 === 1)))
+    }),
+
+    // --- Whitened-PQ composition --------------------------------------------------
+    // The reason Pca exists in an ANN stack (whitened residuals
+    // quantize better — Jégou PQ §V): the s_pq_recall harness run in
+    // WHITENED space end-to-end — whiten the twin corpus (top-32 axes),
+    // truth = brute force on the whitened vectors, PQ trained and
+    // probed there too; recall ≥ 0.9 pins the composition plumbing
+    // (fit → whiten → train → ADC) and that whitening kept the planted
+    // twins nearest (the 1e-3 perturbation survives the 1/√λ scaling
+    // because the driver spectrum is near-flat).
+    "s_pq_whitened_recall" -> ((s, d) => {
+      import graft.ops.{Pca, ProductQuantization}
+      val corpus = Round6Queries.twinCorpus(t(s, d, "embeddings"))
+      val model = Pca.fit(corpus)
+      val white = Pca.whiten(corpus, model, k = 32)
+      val qs = white.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val truth = graft.ops.Similarity.bruteForceTopK(white, qs, k = 1)
+        .select("query_id", "id")
+      val cb = ProductQuantization.train(white, m = 8, k = 16,
+        iterations = 4)
+      val pq = ProductQuantization.adcTopK(white, cb, qs, k = 1,
+        rerankFrom = 32).select("query_id", "id")
+      val hits = truth.join(pq, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val total = truth.agg(count(lit(1)).as("n_true"))
+      hits.crossJoin(total).select(
+        (col("n_hit").cast("double") / col("n_true") >= 0.9)
+          .as("whitened_recall_ok"))
+    }),
+
+    // --- Degree assortativity ------------------------------------------------------
+    // Newman's mixing coefficient over the co-purchase graph: all five
+    // sums exact BIGINTs over directed endpoint-degree pairs; r is one
+    // IEEE division of exact integers — even the float matches
+    // bit-for-bit.
+    "a41_assortativity" -> ((s, d) =>
+      graft.bel.Assortativity.degreeAssortativity(
+        Round8Queries.coPurchaseEdges(s, d))),
+
+    // --- Windowed audio energy -------------------------------------------------------
+    // parseWav's exact statistics folded per 8-frame window (the
+    // silence-trim / clipping-scan profile): same container walk, same
+    // sample formula oracle, now time-localized; the tail window is
+    // short and must say so.
+    "mm_wav_energy" -> ((s, d) =>
+      graft.ops.Multimodal.wavEnergyWindows(
+        graft.ops.Multimodal.wavEncode(t(s, d, "documents")),
+        windowFrames = 8)),
+
     // --- Weighted sampling without replacement --------------------------------
     // 25 documents sampled proportional to length via priority sampling:
     // q = w·10⁶/draw, top-k, ties by id. The sample SET is exact vs the
@@ -216,23 +278,83 @@ object Round11bQueries {
        |FROM w
        |""".stripMargin
 
+  private val gramSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, unnest(qv) AS qx,
+      |    CAST(unnest(generate_series(1, len(qv))) - 1 AS INT) AS i
+      |  FROM q
+      |)
+      |SELECT a.i AS i, b.i AS j,
+      |  CAST(sum(a.qx * b.qx) AS BIGINT) AS s_xy,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
-    "s_pca_gram" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings
-        |), e AS (
-        |  SELECT vec_id, unnest(qv) AS qx,
-        |    CAST(unnest(generate_series(1, len(qv))) - 1 AS INT) AS i
-        |  FROM q
+    "s_pca_gram" -> gramSql,
+
+    // pure integer addition is associative: the folded halves must hit
+    // the full-corpus sums bit-for-bit
+    "s_pca_gram_fold" -> gramSql,
+
+    "s_pq_whitened_recall" -> "SELECT true AS whitened_recall_ok",
+
+    "a41_assortativity" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), dir AS (
+        |  SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v AS a, u AS b FROM e
+        |), deg AS (
+        |  SELECT a AS id, count(*) AS deg FROM dir GROUP BY 1
+        |), p AS (
+        |  SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM dir JOIN deg dx ON dx.id = dir.a
+        |  JOIN deg dy ON dy.id = dir.b
         |)
-        |SELECT a.i AS i, b.i AS j,
-        |  CAST(sum(a.qx * b.qx) AS BIGINT) AS s_xy,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-        |GROUP BY 1, 2
+        |SELECT CAST(count(*) AS BIGINT) AS m_pairs,
+        |  CAST(sum(dx) AS BIGINT) AS s_x,
+        |  CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+        |  CAST(sum(dx * dx) AS BIGINT) AS s_xx,
+        |  CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dx) AS DOUBLE) /
+        |    nullif(CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx)
+        |      AS DOUBLE), 0.0) AS r
+        |FROM p
+        |""".stripMargin,
+
+    "mm_wav_energy" ->
+      """WITH spec AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |    16 + doc_id % 9 AS frames
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, n_channels,
+        |    CAST(unnest(range(frames * n_channels)) AS BIGINT) AS i
+        |  FROM spec
+        |), sm AS (
+        |  SELECT doc_id,
+        |    CAST((i // n_channels) // 8 AS INT) AS win,
+        |    i // n_channels AS frame,
+        |    ((doc_id * 131 + (i // n_channels) * 17 + (i % n_channels)
+        |      * 71) % 65536) - 32768 AS s
+        |  FROM px
+        |)
+        |SELECT doc_id, win,
+        |  CAST(count(DISTINCT frame) AS INT) AS n_frames,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |FROM sm GROUP BY 1, 2
         |""".stripMargin,
 
     "s_pca_invariants" ->

@@ -115,7 +115,7 @@ object Round6Queries {
   /** Clustered corpus in the regime ANN serves (same construction as
     * s_lsh_recall / d_embed_pairs): every base vector gets a perturbed
     * twin, so each query's true nearest non-self neighbor IS its twin. */
-  private def twinCorpus(emb: DataFrame): DataFrame = {
+  private[graft] def twinCorpus(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
       graft.functions.Vectors.toDouble(col("embedding")).as("embedding"))
     val twins = base.select((col("vec_id") + 1000000).as("vec_id"),

@@ -513,6 +513,62 @@ object Multimodal {
     * wrap the cursor. */
   private[graft] def parseWav(
       bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long) = {
+    val (channels, rate, frames, off) = locateWavData(bytes)
+    var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+    var j = off
+    val end = off + frames * channels * 2
+    while (j < end) {
+      val s = ((bytes(j) & 0xff) | ((bytes(j + 1) & 0xff) << 8))
+        .toShort.toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += s * s
+      j += 2
+    }
+    (channels, rate, frames, peak, sumAbs, sumSq)
+  }
+
+  /** [[parseWav]]'s stats folded PER WINDOW of `windowFrames` frames
+    * (all channels of a frame belong to its window; the tail window may
+    * be short) — the time-localized energy/peak profile a speech/music
+    * curation pipeline thresholds on (silence trims, clipping scans).
+    * Returns (channels, rate, frames, per-window (win, n_frames, peak,
+    * Σ|s|, Σs²)). Same validation and exceptions as [[parseWav]] — one
+    * chunk-grammar walk, shared via [[locateWavData]]. */
+  private[graft] def parseWavWindows(bytes: Array[Byte], windowFrames: Int)
+      : (Int, Int, Int, Array[(Int, Int, Long, Long, Long)]) = {
+    require(windowFrames >= 1,
+      s"windowFrames must be positive, got $windowFrames")
+    val (channels, rate, frames, off) = locateWavData(bytes)
+    val nWin = (frames + windowFrames - 1) / windowFrames
+    val out = new Array[(Int, Int, Long, Long, Long)](nWin)
+    var w = 0
+    while (w < nWin) {
+      val f0 = w * windowFrames
+      val f1 = math.min(f0 + windowFrames, frames)
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+      var j = off + f0 * channels * 2
+      val end = off + f1 * channels * 2
+      while (j < end) {
+        val s = ((bytes(j) & 0xff) | ((bytes(j + 1) & 0xff) << 8))
+          .toShort.toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a
+        sumSq += s * s
+        j += 2
+      }
+      out(w) = (w, f1 - f0, peak, sumAbs, sumSq)
+      w += 1
+    }
+    (channels, rate, frames, out)
+  }
+
+  /** The chunk-grammar walk shared by [[parseWav]] and
+    * [[parseWavWindows]]: validates the container and returns
+    * (channels, rate, frames, data offset) without touching samples. */
+  private def locateWavData(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     def fail(code: String, detail: String): Nothing =
       throw new WavException(code, detail)
     def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
@@ -556,18 +612,7 @@ object Multimodal {
             fail("malformed", s"data size $size not a multiple of the " +
               s"$blockAlign-byte frame")
           val frames = (size / blockAlign).toInt
-          var peak = 0L; var sumAbs = 0L; var sumSq = 0L
-          var j = body.toInt
-          val end = (body + size).toInt
-          while (j < end) {
-            val s = u16(j).toShort.toLong
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            sumAbs += a
-            sumSq += s * s
-            j += 2
-          }
-          return (channels, rate, frames, peak, sumAbs, sumSq)
+          return (channels, rate, frames, body.toInt)
         case _ => // unknown chunk (LIST, fact, …): skip body + pad byte
       }
       pos = body + size + (size % 2) // RIFF pads chunks to even sizes
@@ -618,4 +663,38 @@ object Multimodal {
     decodeWavAll(df, idCol, batchSize)
       .filter(!col("ok"))
       .select(col("doc_id"), col("reason"))
+
+  final case class MmWavWinRow(doc_id: Long, win: Int, n_frames: Int,
+                               peak: Long, sum_abs: Long, sum_sq: Long)
+
+  /** Time-localized audio energy: [[decodeWav]]'s exact integer
+    * statistics folded per window of `windowFrames` frames — the
+    * silence-trim / clipping-scan feature a speech curation pipeline
+    * thresholds on before transcription. Corrupt blobs are silently
+    * absent here ([[decodeWavRejects]] is the accounting surface, the
+    * decodeWav contract). Output: (doc_id, win, n_frames, peak,
+    * sum_abs, sum_sq), the tail window short. */
+  def wavEnergyWindows(df: DataFrame, windowFrames: Int,
+                       idCol: String = "doc_id",
+                       batchSize: Int = 64): DataFrame = {
+    require(windowFrames >= 1,
+      s"windowFrames must be positive, got $windowFrames")
+    val in = df.select(col(idCol).cast("long").as("doc_id"), col("content"))
+      .as(Encoders.product[MmIn])
+    in.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          try {
+            val (_, _, _, wins) = parseWavWindows(r.content, windowFrames)
+            wins.iterator.map { case (w, nf, peak, sumAbs, sumSq) =>
+              MmWavWinRow(r.doc_id, w, nf, peak, sumAbs, sumSq)
+            }
+          } catch {
+            case _: WavException => Iterator.empty
+            case _: RuntimeException => Iterator.empty
+          }
+        }
+      }
+    }(Encoders.product[MmWavWinRow]).toDF()
+  }
 }

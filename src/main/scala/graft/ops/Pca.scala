@@ -91,6 +91,22 @@ object Pca {
       .groupBy("i", "j")
       .agg(sum(col("p")).as("s_xy"), count(lit(1)).as("n"))
 
+  /** Exact incremental maintenance of [[gramExact]]: moment sums are
+    * PURE ADDITIONS, so a delta batch's cell matrix folds into the
+    * persisted one bit-exactly — `fold(gram(A), gram(B)) ≡ gram(A ∪ B)`
+    * by associativity of integer addition, no approximation, no decay.
+    * This is the streaming posture for covariance/PCA upkeep at 100 TB:
+    * keep the d(d+1)/2-cell matrix as the persisted index (a few KB),
+    * fold each ingest batch's cells in (one dimension-domain
+    * aggregation over 2·cells rows), and re-run the driver-side
+    * eigensolve on whatever cadence drift demands (the IVF
+    * staleness-rebuild discipline) — never re-scan the corpus. */
+  def foldGram(index: DataFrame, delta: DataFrame): DataFrame =
+    index.select("i", "j", "s_xy", "n")
+      .unionByName(delta.select("i", "j", "s_xy", "n"))
+      .groupBy("i", "j")
+      .agg(sum("s_xy").as("s_xy"), sum("n").as("n"))
+
   /** Population covariance of the corpus as an upper-triangle frame
     * `(i, j, cov, n)` — the distributed half of a PCA fit, also useful
     * standalone (feature-correlation audits). Same one-explode

@@ -86,4 +86,57 @@ class MultimodalWavSpec extends SparkSpec {
     assert(code(riff ++ fmt ++ ascii("data") ++ u32(6) ++
       new Array[Byte](6)) === "malformed")
   }
+
+  test("wavEnergyWindows: windows partition the clip — per-window stats " +
+    "fold back to parseWav's totals, tail window short") {
+    val ids = (0L to 25L).toDF("doc_id")
+    val rows = Multimodal.wavEnergyWindows(
+        Multimodal.wavEncode(ids), windowFrames = 8)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    for (d <- 0L to 25L) {
+      val (_, _, frames, peak, sumAbs, sumSq) = ref(d)
+      val wins = rows(d).sortBy(_._2)
+      // contiguous window ids, frame counts sum to the clip's frames,
+      // tail short exactly when frames % 8 != 0
+      assert(wins.map(_._2).toSeq == wins.indices.toSeq)
+      assert(wins.map(_._3).sum == frames)
+      assert(wins.init.forall(_._3 == 8) &&
+        wins.last._3 == (if (frames % 8 == 0) 8 else frames % 8))
+      // stats fold exactly to the whole-clip statistics
+      assert(wins.map(_._4).max == peak, s"peak d=$d")
+      assert(wins.map(_._5).sum == sumAbs, s"sum_abs d=$d")
+      assert(wins.map(_._6).sum == sumSq, s"sum_sq d=$d")
+    }
+  }
+
+  test("wavEnergyWindows: a spike is localized to ITS window only") {
+    // hand-built mono clip: 16 frames of 100, frame 11 spiking to 30000
+    def u32(v: Long) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val samples = Array.tabulate(16)(i => if (i == 11) 30000 else 100)
+    val data = samples.flatMap(s =>
+      Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val blob = ascii("RIFF") ++ u32(4 + 24 + 8 + data.length) ++
+      ascii("WAVE") ++ ascii("fmt ") ++ u32(16) ++
+      Array[Byte](1, 0, 1, 0) ++ u32(8000) ++ u32(16000) ++
+      Array[Byte](2, 0, 16, 0) ++ ascii("data") ++
+      u32(data.length.toLong) ++ data
+    val got = Multimodal.wavEnergyWindows(
+        Seq((7L, blob)).toDF("doc_id", "content"), windowFrames = 8)
+      .as[(Long, Int, Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got(0)._4 == 100L && got(1)._4 == 30000L)
+    assert(got(0)._5 == 800L && got(1)._5 == 7 * 100L + 30000L)
+  }
+
+  test("wavEnergyWindows drops corrupt blobs (rejects stay the " +
+    "decodeWavRejects surface) and rejects bad windowFrames") {
+    val bad = Seq((1L, "nope".getBytes("US-ASCII"))).toDF("doc_id", "content")
+    assert(Multimodal.wavEnergyWindows(bad, windowFrames = 4).count() == 0)
+    intercept[IllegalArgumentException](
+      Multimodal.wavEnergyWindows(bad, windowFrames = 0))
+  }
 }

@@ -105,6 +105,19 @@ class PcaSpec extends SparkSpec {
     assert(w.forall(_ == 0.0))
   }
 
+  test("foldGram of disjoint halves equals the full gram bit-exactly") {
+    val full = Pca.gramExact(line, scale = 1000L).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val folded = Pca.foldGram(
+        Pca.gramExact(line.filter(col("vec_id") % 2 === 0), scale = 1000L),
+        Pca.gramExact(line.filter(col("vec_id") % 2 === 1), scale = 1000L))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(folded == full)
+  }
+
   test("k outside [1, dim] fails fast") {
     val m = Pca.fit(line)
     intercept[IllegalArgumentException](Pca.project(line, m, 0))
