@@ -887,6 +887,26 @@ object Cli {
         graft.ops.Funnel.transitionCounts(ev)
           .orderBy("from_type", "to_type").collect()
           .foreach(r => println(r.mkString("\t")))
+      case "winsorize" => // per-group quantile clipping (o14_winsorize)
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_quantity"))
+        val keys = opts.getOrElse("keys", "l_returnflag")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.ops.Rank.winsorize(in, keys,
+            opts.getOrElse("value", "l_quantity"),
+            lo = opts.getOrElse("lo", "0.05").toDouble,
+            hi = opts.getOrElse("hi", "0.95").toDouble)
+          .limit(opts.getOrElse("top", "10").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "gram-maintain" => // streaming PCA upkeep (w_stream_pca)
+        val vecsDf = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "embeddings"))
+        val out = opts.getOrElse("out", "/tmp/graft_gram_index")
+        graft.streaming.PcaStream.writeDelta(vecsDf, out,
+          batchId = opts.getOrElse("batch", "-1").toLong)
+        val g = graft.streaming.PcaStream.readGram(spark, out)
+        println(s"${g.count()} moment cells in $out")
       case "ktruss" => // cohesive-subgraph extraction (a40_ktruss)
         val ed = opts.get("input").map(spark.read.parquet(_))
           .getOrElse {
@@ -949,7 +969,7 @@ object Cli {
           "zorder export-jsonl drift asof resample cc-incremental expect " +
           "compact-ingest snapshot-diff quantiles wav-features psl-domain " +
           "pca sample transitions anomalies ktruss assortativity " +
-          "wav-energy")
+          "wav-energy winsorize gram-maintain")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

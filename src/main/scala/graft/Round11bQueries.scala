@@ -193,6 +193,45 @@ object Round11bQueries {
         graft.ops.Multimodal.wavEncode(t(s, d, "documents")),
         windowFrames = 8)),
 
+    // --- Per-group quantile winsorization -----------------------------------------
+    // Feature clipping at exact per-flag [p5, p95] bounds: one
+    // aggregation to the group-sized bounds frame, broadcast back, the
+    // corpus never shuffles. Same percentile/quantile_cont parity as
+    // o12.
+    "o14_winsorize" -> ((s, d) =>
+      graft.ops.Rank.winsorize(t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity"),
+        keys = Seq("l_returnflag"), valueCol = "l_quantity",
+        lo = 0.05, hi = 0.95)),
+
+    // --- Streaming covariance/PCA maintenance ---------------------------------------
+    // The CcStream posture for linear algebra: two embedding
+    // micro-batches each land their KB-sized quantized moment-cell
+    // partition (provenance-keyed batch_id overwrite = replay-
+    // idempotent); the read-time fold must equal the batch gram of the
+    // full corpus BIT-EXACTLY — same SQL oracle as s_pca_gram.
+    "w_stream_pca" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = t(ss, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().toSeq
+        val path = s"/tmp/graft_pca_stream_${sfTag(d)}"
+        graft.core.Fs.delete(ss, path)
+        val mem = MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.PcaStream.maintainGram(
+          mem.toDS().toDF("vec_id", "embedding"), path)
+        try {
+          val (h1, h2) = rows.partition(_._1 % 2 == 0)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        graft.streaming.PcaStream.readGram(ss, path)
+      }),
+
     // --- Weighted sampling without replacement --------------------------------
     // 25 documents sampled proportional to length via priority sampling:
     // q = w·10⁶/draw, top-k, ties by id. The sample SET is exact vs the
@@ -304,6 +343,23 @@ object Round11bQueries {
     "s_pca_gram_fold" -> gramSql,
 
     "s_pq_whitened_recall" -> "SELECT true AS whitened_recall_ok",
+
+    // read-time fold across batch partitions ≡ the one-shot gram
+    "w_stream_pca" -> gramSql,
+
+    "o14_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS q_lo,
+        |    quantile_cont(l_quantity, 0.95) AS q_hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_quantity, b.q_lo, b.q_hi,
+        |  least(greatest(CAST(l.l_quantity AS DOUBLE), b.q_lo), b.q_hi)
+        |    AS clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |""".stripMargin,
 
     "a41_assortativity" ->
       """WITH li AS MATERIALIZED (

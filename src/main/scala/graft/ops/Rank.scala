@@ -72,4 +72,29 @@ object Rank {
       .select(keys.map(col) :+ col("__z.__ps").as("p") :+
         col("__z.__qs").as("q"): _*)
   }
+
+  /** Winsorize (clip) a value column at per-group exact quantile bounds
+    * — the feature-clipping step a training pipeline runs before
+    * normalization so tail outliers don't set the scale. Each row gets
+    * its group's `[lo, hi]` continuous quantiles as bounds and
+    * `clipped = min(max(v, q_lo), q_hi)`; the bounds ride along for
+    * auditability. Same exact-`percentile` substrate (and the same
+    * quantized-domain scale contract) as [[groupQuantiles]].
+    *
+    * Scale shape: ONE map-side-combined aggregation to the group-sized
+    * bounds frame, then a BROADCAST join back — the corpus never
+    * shuffles. Output: input columns + `q_lo`, `q_hi`, `clipped`. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(keys.nonEmpty, "winsorize needs at least one key column")
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+      s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(lo)).as("q_lo"),
+        percentile(col(valueCol), lit(hi)).as("q_hi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn("clipped",
+        least(greatest(col(valueCol).cast("double"), col("q_lo")),
+          col("q_hi")))
+  }
 }

@@ -42,4 +42,39 @@ class RankQuantilesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case e: ShuffleExchangeExec => e }
     assert(shuffles.size === 1, s"expected ONE key exchange:\n$plan")
   }
+
+  test("winsorize clips at the per-group continuous quantile bounds") {
+    // group a: 1..11 → p10 = 2.0, p90 = 10.0 (exact interpolation at
+    // rank p·(n−1)); group b is constant → bounds collapse, clip = v
+    val df = ((1 to 11).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0))).toDF("k", "v")
+    val got = Rank.winsorize(df, Seq("k"), "v", lo = 0.1, hi = 0.9)
+      .select("k", "v", "q_lo", "q_hi", "clipped")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.forall(r => r._3 == 2.0 && r._4 == 10.0))
+    assert(a.find(_._2 == 1.0).get._5 == 2.0) // clipped up
+    assert(a.find(_._2 == 11.0).get._5 == 10.0) // clipped down
+    assert(a.find(_._2 == 6.0).get._5 == 6.0) // untouched inside
+    assert(got.filter(_._1 == "b").forall(r => r._5 == 5.0))
+  }
+
+  test("winsorize: the bounds join is a BROADCAST — the corpus never " +
+    "shuffles") {
+    val df = (1 to 200).map(i => (s"g${i % 4}", i.toDouble)).toDF("k", "v")
+    val out = Rank.winsorize(df, Seq("k"), "v", 0.05, 0.95)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j }.nonEmpty, s"bounds must broadcast:\n$plan")
+  }
+
+  test("winsorize rejects bad fractions and empty keys") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Rank.winsorize(df, Seq.empty, "v", 0.1, 0.9))
+    intercept[IllegalArgumentException](
+      Rank.winsorize(df, Seq("k"), "v", 0.9, 0.1))
+  }
 }
