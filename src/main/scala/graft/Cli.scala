@@ -66,6 +66,17 @@ import graft.sources._
   *   graft.Cli resolve   [--input P] --out DIR [--id COL] [--col COL] [--max-dist N]
   *   graft.Cli standardize [--emb P | --sf-dir D] --out DIR
   *   graft.Cli modularity [--edges P | --sf-dir D] [--labels P] [--iterations N]
+  *   graft.Cli pca       [--input P | --sf-dir D] [--k K] [--whiten 1] [--out DIR]
+  *   graft.Cli sample    [--input P | --sf-dir D] [--k K] [--weight COL]
+  *   graft.Cli transitions [--input P | --sf-dir D]
+  *   graft.Cli anomalies [--input P | --sf-dir D] [--n N] [--sigmas K] [--top N]
+  *   graft.Cli ktruss    [--input P | --sf-dir D] [--k K] [--rounds N]
+  *   graft.Cli assortativity [--input P | --sf-dir D]
+  *   graft.Cli wav-energy [--input P] [--window N] [--top N]
+  *   graft.Cli winsorize [--input P | --sf-dir D] [--keys a,b] [--value V] [--lo F] [--hi F]
+  *   graft.Cli gram-maintain [--input P | --sf-dir D] --out DIR [--batch N]
+  *   graft.Cli classify  [--input P | --sf-dir D]
+  *   graft.Cli histogram [--input P | --sf-dir D] [--key K] [--value V] [--width W]
   */
 object Cli {
 
@@ -887,6 +898,21 @@ object Cli {
         graft.ops.Funnel.transitionCounts(ev)
           .orderBy("from_type", "to_type").collect()
           .foreach(r => println(r.mkString("\t")))
+      case "classify" => // nearest-centroid labeling (s_centroid_classify)
+        val vecsDf = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "embeddings"))
+        val out = graft.ops.Similarity.centroidClassify(vecsDf)
+        val agree = out.filter(col("label") === col("label_pred")).count()
+        println(s"$agree / ${out.count()} assigned to their own class")
+      case "histogram" => // equi-width distribution (a42_histogram)
+        val in = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.Profile.equiWidthHistogram(in,
+            opts.getOrElse("key", "event_type"),
+            opts.getOrElse("value", "value"),
+            opts.getOrElse("width", "25.0").toDouble)
+          .orderBy(col(opts.getOrElse("key", "event_type")), col("bin"))
+          .collect().foreach(r => println(r.mkString("\t")))
       case "winsorize" => // per-group quantile clipping (o14_winsorize)
         val in = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.load(spark, sfDir, "lineitem")
@@ -969,7 +995,7 @@ object Cli {
           "zorder export-jsonl drift asof resample cc-incremental expect " +
           "compact-ingest snapshot-diff quantiles wav-features psl-domain " +
           "pca sample transitions anomalies ktruss assortativity " +
-          "wav-energy winsorize gram-maintain")
+          "wav-energy winsorize gram-maintain classify histogram")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -193,6 +193,24 @@ object Round11bQueries {
         graft.ops.Multimodal.wavEncode(t(s, d, "documents")),
         windowFrames = 8)),
 
+    // --- Nearest-centroid classification -----------------------------------------
+    // Rocchio weak labeling with EXACT arithmetic: centroids stay
+    // integer (sum, count) pairs, the squared-euclidean argmin
+    // multiplies through by n_c², ties break by label — assignment is
+    // deterministic in any IEEE engine, never a float-mean coin flip.
+    // One aggregation to the 10×64 centroid frame; assignment is a
+    // narrow broadcast-literal HOF pass.
+    "s_centroid_classify" -> ((s, d) =>
+      graft.ops.Similarity.centroidClassify(t(s, d, "embeddings"))),
+
+    // --- Equi-width histogram --------------------------------------------------------
+    // Fixed-bin value distribution per event type: bin = floor(v/25) —
+    // IEEE division + floor, exact counts, no quantization step.
+    "a42_histogram" -> ((s, d) =>
+      graft.ops.Profile.equiWidthHistogram(
+        graft.core.Tables.events(s, d), "event_type", "value",
+        binWidth = 25.0)),
+
     // --- Per-group quantile winsorization -----------------------------------------
     // Feature clipping at exact per-flag [p5, p95] bounds: one
     // aggregation to the group-sized bounds frame, broadcast back, the
@@ -346,6 +364,43 @@ object Round11bQueries {
 
     // read-time fold across batch partitions ≡ the one-shot gram
     "w_stream_pca" -> gramSql,
+
+    "s_centroid_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS INT) AS label,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT)
+        |      AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label AS cl, i, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT e.vec_id, c.cl,
+        |    CAST(sum((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS DOUBLE)
+        |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS cost
+        |  FROM e JOIN c ON c.i = e.i
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT vec_id, cl,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cost, cl)
+        |      AS rn
+        |  FROM dist
+        |)
+        |SELECT v.vec_id, CAST(v.label AS INT) AS label,
+        |  r.cl AS label_pred
+        |FROM embeddings v JOIN r ON r.vec_id = v.vec_id AND r.rn = 1
+        |""".stripMargin,
+
+    "a42_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2, 3
+        |""".stripMargin,
 
     "o14_winsorize" ->
       """WITH b AS (

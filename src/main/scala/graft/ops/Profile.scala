@@ -86,4 +86,24 @@ object Profile {
       .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
         col("h.value").as("value"), col("h.weight").as("n"))
   }
+
+  /** Equi-WIDTH histogram per key — the fixed-bin companion of the
+    * sketch profile's equi-depth quantiles (feature-distribution audits
+    * want both). `bin = floor(v / binWidth)`: one IEEE division + floor,
+    * engine-bit-identical, so the counts are exact with no quantization
+    * step; `bin_lo = bin · binWidth` rides along for display. ONE
+    * map-side-combined aggregation onto the (key × occupied-bin)
+    * domain — empty bins are absent by construction (at 100 TB the
+    * occupied-bin set is the only bounded one). Output:
+    * (keyCol, bin, bin_lo, cnt). */
+  def equiWidthHistogram(df: DataFrame, keyCol: String, valueCol: String,
+                         binWidth: Double): DataFrame = {
+    require(binWidth > 0.0, s"binWidth must be positive, got $binWidth")
+    df.groupBy(col(keyCol),
+        floor(col(valueCol).cast("double") / binWidth).cast("long")
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("bin"),
+        (col("bin").cast("double") * binWidth).as("bin_lo"), col("cnt"))
+  }
 }

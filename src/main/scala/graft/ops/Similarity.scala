@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKAgg, Vectors}
+import graft.functions.{Exprs, TopKAgg, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -297,5 +297,69 @@ object Similarity {
       .select(col("query_id"), col("id"),
         Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** Nearest-centroid (Rocchio) classification of an embedding corpus —
+    * the weak-labeling / cluster-assignment primitive (assign each
+    * document to its closest class prototype). EXACT, engine-
+    * deterministic: elements quantize to `floor(x·scale)`, class
+    * centroids stay as INTEGER sum/count pairs (never a float mean),
+    * and the squared euclidean comparison multiplies through by n_c²:
+    *
+    *   argmin_c  Σ_d (n_c·q_d − s_{c,d})²  /  n_c²
+    *
+    * — the numerator is an exact BIGINT, the one division is IEEE
+    * (identical in any engine, the priority-sampling posture), ties
+    * break by label. Overflow bound: `dims·(2·n_max·scale·max|x|)² <
+    * 2⁶³` — at scale 1e5, unit-norm-ish embeddings and 64 dims that
+    * admits classes up to ~10⁵ members; beyond that, widen the squared
+    * term to decimal(38,0) (one cast).
+    *
+    * Scale shape: ONE aggregation to the (labels × dims) centroid frame
+    * (driver-sized by contract — the codebook posture), then assignment
+    * is NARROW: centroid sums ride as broadcast literals and each row
+    * scores all classes in one codegen'd HOF chain — no join, no
+    * shuffle. Output: input id + label columns + `label_pred`. */
+  def centroidClassify(vecs: DataFrame, labelCol: String = "label",
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       scale: Long = 100000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val cent = vecs
+      .select(col(labelCol).cast("int").as("__l"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col("__l"), col("__i"),
+        floor(col("__x").cast("double") * scale).cast("long").as("__q"))
+      .groupBy("__l", "__i")
+      .agg(sum("__q").as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(cent.nonEmpty, "centroidClassify: empty or vector-less input")
+    val labs = cent.map(_.getInt(0)).distinct.sorted
+    val d = cent.map(_.getInt(1)).max + 1
+    val sByLabel = cent.map(r => ((r.getInt(0), r.getInt(1)),
+      r.getLong(2))).toMap
+    val nByLabel = cent.groupBy(_.getInt(0))
+      .map { case (l, rs) => l -> rs.head.getLong(3) }
+    val sLit = typedlit(labs.flatMap(l =>
+      (0 until d).map(i => sByLabel((l, i)))).toSeq)
+    val nLit = typedlit(labs.map(nByLabel).toSeq)
+    val labsLit = typedlit(labs.toSeq)
+    val L = labs.length
+    vecs.select(col(idCol), col(labelCol),
+      Exprs.bound(transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long"))) { qv =>
+        val scored = transform(sequence(lit(0), lit(L - 1)), l => {
+          val n = element_at(nLit, l + 1)
+          val dd = aggregate(
+            zip_with(qv, sequence(lit(0), lit(d - 1)), (q, i) => {
+              val dev = n * q - element_at(sLit, l * lit(d) + i + 1)
+              dev * dev
+            }),
+            lit(0L), (acc, v) => acc + v)
+          struct((dd.cast("double") / (n * n).cast("double")).as("cost"),
+            element_at(labsLit, l + 1).as("lab"))
+        })
+        element_at(array_sort(scored), 1).getField("lab")
+      }.as("label_pred"))
   }
 }
