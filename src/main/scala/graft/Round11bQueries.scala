@@ -211,6 +211,30 @@ object Round11bQueries {
         graft.core.Tables.events(s, d), "event_type", "value",
         binWidth = 25.0)),
 
+    // --- Sentence segmentation --------------------------------------------------------
+    // Rule-based segmenter ([.!?]+\s+ — RE2-safe, oracle runs it
+    // verbatim); indices assigned before the whitespace-fragment drop
+    // so they're stable positions; exact word counts per sentence.
+    // Terminator markers are APPENDED to every row (the t_redact
+    // posture — the synthetic corpus has no sentence punctuation, so
+    // the raw table would never exercise the split): multi-terminator
+    // runs, double spaces, and a trailing "? " whose empty fragment
+    // must drop while keeping earlier indices.
+    "t_sentences" -> ((s, d) =>
+      graft.ops.TextAnalysis.sentences(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(". Second one!! Third?  Fourth bit? ")).as("text")))),
+
+    // --- Percent-rank normalization ----------------------------------------------------
+    // Distribution-free per-flag feature scaling: integer rank, one
+    // IEEE division — even the float is engine-bit-identical.
+    "o15_pct_rank" -> ((s, d) =>
+      graft.ops.Rank.percentRankBy(t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity"),
+        keys = Seq("l_returnflag"), valueCol = "l_quantity")),
+
     // --- Per-group quantile winsorization -----------------------------------------
     // Feature clipping at exact per-flag [p5, p95] bounds: one
     // aggregation to the group-sized bounds frame, broadcast back, the
@@ -392,6 +416,32 @@ object Round11bQueries {
         |SELECT v.vec_id, CAST(v.label AS INT) AS label,
         |  r.cl AS label_pred
         |FROM embeddings v JOIN r ON r.vec_id = v.vec_id AND r.rn = 1
+        |""".stripMargin,
+
+    "t_sentences" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      text || '. Second one!! Third?  Fourth bit? ',
+        |      '[.!?]+\s+') AS ss
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(ss) AS sentence,
+        |    CAST(unnest(generate_series(1, len(ss))) - 1 AS INT)
+        |      AS sent_idx
+        |  FROM sp
+        |)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(len(string_split_regex(trim(sentence), '\s+')) AS BIGINT)
+        |    AS n_words
+        |FROM ex WHERE trim(sentence) <> ''
+        |""".stripMargin,
+
+    "o15_pct_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  percent_rank() OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_quantity) AS pr
+        |FROM lineitem
         |""".stripMargin,
 
     "a42_histogram" ->

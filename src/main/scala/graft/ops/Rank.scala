@@ -84,6 +84,24 @@ object Rank {
     * Scale shape: ONE map-side-combined aggregation to the group-sized
     * bounds frame, then a BROADCAST join back — the corpus never
     * shuffles. Output: input columns + `q_lo`, `q_hi`, `clipped`. */
+  /** Percent-rank normalization per group — map a feature onto [0, 1]
+    * by its within-group rank (`(rank − 1)/(n − 1)`, ties share), the
+    * distribution-free scaling step quality-score mixing uses when raw
+    * scales aren't comparable across sources. Exact: the rank is an
+    * integer and the one division is IEEE — engine-bit-identical, the
+    * same contract as [[winsorize]]'s bounds. ONE per-group window
+    * shuffle (rank needs a total order over the group — this is the
+    * honest cost; for group-free scaling use [[graft.ops.TrainingPrep
+    * .quantileBand]]'s sketch path). A singleton group emits 0.0.
+    * Output: input columns + `pr`. */
+  def percentRankBy(df: DataFrame, keys: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "percentRankBy needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    df.withColumn("pr", percent_rank().over(w))
+  }
+
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
                 lo: Double, hi: Double): DataFrame = {
     require(keys.nonEmpty, "winsorize needs at least one key column")

@@ -627,4 +627,26 @@ object TextAnalysis {
             "array_join(slice(__labels, -(__k + 1), __k + 1), '.')"))
           .as("registrable_domain"))
   }
+
+  /** Sentence segmentation: split on terminator runs followed by
+    * whitespace (`[.!?]+\s+`) — the rule-based segmenter sentence-level
+    * curation starts from (per-sentence dedup, quality stats,
+    * pack-by-sentence). The pattern is RE2-safe, so the SQL oracle runs
+    * it VERBATIM (the t_url_parse discipline); a terminator at
+    * end-of-text stays attached to its sentence (no trailing split),
+    * and whitespace-only fragments are dropped AFTER indexing so
+    * `sent_idx` stays the stable position in the raw split — a
+    * re-segmentation never renumbers surviving sentences. One
+    * explode, no shuffle. Output: (idCol, sent_idx, sentence,
+    * n_words). */
+  def sentences(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        split(col(textCol), "[.!?]+\\s+").as("__ss"))
+      .select(col(idCol),
+        posexplode(col("__ss")).as(Seq("sent_idx", "sentence")))
+      .filter(trim(col("sentence")) =!= "")
+      .withColumn("n_words",
+        size(split(trim(col("sentence")), "\\s+")).cast("long"))
 }

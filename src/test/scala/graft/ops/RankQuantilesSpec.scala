@@ -70,6 +70,37 @@ class RankQuantilesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         j }.nonEmpty, s"bounds must broadcast:\n$plan")
   }
 
+  test("percentRankBy: [0,1] scaling, ties share, singleton group is 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+      ("b", 5.0)).toDF("k", "v")
+    val got = Rank.percentRankBy(df, Seq("k"), "v")
+      .select("k", "v", "pr").as[(String, Double, Double)]
+      .collect().groupBy(_._1)
+    val a = got("a").map(r => (r._2, r._3)).sorted
+    // ranks over n=4: 10→(1−1)/3=0, 20→(2−1)/3 shared, 30→(4−1)/3=1
+    assert(a.toSeq == Seq((10.0, 0.0), (20.0, 1.0 / 3), (20.0, 1.0 / 3),
+      (30.0, 1.0)))
+    assert(got("b").head._3 == 0.0)
+    intercept[IllegalArgumentException](
+      Rank.percentRankBy(df, Seq.empty, "v"))
+  }
+
+  test("sentences: terminator runs split, indices stable across the " +
+    "empty-fragment drop, exact word counts") {
+    val docs = Seq(
+      (1L, "One two. Three!!  Four five six? "),
+      (2L, "No terminators here"),
+      (3L, "A.B stays joined. Next")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs)
+      .select("doc_id", "sent_idx", "sentence", "n_words")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "One two", 2L), (1L, 1, "Three", 1L),
+      (1L, 2, "Four five six", 3L), // trailing "? " fragment dropped
+      (2L, 0, "No terminators here", 3L),
+      (3L, 0, "A.B stays joined", 3L), (3L, 1, "Next", 1L)))
+  }
+
   test("winsorize rejects bad fractions and empty keys") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException](
