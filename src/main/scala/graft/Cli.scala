@@ -901,9 +901,14 @@ object Cli {
       case "classify" => // nearest-centroid labeling (s_centroid_classify)
         val vecsDf = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.load(spark, sfDir, "embeddings"))
-        val out = graft.ops.Similarity.centroidClassify(vecsDf)
-        val agree = out.filter(col("label") === col("label_pred")).count()
-        println(s"$agree / ${out.count()} assigned to their own class")
+        // one job for both counts — the assignment scan runs once
+        val st = graft.ops.Similarity.centroidClassify(vecsDf)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label") === col("label_pred"), 1L)
+              .otherwise(0L)).as("agree"))
+          .collect()(0)
+        println(s"${st.getLong(1)} / ${st.getLong(0)} assigned to " +
+          "their own class")
       case "histogram" => // equi-width distribution (a42_histogram)
         val in = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.events(spark, sfDir))
@@ -935,16 +940,7 @@ object Cli {
         println(s"${g.count()} moment cells in $out")
       case "ktruss" => // cohesive-subgraph extraction (a40_ktruss)
         val ed = opts.get("input").map(spark.read.parquet(_))
-          .getOrElse {
-            val li = graft.core.Tables.load(spark, sfDir, "lineitem")
-              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-              .distinct()
-            li.select(col("ok"), col("pk").as("src"))
-              .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-              .filter(col("src") < col("dst"))
-              .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-              .filter(col("c") >= 2).select("src", "dst")
-          }
+          .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
         val truss = graft.bel.KTruss.run(ed,
           k = opts.getOrElse("k", "3").toInt,
           maxRounds = opts.getOrElse("rounds", "50").toInt)
@@ -952,16 +948,7 @@ object Cli {
           s"${opts.getOrElse("k", "3")}-truss")
       case "assortativity" => // degree mixing (a41_assortativity)
         val ed = opts.get("input").map(spark.read.parquet(_))
-          .getOrElse {
-            val li = graft.core.Tables.load(spark, sfDir, "lineitem")
-              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-              .distinct()
-            li.select(col("ok"), col("pk").as("src"))
-              .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-              .filter(col("src") < col("dst"))
-              .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-              .filter(col("c") >= 2).select("src", "dst")
-          }
+          .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
         graft.bel.Assortativity.degreeAssortativity(ed).collect()
           .foreach(r => println(r.mkString("\t")))
       case "wav-energy" => // windowed audio energy (mm_wav_energy)
@@ -976,14 +963,18 @@ object Cli {
       case "anomalies" => // rolling z-score outliers (w_anomaly_zscore)
         val ev = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.events(spark, sfDir))
+        // one window job total: persist the flags, reuse for the
+        // listing and both counts
         val flagged = graft.ops.Anomaly.flagOutliers(ev,
           n = opts.getOrElse("n", "20").toInt,
-          k = opts.getOrElse("sigmas", "3").toInt)
-        val hits = flagged.filter(col("is_outlier"))
-        hits.orderBy("user_id", "event_id")
-          .limit(opts.getOrElse("top", "10").toInt).collect()
-          .foreach(r => println(r.mkString("\t")))
-        println(s"${hits.count()} outliers of ${flagged.count()} events")
+          k = opts.getOrElse("sigmas", "3").toInt).persist()
+        try {
+          val hits = flagged.filter(col("is_outlier"))
+          hits.orderBy("user_id", "event_id")
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+          println(s"${hits.count()} outliers of ${flagged.count()} events")
+        } finally flagged.unpersist()
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +

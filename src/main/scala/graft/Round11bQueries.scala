@@ -555,14 +555,14 @@ object Round11bQueries {
 
     "o13_weighted_sample" ->
       """WITH dr AS (
-        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
         |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':priority'),
         |      1, 8))::BIGINT % 1000000) + 1 AS draw
         |  FROM documents
         |)
         |SELECT doc_id, w, CAST(draw AS BIGINT) AS draw
         |FROM dr
-        |ORDER BY CAST(w AS DOUBLE) * 1000000.0 / draw DESC, doc_id
+        |ORDER BY w * 1000000.0 / draw DESC, doc_id
         |LIMIT 25
         |""".stripMargin,
 

@@ -53,23 +53,25 @@ object Pca {
   }
 
   /** Exploded `(row, i, e)` cells paired into upper-triangle products
-    * `(i, j, p)` via an equi-join on a per-row key — every operator
-    * WHOLE-STAGE CODEGEN'd. The tempting alternative (a higher-order
-    * `transform` building the d(d+1)/2 product structs per row) is
-    * interpreted per element in Spark — measured 10× slower at d = 64
-    * (~27 s → ~2 s at sf0.1) — so the join form is the hot path. The
-    * join key is a generated row id, co-partitioned after ONE hash
-    * shuffle; the downstream aggregation combines map-side onto the
-    * cell domain. */
-  private def pairProducts(vecs: DataFrame, vecCol: String,
+    * `(i, j, p)` via an equi-join on the caller's row id — every
+    * operator WHOLE-STAGE CODEGEN'd. The tempting alternative (a
+    * higher-order `transform` building the d(d+1)/2 product structs per
+    * row) is interpreted per element in Spark — measured 10× slower at
+    * d = 64 (~27 s → ~2 s at sf0.1) — so the join form is the hot
+    * path. The join key must be the DATA's own id, never a generated
+    * `monotonically_increasing_id`: the self-join re-executes its
+    * upstream on both sides, and a generated id assigned after any
+    * exchange is timing-dependent across re-executions — rows would
+    * silently pair with other rows' elements. Co-partitioned after ONE
+    * hash shuffle on the id; the downstream aggregation combines
+    * map-side onto the cell domain. */
+  private def pairProducts(vecs: DataFrame, idCol: String, vecCol: String,
                            quant: Column => Column): DataFrame = {
-    val x = vecs
-      .select(col(vecCol).as("__v"))
-      .withColumn("__rid", monotonically_increasing_id())
     // quantization runs on the exploded SCALAR (codegen'd), never as a
     // per-array higher-order transform (interpreted)
-    val e = x.select(col("__rid"),
-        posexplode(col("__v")).as(Seq("i", "e0")))
+    val e = vecs
+      .select(col(idCol).as("__rid"),
+        posexplode(col(vecCol)).as(Seq("i", "e0")))
       .select(col("__rid"), col("i"), quant(col("e0")).as("e"))
     e.join(e.select(col("__rid"), col("i").as("j"), col("e").as("f")),
         "__rid")
@@ -86,7 +88,7 @@ object Pca {
   def gramExact(vecs: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding",
                 scale: Long = 1000000L): DataFrame =
-    pairProducts(vecs, vecCol,
+    pairProducts(vecs, idCol, vecCol,
       e => floor(e.cast("double") * scale).cast("long"))
       .groupBy("i", "j")
       .agg(sum(col("p")).as("s_xy"), count(lit(1)).as("n"))
@@ -118,7 +120,7 @@ object Pca {
       .select(posexplode(Vectors.toDouble(col(vecCol)))
         .as(Seq("dim", "e")))
       .groupBy("dim").agg(avg("e").as("mu"))
-    val moments = pairProducts(vecs, vecCol, _.cast("double"))
+    val moments = pairProducts(vecs, idCol, vecCol, _.cast("double"))
       .groupBy("i", "j")
       .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
     moments
@@ -145,7 +147,7 @@ object Pca {
     val mean = dims.map(_.getDouble(1))
     val d = mean.length
 
-    val cells = pairProducts(vecs, vecCol, _.cast("double"))
+    val cells = pairProducts(vecs, idCol, vecCol, _.cast("double"))
       .groupBy("i", "j")
       .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
       .collect()
@@ -171,25 +173,35 @@ object Pca {
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvector matrix V with V(i)(k) = i-th entry of the
     * k-th eigenvector). Deterministic: fixed sweep order, fixed
-    * convergence threshold — same input, same output, every run. */
+    * convergence threshold — same input, same output, every run. Fails
+    * fast if the sweep cap is hit before the off-diagonal norm falls
+    * below the (scale-relative) tolerance — a silent non-converged
+    * spectrum would poison fit/whiten with no error. */
   private[ops] def jacobiEigen(
       a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scaleNorm = 1.0 + a0.map(r => r.map(math.abs).max).max
+    val tol = 1e-12 * scaleNorm
     var sweep = 0
-    while (sweep < 100 && offDiagNorm(a) > 1e-12) {
+    while (sweep < 100 && offDiagNorm(a) > tol) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1
         while (q < d) {
           if (math.abs(a(p)(q)) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-                case 0.0 => 1.0 // theta == 0 → 45° rotation
-                case x => x
-              }
+            // tan of the rotation angle: the classic stable form. For
+            // |theta| large enough that theta² overflows, use the
+            // first-order 1/(2θ) limit — the naive formula's ±0.0
+            // there would otherwise read as "theta == 0" and replace a
+            // near-identity rotation with a 45° one.
+            val at = math.abs(theta)
+            val t =
+              if (theta == 0.0) 1.0
+              else if (at > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) / (at + math.sqrt(at * at + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             rotate(a, v, p, q, c, s)
@@ -200,6 +212,9 @@ object Pca {
       }
       sweep += 1
     }
+    require(offDiagNorm(a) <= tol,
+      s"jacobiEigen: no convergence after $sweep sweeps " +
+        s"(off-diagonal ${offDiagNorm(a)} > $tol)")
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 

@@ -73,17 +73,6 @@ object Rank {
         col("__z.__qs").as("q"): _*)
   }
 
-  /** Winsorize (clip) a value column at per-group exact quantile bounds
-    * — the feature-clipping step a training pipeline runs before
-    * normalization so tail outliers don't set the scale. Each row gets
-    * its group's `[lo, hi]` continuous quantiles as bounds and
-    * `clipped = min(max(v, q_lo), q_hi)`; the bounds ride along for
-    * auditability. Same exact-`percentile` substrate (and the same
-    * quantized-domain scale contract) as [[groupQuantiles]].
-    *
-    * Scale shape: ONE map-side-combined aggregation to the group-sized
-    * bounds frame, then a BROADCAST join back — the corpus never
-    * shuffles. Output: input columns + `q_lo`, `q_hi`, `clipped`. */
   /** Percent-rank normalization per group — map a feature onto [0, 1]
     * by its within-group rank (`(rank − 1)/(n − 1)`, ties share), the
     * distribution-free scaling step quality-score mixing uses when raw
@@ -102,6 +91,17 @@ object Rank {
     df.withColumn("pr", percent_rank().over(w))
   }
 
+  /** Winsorize (clip) a value column at per-group exact quantile bounds
+    * — the feature-clipping step a training pipeline runs before
+    * normalization so tail outliers don't set the scale. Each row gets
+    * its group's `[lo, hi]` continuous quantiles as bounds and
+    * `clipped = min(max(v, q_lo), q_hi)`; the bounds ride along for
+    * auditability. Same exact-`percentile` substrate (and the same
+    * quantized-domain scale contract) as [[groupQuantiles]].
+    *
+    * Scale shape: ONE map-side-combined aggregation to the group-sized
+    * bounds frame, then a BROADCAST join back — the corpus never
+    * shuffles. Output: input columns + `q_lo`, `q_hi`, `clipped`. */
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
                 lo: Double, hi: Double): DataFrame = {
     require(keys.nonEmpty, "winsorize needs at least one key column")

@@ -375,31 +375,32 @@ object TrainingPrep {
     * [[hashSplit]] leakage-free property. This is the mixture-sampling
     * primitive for "sample 1M docs proportional to quality score".
     *
-    * Exactness: priority is ONE IEEE double division of exact integers
-    * (`w·10⁶ / draw`) — identical bits in any IEEE-754 engine, so the
-    * selected SET matches the SQL oracle row-for-row (no `ln`, whose
-    * libm rounding may differ across engines — why this is priority
-    * sampling and not A-ES exponential keys). Ties break by id.
+    * Exactness: priority is ONE IEEE multiply + divide over the exact
+    * double weight and the integer draw (`w·10⁶ / draw`) — identical
+    * bits in any IEEE-754 engine, so the selected SET matches the SQL
+    * oracle row-for-row (no `ln`, whose libm rounding may differ across
+    * engines — why this is priority sampling and not A-ES exponential
+    * keys). Fractional weights are first-class (quality scores live in
+    * (0, 1]); ties break by id.
     *
     * Scale shape: narrow draw + global top-k = TakeOrderedAndProject
     * (per-partition bounded heap, driver merges k rows) — no full sort,
-    * no shuffle of the corpus. Fails fast on non-positive weights (a
-    * silent zero/negative weight corrupts the estimator, the
+    * no shuffle of the corpus. Fails fast on non-positive/NaN weights
+    * (a silent zero/negative weight corrupts the estimator, the
     * weighted-PageRank posture). Output: (idCol, w, draw) of the k
     * selected rows. */
   def prioritySample(df: DataFrame, k: Int, weight: Column,
                      idCol: String = "doc_id",
                      salt: String = "priority"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    val w = when(weight.cast("long") > 0, weight.cast("long"))
+    val w = when(weight.cast("double") > 0.0, weight.cast("double"))
       .otherwise(raise_error(concat(
         lit("prioritySample: weight must be positive, got "),
         coalesce(weight.cast("string"), lit("null")))))
     df.select(col(idCol), w.as("w"),
       (pmod(hexDraw(saltedHex(col(idCol), salt)), lit(1000000L)) + 1L)
         .as("draw"))
-      .orderBy((col("w").cast("double") * 1000000.0 / col("draw")).desc,
-        col(idCol))
+      .orderBy((col("w") * 1000000.0 / col("draw")).desc, col(idCol))
       .limit(k)
   }
 
