@@ -301,6 +301,47 @@ object Round11bQueries {
         .select(col("user_id"), col("event_id"), col("q"), col("cnt"),
           col("s"), col("ss"), col("is_outlier"))),
 
+    // --- Markov transitions (streaming face) -------------------------------------
+    // The a39 matrix from watermark-sealed state: a pair is final when
+    // its LATER event seals, so the observation feed equals the batch
+    // lead-window pairs; counts compose downstream over the sink (the
+    // batch face's own aggregation shape). Same feed/flush discipline
+    // as w_stream_anomaly.
+    "w_stream_transitions" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .filter(_._1 % 20 == 0)
+          .map(r => (r._1, r._2, r._3, r._4)) // (event_id, ts, user, type)
+        val mem =
+          MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+        val out = graft.streaming.TransitionStream.transitionsStream(
+          mem.toDS().toDF("event_id", "ts", "user_id", "event_type"))
+        val sink = s"w_stream_transitions_${sfTag(d)}"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val times = rows.map(_._2.getTime)
+          val cut = times.min + (times.max - times.min) / 2
+          mem.addData(rows.filter(_._2.getTime < cut): _*)
+          q.processAllAvailable()
+          mem.addData(rows.filter(_._2.getTime >= cut): _*)
+          q.processAllAvailable()
+          mem.addData((-1L,
+            new java.sql.Timestamp(times.max + 30L * 86400000L), -1L, "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+        val counts = ss.table(sink).filter(col("user_id") =!= -1L)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        counts.withColumn("from_total",
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("from_type")))
+      }),
+
     // --- Rolling z-score outliers (streaming face) ------------------------------
     // The same flags from watermark-sealed state: two time-ordered
     // batches split at a common boundary (nothing below the post-batch
@@ -581,6 +622,20 @@ object Round11bQueries {
         |""".stripMargin,
 
     "w_anomaly_zscore" -> anomalySql(""),
+
+    "w_stream_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE event_id % 20 = 0
+        |)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |""".stripMargin,
 
     "w_stream_anomaly" -> anomalySql(" WHERE event_id % 20 = 0"))
 }
