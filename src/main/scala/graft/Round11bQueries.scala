@@ -211,6 +211,35 @@ object Round11bQueries {
         graft.core.Tables.events(s, d), "event_type", "value",
         binWidth = 25.0)),
 
+    // --- Per-group exact mode -----------------------------------------------------------
+    // "Typical value" profiling: most frequent user per event type,
+    // ties to the smallest id — one orderable-struct MIN, no window.
+    "o16_mode" -> ((s, d) =>
+      graft.ops.Rank.modeBy(graft.core.Tables.events(s, d),
+        keys = Seq("event_type"), valueCol = "user_id")),
+
+    // --- Mutual nearest neighbors --------------------------------------------------------
+    // Reciprocal top-1 matching on the planted-twin corpus: every
+    // vector's cosine NN is its twin BY CONSTRUCTION, so the matcher
+    // must recover (almost exactly) the planted pair set and nothing
+    // else — the s_lsh_recall invariant posture (float argmax is not
+    // hash-gateable; its defining property is).
+    "s_mutual_nn" -> ((s, d) => {
+      val corpus = Round6Queries.twinCorpus(t(s, d, "embeddings"))
+      val planted = t(s, d, "embeddings").count()
+      val pairs = graft.ops.Similarity.mutualTopOne(corpus)
+      val hit = pairs
+        .filter(col("b") === col("a") + 1000000L)
+        .agg(count(lit(1)).as("n_hit"))
+      val extra = pairs
+        .filter(col("b") =!= col("a") + 1000000L)
+        .agg(count(lit(1)).as("n_extra"))
+      hit.crossJoin(extra).select(
+        (col("n_hit").cast("double") / planted >= 0.95).as("mutual_ok"),
+        (col("n_extra").cast("double") / planted <= 0.05)
+          .as("precision_ok"))
+    }),
+
     // --- Sentence segmentation --------------------------------------------------------
     // Rule-based segmenter ([.!?]+\s+ — RE2-safe, oracle runs it
     // verbatim); indices assigned before the whitespace-fragment drop
@@ -477,6 +506,23 @@ object Round11bQueries {
         |    AS n_words
         |FROM ex WHERE trim(sentence) <> ''
         |""".stripMargin,
+
+    "o16_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rn
+        |  FROM c
+        |)
+        |SELECT event_type, user_id AS mode, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1
+        |""".stripMargin,
+
+    "s_mutual_nn" ->
+      "SELECT true AS mutual_ok, true AS precision_ok",
 
     "o15_pct_rank" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

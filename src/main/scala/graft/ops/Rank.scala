@@ -73,6 +73,27 @@ object Rank {
         col("__z.__qs").as("q"): _*)
   }
 
+  /** Exact per-group MODE — the most frequent value, ties to the
+    * smallest (profiling's "typical value" beside [[groupQuantiles]]).
+    * Two map-side-combined hash aggregations: (group, value) counts,
+    * then ONE orderable-struct MIN per group — `(−cnt, value)` makes
+    * "highest count, then smallest value" a plain minimum, so no
+    * window, no sort, no per-group funnel (the CDC struct-max
+    * discipline). Count negation bounds: exact for any BIGINT count.
+    * Output: (keys…, mode, n). */
+  def modeBy(df: DataFrame, keys: Seq[String],
+             valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "modeBy needs at least one key column")
+    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct((-col("__n")).as("nn"), col(valueCol).as("v")))
+        .as("__m"))
+      .select(keys.map(col) :+ col("__m.v").as("mode") :+
+        (-col("__m.nn")).as("n"): _*)
+  }
+
   /** Percent-rank normalization per group — map a feature onto [0, 1]
     * by its within-group rank (`(rank − 1)/(n − 1)`, ties share), the
     * distribution-free scaling step quality-score mixing uses when raw

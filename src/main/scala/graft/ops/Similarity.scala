@@ -299,6 +299,26 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual-nearest-neighbor matching: pairs (a, b) where b is a's
+    * cosine top-1 AND a is b's — the high-precision entity-alignment /
+    * bitext-mining primitive (a one-directional top-1 is a guess; a
+    * reciprocal one is a match). Composition: one all-pairs top-1 pass
+    * ([[bruteForceTopK]] with the corpus as its own query set — the
+    * scale path swaps in [[lshTopK]]/[[graft.ops.IvfIndex]] probes,
+    * same downstream shape), then ONE self-join on the reversed pair —
+    * each pair emits once with `a < b`. Output: (a, b, cosine). */
+  def mutualTopOne(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus.select(col(idCol).as("query_id"),
+      col(vecCol).as("embedding"))
+    val top1 = bruteForceTopK(corpus, queries, k = 1, idCol, vecCol)
+      .select(col("query_id").as("a"), col("id").as("b"), col("cosine"))
+    top1.filter(col("a") < col("b"))
+      .join(top1.filter(col("a") > col("b"))
+          .select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+  }
+
   /** Nearest-centroid (Rocchio) classification of an embedding corpus —
     * the weak-labeling / cluster-assignment primitive (assign each
     * document to its closest class prototype). EXACT, engine-

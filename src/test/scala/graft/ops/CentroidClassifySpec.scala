@@ -71,6 +71,29 @@ class CentroidClassifySpec extends SparkSpec {
       Profile.equiWidthHistogram(df, "k", "v", 0.0))
   }
 
+  test("mutualTopOne: reciprocal pairs only, each emitted once a < b") {
+    // unit-ish 2-d vectors at angles 0°, 10°, 30°: NN(a)=b and NN(b)=a
+    // (mutual); NN(c)=b but NN(b)=a, so c pairs with nobody
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val vecs = Seq((1L, at(0)), (2L, at(10)), (3L, at(30)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopOne(vecs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("mutualTopOne on twins recovers every planted pair exactly") {
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), i * 0.01)))
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.map(_ + 0.0001)) }
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopOne(vecs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == base.map(b => (b._1, b._1 + 1000L)).toSet)
+  }
+
   test("empty corpus fails fast") {
     val vecs = Seq((1L, 1, Seq(1.0))).toDF("vec_id", "label", "embedding")
     intercept[IllegalArgumentException](

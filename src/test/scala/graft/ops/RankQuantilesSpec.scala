@@ -101,6 +101,21 @@ class RankQuantilesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (3L, 0, "A.B stays joined", 3L), (3L, 1, "Next", 1L)))
   }
 
+  test("modeBy: highest count wins, count ties break to the smallest " +
+    "value, no window in the plan") {
+    val df = Seq(("a", 3L), ("a", 3L), ("a", 1L), ("a", 7L), ("a", 7L),
+      ("b", 9L)).toDF("k", "v")
+    val out = Rank.modeBy(df, Seq("k"), "v")
+    val got = out.select("k", "mode", "n")
+      .as[(String, Long, Long)].collect().toSet
+    // "a": 3 and 7 both count 2 → smaller value 3 wins
+    assert(got == Set(("a", 3L, 2L), ("b", 9L, 1L)))
+    val plan = out.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty,
+      s"mode must not plan a window:\n$plan")
+    intercept[IllegalArgumentException](Rank.modeBy(df, Seq.empty, "v"))
+  }
+
   test("winsorize rejects bad fractions and empty keys") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException](
