@@ -107,7 +107,7 @@ object KTruss {
     * drops via the inner join (support 0 < k−2 for every k ≥ 3). The
     * survivor filter re-derives the canonical pair from (x, y), so the
     * oriented frame flows through rounds unchanged in shape. */
-  private def peelOnce(oriented: DataFrame, k: Int): DataFrame = {
+  private[bel] def peelOnce(oriented: DataFrame, k: Int): DataFrame = {
     val o1 = oriented.select(col("x"), col("y").as("y1"),
       col("ykey").as("k1"))
     val o2 = oriented.select(col("x"), col("y").as("y2"),

@@ -90,6 +90,18 @@ class GraphEncodingSpec extends SparkSpec {
     }
   }
 
+  test("k-truss peel round: every in-loop exchange hashes on long keys") {
+    withoutAqe {
+      val oriented = Checkpoints.cut(
+        Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+          .toDF("nu", "nv")
+          .select(xxhash64(col("nu")).as("x"), xxhash64(col("nv")).as("y"))
+          .withColumn("ykey",
+            struct(lit(2L).as("d"), col("y").as("n"))))
+      assertLongKeyedShuffles(KTruss.peelOnce(oriented, k = 3))
+    }
+  }
+
   test("LPA run end-to-end still labels on VALUES: encode maps back at " +
     "the rim and ties break on the VALUE order, not the id hash") {
     // star around "m" plus the isolated pair (x, y): every leaf adopts
