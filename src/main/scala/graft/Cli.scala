@@ -941,11 +941,19 @@ object Cli {
       case "ktruss" => // cohesive-subgraph extraction (a40_ktruss)
         val ed = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
-        val truss = graft.bel.KTruss.run(ed,
-          k = opts.getOrElse("k", "3").toInt,
-          maxRounds = opts.getOrElse("rounds", "50").toInt)
-        println(s"${truss.count()} edges in the " +
-          s"${opts.getOrElse("k", "3")}-truss")
+        if (opts.contains("decompose")) {
+          graft.bel.KTruss.trussness(ed,
+              maxK = opts.getOrElse("max-k", "16").toInt)
+            .groupBy("trussness").agg(count(lit(1)).as("edges"))
+            .orderBy("trussness").collect()
+            .foreach(r => println(r.mkString("\t")))
+        } else {
+          val truss = graft.bel.KTruss.run(ed,
+            k = opts.getOrElse("k", "3").toInt,
+            maxRounds = opts.getOrElse("rounds", "50").toInt)
+          println(s"${truss.count()} edges in the " +
+            s"${opts.getOrElse("k", "3")}-truss")
+        }
       case "assortativity" => // degree mixing (a41_assortativity)
         val ed = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))

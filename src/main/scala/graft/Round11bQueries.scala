@@ -303,6 +303,34 @@ object Round11bQueries {
         graft.streaming.PcaStream.readGram(ss, path)
       }),
 
+    // --- Trussness decomposition ---------------------------------------------------
+    // Max-k-per-edge over the a40 planted structures plus a
+    // triangle-free tail pair per group: K5 edges are trussness 5,
+    // bowtie edges 3, tails 2 — the ascending-k peel must recover all
+    // three levels. Oracle = one unrolled peel chain PER k (3, 4, 5)
+    // from the same base, trussness by first-survivor CASE — every
+    // level engine-identical, the a37/a40 bounded-round discipline.
+    "a43_trussness" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      val p = t(ss, d, "part").select(col("p_partkey").as("pk"),
+        (col("p_partkey") % 16).as("m"),
+        expr("p_partkey div 16").as("g"))
+      val pairs = p.select(col("g"), col("pk").as("src"), col("m").as("m1"))
+        .join(p.select(col("g"), col("pk").as("dst"), col("m").as("m2")),
+          "g")
+        .filter(col("m1") < col("m2"))
+      val edges = pairs.filter(
+        col("m2") <= 4 ||
+          (col("m1") >= 5 && col("m2") <= 8 &&
+            !(col("m1") === 7 && col("m2") === 8)) ||
+          (col("m1") === 9 && col("m2") === 10))
+        .select("src", "dst")
+      graft.bel.KTruss.trussness(edges, maxK = 8)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("trussness"))
+    }),
+
     // --- Weighted sampling without replacement --------------------------------
     // 25 documents sampled proportional to length via priority sampling:
     // q = w·10⁶/draw, top-k, ties by id. The sample SET is exact vs the
@@ -637,6 +665,50 @@ object Round11bQueries {
          |${peel(2)},
          |${peel(3)}
          |SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b FROM e3
+         |""".stripMargin
+    },
+
+    "a43_trussness" -> {
+      // one 3-round peel chain per k from the shared base; CTE names
+      // carry the k so the chains stay independent
+      def peelK(kk: Int): String = (1 to 3).map { r =>
+        val prev = if (r == 1) "e0" else s"k${kk}e${r - 1}"
+        s"""k${kk}t$r AS (SELECT a.u AS x, a.v AS y, b.v AS z
+           |  FROM $prev a JOIN $prev b ON b.u = a.v
+           |  JOIN $prev c ON c.u = a.u AND c.v = b.v),
+           |k${kk}s$r AS (SELECT u, v, count(*) AS c FROM (
+           |  SELECT x AS u, y AS v FROM k${kk}t$r
+           |  UNION ALL SELECT x, z FROM k${kk}t$r
+           |  UNION ALL SELECT y, z FROM k${kk}t$r) GROUP BY 1, 2),
+           |k${kk}e$r AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
+           |  JOIN k${kk}s$r s ON s.u = e.u AND s.v = e.v
+           |  WHERE s.c >= ${kk - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT p_partkey AS pk, p_partkey % 16 AS m,
+         |    p_partkey // 16 AS g
+         |  FROM part
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM p a JOIN p b ON a.g = b.g AND a.m < b.m
+         |  WHERE b.m <= 4 OR (a.m >= 5 AND b.m <= 8
+         |    AND NOT (a.m = 7 AND b.m = 8))
+         |    OR (a.m = 9 AND b.m = 10)
+         |),
+         |${peelK(3)},
+         |${peelK(4)},
+         |${peelK(5)}
+         |SELECT CAST(e0.u AS BIGINT) AS a, CAST(e0.v AS BIGINT) AS b,
+         |  CASE
+         |    WHEN EXISTS (SELECT 1 FROM k5e3 t
+         |      WHERE t.u = e0.u AND t.v = e0.v) THEN 5
+         |    WHEN EXISTS (SELECT 1 FROM k4e3 t
+         |      WHERE t.u = e0.u AND t.v = e0.v) THEN 4
+         |    WHEN EXISTS (SELECT 1 FROM k3e3 t
+         |      WHERE t.u = e0.u AND t.v = e0.v) THEN 3
+         |    ELSE 2
+         |  END AS trussness
+         |FROM e0
          |""".stripMargin
     },
 

@@ -38,6 +38,77 @@ object KTruss {
   def run(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 2, s"k-truss needs k >= 2, got $k")
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val (oriented, nodes, und) = prepare(edges)
+    // the 2-truss is the whole simple graph (every edge has ≥ 0
+    // triangles); skip the loop rather than special-case the filter
+    val survivors =
+      if (k == 2) oriented else peelFixpoint(oriented, k, maxRounds)
+    val out = graft.core.Checkpoints.cut(decode(survivors, nodes)
+      .select(col("a"), col("b")))
+    survivors.unpersist()
+    if (!(survivors eq oriented)) oriented.unpersist()
+    nodes.unpersist(); und.unpersist()
+    out
+  }
+
+  /** Trussness decomposition: every edge's MAXIMUM k such that it
+    * survives the k-truss — the full cohesion profile in one call (the
+    * edge analogue of a node's core number). Ascending-k peel: the
+    * k-truss survivors feed the (k+1)-peel, and edges dropped by the
+    * k-peel have trussness k−1 (an edge in no triangle has trussness
+    * 2). Each k-level runs [[peelOnce]] to ITS fixpoint, so total work
+    * is the k-truss loop summed over the distinct trussness levels
+    * actually present — never maxK × corpus. Survivors at the `maxK`
+    * cap report trussness maxK (a lower bound there; raise the cap for
+    * deeper graphs — the bounded-round a37 discipline). Output:
+    * (a, b, trussness). */
+  def trussness(edges: DataFrame, maxK: Int = 16,
+                maxRounds: Int = 50): DataFrame = {
+    require(maxK >= 3, s"trussness needs maxK >= 3, got $maxK")
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val (oriented, nodes, und) = prepare(edges)
+    var current = oriented
+    var k = 3
+    var acc: Option[DataFrame] = None
+    var remaining = current.count()
+    while (remaining > 0 && k <= maxK) {
+      val next = peelFixpoint(current, k, maxRounds)
+      val dropped = current
+        .join(next.select("x", "y"), Seq("x", "y"), "left_anti")
+        .select(col("x"), col("y"), lit(k - 1).as("trussness"))
+      val labeled = graft.core.Checkpoints.cut(
+        acc.map(_.unionByName(dropped)).getOrElse(dropped)).persist()
+      labeled.count()
+      acc.foreach(_.unpersist())
+      acc = Some(labeled)
+      current.unpersist()
+      current = next
+      remaining = next.count()
+      k += 1
+    }
+    val capped = current.select(col("x"), col("y"),
+      lit(maxK).as("trussness"))
+    val all = acc.map(_.unionByName(capped)).getOrElse(capped)
+    val out = graft.core.Checkpoints.cut(
+      decode(all, nodes).select(col("a"), col("b"), col("trussness")))
+    current.unpersist(); acc.foreach(_.unpersist())
+    nodes.unpersist(); und.unpersist()
+    out
+  }
+
+  /** Canonicalize + encode + orient ONCE: the (degree, id) total order
+    * only has to be consistent to count each triangle exactly once, so
+    * the initial-graph degrees stay a valid (if staleness-suboptimal)
+    * order for every later round — peeling then just FILTERS the
+    * oriented list, and the per-round work drops to wedge join +
+    * closing join + support aggregation + survivor filter. This is
+    * also the production-truss posture (orientation reuse between peel
+    * rounds); re-orienting by live degree each round costs a degree
+    * aggregation plus two joins per round for a second-order
+    * wedge-size improvement. Returns (oriented [persisted], node
+    * dictionary [persisted], canonical value edges [persisted]). */
+  private def prepare(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
@@ -52,23 +123,12 @@ object KTruss {
       .persist()
     val enc = und.select(xxhash64(col("a")).as("u"),
       xxhash64(col("b")).as("v"))
-
-    // Orient ONCE, before the loop: the (degree, id) total order only
-    // has to be consistent to count each triangle exactly once, so the
-    // initial-graph degrees stay a valid (if staleness-suboptimal)
-    // order for every later round — peeling then just FILTERS the
-    // oriented list, and the per-round work drops to wedge join +
-    // closing join + support aggregation + survivor filter. This is
-    // also the production-truss posture (orientation reuse between peel
-    // rounds); re-orienting by live degree each round costs a degree
-    // aggregation plus two joins per round for a second-order wedge-size
-    // improvement.
     val deg = enc.select(col("u").as("id"))
       .unionByName(enc.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val uKey = struct(col("du").as("d"), col("u").as("n"))
     val vKey = struct(col("dv").as("d"), col("v").as("n"))
-    var oriented = graft.core.Checkpoints.cut(enc
+    val oriented = graft.core.Checkpoints.cut(enc
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(
@@ -76,28 +136,43 @@ object KTruss {
         when(uKey < vKey, col("v")).otherwise(col("u")).as("y"),
         when(uKey < vKey, vKey).otherwise(uKey).as("ykey")))
       .persist()
-    // the 2-truss is the whole simple graph (every edge has ≥ 0
-    // triangles); skip the loop rather than special-case the filter
+    (oriented, nodes, und)
+  }
+
+  /** Peel at one k until fixpoint (or the round cap): peeling is
+    * monotone, so the first round that drops nothing is final. Input
+    * must be persisted; returns the persisted survivor frame (input
+    * unpersisted unless it IS the result). */
+  private def peelFixpoint(oriented0: DataFrame, k: Int,
+                           maxRounds: Int): DataFrame = {
+    var oriented = oriented0
     var round = 0
-    var done = k == 2
+    var done = false
     var nEdges = oriented.count()
     while (!done && round < maxRounds) {
       val next = graft.core.Checkpoints.cut(peelOnce(oriented, k))
         .persist()
       val n2 = next.count()
-      oriented.unpersist()
+      if (!(oriented eq oriented0)) oriented.unpersist()
       oriented = next
       done = n2 == nEdges || n2 == 0
       nEdges = n2
       round += 1
     }
-    val out = graft.core.Checkpoints.cut(oriented
+    oriented
+  }
+
+  /** Map encoded survivor endpoints back to canonical VALUE pairs,
+    * carrying any extra columns through. */
+  private def decode(survivors: DataFrame, nodes: DataFrame): DataFrame = {
+    val extra = survivors.columns.toSeq
+      .filterNot(c => c == "x" || c == "y" || c == "ykey")
+    survivors
       .join(nodes.select(col("id").as("x"), col("node").as("na")), "x")
       .join(nodes.select(col("id").as("y"), col("node").as("nb")), "y")
-      .select(least(col("na"), col("nb")).as("a"),
-        greatest(col("na"), col("nb")).as("b")))
-    oriented.unpersist(); nodes.unpersist(); und.unpersist()
-    out
+      .select(least(col("na"), col("nb")).as("a") +:
+        greatest(col("na"), col("nb")).as("b") +:
+        extra.map(col): _*)
   }
 
   /** One support-peel round over the oriented survivor list: wedges from

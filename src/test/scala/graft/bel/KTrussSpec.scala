@@ -73,6 +73,51 @@ class KTrussSpec extends SparkSpec {
       assert(got(KTruss.run(ed, k)) == brute(k), s"k=$k")
   }
 
+  test("trussness: K5 edges are 5, bowtie edges 3, a triangle-free " +
+    "tail is 2") {
+    // K5 on a..e (support 3 per edge → 5-truss), bowtie on p,q,r,s
+    // (all trussness 3), pendant tail edge (e, z) in no triangle
+    val k5 = for {
+      x <- Seq("a", "b", "c", "d", "e"); y <- Seq("a", "b", "c", "d", "e")
+      if x < y
+    } yield (x, y)
+    val bowtie = Seq(("p", "q"), ("p", "r"), ("q", "r"), ("p", "s"),
+      ("q", "s"))
+    val ed = edgesOf(k5 ++ bowtie ++ Seq(("e", "z")): _*)
+    val got = KTruss.trussness(ed)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getInt(2))).toMap
+    assert(k5.forall(e => got(e) == 5), s"K5: $got")
+    assert(bowtie.forall(e => got(e) == 3), s"bowtie: $got")
+    assert(got(("e", "z")) == 2)
+    assert(got.size == k5.size + bowtie.size + 1) // every edge labeled once
+  }
+
+  test("trussness agrees with run at every k") {
+    val rnd = new scala.util.Random(43)
+    val pairs = (0 until 100).map { _ =>
+      (s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}")
+    }.filter(p => p._1 != p._2).distinct
+    val ed = edgesOf(pairs: _*)
+    val tn = KTruss.trussness(ed)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getInt(2))).toMap
+    for (k <- 3 to 6) {
+      val truss = got(KTruss.run(ed, k))
+      assert(tn.filter(_._2 >= k).keySet == truss, s"k=$k")
+    }
+  }
+
+  test("trussness caps at maxK (a lower bound there)") {
+    val k5 = for {
+      x <- Seq("a", "b", "c", "d", "e"); y <- Seq("a", "b", "c", "d", "e")
+      if x < y
+    } yield (x, y)
+    val got = KTruss.trussness(edgesOf(k5: _*), maxK = 4)
+      .collect().map(_.getInt(2)).toSet
+    assert(got == Set(4)) // true trussness 5, reported at the cap
+  }
+
   test("bad params fail fast") {
     intercept[IllegalArgumentException](KTruss.run(edgesOf(("a", "b")), 1))
     intercept[IllegalArgumentException](
