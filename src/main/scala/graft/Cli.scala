@@ -943,7 +943,8 @@ object Cli {
           .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
         if (opts.contains("decompose")) {
           graft.bel.KTruss.trussness(ed,
-              maxK = opts.getOrElse("max-k", "16").toInt)
+              maxK = opts.getOrElse("max-k", "16").toInt,
+              maxRounds = opts.getOrElse("rounds", "50").toInt)
             .groupBy("trussness").agg(count(lit(1)).as("edges"))
             .orderBy("trussness").collect()
             .foreach(r => println(r.mkString("\t")))

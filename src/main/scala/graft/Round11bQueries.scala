@@ -227,17 +227,19 @@ object Round11bQueries {
     "s_mutual_nn" -> ((s, d) => {
       val corpus = Round6Queries.twinCorpus(t(s, d, "embeddings"))
       val planted = t(s, d, "embeddings").count()
-      val pairs = graft.ops.Similarity.mutualTopOne(corpus)
-      val hit = pairs
-        .filter(col("b") === col("a") + 1000000L)
-        .agg(count(lit(1)).as("n_hit"))
-      val extra = pairs
-        .filter(col("b") =!= col("a") + 1000000L)
-        .agg(count(lit(1)).as("n_extra"))
-      hit.crossJoin(extra).select(
-        (col("n_hit").cast("double") / planted >= 0.95).as("mutual_ok"),
-        (col("n_extra").cast("double") / planted <= 0.05)
-          .as("precision_ok"))
+      // ONE aggregation over ONE evaluation of the all-pairs top-1 pass
+      // (two filtered aggs crossJoined would re-run the O(N²) scoring
+      // once per aggregate subtree)
+      graft.ops.Similarity.mutualTopOne(corpus)
+        .agg(
+          sum(when(col("b") === col("a") + 1000000L, 1L).otherwise(0L))
+            .as("n_hit"),
+          sum(when(col("b") =!= col("a") + 1000000L, 1L).otherwise(0L))
+            .as("n_extra"))
+        .select(
+          (col("n_hit").cast("double") / planted >= 0.95).as("mutual_ok"),
+          (col("n_extra").cast("double") / planted <= 0.05)
+            .as("precision_ok"))
     }),
 
     // --- Sentence segmentation --------------------------------------------------------

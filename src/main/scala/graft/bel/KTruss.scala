@@ -40,13 +40,16 @@ object KTruss {
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
     val (oriented, nodes, und) = prepare(edges)
     // the 2-truss is the whole simple graph (every edge has ≥ 0
-    // triangles); skip the loop rather than special-case the filter
+    // triangles); skip the loop rather than special-case the filter.
+    // run() has no later use for the initial oriented list, so the
+    // fixpoint loop releases it after round 1 (peak cache stays at two
+    // live frames); trussness keeps it for the dropped-edge anti-join.
     val survivors =
-      if (k == 2) oriented else peelFixpoint(oriented, k, maxRounds)
+      if (k == 2) oriented
+      else peelFixpoint(oriented, k, maxRounds, releaseInput = true)
     val out = graft.core.Checkpoints.cut(decode(survivors, nodes)
       .select(col("a"), col("b")))
     survivors.unpersist()
-    if (!(survivors eq oriented)) oriented.unpersist()
     nodes.unpersist(); und.unpersist()
     out
   }
@@ -141,10 +144,13 @@ object KTruss {
 
   /** Peel at one k until fixpoint (or the round cap): peeling is
     * monotone, so the first round that drops nothing is final. Input
-    * must be persisted; returns the persisted survivor frame (input
-    * unpersisted unless it IS the result). */
-  private def peelFixpoint(oriented0: DataFrame, k: Int,
-                           maxRounds: Int): DataFrame = {
+    * must be persisted; returns a NEW persisted survivor frame (the
+    * loop always runs at least one round). Intermediate rounds are
+    * released as they are superseded; the INPUT is released after
+    * round 1 only when `releaseInput` — callers that still need it
+    * (trussness's dropped-edge anti-join) keep ownership. */
+  private def peelFixpoint(oriented0: DataFrame, k: Int, maxRounds: Int,
+                           releaseInput: Boolean = false): DataFrame = {
     var oriented = oriented0
     var round = 0
     var done = false
@@ -153,7 +159,7 @@ object KTruss {
       val next = graft.core.Checkpoints.cut(peelOnce(oriented, k))
         .persist()
       val n2 = next.count()
-      if (!(oriented eq oriented0)) oriented.unpersist()
+      if (!(oriented eq oriented0) || releaseInput) oriented.unpersist()
       oriented = next
       done = n2 == nEdges || n2 == 0
       nEdges = n2

@@ -84,7 +84,12 @@ object Rank {
   def modeBy(df: DataFrame, keys: Seq[String],
              valueCol: String): DataFrame = {
     require(keys.nonEmpty, "modeBy needs at least one key column")
-    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+    // NULL values are ignored (the ANSI mode() contract — Spark struct
+    // ordering sorts nulls FIRST, so an unfiltered null would win count
+    // ties that the SQL oracle's NULLS LAST loses); an all-null group
+    // emits no row
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__n"))
     counts
       .groupBy(keys.map(col): _*)

@@ -70,11 +70,8 @@ object AnomalyStream {
             else rows.map(e =>
               Obs(AsOfStream.toUs(e.ts), e.event_id, e.q)).toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // strict-below seal: wm floor-rounds from ms, so sub-ms event
-          // times seal one conservative tick later, never early
-          val (ready0, pending) =
-            (prior.tail ::: incoming).partition(_.ts_us < wmUs)
-          val ready = ready0.sortBy(o => (o.ts_us, o.event_id))
+          val (ready, pending) = Sealed.split(prior.tail, incoming,
+            wmUs)(_.ts_us, _.event_id)
           // roll the window seeded by the sealed context; O(n) sums per
           // event keep the code one obviously-correct line per stat
           var win = prior.ctx
@@ -89,12 +86,7 @@ object AnomalyStream {
           if (pending.isEmpty && win.isEmpty) state.remove()
           else {
             state.update(St(win, pending))
-            if (pending.nonEmpty)
-              // wake when the earliest pending event becomes sealable;
-              // floor-to-ms + fire-strictly-after covers sub-ms times
-              state.setTimeoutTimestamp(math.max(
-                Math.floorDiv(pending.map(_.ts_us).min, 1000L),
-                state.getCurrentWatermarkMs() + 1))
+            Sealed.armTimeout(state, pending)(_.ts_us)
           }
           out.iterator
       }

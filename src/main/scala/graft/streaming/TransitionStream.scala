@@ -53,9 +53,8 @@ object TransitionStream {
             else rows.map(e =>
               Ev(AsOfStream.toUs(e.ts), e.event_id, e.event_type)).toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready0, pending) =
-            (prior.tail ::: incoming).partition(_.ts_us < wmUs)
-          val ready = ready0.sortBy(e => (e.ts_us, e.event_id))
+          val (ready, pending) = Sealed.split(prior.tail, incoming,
+            wmUs)(_.ts_us, _.event_id)
           var last = prior.last
           val out = ready.flatMap { e =>
             val o = last.map(p => Obs(uid, p.event_id, e.event_id,
@@ -66,10 +65,7 @@ object TransitionStream {
           if (pending.isEmpty && last.isEmpty) state.remove()
           else {
             state.update(St(last, pending))
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(math.max(
-                Math.floorDiv(pending.map(_.ts_us).min, 1000L),
-                state.getCurrentWatermarkMs() + 1))
+            Sealed.armTimeout(state, pending)(_.ts_us)
           }
           out.iterator
       }
