@@ -29,9 +29,10 @@ import graft.functions.{Exprs, Vectors}
   *    tiny symmetric matrix — O(d³) per sweep on one machine, nothing
   *    distributed to get wrong.
   *  - Projection / whitening are NARROW: the mean and component matrix
-  *    ship as broadcast literals and each row maps through a codegen'd
-  *    higher-order `transform`/`aggregate` chain — no join, no shuffle,
-  *    no UDF.
+  *    ride as ONE reference object inside the native codegen'd
+  *    [[graft.functions.AffineProjectExpr]] (one kernel call per row
+  *    over primitive arrays, bit-identical to the interpreted HOF form
+  *    it replaced) — no join, no shuffle, no UDF.
   *
   * Exactness: [[gramExact]] quantizes each element to `floor(x·scale)`
   * (floor of an IEEE double is engine-identical, unlike half-up
@@ -272,17 +273,48 @@ object Pca {
              vecCol: String = "embedding"): DataFrame =
     projected(vecs, model, k, idCol, vecCol, whitened = true)
 
-  private def projected(vecs: DataFrame, model: PcaModel, k: Int,
+  private def whitenScales(model: PcaModel, k: Int,
+                           whitened: Boolean): Seq[Double] =
+    model.eigvals.take(k).map(ev =>
+      if (whitened) { if (ev > 1e-12) 1.0 / math.sqrt(ev) else 0.0 }
+      else 1.0).toSeq
+
+  /** Dispatches to the native codegen'd
+    * [[graft.functions.AffineProjectExpr]] — one kernel call per row
+    * over primitive arrays, vs k·d interpreted lambda dispatches for
+    * the HOF chain (which survives as [[projectedComposed]] for the
+    * bit-equality property test). Null semantics: a null vector or any
+    * null element yields a NULL output row (the HOF form instead
+    * emitted per-coordinate nulls; embeddings carry no nulls by
+    * contract, and whole-row null is the honest "this input is
+    * unusable" answer). */
+  private[ops] def projected(vecs: DataFrame, model: PcaModel, k: Int,
                         idCol: String, vecCol: String,
                         whitened: Boolean): DataFrame = {
+    val d = model.dim
+    require(k >= 1 && k <= d, s"Pca: k=$k outside [1, $d]")
+    val expr = graft.functions.AffineProjectExpr(
+      org.apache.spark.sql.graft.ColumnShim.expression(col(vecCol)),
+      model.mean.toSeq,
+      model.components.take(k).flatten.toSeq,
+      whitenScales(model, k, whitened))
+    vecs.select(col(idCol),
+      org.apache.spark.sql.graft.ColumnShim.column(expr).as(vecCol))
+  }
+
+  /** The `functions`-composed projection (interpreted HOFs) — reference
+    * implementation the native expression is property-tested against,
+    * the [[Vectors.cosineComposed]] convention. */
+  private[ops] def projectedComposed(vecs: DataFrame, model: PcaModel,
+                                     k: Int, idCol: String,
+                                     vecCol: String,
+                                     whitened: Boolean): DataFrame = {
     val d = model.dim
     require(k >= 1 && k <= d, s"Pca: k=$k outside [1, $d]")
     val muLit = typedlit(model.mean.toSeq)
     // components flattened axis-major: wflat(j*d + i) = components(j)(i)
     val wflat = typedlit(model.components.take(k).flatten.toSeq)
-    val scaleLit = typedlit(model.eigvals.take(k).map(ev =>
-      if (whitened) { if (ev > 1e-12) 1.0 / math.sqrt(ev) else 0.0 }
-      else 1.0).toSeq)
+    val scaleLit = typedlit(whitenScales(model, k, whitened))
     vecs.select(col(idCol),
       Exprs.bound(Vectors.toDouble(col(vecCol))) { vd =>
         transform(sequence(lit(0), lit(k - 1)), j =>

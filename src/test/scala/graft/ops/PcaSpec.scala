@@ -105,6 +105,41 @@ class PcaSpec extends SparkSpec {
     assert(w.forall(_ == 0.0))
   }
 
+  test("native projection is BIT-identical to the composed HOF form, " +
+    "projected and whitened, float and double input") {
+    val m = Pca.fit(line)
+    val floatLine = line.select(col("vec_id"),
+      transform(col("embedding"), _.cast("float")).as("embedding"))
+    for {
+      vecs <- Seq(line, floatLine)
+      wh <- Seq(false, true)
+      k <- Seq(1, 2)
+    } {
+      val native = Pca.projected(vecs, m, k, "vec_id", "embedding",
+        whitened = wh).orderBy("vec_id")
+        .select("embedding").as[Seq[Double]].collect()
+      val hof = Pca.projectedComposed(vecs, m, k, "vec_id", "embedding",
+        whitened = wh).orderBy("vec_id")
+        .select("embedding").as[Seq[Double]].collect()
+      assert(native.toSeq == hof.toSeq, s"wh=$wh k=$k")
+    }
+  }
+
+  test("native projection: null vector or null element yields a NULL row") {
+    val vecs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (3L, Seq[java.lang.Double](1.0, null)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(vecs.filter(col("vec_id") === 1L)
+      .unionByName(Seq((9L, Seq[java.lang.Double](3.0, 1.0)))
+        .toDF("vec_id", "embedding")))
+    val got = Pca.project(vecs, m, k = 2)
+      .orderBy("vec_id").select("embedding").collect()
+    assert(!got(0).isNullAt(0))
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
   test("foldGram of disjoint halves equals the full gram bit-exactly") {
     val full = Pca.gramExact(line, scale = 1000L).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
