@@ -211,6 +211,17 @@ object Round11bQueries {
         graft.core.Tables.events(s, d), "event_type", "value",
         binWidth = 25.0)),
 
+    // --- Leakage-safe split under duplication --------------------------------------
+    // Exact copies draw their split from the cluster's min-id
+    // representative, so a re-crawled duplicate of a test document can
+    // never land in train — the contamination mode plain per-id
+    // splitting has. The documents corpus HAS exact duplicates
+    // (d_exact_dedup's clusters), so the rep ≠ id path is live.
+    "d_safe_split" -> ((s, d) =>
+      graft.ops.TrainingPrep.leakageSafeSplit(t(s, d, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_rep", "split")),
+
     // --- Per-group exact mode -----------------------------------------------------------
     // "Typical value" profiling: most frequent user per event type,
     // ties to the smallest id — one orderable-struct MIN, no window.
@@ -536,6 +547,23 @@ object Round11bQueries {
         |    AS n_words
         |FROM ex WHERE trim(sentence) <> ''
         |""".stripMargin,
+
+    "d_safe_split" ->
+      (s"""WITH reps AS (
+         |  SELECT md5(${Queries.normSql}) AS fp, min(doc_id) AS rep
+         |  FROM documents GROUP BY 1
+         |), j AS (
+         |  SELECT d.doc_id, r.rep AS cluster_rep,
+         |    (('0x' || substring(md5(CAST(r.rep AS VARCHAR) || ':split'),
+         |      1, 8))::BIGINT % 1000000) / 1000000.0 AS u
+         |  FROM documents d
+         |  JOIN reps r ON md5(${Queries.normSql.replace("text", "d.text")})
+         |    = r.fp
+         |)
+         |SELECT doc_id, cluster_rep, CASE WHEN u < 0.8 THEN 'train'
+         |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM j
+         |""").stripMargin,
 
     "o16_mode" ->
       """WITH c AS (

@@ -69,6 +69,38 @@ object TrainingPrep {
     df.withColumn("split", label)
   }
 
+  /** [[hashSplit]] made LEAKAGE-SAFE UNDER DUPLICATION: documents with
+    * the same content fingerprint draw their split from ONE
+    * representative (the cluster's min id), so exact copies can never
+    * straddle train/test — the contamination mode plain per-id splitting
+    * has on a deduplicated-later corpus (a re-crawled duplicate of a
+    * test document landing in train leaks the eval verbatim). The same
+    * shape extends to NEAR-dup clusters: feed the connected-component
+    * canonical id ([[graft.ops.Dedup]] pairs → CC) as `clusterCol`
+    * instead of letting this compute exact-dup fingerprints.
+    *
+    * Scale shape: one fingerprint aggregation to the cluster-rep frame,
+    * one equi-join back on the fingerprint (both map-side-combinable /
+    * shuffle on the fingerprint key), then the narrow [[hashSplit]]
+    * threshold on the REP's draw. Reproducible and incremental-safe
+    * like hashSplit itself: a cluster's rep never changes when new
+    * copies arrive with larger ids (min is monotone under append —
+    * id-ordered ingest keeps reps stable). Output: input columns +
+    * `cluster_rep`, `split`. */
+  def leakageSafeSplit(df: DataFrame, splits: Seq[(String, Double)],
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $splits")
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val reps = df.select(fp.as("__fp"), col(idCol))
+      .groupBy("__fp").agg(min(col(idCol)).as("cluster_rep"))
+    df.withColumn("__fp", fp)
+      .join(reps, "__fp")
+      .drop("__fp")
+      .transform(d => hashSplit(d, splits, idCol = "cluster_rep"))
+  }
+
   /** Deterministic domain-mixing resampler: each document is emitted
     * `floor(w)` times plus one more for a [[hashUniform]]-chosen w−⌊w⌋
     * fraction of its source's documents, where w is the source's mixing

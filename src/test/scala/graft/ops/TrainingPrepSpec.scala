@@ -321,6 +321,33 @@ class TrainingPrepSpec extends SparkSpec {
       TextAnalysis.chunk(docs, chunkTokens = 5, overlap = 5))
   }
 
+  test("leakageSafeSplit: every member of a duplicate cluster lands in " +
+    "ONE split, drawn from the min-id representative") {
+    val docs = ((0L until 300L).map(i => (i, s"unique doc $i")) ++
+      // 50 exact copies (modulo whitespace/case, the fingerprint
+      // normalization) of doc 7's text under fresh ids
+      (1000L until 1050L).map(i => (i, "UNIQUE   doc 7 ")))
+      .toDF("doc_id", "text")
+    val got = TrainingPrep.leakageSafeSplit(docs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster_rep", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 350)
+    // doc 7's normalized text = "unique doc 7" = the copies' → one
+    // cluster, rep = min id = 7, ONE split for all 51 members
+    val cluster = got.filter(r => r._1 == 7L || r._1 >= 1000L)
+    assert(cluster.length == 51)
+    assert(cluster.map(_._2).toSet == Set(7L))
+    assert(cluster.map(_._3).toSet.size == 1)
+    // a singleton doc's rep is itself, and its split equals hashSplit's
+    val solo = got.find(_._1 == 12L).get
+    assert(solo._2 == 12L)
+    val plain = TrainingPrep.hashSplit(docs.filter(col("doc_id") === 12L),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("split").as[String].collect().head
+    assert(solo._3 == plain)
+  }
+
   test("prioritySample: deterministic, exactly k, weight-monotone") {
     val docs = (0L until 500L).map(i => (i, 10L + i % 50))
       .toDF("doc_id", "w0")
