@@ -222,6 +222,14 @@ object Round11bQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "cluster_rep", "split")),
 
+    // --- Hour-of-day seasonal baseline ------------------------------------------------
+    // The diurnal profile per event type: exact BIGINT (n, Σq, Σq²)
+    // per (type, hour) — one map-side-combined aggregation onto the
+    // 5×24 domain; mean/σ derive downstream.
+    "a44_seasonal" -> ((s, d) =>
+      graft.ops.Temporal.seasonalProfile(
+        graft.core.Tables.events(s, d))),
+
     // --- Per-group exact mode -----------------------------------------------------------
     // "Typical value" profiling: most frequent user per event type,
     // ties to the smallest id — one orderable-struct MIN, no window.
@@ -564,6 +572,17 @@ object Round11bQueries {
          |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM j
          |""").stripMargin,
+
+    "a44_seasonal" ->
+      """SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT)
+        |    AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS s,
+        |  CAST(sum(q * q) AS BIGINT) AS ss
+        |FROM (SELECT event_type, ts,
+        |  CAST(floor(value * 1000) AS BIGINT) AS q FROM events)
+        |GROUP BY 1, 2
+        |""".stripMargin,
 
     "o16_mode" ->
       """WITH c AS (

@@ -513,4 +513,24 @@ object Temporal {
         greatest(cell(leftStart), expr(s"`$rs` div ${bucketWidth}L")))
       .drop("__b")
   }
+
+  /** Hour-of-day seasonal baseline per key — the diurnal profile a
+    * telemetry pipeline compares live traffic against ("is 3 AM volume
+    * normal FOR 3 AM"). Values floor-quantize (the [[graft.ops.Anomaly]]
+    * exactness posture) and the per-(key, hour) statistics stay exact
+    * BIGINTs — count, Σq, Σq² — so mean/σ derive downstream without any
+    * float accumulation in the stored profile. ONE map-side-combined
+    * aggregation onto the |keys|·24 domain. Output:
+    * (keyCol, hod 0–23, n, s, ss). */
+  def seasonalProfile(events: DataFrame, keyCol: String = "event_type",
+                      tsCol: String = "ts", valueCol: String = "value",
+                      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    events
+      .select(col(keyCol), hour(col(tsCol)).as("hod"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("q"))
+      .groupBy(keyCol, "hod")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("ss"))
+  }
 }

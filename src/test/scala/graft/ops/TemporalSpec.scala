@@ -486,4 +486,24 @@ class RrfSpec extends SparkSpec {
       .toSet
     assert(got === Set((1L, "x", 1.0), (2L, "z", 1.0), (2L, "x", 0.5)))
   }
+
+  test("seasonalProfile: exact integer stats per (key, hour-of-day), " +
+    "days fold into one slot") {
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-0$day $h%02d:30:00")
+    val ev = Seq(
+      ("a", ts(1, 3), 1.5), ("a", ts(2, 3), 2.5), // two DAYS, same hour
+      ("a", ts(1, 4), 10.0), ("b", ts(1, 3), 7.0))
+      .toDF("event_type", "ts", "value")
+    val got = Temporal.seasonalProfile(ev)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // q = floor(v*1000): 1500, 2500, 10000, 7000
+    assert(got == Map(
+      ("a", 3) -> ((2L, 4000L, 1500L * 1500 + 2500L * 2500)),
+      ("a", 4) -> ((1L, 10000L, 100000000L)),
+      ("b", 3) -> ((1L, 7000L, 49000000L))))
+    intercept[IllegalArgumentException](
+      Temporal.seasonalProfile(ev, scale = 0))
+  }
 }
