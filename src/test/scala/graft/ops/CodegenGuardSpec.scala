@@ -155,4 +155,17 @@ class CodegenGuardSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin"),
       s"ADC plan must join via broadcast only:\n$plan")
   }
+
+  test("AffineProjectExpr at d=16 k=16 codegens (no fallback)") {
+    val d = 16
+    val expr = graft.functions.AffineProjectExpr(
+      ColumnShim.expression(col("embedding")),
+      Seq.tabulate(d)(_ * 0.01),
+      Seq.tabulate(d * d)(i => math.sin(i)),
+      Seq.fill(d)(1.0))
+    assert(!expr.isInstanceOf[CodegenFallback])
+    assertCodegenSpan(
+      vecs.select(col("vec_id"), ColumnShim.column(expr).as("proj")),
+      "graft_affine_project")
+  }
 }
