@@ -510,15 +510,21 @@ object Cli {
           case None => edges.select(col("src").as("seed")).limit(10)
         }
         // --stat hops (default) | sigma (a36) | betweenness (a38);
-        // --weight <col> switches to min-plus costs (a37). The two
-        // selectors are mutually exclusive — silently preferring one
-        // would hand the user weighted costs labeled as betweenness
-        if (opts.contains("weight") && opts.contains("stat")) {
-          println("bfs: --weight and --stat are mutually exclusive " +
-            "(weighted σ/betweenness are not implemented)")
-          sys.exit(2)
-        }
+        // --weight <col> switches to the weighted faces — min-plus
+        // costs (a37), or weighted Brandes (a46) when combined with
+        // --stat betweenness (weighted σ alone has no display face;
+        // it is internal to the betweenness folds)
         (opts.get("weight"), opts.getOrElse("stat", "hops")) match {
+          case (Some(wc), "betweenness") =>
+            graft.bel.Bfs.weightedBetweenness(edges, seeds, wc,
+              rounds = opts.getOrElse("rounds", "6").toInt)
+              .orderBy(col("betweenness").desc, col("node"))
+              .limit(opts.getOrElse("top", "20").toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+          case (Some(_), st) if st != "hops" =>
+            println(s"bfs: --weight supports --stat betweenness (a46) " +
+              s"or costs (no --stat), not '$st'")
+            sys.exit(2)
           case (Some(wc), _) =>
             graft.bel.Bfs.weightedHops(edges, seeds, wc,
               maxHops = opts.getOrElse("max-depth", "20").toInt)

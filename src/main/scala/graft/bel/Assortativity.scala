@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
 object Assortativity {
 
   def degreeAssortativity(edges: DataFrame): DataFrame = {
+    // canonicalization on the RAW endpoint values (least/greatest works
+    // on any orderable type): no hash, so no collision caveat at all —
+    // unlike the iterative loops, nothing here re-joins on the key
+    // after the fold, so there is no shuffle-width reason to encode
     val und = edges
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .select(least(xxhash64(col("src")), xxhash64(col("dst"))).as("u"),
-        greatest(xxhash64(col("src")), xxhash64(col("dst"))).as("v"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .distinct()
     val dir = und.select(col("u").as("a"), col("v").as("b"))
       .unionByName(und.select(col("v").as("a"), col("u").as("b")))

@@ -150,18 +150,22 @@ object Bfs {
     * Parallel edges keep their MINIMUM weight (only the cheapest copy
     * can sit on a shortest path). Same encoded loop, same per-round
     * shape, weight riding the adjacency. */
-  def weightedHops(edges: DataFrame, seeds: DataFrame, weightCol: String,
-                   maxHops: Int = 20, srcCol: String = "src",
-                   dstCol: String = "dst"): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+  /** Undirected encoded WEIGHTED adjacency `(u, v, w)` shared by
+    * [[weightedHops]] and [[weightedBetweenness]]: both directions,
+    * null/loop rows dropped on values, endpoints hashed, parallel
+    * copies min-folded (only the cheapest copy can sit on a shortest
+    * path). Weights must be POSITIVE and INTEGRAL — validated on the
+    * PRE-fold rows (min(w) would silently skip a null parallel copy)
+    * as a narrow scan; the min-fold then runs exactly once,
+    * materialized by the cut. */
+  private def encodedWeightedAdj(op: String, edges: DataFrame,
+                                 weightCol: String, srcCol: String,
+                                 dstCol: String): DataFrame = {
     require(Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
       .contains(edges.schema(weightCol).dataType.sql),
-      s"weightedHops needs an INTEGRAL weight column (quantize first " +
+      s"$op needs an INTEGRAL weight column (quantize first " +
         s"— cents/micros); '$weightCol' is " +
         edges.schema(weightCol).dataType.sql)
-    val seedCol = seeds.columns.head
-    requireSameKeyType("weightedHops", edges, srcCol, dstCol, seeds,
-      seedCol, "seed")
     val fwd = edges.select(col(srcCol).as("nu"), col(dstCol).as("nv"),
       col(weightCol).cast("long").as("w"))
     val rev = edges.select(col(dstCol).as("nu"), col(srcCol).as("nv"),
@@ -171,16 +175,22 @@ object Bfs {
         col("nu") =!= col("nv"))
       .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"),
         col("w"))
-    // validate on the PRE-fold rows — min(w) would silently skip a null
-    // parallel copy — and as a narrow scan (no shuffle); the min-fold
-    // then runs exactly once, materialized by the cut (the earlier
-    // count-then-cut shape paid the fold shuffle twice)
     val bad = raw.filter(col("w").isNull || col("w") <= 0L).count()
-    require(bad == 0L, s"weightedHops: $bad edge cop(y/ies) with " +
+    require(bad == 0L, s"$op: $bad edge cop(y/ies) with " +
       "non-positive or null weight — min-plus needs strictly positive " +
       "weights")
-    val adj = Checkpoints.cut(
-      raw.groupBy("u", "v").agg(min("w").as("w")))
+    Checkpoints.cut(raw.groupBy("u", "v").agg(min("w").as("w")))
+  }
+
+  def weightedHops(edges: DataFrame, seeds: DataFrame, weightCol: String,
+                   maxHops: Int = 20, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val seedCol = seeds.columns.head
+    requireSameKeyType("weightedHops", edges, srcCol, dstCol, seeds,
+      seedCol, "seed")
+    val adj = encodedWeightedAdj("weightedHops", edges, weightCol,
+      srcCol, dstCol)
     val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
       .select(xxhash64(col("nv")).as("node"), lit(0L).as("hops"))
     val dist = relaxLoop(adj, dist0, Seq("node"), maxHops, col("w"))
@@ -417,6 +427,120 @@ object Bfs {
     * divided by L once — bit-reproducible anywhere. `maxDepth` is
     * therefore capped at 20 on this face (landmark BFS past depth 20
     * adds ~zero closeness mass anyway: 1/d < 0.05). */
+  /** WEIGHTED landmark betweenness — Brandes' σ and dependency folds
+    * over the min-plus (equal-cost) shortest-path DAG instead of the
+    * hop-level DAG (Brandes 2001 §4's weighted form, landmark-sampled
+    * and round-bounded like [[landmarkBetweenness]]). Closes the gap
+    * the unweighted face documents: with integral positive weights,
+    * "one level deeper" is no longer "one hop deeper", so the DAG keys
+    * on COST — predecessor v of w iff `cost(w) = cost(v) + w(v,w)` —
+    * and the folds iterate to their DAG fixpoints rather than walking
+    * hop levels.
+    *
+    * Three bounded loops, each `rounds` iterations, each round one
+    * long-keyed equi-join + one (seed, node) fold (the [[Bfs]] loop
+    * discipline; every exchange hashes 8-byte keys):
+    *
+    *  1. COSTS: per-seed min-plus relaxation ([[relaxLoop]] with the
+    *     weight step — the a37 recurrence, keyed (seed, node)).
+    *  2. σ: `σ_t(v) = Σ_{u ∈ pred_DAG(v)} σ_{t−1}(u)`, σ(seed) = 1 —
+    *     RECOMPUTE-from-predecessors, not accumulate: once every
+    *     predecessor of v is final, v is final, so t ≥ the DAG's
+    *     longest-path length fixes every σ exactly (the DAG is acyclic
+    *     because positive weights make cost strictly increase along
+    *     it; a seed has no DAG in-edges for the same reason, so the
+    *     seed row unions in disjointly). EXACT BIGINT counts.
+    *  3. δ: `δ_t(v) = Σ_{w ∈ succ_DAG(v)} σ(v)/σ(w) · (1 + δ_{t−1}(w))`
+    *     from δ_0 ≡ 0 — the mirror-image recompute; t ≥ the backward
+    *     DAG depth fixes it. Double sums (σ-ratios are fractional) —
+    *     the [[landmarkBetweenness]] float posture.
+    *
+    * Bounded-round contract (the a37/a38 discipline): the gate's
+    * unrolled-CTE oracle runs EXACTLY these recurrences for the same
+    * `rounds`, so the result is engine-identical whether or not the
+    * fixpoints land inside the bound; semantically, any `rounds` past
+    * the weighted eccentricity (in DAG edges) is exact. `rounds` caps
+    * at 12 — σ grows multiplicatively and must stay inside BIGINT
+    * ([[pathCounts]]' enforced cap).
+    *
+    * Output: `(node, betweenness)` — Σ over landmarks of δ, landmark
+    * self-rows excluded per Brandes; unreached nodes absent. */
+  def weightedBetweenness(edges: DataFrame, seeds: DataFrame,
+                          weightCol: String, rounds: Int = 6,
+                          srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"weightedBetweenness caps rounds at 12 (σ grows as " +
+        s"branching^rounds and must stay inside BIGINT), got $rounds")
+    val seedCol = seeds.columns.head
+    requireSameKeyType("weightedBetweenness", edges, srcCol, dstCol,
+      seeds, seedCol, "seed")
+    val adj = encodedWeightedAdj("weightedBetweenness", edges, weightCol,
+      srcCol, dstCol)
+    // 1. per-seed exact costs (bounded min-plus relaxation)
+    val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
+      .select(xxhash64(col("nv")).as("seed"))
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+    val cost = Checkpoints.cut(
+      relaxLoop(adj, dist0, Seq("seed", "node"), rounds, col("w")))
+    // equal-cost predecessor DAG: v → w within a seed iff stepping the
+    // edge preserves shortest-path optimality — ONE 3-way equi-join
+    // keyed on cost instead of level
+    val ca = cost.select(col("seed"), col("node").as("v"),
+      col("hops").as("cv"))
+    val cb = cost.select(col("seed").as("sb"), col("node").as("w"),
+      col("hops").as("cw"))
+    val dag = Checkpoints.cut(ca
+      .join(adj.select(col("u"), col("v").as("av"), col("w").as("ew")),
+        col("v") === col("u"))
+      .join(cb, col("sb") === col("seed") && col("w") === col("av") &&
+        col("cw") === col("cv") + col("ew"))
+      .select(col("seed"), col("v"), col("w")))
+    // 2. σ fixpoint (recompute-from-predecessors)
+    val sig0 = dist0.select(col("seed"), col("node"), lit(1L).as("sigma"))
+    var sig = sig0
+    for (_ <- 1 to rounds) {
+      val prop = dag.as("g")
+        .join(sig.as("s"), col("g.seed") === col("s.seed") &&
+          col("g.v") === col("s.node"))
+        .groupBy(col("g.seed").as("seed"), col("g.w").as("node"))
+        .agg(sum("sigma").as("sigma"))
+      sig = Checkpoints.cut(sig0.unionByName(prop))
+    }
+    // ratio-bearing DAG: σ(v)/σ(w) rides each DAG edge
+    val sv = sig.select(col("seed"), col("node").as("v"),
+      col("sigma").as("sv"))
+    val sw = sig.select(col("seed").as("s2"), col("node").as("w"),
+      col("sigma").as("sw"))
+    val rdag = Checkpoints.cut(dag
+      .join(sv, Seq("seed", "v"))
+      .join(sw, col("s2") === col("seed") && sw("w") === dag("w"))
+      .select(col("seed"), col("v"), dag("w").as("w"),
+        (col("sv").cast("double") / col("sw").cast("double"))
+          .as("ratio")))
+    // 3. δ fixpoint (recompute-from-successors), landmark rows carried
+    // so reached-but-zero nodes stay in the output
+    val reached = cost.select(col("seed"), col("node"))
+    var del = reached.select(col("seed"), col("node"),
+      lit(0.0).as("delta"))
+    for (_ <- 1 to rounds) {
+      val contrib = rdag.as("g")
+        .join(del.as("p"), col("g.seed") === col("p.seed") &&
+          col("g.w") === col("p.node"))
+        .groupBy(col("g.seed").as("seed"), col("g.v").as("node"))
+        .agg(sum(col("ratio") * (lit(1.0) + col("delta"))).as("delta"))
+      del = Checkpoints.cut(reached
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("delta"), lit(0.0)).as("delta")))
+    }
+    del.filter(col("node") =!= col("seed"))
+      .groupBy("node").agg(sum("delta").as("betweenness"))
+      .join(rimDict(edges, seeds, srcCol, dstCol)
+        .withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("betweenness"))
+  }
+
   def harmonicCloseness(edges: DataFrame, landmarks: DataFrame,
                         maxDepth: Int = 20, srcCol: String = "src",
                         dstCol: String = "dst"): DataFrame = {

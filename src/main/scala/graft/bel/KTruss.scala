@@ -61,10 +61,17 @@ object KTruss {
     * k-peel have trussness k−1 (an edge in no triangle has trussness
     * 2). Each k-level runs [[peelOnce]] to ITS fixpoint, so total work
     * is the k-truss loop summed over the distinct trussness levels
-    * actually present — never maxK × corpus. Survivors at the `maxK`
-    * cap report trussness maxK (a lower bound there; raise the cap for
-    * deeper graphs — the bounded-round a37 discipline). Output:
-    * (a, b, trussness). */
+    * actually present — never maxK × corpus.
+    *
+    * The `maxK` cap is TRUTHFUL, not silent: survivors of the maxK-peel
+    * run ONE extra peel at maxK+1, and an edge surviving that too
+    * reports `(trussness = maxK, capped = true)` — "at least maxK,
+    * raise the cap to measure" — while an edge the extra peel drops
+    * reports `(maxK, capped = false)`: exactly maxK, a measurement.
+    * Every edge dropped below the cap is `capped = false` by
+    * construction. Downstream can therefore never mistake the cap for
+    * a measurement (the bounded-round a37 discipline, made visible in
+    * the output). Output: (a, b, trussness, capped). */
   def trussness(edges: DataFrame, maxK: Int = 16,
                 maxRounds: Int = 50): DataFrame = {
     require(maxK >= 3, s"trussness needs maxK >= 3, got $maxK")
@@ -78,7 +85,8 @@ object KTruss {
       val next = peelFixpoint(current, k, maxRounds)
       val dropped = current
         .join(next.select("x", "y"), Seq("x", "y"), "left_anti")
-        .select(col("x"), col("y"), lit(k - 1).as("trussness"))
+        .select(col("x"), col("y"), lit(k - 1).as("trussness"),
+          lit(false).as("capped"))
       val labeled = graft.core.Checkpoints.cut(
         acc.map(_.unionByName(dropped)).getOrElse(dropped)).persist()
       labeled.count()
@@ -89,11 +97,28 @@ object KTruss {
       remaining = next.count()
       k += 1
     }
-    val capped = current.select(col("x"), col("y"),
-      lit(maxK).as("trussness"))
-    val all = acc.map(_.unionByName(capped)).getOrElse(capped)
+    // one extra peel at maxK+1 makes the cap truthful: its survivors are
+    // "≥ maxK" (capped), its drops are exactly maxK (measured) — peeling
+    // past an empty survivor set is skipped, nothing there to label
+    var beyondHandle: Option[DataFrame] = None
+    val atCap =
+      if (remaining == 0)
+        current.select(col("x"), col("y"), lit(maxK).as("trussness"),
+          lit(false).as("capped"))
+      else {
+        val beyond = peelFixpoint(current, maxK + 1, maxRounds)
+        beyondHandle = Some(beyond)
+        current.join(
+            beyond.select(col("x"), col("y"), lit(true).as("__cap")),
+            Seq("x", "y"), "left")
+          .select(col("x"), col("y"), lit(maxK).as("trussness"),
+            coalesce(col("__cap"), lit(false)).as("capped"))
+      }
+    val all = acc.map(_.unionByName(atCap)).getOrElse(atCap)
     val out = graft.core.Checkpoints.cut(
-      decode(all, nodes).select(col("a"), col("b"), col("trussness")))
+      decode(all, nodes).select(col("a"), col("b"), col("trussness"),
+        col("capped")))
+    beyondHandle.foreach(_.unpersist())
     current.unpersist(); acc.foreach(_.unpersist())
     nodes.unpersist(); und.unpersist()
     out

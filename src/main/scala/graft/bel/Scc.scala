@@ -1,0 +1,165 @@
+package graft.bel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints
+
+/** Strongly connected components — the DIRECTED twin of
+  * [[ConnectedComponents]]: maximal node sets where every pair is
+  * MUTUALLY reachable along edge direction. The reachability statistic
+  * citation/web/dependency graphs need where the undirected star loop
+  * would over-merge (A→B alone must NOT put A and B together). Same
+  * graph surface as the reference's edge exports
+  * (`manager/bel_manager.py` to_bel); directed BEL relations
+  * (increases/decreases) make the directed face the semantically honest
+  * one for regulatory-cycle detection.
+  *
+  * Algorithm: iterative min-label FORWARD-BACKWARD peeling (the
+  * data-parallel FW-BW/coloring family — Orzan 2004; McLendon et al.,
+  * "Finding strongly connected components in distributed graphs", JPDC
+  * 65(8), 2005 — in its min-label Pregel form). Each outer round, over
+  * the REMAINING subgraph:
+  *
+  *   F(v) = min label u with a directed path u ⇝ v  (forward min)
+  *   B(v) = min label u with a directed path v ⇝ u  (backward min —
+  *          the same propagation over reversed edges)
+  *
+  * Every v with `F(v) = B(v) = c` satisfies c ⇝ v and v ⇝ c, so v is in
+  * SCC(c) — and conversely every member of SCC(c) for such a c agrees,
+  * so the matched set is a UNION OF WHOLE SCCs (assign, remove, repeat).
+  * The SCC of the remaining subgraph's minimum label always peels (its
+  * members' F and B both fold to that minimum), so the outer loop
+  * strictly shrinks and terminates in at most condensation-many rounds
+  * (far fewer in practice: every locally-minimal SCC peels per round).
+  *
+  * Scale shape ([[Bfs]]/[[PageRank]] loop discipline): endpoints hash to
+  * longs at entry and every in-loop exchange — the two min-propagation
+  * fixpoint joins/folds, the subgraph semi-joins, the F=B match — hashes
+  * on 8-byte keys; values decode ONCE at the rim (negligible-collision
+  * caveat as everywhere; nothing orders by id, so the hash encode
+  * suffices). Inner fixpoint detection compares exact decimal(38,0)
+  * label sums (labels are hashes spanning the full long range — a
+  * BIGINT sum would wrap and could in principle alias a change; the
+  * decimal sum cannot). Per-round frames are lineage-cut.
+  *
+  * Output: `(node, component)` for every node incident to a non-loop
+  * edge — `component` is an internal long label shared exactly by the
+  * node's SCC (canonicalize to `min(node)` per group for a stable
+  * value, the a13 discipline). Singleton SCCs (nodes on no directed
+  * cycle) keep their own label.
+  */
+object Scc {
+
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          maxOuter: Int = 50, maxInner: Int = 100): DataFrame = {
+    require(maxOuter >= 1 && maxInner >= 1,
+      s"round caps must be positive, got maxOuter=$maxOuter maxInner=$maxInner")
+    val st = edges.schema(srcCol).dataType
+    val dt = edges.schema(dstCol).dataType
+    require(st == dt, s"scc: edge endpoint types differ ('$srcCol' is " +
+      s"${st.sql}, '$dstCol' is ${dt.sql}) — cast to one type upstream " +
+      "(the dict encode hashes by physical type)")
+    // DIRECTED encoded adjacency: direction is the semantics here, so
+    // unlike the undirected loops there is no symmetrization
+    val adj0 = Checkpoints.cut(edges
+      .select(col(srcCol).as("nu"), col(dstCol).as("nv"))
+      .filter(col("nu").isNotNull && col("nv").isNotNull &&
+        col("nu") =!= col("nv"))
+      .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"))
+      .distinct()).persist()
+    val dict = edges.select(col(srcCol).as("value"))
+      .unionByName(edges.select(col(dstCol).as("value")))
+      .filter(col("value").isNotNull)
+      .distinct()
+      .select(xxhash64(col("value")).as("id"), col("value"))
+    var adj = adj0
+    var nodes = Checkpoints.cut(
+      adj.select(col("u").as("node"))
+        .unionByName(adj.select(col("v").as("node")))
+        .distinct()).persist()
+    var remaining = nodes.count()
+    var acc: Option[DataFrame] = None
+    var outer = 0
+    while (remaining > 0 && outer < maxOuter) {
+      val fwd = minLabelFixpoint(adj, nodes, maxInner)
+        .withColumnRenamed("lab", "f")
+      val bwd = minLabelFixpoint(
+        adj.select(col("v").as("u"), col("u").as("v")), nodes, maxInner)
+        .withColumnRenamed("lab", "b")
+      val done = Checkpoints.cut(
+        fwd.join(bwd, Seq("node"))
+          .filter(col("f") === col("b"))
+          .select(col("node"), col("f").as("component"))).persist()
+      val labeled = Checkpoints.cut(
+        acc.map(_.unionByName(done)).getOrElse(done)).persist()
+      labeled.count()
+      acc.foreach(_.unpersist())
+      acc = Some(labeled)
+      val nextNodes = Checkpoints.cut(
+        nodes.join(done.select("node"), Seq("node"), "left_anti")).persist()
+      val nextAdj = Checkpoints.cut(adj
+        .join(nextNodes.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(nextNodes.select(col("node").as("v")), Seq("v"), "left_semi"))
+        .persist()
+      remaining = nextNodes.count()
+      nodes.unpersist(); adj.unpersist(); done.unpersist()
+      nodes = nextNodes
+      adj = nextAdj
+      outer += 1
+    }
+    require(remaining == 0,
+      s"scc: $remaining nodes unassigned after $maxOuter outer rounds — " +
+        "raise maxOuter (peeling is monotone; more rounds always finish)")
+    val out = acc match {
+      case None => // edgeless input
+        dict.limit(0).select(col("value").as("node"),
+          col("id").as("component"))
+      case Some(a) =>
+        Checkpoints.cut(a
+          .join(dict.withColumnRenamed("id", "node"), Seq("node"))
+          .select(col("value").as("node"), col("component")))
+    }
+    nodes.unpersist(); adj.unpersist(); adj0.unpersist()
+    acc.foreach(_.unpersist())
+    out
+  }
+
+  /** Min-label propagation to fixpoint over the DIRECTED encoded
+    * adjacency, restricted to `nodes`: lab(v) = min id over {v} ∪
+    * {u : u ⇝ v}. One equi-join + one min-fold per round on 8-byte
+    * keys (the [[Bfs]] relaxation shape). Fixpoint when the exact
+    * (count, Σlab) footprint is stable — labels only ever decrease and
+    * the row count is fixed at |nodes|, so the decimal(38,0) sum is a
+    * strictly-monotone progress measure that cannot wrap. */
+  private def minLabelFixpoint(adj: DataFrame, nodes: DataFrame,
+                               maxInner: Int): DataFrame = {
+    def footprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("lab").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var lab = Checkpoints.cut(
+      nodes.select(col("node"), col("node").as("lab")))
+    var prev = footprint(lab)
+    var converged = false
+    var inner = 0
+    while (!converged && inner < maxInner) {
+      val relaxed = lab.join(adj, lab("node") === adj("u"))
+        .select(col("v").as("node"), col("lab"))
+      val next = Checkpoints.cut(
+        lab.unionByName(relaxed)
+          .groupBy("node").agg(min("lab").as("lab")))
+      val cur = footprint(next)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      lab = next
+      inner += 1
+    }
+    require(converged,
+      s"scc: min-label propagation did not converge in $maxInner rounds " +
+        "— raise maxInner (the graph's directed eccentricity exceeds it)")
+    lab
+  }
+}

@@ -70,10 +70,27 @@ object Pca {
                            quant: Column => Column): DataFrame = {
     // quantization runs on the exploded SCALAR (codegen'd), never as a
     // per-array higher-order transform (interpreted)
-    val e = vecs
+    val e0 = vecs
       .select(col(idCol).as("__rid"),
         posexplode(col(vecCol)).as(Seq("i", "e0")))
       .select(col("__rid"), col("i"), quant(col("e0")).as("e"))
+    // duplicate-id tripwire (the snapshotDiff posture, lazy in-plan
+    // raise_error): a duplicate id value would silently cross-pair
+    // elements of DIFFERENT rows through the self-join below and corrupt
+    // every downstream moment. Detected as >1 position-0 element per
+    // rid via a count over the __rid partition — the same key the join
+    // co-locates on, so the window's exchange+sort is work the
+    // sort-merge join needs anyway, not an extra corpus shuffle.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__rid")
+    val e = e0
+      .withColumn("__n0",
+        sum(when(col("i") === 0, 1L).otherwise(0L)).over(w))
+      .select(col("__rid"), col("i"),
+        when(col("__n0") === 1L, col("e")).otherwise(raise_error(concat(
+          lit("pairProducts: duplicate id value '"),
+          col("__rid").cast("string"),
+          lit("' — ids must be unique (duplicates would cross-pair " +
+            "elements of different rows)")))).as("e"))
     e.join(e.select(col("__rid"), col("i").as("j"), col("e").as("f")),
         "__rid")
       .filter(col("j") >= col("i"))

@@ -299,24 +299,85 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Mutual-nearest-neighbor matching: pairs (a, b) where b is a's
-    * cosine top-1 AND a is b's — the high-precision entity-alignment /
-    * bitext-mining primitive (a one-directional top-1 is a guess; a
-    * reciprocal one is a match). Composition: one all-pairs top-1 pass
-    * ([[bruteForceTopK]] with the corpus as its own query set — the
-    * scale path swaps in [[lshTopK]]/[[graft.ops.IvfIndex]] probes,
-    * same downstream shape), then ONE self-join on the reversed pair —
-    * each pair emits once with `a < b`. Output: (a, b, cosine). */
-  def mutualTopOne(corpus: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val queries = corpus.select(col(idCol).as("query_id"),
-      col(vecCol).as("embedding"))
-    val top1 = bruteForceTopK(corpus, queries, k = 1, idCol, vecCol)
-      .select(col("query_id").as("a"), col("id").as("b"), col("cosine"))
+  /** Reciprocal-pair fold shared by both mutual-NN faces: keep (a, b)
+    * with a < b iff the reversed (b, a) row also exists — ONE left-semi
+    * equi-join on the (a, b) key. */
+  private def mutualFromTop1(top1: DataFrame): DataFrame =
     top1.filter(col("a") < col("b"))
       .join(top1.filter(col("a") > col("b"))
           .select(col("b").as("a"), col("a").as("b")),
         Seq("a", "b"), "left_semi")
+
+  /** EXACT mutual-nearest-neighbor matching — the small-corpus /
+    * oracle face of [[mutualTopOneAnn]]: the all-pairs top-1 pass is
+    * [[bruteForceTopK]] with the corpus as its own query set, which
+    * BROADCASTS that query set and scores |N|² cosines. Correct at any
+    * size but only PLANNABLE at dimension scale (a few 10⁴ vectors);
+    * the registered operator and any corpus-scale caller is
+    * [[mutualTopOneAnn]]. Output: (a, b, cosine), a < b. */
+  def mutualTopOne(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus.select(col(idCol).as("query_id"),
+      col(vecCol).as("embedding"))
+    mutualFromTop1(
+      bruteForceTopK(corpus, queries, k = 1, idCol, vecCol)
+        .select(col("query_id").as("a"), col("id").as("b"), col("cosine")))
+  }
+
+  /** Mutual-nearest-neighbor matching at corpus scale: pairs (a, b)
+    * where b is a's cosine top-1 AND a is b's — the high-precision
+    * entity-alignment / bitext-mining primitive (a one-directional
+    * top-1 is a guess; a reciprocal one is a match), with the top-1
+    * pass running through IVF probes instead of the |N|² product.
+    *
+    * Plan (plan-pinned in MutualNnPlanSpec — NO broadcast of any
+    * corpus-derived side, NO nested-loop join):
+    *  1. centroids: driver-sized hash-ordered sample (optionally
+    *     Lloyd-refined) — the [[ivfTopK]] build step;
+    *  2. cell assignment: one NARROW codegen'd
+    *     [[graft.functions.NearestCells]] pass per side (corpus rows
+    *     keep their 1 nearest cell; as queries they probe `nProbe`
+    *     cells) — no shuffle, no join;
+    *  3. candidate scoring: ONE shuffle equi-join on the cell id.
+    *     Unlike [[ivfTopK]] (whose query batch is genuinely small and
+    *     rides a broadcast), here queries = corpus, so BOTH sides
+    *     shuffle-exchange on `cell` — each task scores only its cells'
+    *     |cell|·|probes-of-cell| pairs, never the corpus product.
+    *     Residual cell skew is AQE's skew-join case; at production
+    *     scale nList grows with the corpus (cells stay
+    *     executor-sized), the standard IVF sizing rule.
+    *  4. per-vector top-1 via the bounded-heap aggregate, then the
+    *     reciprocal semi-join ([[mutualFromTop1]]).
+    *
+    * Approximate exactly like IVF top-k: a true mutual pair is missed
+    * only if either endpoint's top-1 hides in an unprobed cell
+    * (recall tunable via nList/nProbe/refineIterations; honest recall
+    * vs the brute pairs is gated in `s_mutual_nn_ann`).
+    * `nProbe == nList` degrades to the exact answer — every pair is
+    * co-bucketed somewhere — while keeping the no-broadcast plan.
+    * Output: (a, b, cosine), a < b. */
+  def mutualTopOneAnn(corpus: DataFrame, nList: Int = 16, nProbe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      refineIterations: Int = 0): DataFrame = {
+    require(nList >= 2 && nProbe >= 1 && nProbe <= nList,
+      s"need 2 <= nProbe($nProbe) <= nList($nList)")
+    val (cellIds, cents) =
+      if (refineIterations > 0)
+        refineCentroids(corpus, nList, refineIterations, idCol, vecCol)
+      else sampleCentroids(corpus, nList, idCol, vecCol)
+    val assigned = corpus.select(col(idCol).as("id"),
+      col(vecCol).as("cvec"),
+      element_at(cellsOfCol(col(vecCol), cellIds, cents, 1), 1).as("cell"))
+    val probes = corpus.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      explode(cellsOfCol(col(vecCol), cellIds, cents, nProbe)).as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Vectors.cosine(col("qvec"), col("cvec")).as("cosine"))
+    mutualFromTop1(topKPerQuery(scored, 1)
+      .select(col("query_id").as("a"), col("id").as("b"), col("cosine")))
   }
 
   /** Nearest-centroid (Rocchio) classification of an embedding corpus —
@@ -337,13 +398,35 @@ object Similarity {
     *
     * Scale shape: ONE aggregation to the (labels × dims) centroid frame
     * (driver-sized by contract — the codebook posture), then assignment
-    * is NARROW: centroid sums ride as broadcast literals and each row
-    * scores all classes in one codegen'd HOF chain — no join, no
-    * shuffle. Output: input id + label columns + `label_pred`. */
+    * is NARROW: centroid sums ride as ONE reference object inside the
+    * native codegen'd [[graft.functions.CentroidScoreExpr]] kernel —
+    * no join, no shuffle, one kernel call per row (the earlier
+    * `transform(sequence, aggregate(zip_with))` HOF chain evaluated
+    * INTERPRETED per element: L·d lambda dispatches per row — kept as
+    * [[centroidClassifyHof]] only as the bit-identical property-test
+    * witness). Null-semantics note: the kernel nulls the whole result
+    * on any null element where the HOF form poisoned per-coordinate —
+    * distinguishable only on inputs the embedding contract excludes.
+    * Output: input id + label columns + `label_pred`. */
   def centroidClassify(vecs: DataFrame, labelCol: String = "label",
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        scale: Long = 100000L): DataFrame = {
+    val (labs, d, nArr, sFlat) =
+      centroidStats(vecs, labelCol, vecCol, scale)
+    vecs.select(col(idCol), col(labelCol),
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.CentroidScoreExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(vecCol)),
+          labs, nArr, sFlat, scale)).as("label_pred"))
+  }
+
+  /** The ONE aggregation to the (labels × dims) integer centroid stats:
+    * sorted labels, dimensionality, per-label counts, and label-major
+    * flattened Σq sums — driver-sized by contract. */
+  private def centroidStats(vecs: DataFrame, labelCol: String,
+                            vecCol: String, scale: Long)
+      : (Seq[Int], Int, Seq[Long], Seq[Long]) = {
     require(scale >= 1, s"scale must be positive, got $scale")
     val cent = vecs
       .select(col(labelCol).cast("int").as("__l"),
@@ -354,16 +437,29 @@ object Similarity {
       .agg(sum("__q").as("s"), count(lit(1)).as("n"))
       .collect()
     require(cent.nonEmpty, "centroidClassify: empty or vector-less input")
-    val labs = cent.map(_.getInt(0)).distinct.sorted
+    val labs = cent.map(_.getInt(0)).distinct.sorted.toSeq
     val d = cent.map(_.getInt(1)).max + 1
     val sByLabel = cent.map(r => ((r.getInt(0), r.getInt(1)),
       r.getLong(2))).toMap
     val nByLabel = cent.groupBy(_.getInt(0))
       .map { case (l, rs) => l -> rs.head.getLong(3) }
-    val sLit = typedlit(labs.flatMap(l =>
-      (0 until d).map(i => sByLabel((l, i)))).toSeq)
-    val nLit = typedlit(labs.map(nByLabel).toSeq)
-    val labsLit = typedlit(labs.toSeq)
+    (labs, d, labs.map(nByLabel),
+      labs.flatMap(l => (0 until d).map(i => sByLabel((l, i)))))
+  }
+
+  /** The interpreted HOF form [[centroidClassify]] replaced — retained
+    * ONLY as the property-test witness that the native kernel is
+    * bit-identical (SimilaritySpec), never the registered path. */
+  private[graft] def centroidClassifyHof(vecs: DataFrame,
+                                         labelCol: String = "label",
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding",
+                                         scale: Long = 100000L): DataFrame = {
+    val (labs, d, nArr, sFlat) =
+      centroidStats(vecs, labelCol, vecCol, scale)
+    val sLit = typedlit(sFlat)
+    val nLit = typedlit(nArr)
+    val labsLit = typedlit(labs)
     val L = labs.length
     vecs.select(col(idCol), col(labelCol),
       Exprs.bound(transform(col(vecCol),

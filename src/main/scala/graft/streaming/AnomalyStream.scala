@@ -57,7 +57,9 @@ object AnomalyStream {
       s"bad anomaly params: n=$n k=$k minN=$minN scale=$scale")
     events
       .select(col("user_id"), col("ts"), col("event_id"),
-        floor(col("value").cast("double") * scale).cast("long").as("q"))
+        // the batch face's enforced overflow tripwire, shared column
+        // (a wrap would silently flip flags here too)
+        Anomaly.guardedQ(col("value"), scale, n, k).as("q"))
       .withWatermark("ts", watermark)
       .as[In]
       .groupByKey(_.user_id)

@@ -85,7 +85,35 @@ object CuratePipeline {
     * constraint holds by construction, and the batch that compacts has
     * already appended its own partition — a crash straddling the
     * compaction replays the batch, which probes to zero survivors and
-    * lands nothing (the [[compactIngest]] replay discipline). */
+    * lands nothing (the [[compactIngest]] replay discipline).
+    *
+    * How this path meets [[compactIngest]]'s contract (whose scaladoc
+    * demands a quiesced stream + committed batches — written for the
+    * EXTERNAL maintenance entry):
+    *
+    *  - WRITER side: "quiesced" exists to serialize writers; here the
+    *    compaction runs ON the one writer thread, inside its serial
+    *    `foreachBatch` body, so the single-writer constraint holds by
+    *    construction (stronger than quiescing).
+    *  - COMMIT horizon: the compacting batch folds its OWN not-yet-
+    *    committed partition. The only divergent outcome is a crash in
+    *    the window after compaction and before the checkpoint commit:
+    *    the replayed batch probes the (compacted, complete) index to
+    *    zero survivors and truthfully records 0 newly-accepted rows —
+    *    its rows are all present in the archive partition, nothing is
+    *    lost or doubled; only the per-batch metrics attribution moves
+    *    to the pre-crash attempt. Callers needing strictly
+    *    committed-only compaction must use the external
+    *    [[compactIngest]] entry on their own schedule.
+    *  - READER side (the one contract this path genuinely RELAXES):
+    *    `swapInto` renames the corpus/index directories, so a
+    *    CONCURRENT external reader can transiently see a missing
+    *    directory mid-swap and must retry (or list-then-read
+    *    snapshot-style). In-line compaction is therefore for layouts
+    *    whose readers are batch jobs that tolerate a retry; serving
+    *    readers that cannot should read through a manifest/catalog
+    *    layer or leave `compactEveryBatches = None` and compact in a
+    *    maintenance window. */
   def run(stream: DataFrame, checks: Seq[Expectations.Check],
           rules: DataFrame => DataFrame,
           indexPath: String, outPath: String, checkpoint: String,

@@ -1,6 +1,7 @@
 package graft.bel
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class BfsSpec extends SparkSpec {
   import spark.implicits._
@@ -194,6 +195,100 @@ class BfsSpec extends SparkSpec {
     assert(gotR.keySet === want.keySet)
     for ((k, v) <- want)
       assert(math.abs(gotR(k) - v) < 1e-9, s"node $k: ${gotR(k)} vs $v")
+  }
+
+  test("weightedBetweenness: weights move the centrality — the cheap " +
+    "2-hop detour's midpoint carries it, the unit-weight shortcut " +
+    "zeroes it") {
+    import spark.implicits._
+    val seeds = Seq("a", "b", "c").toDF("seed")
+    // a-b=1, b-c=1, a-c=3: every a↔c shortest path runs through b
+    val heavy = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 3L))
+      .toDF("src", "dst", "w")
+    val got = Bfs.weightedBetweenness(heavy, seeds, "w", rounds = 5)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("b") - 2.0) < 1e-12, got.toString)
+    assert(math.abs(got("a")) < 1e-12 && math.abs(got("c")) < 1e-12)
+    // unit weights: the direct edge wins, b carries nothing
+    val unit = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got2 = Bfs.weightedBetweenness(unit, seeds, "w", rounds = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got2.values.forall(v => math.abs(v) < 1e-12), got2.toString)
+  }
+
+  test("weightedBetweenness matches the DEFINITIONAL dependency — " +
+    "every shortest path enumerated, delta = pair-dependency fractions " +
+    "— on a random weighted graph") {
+    import spark.implicits._
+    // dense-ish and small so every weighted shortest path uses ≤ 12
+    // edges (the operator's enforced cap): the bounded recurrence then
+    // sits AT its fixpoint and must equal unbounded Dijkstra + full
+    // shortest-path enumeration (no Brandes recurrence on the brute
+    // side — the check is against the DEFINITION)
+    val rnd = new scala.util.Random(43)
+    val n = 14
+    val edges = (1 to 50).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+      .map { case (a, b) => (a, b, (a + b) % 3 + 1) }
+    val wOf = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2))
+      .map { case (k, es) => k -> es.map(_._3).min }
+    val adj = wOf.keys.toSeq.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = Seq(0L, 5L, 11L)
+    val want = scala.collection.mutable.Map[Long, Double]()
+      .withDefaultValue(0.0)
+    val reached = scala.collection.mutable.Set[Long]()
+    for (s <- seeds if adj.contains(s)) {
+      val dist = scala.collection.mutable.Map[Long, Long](s -> 0L)
+      val done = scala.collection.mutable.Set[Long]()
+      while (dist.exists(kv => !done.contains(kv._1))) {
+        val u = dist.filter(kv => !done.contains(kv._1)).minBy(_._2)._1
+        done += u
+        for (v <- adj.getOrElse(u, Set.empty)) {
+          val nd = dist(u) + wOf((u, v))
+          if (dist.get(v).forall(_ > nd)) dist(v) = nd
+        }
+      }
+      reached ++= dist.keys.filterNot(_ == s)
+      def paths(t: Long): Seq[List[Long]] =
+        if (t == s) Seq(List(s))
+        else adj.keys.toSeq.filter(u => adj(u).contains(t) &&
+            dist.contains(u) && dist(u) + wOf((u, t)) == dist(t))
+          .flatMap(u => paths(u).map(t :: _))
+      for (t <- dist.keys if t != s) {
+        val ps = paths(t)
+        for (v <- dist.keys if v != s && v != t) {
+          val through = ps.count(_.drop(1).dropRight(1).contains(v))
+          if (through > 0) want(v) = want(v) + through.toDouble / ps.size
+        }
+      }
+    }
+    val got = Bfs.weightedBetweenness(
+        edges.map(e => (e._1, e._2)).toDF("src", "dst")
+          .withColumn("w", (col("src") + col("dst")) % 3 + 1),
+        seeds.toDF("seed"), "w", rounds = 12)
+      .as[(Long, Double)].collect().toMap
+    // reached-but-carrying-nothing nodes emit 0.0 (the a38 contract)
+    assert(got.keySet === reached)
+    for (k <- reached)
+      assert(math.abs(got(k) - want(k)) < 1e-9,
+        s"node $k: ${got(k)} vs ${want(k)}")
+  }
+
+  test("weightedBetweenness: bad params fail fast") {
+    import spark.implicits._
+    val ed = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("seed")
+    intercept[IllegalArgumentException](
+      Bfs.weightedBetweenness(ed, seeds, "w", rounds = 0))
+    intercept[IllegalArgumentException](
+      Bfs.weightedBetweenness(ed, seeds, "w", rounds = 13))
+    intercept[IllegalArgumentException](
+      Bfs.weightedBetweenness(
+        Seq(("a", "b", 1.5)).toDF("src", "dst", "w"), seeds, "w"))
   }
 
   test("pathCounts: exact σ on a diamond (two shortest paths merge, " +

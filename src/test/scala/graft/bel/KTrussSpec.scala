@@ -108,14 +108,36 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
-  test("trussness caps at maxK (a lower bound there)") {
+  test("trussness caps at maxK truthfully: a (maxK+1)-clique reports " +
+    "capped = true, uncapped edges report exact k with capped = false") {
+    // K6 has trussness 6; at maxK = 4 its edges hit the cap AND survive
+    // the extra (maxK+1)-peel → (4, capped). The bowtie (trussness 3)
+    // is measured below the cap → capped = false.
+    val k6 = for {
+      x <- Seq("a", "b", "c", "d", "e", "f")
+      y <- Seq("a", "b", "c", "d", "e", "f")
+      if x < y
+    } yield (x, y)
+    val bowtie = Seq(("p", "q"), ("p", "r"), ("q", "r"), ("p", "s"),
+      ("q", "s"))
+    val got = KTruss.trussness(edgesOf(k6 ++ bowtie: _*), maxK = 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(k6.forall(e => got(e) == ((4, true))), s"k6: $got")
+    assert(bowtie.forall(e => got(e) == ((3, false))), s"bowtie: $got")
+  }
+
+  test("trussness at-cap edges whose truss ends exactly at maxK are " +
+    "measurements, not caps") {
+    // K5 has trussness exactly 5: at maxK = 5 the extra 6-peel drops
+    // every edge, so the cap row is a MEASUREMENT (capped = false)
     val k5 = for {
       x <- Seq("a", "b", "c", "d", "e"); y <- Seq("a", "b", "c", "d", "e")
       if x < y
     } yield (x, y)
-    val got = KTruss.trussness(edgesOf(k5: _*), maxK = 4)
-      .collect().map(_.getInt(2)).toSet
-    assert(got == Set(4)) // true trussness 5, reported at the cap
+    val got = KTruss.trussness(edgesOf(k5: _*), maxK = 5)
+      .collect().map(r => (r.getInt(2), r.getBoolean(3))).toSet
+    assert(got == Set((5, false)))
   }
 
   test("bad params fail fast") {

@@ -1,0 +1,121 @@
+package graft.bel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.SparkSpec
+
+class SccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (String, String)*): DataFrame =
+    pairs.toDF("src", "dst")
+
+  /** component-label → member-set map, labels canonicalized to the
+    * min member (internal labels are hashes). */
+  private def groupsOf(df: DataFrame): Set[Set[String]] =
+    df.as[(String, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("two cycles bridged one-way stay SEPARATE components " +
+    "(the undirected CC over-merge this operator exists to avoid)") {
+    val got = groupsOf(Scc.run(edgesOf(
+      ("a", "b"), ("b", "c"), ("c", "a"), // cycle 1
+      ("c", "x"),                         // one-way bridge
+      ("x", "y"), ("y", "x"))))           // cycle 2
+    assert(got == Set(Set("a", "b", "c"), Set("x", "y")))
+  }
+
+  test("a DAG is all singletons") {
+    val got = groupsOf(Scc.run(edgesOf(
+      ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))))
+    assert(got == Set(Set("a"), Set("b"), Set("c"), Set("d")))
+  }
+
+  test("direction matters: a→b alone does not merge; adding b→a does") {
+    assert(groupsOf(Scc.run(edgesOf(("a", "b")))) ==
+      Set(Set("a"), Set("b")))
+    assert(groupsOf(Scc.run(edgesOf(("a", "b"), ("b", "a")))) ==
+      Set(Set("a", "b")))
+  }
+
+  test("nested structure: SCC chain peels across outer rounds") {
+    // three 2-cycles in a directed chain: c1 → c2 → c3; min-label
+    // peeling assigns some per round, the rest in later rounds
+    val got = groupsOf(Scc.run(edgesOf(
+      ("a", "b"), ("b", "a"),
+      ("b", "c"),
+      ("c", "d"), ("d", "c"),
+      ("d", "e"),
+      ("e", "f"), ("f", "e"))))
+    assert(got == Set(Set("a", "b"), Set("c", "d"), Set("e", "f")))
+  }
+
+  test("self-loops and null endpoints are dropped on values") {
+    val edges = Seq((Some("a"), Some("a")), (Some("a"), Some("b")),
+      (Some("b"), Some("a")), (None, Some("b")), (Some("b"), None))
+      .toDF("src", "dst")
+    assert(groupsOf(Scc.run(edges)) == Set(Set("a", "b")))
+  }
+
+  test("matches a brute-force transitive-closure SCC on a random digraph") {
+    val rnd = new scala.util.Random(1201)
+    val pairs = (0 until 60).map(_ =>
+      (s"n${rnd.nextInt(14)}", s"n${rnd.nextInt(14)}"))
+      .filter(p => p._1 != p._2).distinct
+    // brute: Floyd–Warshall reachability, SCC = mutual reach
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val reach = Array.fill(n, n)(false)
+    pairs.foreach(p => reach(idx(p._1))(idx(p._2)) = true)
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val brute = nodes.indices.map { i =>
+      nodes.indices.filter(j =>
+        i == j || (reach(i)(j) && reach(j)(i))).map(nodes).toSet
+    }.toSet
+    assert(groupsOf(Scc.run(pairs.toDF("src", "dst"))) == brute)
+  }
+
+  test("every in-loop exchange hashes on long keys (the dict-encode pin)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Scc.run(edgesOf(("a", "b"), ("b", "a"), ("b", "c"),
+        ("c", "d"), ("d", "c")))
+      // the rim decode join carries values by design; everything before
+      // it ran during Scc.run's internal actions — re-run one inner
+      // fixpoint shape and inspect it directly instead
+      val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("u", "v")
+      val lab = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "lab")
+      val step = lab.unionByName(
+          lab.join(adj, lab("node") === adj("u"))
+            .select(col("v").as("node"), col("lab")))
+        .groupBy("node").agg(min("lab").as("lab"))
+      step.collect()
+      val shuffles = step.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach(_.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.expressions.forall(_.dataType == LongType))
+        case other => fail(s"unexpected partitioning $other")
+      })
+      assert(out.columns.toSeq == Seq("node", "component"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("edgeless input returns an empty frame; bad params fail fast") {
+    val empty = Scc.run(edgesOf())
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("node", "component"))
+    intercept[IllegalArgumentException](
+      Scc.run(edgesOf(("a", "b")), maxOuter = 0))
+    intercept[IllegalArgumentException](
+      Scc.run(Seq((1, "x")).toDF("src", "dst")))
+  }
+}

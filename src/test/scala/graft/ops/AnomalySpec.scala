@@ -106,4 +106,73 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](Anomaly.flagOutliers(ev, minN = 1))
     intercept[IllegalArgumentException](Anomaly.flagOutliers(ev, scale = 0))
   }
+
+  test("the BIGINT overflow bound is ENFORCED: an out-of-range value " +
+    "raises instead of wrapping the sigma test") {
+    // qLimit(n=20, k=3) = 3e9/60 = 5e7; value 1e5 at scale 1000 → q = 1e8
+    val ev = Seq(
+      (1L, ts(1), 1L, 10.0),
+      (2L, ts(2), 1L, 100000.0)).toDF("event_id", "ts", "user_id", "value")
+    val e = intercept[Exception](Anomaly.flagOutliers(ev).collect())
+    assert(e.getMessage.contains("overflow bound"), e.getMessage)
+    // in-range values still flow (the guard is a tripwire, not a filter)
+    val ok = Anomaly.flagOutliers(
+      Seq((1L, ts(1), 1L, 10.0), (2L, ts(2), 1L, 20.0))
+        .toDF("event_id", "ts", "user_id", "value")).collect()
+    assert(ok.length == 2)
+  }
+
+  test("flagSeasonal: events judged against their (key, hour) baseline " +
+    "— hour-local outliers flagged, globally-odd-but-hour-normal not") {
+    def at(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${10 + day}%02d $hour%02d:30:00")
+    // type "a", hour 3: ten days of ~5.0 plus one 50.0 spike;
+    // hour 9: ten days of ~50.0 (so 50 is NORMAL for hour 9)
+    val rows =
+      (0 until 10).map(d => (100L + d, at(d, 3), "a", 5.0 + 0.01 * d)) ++
+      (0 until 10).map(d => (200L + d, at(d, 9), "a", 50.0 + 0.01 * d)) ++
+      Seq((999L, at(10, 3), "a", 50.0), // spike in the quiet hour
+        (998L, at(10, 9), "a", 50.05))  // same magnitude, busy hour: fine
+    val ev = rows.toDF("event_id", "ts", "event_type", "value")
+    val prof = Temporal.seasonalProfile(ev)
+    val got = Anomaly.flagSeasonal(ev, prof, minN = 8)
+      .select("event_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(999L), "hour-3 spike must flag against the hour-3 baseline")
+    assert(!got(998L), "a hour-9-normal value must not flag")
+    assert((0 until 10).forall(d => !got(100L + d) && !got(200L + d)))
+  }
+
+  test("flagSeasonal: unprofiled (key, hour) and below-minN hours emit " +
+    "is_outlier = false with zeroed moments — the cold-start contract") {
+    val hist = (0 until 10).map(d =>
+      (1L + d, java.sql.Timestamp.valueOf(f"2024-03-${10 + d}%02d 03:00:00"),
+        "a", 5.0))
+    val ev = (hist ++ Seq(
+      (90L, java.sql.Timestamp.valueOf("2024-03-21 07:00:00"), "a", 900.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    // profile from HISTORY ONLY — hour 7 never profiled
+    val prof = Temporal.seasonalProfile(hist.toDF(
+      "event_id", "ts", "event_type", "value"))
+    val got = Anomaly.flagSeasonal(ev, prof)
+      .select("event_id", "n", "is_outlier")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(90L) == ((0L, false)))
+    // below minN: same data, minN > history size
+    val few = Anomaly.flagSeasonal(ev, prof, minN = 11)
+      .select("is_outlier").as[Boolean].collect()
+    assert(few.forall(_ == false))
+  }
+
+  test("flagSeasonal: decimal bound enforced eagerly on the profile " +
+    "and per-row on the quantized value") {
+    val ev = Seq(
+      (1L, ts(1), "a", 5.0), (2L, ts(2), "a", 6.0),
+      (3L, ts(3), "a", 2.0e15)).toDF("event_id", "ts", "event_type", "value")
+    val prof = Temporal.seasonalProfile(
+      ev.filter(col("event_id") < 3L))
+    val e = intercept[Exception](
+      Anomaly.flagSeasonal(ev, prof).collect())
+    assert(e.getMessage.contains("decimal(38,0)"), e.getMessage)
+  }
 }

@@ -99,4 +99,39 @@ class CentroidClassifySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.centroidClassify(vecs.filter(col("vec_id") < 0)))
   }
+
+  test("native kernel is BIT-identical to the HOF form it replaced — " +
+    "random corpus, ragged label sizes, double AND float elements") {
+    val rnd = new scala.util.Random(1217)
+    val d = 24
+    // 7 labels with uneven counts incl. negative values and near-tie
+    // clusters — the argmin must agree on every row, not just easy ones
+    val rows = (0 until 300).map { i =>
+      val lab = rnd.nextInt(7) * 3 // labels 0,3,..,18 (non-contiguous)
+      (i.toLong, lab,
+        Seq.tabulate(d)(j => (rnd.nextDouble() - 0.5) * 4 +
+          0.3 * lab * math.sin(j)))
+    }
+    val asDouble = rows.toDF("vec_id", "label", "embedding")
+    val asFloat = rows.map { case (id, l, v) => (id, l, v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    for (vecs <- Seq(asDouble, asFloat)) {
+      val native = Similarity.centroidClassify(vecs)
+        .select("vec_id", "label_pred").as[(Long, Int)].collect().toMap
+      val hof = Similarity.centroidClassifyHof(vecs)
+        .select("vec_id", "label_pred").as[(Long, Int)].collect().toMap
+      assert(native == hof)
+      assert(native.size == 300)
+    }
+  }
+
+  test("native kernel: null vector yields a NULL prediction") {
+    val vecs = Seq((1L, 0, Some(Seq(1.0, 2.0))), (2L, 1, None),
+      (3L, 1, Some(Seq(-1.0, 0.0))))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidClassify(vecs)
+      .select("vec_id", "label_pred").as[(Long, Option[Int])]
+      .collect().toMap
+    assert(got(1L).isDefined && got(3L).isDefined && got(2L).isEmpty)
+  }
 }

@@ -156,6 +156,28 @@ class CodegenGuardSpec extends SparkSpec {
       s"ADC plan must join via broadcast only:\n$plan")
   }
 
+  test("CentroidScoreExpr at 64 labels x 64 dims codegens (no fallback)") {
+    // production label-count × dim — the shape whose HOF form paid
+    // L·d interpreted lambda dispatches per row; the kernel's plan
+    // size is O(1) in L·d (one reference object), pinned here
+    val L = 64; val d = 64
+    val p = s"${tmpDir("cg_cent")}/v"
+    (0 until 64).map(i => (i.toLong,
+      Array.tabulate(d)(j => math.sin(i * 17 + j).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(p)
+    val wide = spark.read.parquet(p)
+    val expr = graft.functions.CentroidScoreExpr(
+      ColumnShim.expression(col("embedding")),
+      labels = Seq.tabulate(L)(identity),
+      counts = Seq.tabulate(L)(l => (l + 3).toLong),
+      sFlat = Seq.tabulate(L * d)(i => (i % 97).toLong - 48),
+      scale = 100000L)
+    assert(!expr.isInstanceOf[CodegenFallback])
+    assertCodegenSpan(
+      wide.select(col("vec_id"), ColumnShim.column(expr).as("pred")),
+      "graft_centroid_score")
+  }
+
   test("AffineProjectExpr at d=16 k=16 codegens (no fallback)") {
     val d = 16
     val expr = graft.functions.AffineProjectExpr(

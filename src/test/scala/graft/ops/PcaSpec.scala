@@ -77,6 +77,18 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("duplicate row ids fail LOUDLY — they would cross-pair elements " +
+    "of different rows through the self-join and corrupt every moment") {
+    val dup = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)),
+      (2L, Seq(5.0, 6.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Pca.gramExact(dup).collect())
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    // unique ids flow untouched through the guard
+    val ok = Pca.gramExact(Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "embedding")).collect()
+    assert(ok.length == 3)
+  }
+
   test("projected top-1 variance equals the top eigenvalue") {
     val m = Pca.fit(line)
     val proj = Pca.project(line, m, k = 1)
