@@ -47,6 +47,12 @@ object Round12Queries {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
 
+  /** 40 distinct lowercase filler words appended to every 10th document
+    * to plant near-superset pairs (prefix contained, resemblance
+    * diluted); shared verbatim with the SQL oracle's feed. */
+  private[graft] val containmentTail: String =
+    (1 to 40).map(i => s" graftpad$i").mkString
+
   val queries: Map[String, Q] = Map[String, Q](
 
     // --- Mutual-NN honest recall (ANN vs brute pairs) -------------------------------
@@ -160,6 +166,69 @@ object Round12Queries {
         ss.table(sink).select("event_type", "event_id", "hod", "q", "n",
           "s", "ss", "is_outlier")
       }),
+
+    // --- Containment (near-superset) dedup pairs -------------------------------------
+    // Broder containment over the df-capped inverted index: every 10th
+    // document gets a planted EXTENSION (its text + a fixed 40-word
+    // tail) — prefix shingles are all present in the extension, so
+    // c_a_in_b = 1.0 while resemblance drops with the tail — the case
+    // Jaccard dedup structurally misses. The oracle reproduces the
+    // planted feed and both directed containments exactly.
+    "d_containment_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val feed = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(containmentTail)).as("text")))
+      graft.ops.Dedup.containmentPairs(feed, n = 3, threshold = 0.9)
+    }),
+
+    // --- Deterministic per-group uniform sample --------------------------------------
+    // k smallest md5 draws per group through the bounded-heap top-k
+    // aggregate (groups × k rows cross the exchange, never the corpus);
+    // same draw discipline as o13's priority sample, so the SQL oracle
+    // reproduces the selection set exactly.
+    "o17_group_sample" -> ((s, d) =>
+      graft.ops.TrainingPrep.groupSample(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("lid")),
+        keys = Seq("l_returnflag"), k = 20, idCol = "lid")),
+
+    // --- Misra–Gries heavy hitters ---------------------------------------------------
+    // Bounded-memory dominant-token profile over the corpus token
+    // stream. The summary's estimates legitimately vary with merge
+    // order, so the gate checks the INVARIANTS that hold for every
+    // order (the s_lsh_recall posture): never over-counts, error
+    // within n/(k+1), every guaranteed-heavy token present, ≤ k
+    // counters.
+    "o18_heavy_hitters" -> ((s, d) => {
+      val k = 32
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val hits = graft.ops.Profile.heavyHitters(
+          toks.withColumn("g", lit(1)), Seq("g"), "tok", k)
+        .select(explode(col("hits")).as("h"), size(col("hits")).as("sz"))
+        .select(col("h.item").as("tok"), col("h.est").as("est"),
+          col("sz"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      val total = toks.count()
+      val under = hits.join(exact, Seq("tok"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("nonempty"),
+          (coalesce(sum(when(col("n_true").isNull ||
+            col("est") > col("n_true"), 1L)), lit(0L)) === 0L)
+            .as("never_over"),
+          (coalesce(sum(when(
+            (col("n_true") - col("est")) * (k + 1) > total, 1L)),
+            lit(0L)) === 0L).as("within_bound"),
+          (max("sz") <= k).as("size_ok"))
+      val missedHeavy = exact
+        .filter(col("n_true") * (k + 1) > total)
+        .join(hits.select("tok"), Seq("tok"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("heavy_present"))
+      under.crossJoin(missedHeavy)
+    }),
 
     // --- Weighted Brandes betweenness ------------------------------------------------
     // σ and dependency folds over the equal-cost min-plus DAG of the
@@ -279,7 +348,60 @@ object Round12Queries {
        |FROM b JOIN p USING (event_type, hod)
        |""".stripMargin
 
+  /** [[Queries.shingleCte]] re-rooted on the planted containment feed,
+    * then Broder's directed containments from the same intersection
+    * counts the Jaccard oracle uses. */
+  private def containmentOracle: String = {
+    val feed = "SELECT doc_id, text FROM documents UNION ALL " +
+      s"SELECT doc_id + 1000000, text || '$containmentTail' " +
+      "FROM documents WHERE doc_id % 10 = 0"
+    s"""WITH feed AS ($feed),
+       |${Queries.shingleCte.replace("FROM documents", "FROM feed")
+            .stripPrefix("WITH ")},
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, CAST(c AS BIGINT) AS n_common,
+       |  CAST(c AS DOUBLE) / na.n AS c_a_in_b,
+       |  CAST(c AS DOUBLE) / nb.n AS c_b_in_a
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE greatest(CAST(c AS DOUBLE) / na.n,
+       |               CAST(c AS DOUBLE) / nb.n) >= 0.9
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d_containment_pairs" -> containmentOracle,
+
+    "o17_group_sample" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS lid
+        |  FROM lineitem
+        |), dr AS (
+        |  SELECT l_returnflag, lid,
+        |    ('0x' || substring(md5(CAST(lid AS VARCHAR) ||
+        |      ':group-sample'), 1, 8))::BIGINT AS draw
+        |  FROM b
+        |), r AS (
+        |  SELECT l_returnflag, lid, draw,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY draw, lid) AS rn
+        |  FROM dr
+        |)
+        |SELECT l_returnflag, CAST(draw AS BIGINT) AS draw,
+        |  CAST(lid AS BIGINT) AS lid
+        |FROM r WHERE rn <= 20
+        |""".stripMargin,
+
+    "o18_heavy_hitters" ->
+      ("SELECT true AS nonempty, true AS never_over, " +
+        "true AS within_bound, true AS size_ok, true AS heavy_present"),
+
     "s_mutual_nn_ann" ->
       ("SELECT true AS recall_ok, true AS precision_ok, " +
         "true AS truth_nonempty"),

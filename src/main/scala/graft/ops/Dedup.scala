@@ -85,6 +85,16 @@ object Dedup {
     // (id, shingles) materialized once: shared by the inverted index and
     // both sides of the verification join.
     val sh = Checkpoints.cut(shingled(docs, n, idCol, textCol))
+    verifiedJaccard(invertedIndexCandidates(sh, maxDF), sh, threshold)
+  }
+
+  /** The df-capped inverted-index candidate generator shared by
+    * [[jaccardPairs]] and [[containmentPairs]]: posting lists over the
+    * staged `(id, shingles)` frame, C(k,2) pairs below the cap, a star
+    * around the min-id representative above it (bounded, never
+    * all-pairs — rationale on [[jaccardPairs]]). */
+  private def invertedIndexCandidates(sh: DataFrame,
+                                      maxDF: Int): DataFrame = {
     // Posting lists. sort_array makes pair orientation (id_a < id_b) and
     // the hot-list representative (element 1) free at emit time.
     val postings = sh
@@ -100,11 +110,48 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b"))))))
       .otherwise(transform(slice(col("ids"), lit(2), size(col("ids"))),
         y => struct(element_at(col("ids"), 1).as("id_a"), y.as("id_b"))))
-    val candidates = postings
+    postings
       .select(explode(pairsOfList).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifiedJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact n-gram CONTAINMENT near-superset pairs — the dedup face
+    * Jaccard misses: a document mostly CONTAINED in a longer one
+    * (boilerplate-wrapped re-posts, crawl snapshots with appended
+    * chrome, quoted-in-full replies) scores low resemblance (the union
+    * is dominated by the longer side) but containment ≈ 1. Broder's
+    * distinction (Broder, "On the resemblance and containment of
+    * documents", SEQUENCES 1997): resemblance |A∩B|/|A∪B| vs
+    * containment |A∩B|/|A|. Training pipelines prune these as
+    * aggressively as near-dups — the contained side adds no novel text.
+    *
+    * Same df-capped inverted-index candidate generation and exact
+    * verification discipline as [[jaccardPairs]] (bounded, never
+    * all-pairs; every emitted pair exact); the verification emits BOTH
+    * directed containments and keeps pairs whose overlap coefficient
+    * `max(c_a_in_b, c_b_in_a)` ≥ `threshold`. Output:
+    * (id_a, id_b, n_common, c_a_in_b, c_b_in_a), id_a < id_b. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxDF: Int = 1000,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sh = Checkpoints.cut(shingled(docs, n, idCol, textCol))
+    invertedIndexCandidates(sh, maxDF)
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("c_a_in_b",
+        col("n_common").cast("double") / size(col("sh_a")).cast("double"))
+      .withColumn("c_b_in_a",
+        col("n_common").cast("double") / size(col("sh_b")).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("id_a", "id_b", "n_common", "c_a_in_b", "c_b_in_a")
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a

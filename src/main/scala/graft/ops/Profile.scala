@@ -106,4 +106,26 @@ object Profile {
       .select(col(keyCol), col("bin"),
         (col("bin").cast("double") * binWidth).as("bin_lo"), col("cnt"))
   }
+
+  /** Heavy hitters of `valueCol` per group — the bounded-memory
+    * "which values dominate" profile for UNBOUNDED domains (tokens,
+    * URLs, user agents) where the exact groupBy-count
+    * ([[graft.ops.Rank.modeBy]]'s posture) would carry the whole
+    * domain through the shuffle. ONE ObjectHashAggregate whose
+    * map-side partial state is a ≤ k-counter Misra–Gries summary
+    * ([[graft.functions.MisraGriesAgg]] — mergeable, so partials
+    * combine before the exchange; only k-counter maps cross it).
+    *
+    * Estimates carry the MG contract, not exactness: `est ≤ true ≤
+    * est + n/(k+1)` per group, and anything with true count >
+    * n/(k+1) is guaranteed present — size k generously above the
+    * expected heavy-set size and verify downstream where it matters
+    * (the sketch-profile discipline). Output: one row per group:
+    * (keys…, hits: array<struct<item, est>> sorted est desc). */
+  def heavyHitters(df: DataFrame, keys: Seq[String], valueCol: String,
+                   k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(k))
+    df.groupBy(keys.map(col): _*)
+      .agg(mg(col(valueCol).cast("string")).as("hits"))
+  }
 }

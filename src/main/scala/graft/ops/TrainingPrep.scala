@@ -421,6 +421,30 @@ object TrainingPrep {
     * (a silent zero/negative weight corrupts the estimator, the
     * weighted-PageRank posture). Output: (idCol, w, draw) of the k
     * selected rows. */
+  /** Deterministic UNIFORM k-sample PER GROUP — the per-domain /
+    * per-source subsampling step a mixing pipeline runs before heavier
+    * scoring ("inspect 1000 random docs from every domain", "cap the
+    * eyeball sample per language"). Each row draws the md5-hash value
+    * [[hexDraw]] of its (id, salt) — same id, same draw in every run,
+    * partitioning and engine independent (the [[prioritySample]] draw
+    * discipline, unweighted) — and the k smallest draws per group win,
+    * ties broken by id.
+    *
+    * Scale shape: [[Rank.topKPerGroup]]'s bounded-heap aggregate — ONE
+    * ObjectHashAggregate with map-side partial pruning to ≤ k rows per
+    * group per task; the exchange carries `groups × k` rows, never the
+    * corpus (the window/row_number form this replaces funnels every row
+    * of a group through one task). Output: input columns + `draw`. */
+  def groupSample(df: DataFrame, keys: Seq[String], k: Int,
+                  idCol: String = "doc_id",
+                  salt: String = "group-sample"): DataFrame = {
+    require(keys.nonEmpty, "groupSample needs at least one group column")
+    require(k > 0, s"sample size must be positive, got $k")
+    Rank.topKPerGroup(
+      df.withColumn("draw", hexDraw(saltedHex(col(idCol), salt))),
+      keys, Seq("draw", idCol), k)
+  }
+
   def prioritySample(df: DataFrame, k: Int, weight: Column,
                      idCol: String = "doc_id",
                      salt: String = "priority"): DataFrame = {

@@ -365,6 +365,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs === (2L to 10L).map(i => (1L, i)).toSet)
   }
 
+  test("containment pairs: a prefix document is CONTAINED in its " +
+    "extension even where Jaccard misses it; unrelated docs never pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, base),
+      // extension: base + a tail longer than the base → resemblance
+      // under 0.5, containment of 1 in 2 still 1.0
+      (2L, base + " one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "completely different content about distributed engines " +
+        "and parquet scans")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, n = 3, threshold = 0.9)
+      .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val p = got.head
+    assert(p._3 == 1.0, s"prefix must be fully contained: $p")
+    assert(p._4 < 0.5, s"extension is NOT contained in the prefix: $p")
+    // the same pair is invisible to Jaccard at the same threshold
+    val jac = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(corpus, n = 3, threshold = 0.0))
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at high signal") {
     val exact = Dedup.jaccardPairs(docs, n = 2, threshold = 0.6)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]

@@ -380,6 +380,37 @@ class TrainingPrepSpec extends SparkSpec {
     assert(heavy > 70, s"heavy stratum got $heavy of 100")
   }
 
+  test("groupSample: exactly min(k, |group|) per group, deterministic " +
+    "across runs and partitionings, selection = k smallest md5 draws") {
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i))
+      .toDF("grp", "id")
+    def run(parts: Int): Map[String, Set[Long]] =
+      TrainingPrep.groupSample(rows.repartition(parts), Seq("grp"),
+          k = 10, idCol = "id")
+        .select("grp", "id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val a = run(2); val b = run(7)
+    assert(a == b)
+    assert(a.values.forall(_.size == 10))
+    // selection = the 10 smallest draws, checked against a manual md5
+    val draws = rows.select(col("grp"), col("id"),
+        conv(substring(md5(concat(col("id").cast("string"),
+          lit(":group-sample"))), 1, 8), 16, 10).cast("long").as("dr"))
+      .as[(String, Long, Long)].collect()
+    val wantG0 = draws.filter(_._1 == "g0").sortBy(r => (r._3, r._2))
+      .take(10).map(_._2).toSet
+    assert(a("g0") == wantG0)
+    // a group smaller than k returns whole-group
+    val tiny = TrainingPrep.groupSample(
+        rows.filter(col("id") < 4), Seq("grp"), k = 10, idCol = "id")
+      .select("id").as[Long].collect().toSet
+    assert(tiny == Set(0L, 1L, 2L, 3L))
+    intercept[IllegalArgumentException](
+      TrainingPrep.groupSample(rows, Seq.empty, k = 1, idCol = "id"))
+    intercept[IllegalArgumentException](
+      TrainingPrep.groupSample(rows, Seq("grp"), k = 0, idCol = "id"))
+  }
+
   test("prioritySample fails fast on non-positive weight and bad k") {
     val docs = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "w0")
     val ex = intercept[Exception](
