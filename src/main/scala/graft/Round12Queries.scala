@@ -47,7 +47,7 @@ object Round12Queries {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
 
-  /** 40 distinct lowercase filler words appended to every 10th document
+  /** 40 distinct lowercase filler words appended to every 25th document
     * to plant near-superset pairs (prefix contained, resemblance
     * diluted); shared verbatim with the SQL oracle's feed. */
   private[graft] val containmentTail: String =
@@ -168,7 +168,7 @@ object Round12Queries {
       }),
 
     // --- Containment (near-superset) dedup pairs -------------------------------------
-    // Broder containment over the df-capped inverted index: every 10th
+    // Broder containment over the df-capped inverted index: every 25th
     // document gets a planted EXTENSION (its text + a fixed 40-word
     // tail) — prefix shingles are all present in the extension, so
     // c_a_in_b = 1.0 while resemblance drops with the tail — the case
@@ -177,7 +177,7 @@ object Round12Queries {
     "d_containment_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val feed = docs.unionByName(
-        docs.filter(col("doc_id") % 10 === 0)
+        docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"),
             concat(col("text"), lit(containmentTail)).as("text")))
       graft.ops.Dedup.containmentPairs(feed, n = 3, threshold = 0.9)
@@ -354,7 +354,7 @@ object Round12Queries {
   private def containmentOracle: String = {
     val feed = "SELECT doc_id, text FROM documents UNION ALL " +
       s"SELECT doc_id + 1000000, text || '$containmentTail' " +
-      "FROM documents WHERE doc_id % 10 = 0"
+      "FROM documents WHERE doc_id % 25 = 0"
     s"""WITH feed AS ($feed),
        |${Queries.shingleCte.replace("FROM documents", "FROM feed")
             .stripPrefix("WITH ")},
