@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   *    over the equal-cost min-plus DAG) vs the fully unrolled CTE
   *    recurrences, the a37/a38 bounded-round discipline; closes the
   *    CLI's own documented gap.
+  *
+  * …plus the round's own extension gates:
+  *
+  *  - `d_containment_pairs`: Broder near-superset containment over the
+  *    shared df-capped inverted index ([[graft.ops.Dedup
+  *    .containmentPairs]]) — planted prefix/extension pairs, exact vs
+  *    the re-rooted shingle oracle.
+  *  - `o17_group_sample`: deterministic per-group uniform k-sample
+  *    ([[graft.ops.TrainingPrep.groupSample]]) — md5 draws through the
+  *    bounded-heap top-k aggregate, selection-set-exact.
+  *  - `o18_heavy_hitters`: Misra–Gries dominant-token summary
+  *    ([[graft.ops.Profile.heavyHitters]]) — merge-order-independent
+  *    MG guarantees machine-checked against exact counts.
   */
 object Round12Queries {
 

@@ -76,16 +76,14 @@ object CuratePipeline {
 
   /** Stream face: `foreachBatch` wiring of [[curateBatch]], with the
     * maintenance loop CLOSED in-line: `compactEveryBatches = Some(n)`
-    * runs [[compactIngest]] after every n-th batch, so the layout never
-    * accretes more than n micro-batch file sets before folding back to
-    * `compactFiles` sorted files (the s_ivf_rebuild posture — the
-    * trigger lives with the ingest, not in a cron no one wires up).
-    * Safe where a concurrent OPTIMIZE would not be: `foreachBatch`
-    * bodies run serially on the query thread, so the single-writer
-    * constraint holds by construction, and the batch that compacts has
-    * already appended its own partition — a crash straddling the
-    * compaction replays the batch, which probes to zero survivors and
-    * lands nothing (the [[compactIngest]] replay discipline).
+    * runs [[compactIngest]] at the START of every n-th batch (before
+    * that batch's ingest), so the layout never accretes more than n
+    * micro-batch file sets before folding back to `compactFiles`
+    * sorted files (the s_ivf_rebuild posture — the trigger lives with
+    * the ingest, not in a cron no one wires up). Safe where a
+    * concurrent OPTIMIZE would not be: `foreachBatch` bodies run
+    * serially on the query thread, so the single-writer constraint
+    * holds by construction.
     *
     * How this path meets [[compactIngest]]'s contract (whose scaladoc
     * demands a quiesced stream + committed batches — written for the
@@ -95,16 +93,14 @@ object CuratePipeline {
     *    compaction runs ON the one writer thread, inside its serial
     *    `foreachBatch` body, so the single-writer constraint holds by
     *    construction (stronger than quiescing).
-    *  - COMMIT horizon: the compacting batch folds its OWN not-yet-
-    *    committed partition. The only divergent outcome is a crash in
-    *    the window after compaction and before the checkpoint commit:
-    *    the replayed batch probes the (compacted, complete) index to
-    *    zero survivors and truthfully records 0 newly-accepted rows —
-    *    its rows are all present in the archive partition, nothing is
-    *    lost or doubled; only the per-batch metrics attribution moves
-    *    to the pre-crash attempt. Callers needing strictly
-    *    committed-only compaction must use the external
-    *    [[compactIngest]] entry on their own schedule.
+    *  - COMMIT horizon: compaction runs at the START of a batch, BEFORE
+    *    that batch's own ingest — and `foreachBatch` for batch n only
+    *    executes after batch n−1's checkpoint commit, so every
+    *    partition the compaction folds belongs to a COMMITTED batch, by
+    *    construction. (A crash mid-batch replays the same batch: the
+    *    re-run re-compacts — [[compactIngest]] re-staging the already-
+    *    archived layout is content-idempotent — then re-probes and
+    *    re-lands identical content, the standard replay discipline.)
     *  - READER side (the one contract this path genuinely RELAXES):
     *    `swapInto` renames the corpus/index directories, so a
     *    CONCURRENT external reader can transiently see a missing
@@ -127,13 +123,16 @@ object CuratePipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        curateBatch(batch.sparkSession, batch, id, checks, rules,
-          indexPath, outPath, idCol, textCol)
+        // maintenance FIRST: at the start of batch n every partition on
+        // disk belongs to a batch whose checkpoint committed (n−1 and
+        // earlier), so the fold never touches uncommitted state
         compactEveryBatches.foreach { n =>
-          if ((id + 1) % n == 0)
+          if (id > 0 && id % n == 0)
             compactIngest(batch.sparkSession, indexPath, outPath,
               compactFiles, idCol)
         }
+        curateBatch(batch.sparkSession, batch, id, checks, rules,
+          indexPath, outPath, idCol, textCol)
         ()
       }
       .start()
