@@ -60,6 +60,36 @@ object Round12Queries {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replace(".", "_")
 
+  /** Whitespace token stream of a documents frame — the shared feed of
+    * both heavy-hitters faces. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** The Misra–Gries contract as one boolean row — holds for EVERY
+    * merge order, which is what makes an order-dependent summary
+    * gateable: `hits(tok, est)` vs the exact counts of `toks`. */
+  private def mgInvariants(hits: DataFrame, toks: DataFrame,
+                           k: Int): DataFrame = {
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+    val total = toks.count()
+    val under = hits.join(exact, Seq("tok"), "left")
+      .agg(
+        (count(lit(1)) > 0).as("nonempty"),
+        (coalesce(sum(when(col("n_true").isNull ||
+          col("est") > col("n_true"), 1L)), lit(0L)) === 0L)
+          .as("never_over"),
+        (coalesce(sum(when(
+          (col("n_true") - col("est")) * (k + 1) > total, 1L)),
+          lit(0L)) === 0L).as("within_bound"),
+        (count(lit(1)) <= k).as("size_ok"))
+    val missedHeavy = exact
+      .filter(col("n_true") * (k + 1) > total)
+      .join(hits.select("tok"), Seq("tok"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("heavy_present"))
+    under.crossJoin(missedHeavy)
+  }
+
   /** 40 distinct lowercase filler words appended to every 25th document
     * to plant near-superset pairs (prefix contained, resemblance
     * diluted); shared verbatim with the SQL oracle's feed. */
@@ -73,7 +103,7 @@ object Round12Queries {
     // the RAW near-uniform corpus (no planted twins): truth = the
     // exact |N|² mutual pairs (gate-harness cost, the
     // s_ivf_bench_recall truth posture), candidate = mutualTopOneAnn
-    // at the STATED budget nList=16 / nProbe=12 / 3 refine iterations
+    // at the STATED budget nList=16 / nProbe=13 / 3 refine iterations
     // (what honest ≥0.9 pair recall costs on this corpus — a pair
     // needs BOTH endpoints' top-1 probed). truth_nonempty pins the
     // gate against vacuous emptiness.
@@ -216,31 +246,65 @@ object Round12Queries {
     // counters.
     "o18_heavy_hitters" -> ((s, d) => {
       val k = 32
-      val toks = t(s, d, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .filter(length(col("tok")) > 0)
+      val toks = docTokens(t(s, d, "documents"))
       val hits = graft.ops.Profile.heavyHitters(
           toks.withColumn("g", lit(1)), Seq("g"), "tok", k)
-        .select(explode(col("hits")).as("h"), size(col("hits")).as("sz"))
-        .select(col("h.item").as("tok"), col("h.est").as("est"),
-          col("sz"))
-      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
-      val total = toks.count()
-      val under = hits.join(exact, Seq("tok"), "left")
-        .agg(
-          (count(lit(1)) > 0).as("nonempty"),
-          (coalesce(sum(when(col("n_true").isNull ||
-            col("est") > col("n_true"), 1L)), lit(0L)) === 0L)
-            .as("never_over"),
-          (coalesce(sum(when(
-            (col("n_true") - col("est")) * (k + 1) > total, 1L)),
-            lit(0L)) === 0L).as("within_bound"),
-          (max("sz") <= k).as("size_ok"))
-      val missedHeavy = exact
-        .filter(col("n_true") * (k + 1) > total)
-        .join(hits.select("tok"), Seq("tok"), "left_anti")
-        .agg((count(lit(1)) === 0L).as("heavy_present"))
-      under.crossJoin(missedHeavy)
+        .select(explode(col("hits")).as("h"))
+        .select(col("h.item").as("tok"), col("h.est").as("est"))
+      mgInvariants(hits, toks, k)
+    }),
+
+    // --- Misra–Gries heavy hitters (streaming face) -----------------------------------
+    // The PcaStream/SeasonalStream provenance discipline applied to MG:
+    // each micro-batch lands its own ≤ k-counter summary partition;
+    // the read-time sum+compact fold is a valid MG summary of the
+    // whole stream (mergeable summaries), so the SAME contract
+    // booleans must hold vs exact counts of the full feed.
+    "w_stream_hh" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val k = 32
+        val docs = t(ss, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        val path = s"/tmp/graft_hh_stream_${sfTag(d)}"
+        graft.core.Fs.delete(ss, path)
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.HeavyHittersStream.maintainSummary(
+          docTokens(mem.toDS().toDF("doc_id", "text")), path, "tok", k)
+        try {
+          val (h1, h2) = docs.partition(_._1 % 2 == 0)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        val hits = graft.streaming.HeavyHittersStream
+          .readSummary(ss, path, k)
+          .withColumnRenamed("item", "tok")
+        mgInvariants(hits, docTokens(t(ss, d, "documents")), k)
+      }),
+
+    // --- HITS hubs and authorities ----------------------------------------------------
+    // Kleinberg's mutual power method on the directed dimension graph
+    // (region→nation→supplier plus a sampled supplier→region back-edge
+    // set, so hub/authority mass actually cycles instead of draining
+    // through a DAG). 6 iterations in BOTH engines, L2 norms riding the
+    // plan; doubles tolerant-compared (the a38 posture — IEEE sqrt is
+    // exact, only sum order is loose).
+    "a47_hits" -> ((s, d) => {
+      val e1 = t(s, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"))
+      val e2 = t(s, d, "supplier").select(
+        concat(lit("n:"), col("s_nationkey")).as("src"),
+        concat(lit("s:"), col("s_suppkey")).as("dst"))
+      val e3 = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 17 === 0)
+        .select(concat(lit("s:"), col("s_suppkey")).as("src"),
+          concat(lit("r:"), col("s_suppkey") % 5).as("dst"))
+      graft.bel.Hits.run(e1.unionByName(e2).unionByName(e3),
+        iterations = 6)
     }),
 
     // --- Weighted Brandes betweenness ------------------------------------------------
@@ -388,7 +452,62 @@ object Round12Queries {
        |""".stripMargin
   }
 
+  /** HITS unrolled: per iteration one authority join+fold+normalize
+    * then one hub join+fold+normalize — each CTE level IS one
+    * half-step of [[graft.bel.Hits.run]]. */
+  private def hitsOracle(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.h) AS a0
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1
+         |), a${i}f AS MATERIALIZED (
+         |  SELECT v.node, coalesce(r.a0, 0) AS a0
+         |  FROM vertices v LEFT JOIN a${i}r r ON r.node = v.node
+         |), a$i AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN na > 0 THEN a0 / na ELSE 0 END AS a
+         |  FROM a${i}f CROSS JOIN
+         |    (SELECT sqrt(sum(a0 * a0)) AS na FROM a${i}f)
+         |), h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.a) AS h0
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1
+         |), h${i}f AS MATERIALIZED (
+         |  SELECT v.node, coalesce(r.h0, 0) AS h0
+         |  FROM vertices v LEFT JOIN h${i}r r ON r.node = v.node
+         |), h$i AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN nh > 0 THEN h0 / nh ELSE 0 END AS h
+         |  FROM h${i}f CROSS JOIN
+         |    (SELECT sqrt(sum(h0 * h0)) AS nh FROM h${i}f)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst
+       |  FROM nation
+       |  UNION ALL
+       |  SELECT 'n:' || s_nationkey, 's:' || s_suppkey FROM supplier
+       |  UNION ALL
+       |  SELECT 's:' || s_suppkey, 'r:' || (s_suppkey % 5)
+       |  FROM supplier WHERE s_suppkey % 17 = 0
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw
+       |), vertices AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), h0 AS MATERIALIZED (
+       |  SELECT node, CAST(1 AS DOUBLE) AS h FROM vertices
+       |),
+       |$steps
+       |SELECT v.node, h$iterations.h AS hub, a$iterations.a AS authority
+       |FROM vertices v
+       |JOIN h$iterations ON h$iterations.node = v.node
+       |JOIN a$iterations ON a$iterations.node = v.node
+       |""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "a47_hits" -> hitsOracle(6),
+
     "d_containment_pairs" -> containmentOracle,
 
     "o17_group_sample" ->
@@ -412,6 +531,10 @@ object Round12Queries {
         |""".stripMargin,
 
     "o18_heavy_hitters" ->
+      ("SELECT true AS nonempty, true AS never_over, " +
+        "true AS within_bound, true AS size_ok, true AS heavy_present"),
+
+    "w_stream_hh" ->
       ("SELECT true AS nonempty, true AS never_over, " +
         "true AS within_bound, true AS size_ok, true AS heavy_present"),
 
