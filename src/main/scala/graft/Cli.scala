@@ -990,6 +990,80 @@ object Cli {
             .foreach(r => println(r.mkString("\t")))
           println(s"${hits.count()} outliers of ${flagged.count()} events")
         } finally flagged.unpersist()
+      case "scc" => // strongly connected components (a45_scc)
+        val ed = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.load(spark, sfDir, "lineitem")
+            .filter(col("l_orderkey") % 53 === 0)
+            .select((col("l_partkey") % 500).as("src"),
+              ((col("l_partkey") * 7 + col("l_suppkey")) % 500).as("dst"))
+            .filter(col("src") =!= col("dst")))
+        val scc = graft.bel.Scc.run(ed).persist()
+        try {
+          scc.groupBy("component").agg(count(lit(1)).as("members"))
+            .orderBy(col("members").desc)
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+          println(s"${scc.select("component").distinct().count()} SCCs " +
+            s"over ${scc.count()} nodes")
+        } finally scc.unpersist()
+      case "hits" => // hubs and authorities (a47_hits)
+        val ed = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(Round8Queries.coPurchaseEdges(spark, sfDir))
+        val ha = graft.bel.Hits.run(ed,
+          iterations = opts.getOrElse("iterations", "8").toInt).persist()
+        try {
+          println("top authorities:")
+          ha.orderBy(col("authority").desc, col("node"))
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+          println("top hubs:")
+          ha.orderBy(col("hub").desc, col("node"))
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+        } finally ha.unpersist()
+      case "seasonal-anomalies" => // hour-of-day baselines (w_seasonal_*)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val flagged = graft.ops.Anomaly.flagSeasonal(ev,
+          graft.ops.Temporal.seasonalProfile(ev),
+          k = opts.getOrElse("sigmas", "3").toInt).persist()
+        try {
+          val hits = flagged.filter(col("is_outlier"))
+          hits.orderBy("event_type", "event_id")
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+          println(s"${hits.count()} seasonal outliers of " +
+            s"${flagged.count()} events")
+        } finally flagged.unpersist()
+      case "heavy-hitters" => // Misra-Gries summary (o18; top-values is exact)
+        val docs = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(spark.read.parquet(docsPath))
+        val toks = docs
+          .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        graft.ops.Profile.heavyHitters(toks.withColumn("g", lit(1)),
+            Seq("g"), "tok", opts.getOrElse("k", "32").toInt)
+          .select(explode(col("hits")).as("h"))
+          .select(col("h.item"), col("h.est"))
+          .limit(opts.getOrElse("top", "20").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "containment-pairs" => // near-superset dedup (d_containment_pairs)
+        val docs = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(spark.read.parquet(docsPath))
+        graft.ops.Dedup.containmentPairs(docs,
+            n = opts.getOrElse("n", "3").toInt,
+            threshold = opts.getOrElse("threshold", "0.9").toDouble)
+          .orderBy(col("c_a_in_b").desc, col("id_a"), col("id_b"))
+          .limit(opts.getOrElse("top", "20").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "group-sample" => // per-group uniform k-sample (o17)
+        val docs = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.TrainingPrep.groupSample(docs,
+            keys = opts.getOrElse("keys", "event_type").split(",").toSeq,
+            k = opts.getOrElse("k", "5").toInt,
+            idCol = opts.getOrElse("id", "event_id")).collect()
+          .foreach(r => println(r.mkString("\t")))
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
@@ -1001,7 +1075,9 @@ object Cli {
           "zorder export-jsonl drift asof resample cc-incremental expect " +
           "compact-ingest snapshot-diff quantiles wav-features psl-domain " +
           "pca sample transitions anomalies ktruss assortativity " +
-          "wav-energy winsorize gram-maintain classify histogram")
+          "wav-energy winsorize gram-maintain classify histogram " +
+          "scc hits seasonal-anomalies heavy-hitters containment-pairs " +
+          "group-sample")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()
