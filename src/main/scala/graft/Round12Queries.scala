@@ -287,19 +287,25 @@ object Round12Queries {
 
     // --- HITS hubs and authorities ----------------------------------------------------
     // Kleinberg's mutual power method on the directed dimension graph
+    // (a17-style AQE-off + 8-partition scoping: the 12 half-step jobs
+    // on a dimension-sized graph are scheduler-bound, and AQE re-plans
+    // every shuffle stage as its own job — measured on a17.)
     // (region→nation→supplier plus a sampled supplier→region back-edge
     // set, so hub/authority mass actually cycles instead of draining
     // through a DAG). 6 iterations in BOTH engines, L2 norms riding the
     // plan; doubles tolerant-compared (the a38 posture — IEEE sqrt is
     // exact, only sum order is loose).
-    "a47_hits" -> ((s, d) => {
-      val e1 = t(s, d, "nation").select(
+    "a47_hits" -> ((s, d) => Round6Queries.withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { ss =>
+      def t2(n: String) = t(ss, d, n)
+      val e1 = t2("nation").select(
         concat(lit("r:"), col("n_regionkey")).as("src"),
         concat(lit("n:"), col("n_nationkey")).as("dst"))
-      val e2 = t(s, d, "supplier").select(
+      val e2 = t2("supplier").select(
         concat(lit("n:"), col("s_nationkey")).as("src"),
         concat(lit("s:"), col("s_suppkey")).as("dst"))
-      val e3 = t(s, d, "supplier")
+      val e3 = t2("supplier")
         .filter(col("s_suppkey") % 17 === 0)
         .select(concat(lit("s:"), col("s_suppkey")).as("src"),
           concat(lit("r:"), col("s_suppkey") % 5).as("dst"))

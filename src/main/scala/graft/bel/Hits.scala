@@ -55,6 +55,11 @@ object Hits {
     // rescales it, so any positive constant is equivalent)
     var hub = Checkpoints.cut(ids.select(col("id"), lit(1.0).as("h")))
     var auth = ids.select(col("id"), lit(0.0).as("a"))
+    // BOTH half-steps lineage-cut: a lazy authority frame (one cut per
+    // iteration, the PageRank cutEvery idea) was MEASURED SLOWER here
+    // (3.63 s vs 3.33 s min-of-3 at the a47 gate) — the auth subplan is
+    // referenced twice (norm aggregate + hub join) and its recompute
+    // costs more than the saved materialization job.
     for (_ <- 1 to iterations) {
       val aRaw = adj.join(hub.withColumnRenamed("id", "u"), Seq("u"))
         .groupBy(col("v").as("id")).agg(sum("h").as("a0"))
