@@ -148,6 +148,26 @@ object Round12Queries {
           col("scc").cast("long").as("scc"))
     }),
 
+    // --- SCC condensation (quotient DAG) ----------------------------------------------
+    // The cycle-free dependency order over the same directed feed:
+    // component-level edges, labels canonicalized to the min member —
+    // acyclic by construction (the oracle derives it from the identical
+    // mutual-reachability closure, so a cycle would mismatch loudly).
+    "a45_condensation" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 53 === 0)
+        .select((col("l_partkey") % 500).as("src"),
+          ((col("l_partkey") * 7 + col("l_suppkey")) % 500).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val scc = graft.bel.Scc.run(edges)
+      val canon = scc.groupBy("component").agg(min("node").as("m"))
+      val labeled = scc.join(canon, "component")
+        .select(col("node"), col("m").as("component"))
+      graft.bel.Scc.condensation(edges, labels = Some(labeled))
+        .select(col("c_src").cast("long").as("c_src"),
+          col("c_dst").cast("long").as("c_dst"))
+    }),
+
     // --- Seasonal (hour-of-day) anomaly flags — batch face ---------------------------
     // Every event scored against its (type, hour) baseline: exact
     // decimal(38,0) sigma test (DuckDB runs the identical algebra in
@@ -572,6 +592,38 @@ object Round12Queries {
         |  SELECT r1.a AS node, r1.b AS m
         |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
         |) GROUP BY 1
+        |""".stripMargin,
+
+    "a45_condensation" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey % 500 AS src,
+        |    (l_partkey * 7 + l_suppkey) % 500 AS dst
+        |  FROM lineitem
+        |  WHERE l_orderkey % 53 = 0
+        |    AND l_partkey % 500 <> (l_partkey * 7 + l_suppkey) % 500
+        |), n AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |), r AS MATERIALIZED (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT src, dst FROM e
+        |    UNION
+        |    SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.b
+        |  ) SELECT a, b FROM reach
+        |), scc AS MATERIALIZED (
+        |  SELECT node, min(m) AS m FROM (
+        |    SELECT node, node AS m FROM n
+        |    UNION ALL
+        |    SELECT r1.a AS node, r1.b AS m
+        |    FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  ) GROUP BY 1
+        |)
+        |SELECT DISTINCT CAST(sa.m AS BIGINT) AS c_src,
+        |  CAST(sb.m AS BIGINT) AS c_dst
+        |FROM e
+        |JOIN scc sa ON sa.node = e.src
+        |JOIN scc sb ON sb.node = e.dst
+        |WHERE sa.m <> sb.m
         |""".stripMargin,
 
     "w_seasonal_anomaly" -> seasonalSql(""),

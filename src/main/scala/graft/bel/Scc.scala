@@ -125,6 +125,35 @@ object Scc {
     out
   }
 
+  /** Condensation — the quotient DAG over [[run]]'s components: one
+    * edge `(c_src, c_dst)` per pair of DISTINCT components connected by
+    * at least one original edge. Acyclic by construction (a cycle
+    * between components would merge them into one SCC), which is the
+    * point: it is the cycle-free dependency order build/citation/
+    * import pipelines schedule on. Two rim-level decode joins + one
+    * distinct on top of the component labels — the heavy lifting is
+    * [[run]]'s. Callers that already hold (possibly re-labeled)
+    * component labels pass them via `labels` (a `(node, component)`
+    * frame) so the peel never runs twice; label values flow through
+    * verbatim. Output: `(c_src, c_dst)`, distinct. */
+  def condensation(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst", maxOuter: Int = 50,
+                   maxInner: Int = 100,
+                   labels: Option[DataFrame] = None): DataFrame = {
+    val lab = labels.getOrElse(run(edges, srcCol, dstCol, maxOuter,
+      maxInner))
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .join(lab.select(col("node").as(srcCol),
+        col("component").as("c_src")), srcCol)
+      .join(lab.select(col("node").as(dstCol),
+        col("component").as("c_dst")), dstCol)
+      .filter(col("c_src") =!= col("c_dst"))
+      .select("c_src", "c_dst")
+      .distinct()
+  }
+
   /** Min-label propagation to fixpoint over the DIRECTED encoded
     * adjacency, restricted to `nodes`: lab(v) = min id over {v} ∪
     * {u : u ⇝ v}. One equi-join + one min-fold per round on 8-byte

@@ -109,6 +109,27 @@ class SccSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("condensation: quotient edges between distinct SCCs, acyclic, " +
+    "within-SCC edges dropped; precomputed labels flow verbatim") {
+    val ed = edgesOf(
+      ("a", "b"), ("b", "a"), // SCC {a,b}
+      ("b", "c"),
+      ("c", "d"), ("d", "c"), // SCC {c,d}
+      ("d", "e"))             // singleton e
+    val scc = Scc.run(ed)
+    val canon = scc.groupBy("component")
+      .agg(min("node").as("m"))
+    val labeled = scc.join(canon, "component")
+      .select(col("node"), col("m").as("component"))
+    val q = Scc.condensation(ed, labels = Some(labeled))
+      .as[(String, String)].collect().toSet
+    assert(q == Set(("a", "c"), ("c", "e")))
+    // acyclicity: mutual quotient edges would mean a missed merge
+    assert(q.forall { case (x, y) => !q.contains((y, x)) })
+    // and the self-running face agrees modulo internal label values
+    assert(Scc.condensation(ed).count() == 2)
+  }
+
   test("edgeless input returns an empty frame; bad params fail fast") {
     val empty = Scc.run(edgesOf())
     assert(empty.count() == 0)
