@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exprs, TopKAgg, Vectors}
+import graft.functions.{Exprs, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -17,9 +17,10 @@ import graft.functions.{Exprs, TopKAgg, Vectors}
   *    within co-bucketed pairs (equi-join, shuffle on band key). Recall is
   *    tunable via bands × bits.
   *
-  * Both re-rank through [[topKPerQuery]] — a bounded-heap Aggregator with
-  * map-side partial aggregation — never a per-query `row_number` window,
-  * which would funnel |corpus| scored rows per query into one task.
+  * Both re-rank through [[topKPerQuery]] — a bounded native aggregate
+  * with map-side partial aggregation — never a per-query `row_number`
+  * window, which would funnel |corpus| scored rows per query into one
+  * task.
   */
 object Similarity {
 
@@ -53,18 +54,36 @@ object Similarity {
   }
 
   /** Per-query exact top-k of a `(query_id, id, cosine)` scored frame.
-    * ObjectHashAggregate + partial merge: each task locally reduces its
-    * slice to ≤ k rows before the shuffle, so no single-task stage exists
+    * Map-side partial aggregation: each task locally reduces its slice
+    * to ≤ k rows before the shuffle, so no single-task stage exists
     * regardless of how few queries there are. Ties break (cosine desc,
-    * id asc), matching the SQL `row_number` oracle. */
+    * id asc), matching the SQL `row_number` oracle — encoded as the
+    * ASCENDING lexicographic order of `struct(−cosine, id)` (IEEE
+    * negation is exact, so the round-trip is value-identical).
+    *
+    * k = 1 (the mutual-NN / argmax case) runs as a plain codegen'd
+    * `min(struct)` HashAggregate — no object buffers at all; k > 1
+    * runs the native [[graft.functions.TopKRowsAgg]]
+    * TypedImperativeAggregate. Both replaced the original typed-udaf
+    * Aggregator here after a 512M-candidate probe measured the udaf's
+    * per-row encoder round-trip at ~60× the native min(struct) pass
+    * (209 s vs 3.4 s; the udaf survives as
+    * [[graft.functions.TopKAgg]] for its remaining callers). */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAgg(k))
-    scored
-      .groupBy("query_id")
-      .agg(topk(col("id"), col("cosine")).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("h.id").as("id"), col("h.cosine").as("cosine"))
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val key = struct((-col("cosine")).as("nc"), col("id").as("id"))
+    if (k == 1)
+      scored.groupBy("query_id")
+        .agg(min(key).as("h"))
+        .select(col("query_id"), lit(1L).as("rank"),
+          col("h.id").as("id"), (-col("h.nc")).as("cosine"))
+    else
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKRows.topKStructs(key, k).as("hits"))
+        .select(col("query_id"),
+          posexplode(col("hits")).as(Seq("pos", "h")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("h.id").as("id"), (-col("h.nc")).as("cosine"))
   }
 
   /** Exact top-k neighbors per query vector by cosine similarity.
