@@ -67,24 +67,28 @@ object Profile {
     * top tokens per source) beside [[sketchProfile]]'s cardinalities.
     *
     * Two-phase exact shape: one hash-groupBy on (key, value) with
-    * map-side combine does ALL the summing, then the bounded-heap
-    * aggregator ([[graft.functions.TopKWeightedAgg]]) reduces each
+    * map-side combine does ALL the summing, then the bounded native
+    * aggregate ([[graft.functions.TopKRowsAgg]]) reduces each
     * partition's slice of the reduced frame to ≤ k candidates before the
     * per-key merge — no per-key window funnel, no sketch error. Under
     * Zipf the reduced frame is vocabulary-sized, and only k-row buffers
-    * shuffle in phase 2. Output: (keyCol, rank 1..k, value, n). */
+    * shuffle in phase 2. Ordering (count desc, value asc) is encoded as
+    * the ascending struct(−n, value) — the typed-udaf heap this
+    * replaced paid a per-row encoder round-trip (the topKPerQuery
+    * probe's ~60× finding). Output: (keyCol, rank 1..k, value, n). */
   def topKFrequent(df: DataFrame, keyCol: String, valueCol: String,
                    k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val topk = udaf(new graft.functions.TopKWeightedAgg(k))
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol), col(valueCol).cast("string").as("__v"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(keyCol)
-      .agg(topk(col("__v"), col("__n")).as("hits"))
+      .agg(graft.functions.TopKRows.topKStructs(
+        struct((-col("__n")).as("nn"), col("__v").as("value")), k)
+        .as("hits"))
       .select(col(keyCol), posexplode(col("hits")).as(Seq("pos", "h")))
       .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
-        col("h.value").as("value"), col("h.weight").as("n"))
+        col("h.value").as("value"), (-col("h.nn")).as("n"))
   }
 
   /** Equi-WIDTH histogram per key — the fixed-bin companion of the

@@ -67,8 +67,7 @@ object Similarity {
     * TypedImperativeAggregate. Both replaced the original typed-udaf
     * Aggregator here after a 512M-candidate probe measured the udaf's
     * per-row encoder round-trip at ~60× the native min(struct) pass
-    * (209 s vs 3.4 s; the udaf survives as
-    * [[graft.functions.TopKAgg]] for its remaining callers). */
+    * (209 s vs 3.4 s; the udaf heap is retired everywhere). */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val key = struct((-col("cosine")).as("nc"), col("id").as("id"))

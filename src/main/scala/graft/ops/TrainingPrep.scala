@@ -317,30 +317,34 @@ object TrainingPrep {
     * handful of hot domains dominates a web-scale mixture): keep at most
     * `k` documents per source, best-first by (score desc, id asc).
     *
-    * Scale shape: the per-source top-k is the bounded-heap
-    * [[graft.functions.TopKAgg]] aggregate — ObjectHashAggregate with
-    * map-side partials capped at k, so even the hottest source reduces
-    * to ≤ k rows per input task before the shuffle. The obvious
+    * Scale shape: the per-source top-k is the bounded native
+    * [[graft.functions.TopKRowsAgg]] aggregate — ObjectHashAggregate
+    * with map-side partials capped at k, so even the hottest source
+    * reduces to ≤ k rows per input task before the shuffle. The obvious
     * `row_number().over(Window.partitionBy(source))` would instead
     * funnel EVERY row of the hottest domain through the one task that
-    * owns its partition key. Ties break (score desc, id asc), matching
-    * the SQL `row_number` oracle. Rows with a NULL id or NULL score are
-    * EXCLUDED (an unscored document can't be ranked; the bounded-heap
-    * input is non-nullable by construction) — the oracle must carry the
-    * same `IS NOT NULL` guards.
+    * owns its partition key. (The original typed-udaf heap here paid a
+    * per-row encoder round-trip — the Similarity.topKPerQuery probe
+    * measured that at ~60× the native aggregate on a hot stream.)
+    * Ties break (score desc, id asc), matching the SQL `row_number`
+    * oracle — encoded as the ascending order of `struct(−score, id)`,
+    * with IEEE negation keeping values exact. Rows with a NULL id or
+    * NULL score are EXCLUDED (an unscored document can't be ranked) —
+    * the oracle must carry the same `IS NOT NULL` guards.
     * Output: (sourceCol, rank 1..k, idCol, score). */
   def capPerSource(df: DataFrame, k: Int, score: Column,
                    sourceCol: String = "source",
                    idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
-    val topk = udaf(new graft.functions.TopKAgg(k))
     df.select(col(sourceCol), col(idCol), score.cast("double").as("score"))
       .filter(col(idCol).isNotNull && col("score").isNotNull)
       .groupBy(sourceCol)
-      .agg(topk(col(idCol), col("score")).as("hits"))
+      .agg(graft.functions.TopKRows.topKStructs(
+        struct((-col("score")).as("ns"), col(idCol).as("id")), k)
+        .as("hits"))
       .select(col(sourceCol), posexplode(col("hits")).as(Seq("pos", "h")))
       .select(col(sourceCol), (col("pos") + 1).cast("long").as("rank"),
-        col("h.id").as(idCol), col("h.cosine").as("score"))
+        col("h.id").as(idCol), (-col("h.ns")).as("score"))
   }
 
   /** Deterministic token masking — masked/denoising-objective
