@@ -117,8 +117,9 @@ object Profile {
     * ([[graft.ops.Rank.modeBy]]'s posture) would carry the whole
     * domain through the shuffle. ONE ObjectHashAggregate whose
     * map-side partial state is a ≤ k-counter Misra–Gries summary
-    * ([[graft.functions.MisraGriesAgg]] — mergeable, so partials
-    * combine before the exchange; only k-counter maps cross it).
+    * ([[graft.functions.MisraGriesAgg]] — a NATIVE
+    * TypedImperativeAggregate, mergeable, so partials combine before
+    * the exchange; only k-counter maps cross it).
     *
     * Estimates carry the MG contract, not exactness: `est ≤ true ≤
     * est + n/(k+1)` per group, and anything with true count >
@@ -127,9 +128,8 @@ object Profile {
     * (the sketch-profile discipline). Output: one row per group:
     * (keys…, hits: array<struct<item, est>> sorted est desc). */
   def heavyHitters(df: DataFrame, keys: Seq[String], valueCol: String,
-                   k: Int): DataFrame = {
-    val mg = udaf(new graft.functions.MisraGriesAgg(k))
+                   k: Int): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(mg(col(valueCol).cast("string")).as("hits"))
-  }
+      .agg(graft.functions.MisraGriesAgg.misraGries(
+        col(valueCol).cast("string"), k).as("hits"))
 }

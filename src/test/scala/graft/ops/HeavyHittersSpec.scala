@@ -66,7 +66,8 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("bad k fails fast; nulls are skipped") {
-    intercept[IllegalArgumentException](new graft.functions.MisraGriesAgg(0))
+    intercept[IllegalArgumentException](
+      graft.functions.MisraGriesAgg.misraGries(col("v"), 0))
     val df = Seq(Some("x"), None, Some("x"), None).toDF("v")
     val hits = Profile.heavyHitters(df.withColumn("g", lit(1)),
         Seq("g"), "v", 2)
