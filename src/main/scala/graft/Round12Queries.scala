@@ -333,6 +333,61 @@ object Round12Queries {
         iterations = 6)
     }),
 
+    // --- Streaming cardinality profile -------------------------------------------------
+    // The fold-at-read family completed for sketches: two time-split
+    // micro-batches land per-key HLL states; the read-time union must
+    // equal a ONE-SHOT profile of the whole feed EXACTLY (HLL registers
+    // are per-bucket maxima — order-independent and idempotent), the
+    // exact row counts must sum, and the estimate must sit inside the
+    // a15 error contract vs the true distinct count.
+    "w_stream_profile" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .map(r => (r._1, r._2, r._3, r._4)) // (event_id, ts, user, type)
+        val path = s"/tmp/graft_profile_stream_${sfTag(d)}"
+        graft.core.Fs.delete(ss, path)
+        val mem =
+          MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+        val q = graft.streaming.ProfileStream.maintainStates(
+          mem.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+          path, keyCol = "event_type", idCol = "user_id")
+        try {
+          val (h1, h2) = rows.partition(_._1 % 2 == 0)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        val folded = graft.streaming.ProfileStream
+          .readEstimates(ss, path, "event_type")
+          .select(col("event_type"), col("n_distinct_approx").as("f_est"),
+            col("n").as("f_n"))
+        val ev = graft.core.Tables.events(ss, d)
+        val exact = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("e_n"),
+            countDistinct("user_id").as("e_d"))
+        folded.join(
+            graft.ops.Profile.mergeHllStates(
+              graft.ops.Profile.hllStates(ev, "event_type", "user_id"),
+              "event_type")
+              .select(col("event_type"),
+                col("n_distinct_approx").as("o_est")),
+            Seq("event_type"))
+          .join(exact, Seq("event_type"))
+          .agg(
+            (count(lit(1)) > 0).as("nonempty"),
+            (sum(when(col("f_n") =!= col("e_n"), 1L)).isNull ||
+              coalesce(sum(when(col("f_n") =!= col("e_n"), 1L)),
+                lit(0L)) === 0L).as("counts_exact"),
+            (coalesce(sum(when(col("f_est") =!= col("o_est"), 1L)),
+              lit(0L)) === 0L).as("fold_equals_oneshot"),
+            (coalesce(sum(when(
+              abs(col("f_est") - col("e_d").cast("double")) >
+                col("e_d").cast("double") * 0.1, 1L)),
+              lit(0L)) === 0L).as("within_error"))
+      }),
+
     // --- Weighted Brandes betweenness ------------------------------------------------
     // σ and dependency folds over the equal-cost min-plus DAG of the
     // a37 weighted co-purchase graph — 6 rounds in EACH loop (costs,
@@ -629,6 +684,10 @@ object Round12Queries {
     "w_seasonal_anomaly" -> seasonalSql(""),
 
     "w_stream_seasonal" -> seasonalSql(" WHERE event_id % 20 = 0"),
+
+    "w_stream_profile" ->
+      ("SELECT true AS nonempty, true AS counts_exact, " +
+        "true AS fold_equals_oneshot, true AS within_error"),
 
     "a46_weighted_betweenness" -> weightedBetweennessOracle(6))
 }
