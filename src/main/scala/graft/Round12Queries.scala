@@ -423,6 +423,22 @@ object Round12Queries {
               lit(0L)) === 0L).as("within_error"))
       }),
 
+    // --- Missing-data gap intervals -----------------------------------------------------
+    // The sessionizer's dual over the same feed: per-user silences
+    // longer than 2 hours, bounds as formatted timestamps (the
+    // w_sessionize comparator discipline), spacing in exact
+    // unix_timestamp seconds vs floor(epoch) — the established
+    // engine-exact pair.
+    "j22_gaps" -> ((s, d) =>
+      graft.ops.Temporal.gaps(graft.core.Tables.events(s, d),
+          minGapSeconds = 7200L)
+        .select(col("user_id"),
+          date_format(col("gap_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("gap_start"),
+          date_format(col("gap_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("gap_end"),
+          col("gap_s"))),
+
     // --- Weighted Brandes betweenness ------------------------------------------------
     // σ and dependency folds over the equal-cost min-plus DAG of the
     // a37 weighted co-purchase graph — 6 rounds in EACH loop (costs,
@@ -714,6 +730,25 @@ object Round12Queries {
         |JOIN scc sa ON sa.node = e.src
         |JOIN scc sb ON sb.node = e.dst
         |WHERE sa.m <> sb.m
+        |""".stripMargin,
+
+    "j22_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+        |  CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) AS gap_s
+        |FROM l
+        |WHERE prev IS NOT NULL
+        |  AND CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) > 7200
         |""".stripMargin,
 
     "w_seasonal_anomaly" -> seasonalSql(""),

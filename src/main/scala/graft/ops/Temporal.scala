@@ -514,6 +514,39 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Missing-data (gap) intervals per key — the telemetry dual of
+    * sessionization: where the sessionizer groups the PRESENT rows, this
+    * reports the ABSENCES ("sensor X was silent 14:02–17:45") that
+    * downtime audits, backfill planners and resample-quality checks
+    * consume. A gap is a consecutive-event pair in the key's time order
+    * whose spacing exceeds `minGapSeconds` (strictly — spacing exactly
+    * at the threshold is the expected cadence, not a gap; leading/
+    * trailing silence has no bounding pair and is out of scope by
+    * definition).
+    *
+    * Exactness: spacing compares `unix_timestamp` SECONDS — the
+    * established engine-exact pair with the oracle's
+    * `floor(epoch(ts))` (the sessionizer's conversion discipline).
+    * Scale shape: ONE per-key window (lag), one filter — the
+    * [[graft.ops.Anomaly]] single-window posture; output is bounded by
+    * the gap count, not the corpus. Output:
+    * (keyCol, gap_start, gap_end, gap_s). */
+  def gaps(events: DataFrame, minGapSeconds: Long,
+           keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(minGapSeconds >= 1,
+      s"minGapSeconds must be positive, got $minGapSeconds")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol)
+    events
+      .select(col(keyCol), col(tsCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("gap_s",
+        unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")))
+      .filter(col("__prev").isNotNull && col("gap_s") > minGapSeconds)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col(tsCol).as("gap_end"), col("gap_s"))
+  }
+
   /** Hour-of-day seasonal baseline per key — the diurnal profile a
     * telemetry pipeline compares live traffic against ("is 3 AM volume
     * normal FOR 3 AM"). Values floor-quantize (the [[graft.ops.Anomaly]]

@@ -506,4 +506,25 @@ class RrfSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Temporal.seasonalProfile(ev, scale = 0))
   }
+
+  test("gaps: strictly-over-threshold silences only, per key, " +
+    "leading silence out of scope") {
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-05 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(8, 0)), (1L, ts(9, 0)),   // exactly 3600 s — NOT a gap
+      (1L, ts(11, 30)),                 // 9000 s — gap
+      (1L, ts(11, 45)),                 // 900 s — not
+      (2L, ts(0, 0)), (2L, ts(23, 0)))  // other key: its own 82800 s gap
+      .toDF("user_id", "ts")
+    val got = Temporal.gaps(ev, minGapSeconds = 3600L)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, ts(9, 0), ts(11, 30), 9000L),
+      (2L, ts(0, 0), ts(23, 0), 82800L)))
+    // a key's FIRST event has no bounding pair — no phantom gap
+    assert(!got.exists(_._4 > 82800L))
+    intercept[IllegalArgumentException](Temporal.gaps(ev, 0L))
+  }
 }
