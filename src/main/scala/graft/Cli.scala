@@ -1064,6 +1064,18 @@ object Cli {
             k = opts.getOrElse("k", "5").toInt,
             idCol = opts.getOrElse("id", "event_id")).collect()
           .foreach(r => println(r.mkString("\t")))
+      case "gaps" => // missing-data intervals (j22_gaps)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val g = graft.ops.Temporal.gaps(ev,
+          minGapSeconds = opts.getOrElse("min-gap", "7200").toLong,
+          keyCol = opts.getOrElse("key", "user_id")).persist()
+        try {
+          g.orderBy(col("gap_s").desc)
+            .limit(opts.getOrElse("top", "10").toInt).collect()
+            .foreach(r => println(r.mkString("\t")))
+          println(s"${g.count()} gaps")
+        } finally g.unpersist()
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
@@ -1077,7 +1089,7 @@ object Cli {
           "pca sample transitions anomalies ktruss assortativity " +
           "wav-energy winsorize gram-maintain classify histogram " +
           "scc hits seasonal-anomalies heavy-hitters containment-pairs " +
-          "group-sample")
+          "group-sample gaps")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()
