@@ -89,29 +89,49 @@ object Dedup {
   }
 
   /** The df-capped inverted-index candidate generator shared by
-    * [[jaccardPairs]] and [[containmentPairs]]: posting lists over the
-    * staged `(id, shingles)` frame, C(k,2) pairs below the cap, a star
-    * around the min-id representative above it (bounded, never
-    * all-pairs — rationale on [[jaccardPairs]]). */
-  private def invertedIndexCandidates(sh: DataFrame,
-                                      maxDF: Int): DataFrame = {
-    // Posting lists. sort_array makes pair orientation (id_a < id_b) and
-    // the hot-list representative (element 1) free at emit time.
-    val postings = sh
-      .select(col("id"), explode(col("shingles")).as("shingle"))
+    * [[jaccardPairs]] and [[containmentPairs]]: C(k,2) pairs for shingles
+    * in 2..maxDF documents, a star around the min-id representative
+    * above the cap (bounded, never all-pairs — rationale on
+    * [[jaccardPairs]]).
+    *
+    * Two-pass so NO aggregation buffer is ever df-sized (a stop-word-like
+    * shingle in 10⁸ documents must not materialize one multi-GB array in
+    * a single task — the skewed-key unbounded-state class):
+    *  1. df + min-id per shingle via `count`/`min` — CONSTANT per-key
+    *     state, map-side combinable.
+    *  2a. shingles with df ≤ maxDF semi-join back into the posting-list
+    *      C(k,2) path, so the `collect_set` buffer is ≤ maxDF rows BY
+    *      CONSTRUCTION (the `cosinePairs` prune discipline,
+    *      [[graft.ops.TextSearch]]).
+    *  2b. shingles with df > maxDF take the star via an equi-join against
+    *      their pre-aggregated representative — k−1 rows, zero array
+    *      state at ANY document frequency.
+    * Emitted pair set is identical to the single-pass form (the star
+    * rep was `sort_array(...)(0)` = the min id). */
+  private[ops] def invertedIndexCandidates(sh: DataFrame,
+                                           maxDF: Int): DataFrame = {
+    val posts = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    // Pass 1: (shingle, df, rep). Pure count/min — no collection state.
+    val stats = posts.groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
+      .filter(col("df") >= 2)
+    // Cold path: lists bounded by the semi-join prune; sort_array makes
+    // pair orientation (id_a < id_b) free at emit time.
+    val coldPairs = posts
+      .join(stats.filter(col("df") <= maxDF).select("shingle"),
+        Seq("shingle"), "left_semi")
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    // ≤ maxDF: C(k,2) pairs (element i pairs with i+1..k-1 — bounded by
-    // maxDF²/2 rows per shingle). > maxDF: star around ids[0].
-    val pairsOfList = when(size(col("ids")) <= maxDF,
-      flatten(transform(col("ids"), (x, i) =>
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b"))))))
-      .otherwise(transform(slice(col("ids"), lit(2), size(col("ids"))),
-        y => struct(element_at(col("ids"), 1).as("id_a"), y.as("id_b"))))
-    postings
-      .select(explode(pairsOfList).as("p"))
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    // Hot path: star around the min id — equi-join, never a list.
+    val hotPairs = posts
+      .join(stats.filter(col("df") > maxDF).select("shingle", "rep"),
+        Seq("shingle"))
+      .filter(col("id") =!= col("rep"))
+      .select(struct(col("rep").as("id_a"), col("id").as("id_b")).as("p"))
+    coldPairs.union(hotPairs)
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -128,7 +148,19 @@ object Dedup {
     *
     * Same df-capped inverted-index candidate generation and exact
     * verification discipline as [[jaccardPairs]] (bounded, never
-    * all-pairs; every emitted pair exact); the verification emits BOTH
+    * all-pairs; every emitted pair exact). CAP RECALL CAVEAT, sharper
+    * here than for resemblance: above-cap shingles collapse to a star
+    * around one representative, and for containment the high-df
+    * boilerplate shingles are often exactly the near-superset signal
+    * (the shared wrapper text) — a contained/container pair whose ONLY
+    * co-shingles are above-cap surfaces only if one side is the star
+    * representative. Size `maxDF` above the corpus's boilerplate df
+    * when containment recall matters, or pre-strip boilerplate
+    * ([[TextAnalysis]] HTML/quality passes) before shingling; the
+    * `d_containment_pairs` gate feeds a corpus whose planted
+    * containment shingles all sit below the cap, so its oracle
+    * legitimately enumerates all co-shingle pairs. The verification
+    * emits BOTH
     * directed containments and keeps pairs whose overlap coefficient
     * `max(c_a_in_b, c_b_in_a)` ≥ `threshold`. Output:
     * (id_a, id_b, n_common, c_a_in_b, c_b_in_a), id_a < id_b. */
