@@ -71,7 +71,18 @@ object KTruss {
     * Every edge dropped below the cap is `capped = false` by
     * construction. Downstream can therefore never mistake the cap for
     * a measurement (the bounded-round a37 discipline, made visible in
-    * the output). Output: (a, b, trussness, capped). */
+    * the output).
+    *
+    * `maxRounds` caveat at the boundary: the maxK+1 peel is itself
+    * bounded by `maxRounds`. Drops stay exact measurements even if
+    * that peel is truncated (peeling is monotone — an edge dropped at
+    * ANY round is definitively outside the (maxK+1)-truss, so
+    * "exactly maxK" holds), but a truncated peel's SURVIVORS may
+    * include exactly-maxK edges still awaiting their drop:
+    * `capped = true` is then the honest weaker claim "trussness ≥
+    * maxK" (always true) rather than "in the (maxK+1)-truss". Raise
+    * `maxRounds` if the distinction matters at the boundary.
+    * Output: (a, b, trussness, capped). */
   def trussness(edges: DataFrame, maxK: Int = 16,
                 maxRounds: Int = 50): DataFrame = {
     require(maxK >= 3, s"trussness needs maxK >= 3, got $maxK")

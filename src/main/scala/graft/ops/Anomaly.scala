@@ -49,15 +49,26 @@ object Anomaly {
   private[graft] def qLimit(n: Int, k: Int): Long =
     3000000000L / (math.max(k, 2).toLong * n)
 
+  /** NULL CONTRACT: a null or NaN `value` quantizes to a null `q` and
+    * passes through explicitly — "no evidence", not an error (the
+    * prioritySample coalesce posture). Only a NON-null out-of-range
+    * value trips the guard, so the raised message's `q` suffix is
+    * always populated (an infinite value casts to ±Long.MaxValue and
+    * errors accurately). */
   private[graft] def guardedQ(value: Column, scale: Long, n: Int,
                               k: Int): Column = {
     val limit = qLimit(n, k)
-    val q = floor(value.cast("double") * scale).cast("long")
-    when(abs(q) <= limit, q).otherwise(raise_error(concat(
-      lit(s"flagOutliers: quantized |value| exceeds the BIGINT overflow " +
-        s"bound $limit (scale=$scale, n=$n, k=$k) — the sigma test would " +
-        "wrap silently; lower scale, or use flagSeasonal's decimal(38,0) " +
-        "algebra: "), q.cast("string"))))
+    val v = value.cast("double")
+    val q = floor(v * scale).cast("long")
+    // isnan explicitly: a NaN double CASTS to 0L (not null), which would
+    // silently count as evidence of value 0
+    when(v.isNull || isnan(v), lit(null).cast("long"))
+      .when(abs(q) <= limit, q)
+      .otherwise(raise_error(concat(
+        lit(s"flagOutliers: quantized |value| exceeds the BIGINT overflow " +
+          s"bound $limit (scale=$scale, n=$n, k=$k) — the sigma test would " +
+          "wrap silently; lower scale, or use flagSeasonal's decimal(38,0) " +
+          "algebra: "), q.cast("string"))))
   }
 
   def flagOutliers(events: DataFrame, n: Int = 20, k: Int = 3,
@@ -79,10 +90,13 @@ object Anomaly {
       // qq staged BEFORE the window: a derived argument would split the
       // frame aggregates into a second WindowExec pass (plan-pinned)
       .withColumn("qq", col("q") * col("q"))
-      .withColumn("cnt", count(lit(1)).over(w))
+      // count(q), not count(1): a null-q (null/NaN value) row carries no
+      // evidence — it must not inflate cnt while s/ss skip it, which
+      // would bias every window it precedes
+      .withColumn("cnt", count(col("q")).over(w))
       .withColumn("s", coalesce(sum("q").over(w), lit(0L)))
       .withColumn("ss", coalesce(sum("qq").over(w), lit(0L)))
-      .withColumn("is_outlier",
+      .withColumn("is_outlier", col("q").isNotNull &&
         col("cnt") >= minN && dev * dev > lit(k.toLong * k) * disc)
       .drop("qq")
   }
@@ -152,10 +166,16 @@ object Anomaly {
     require(qLimit > 0, "flagSeasonal: profile moments too large for " +
       "decimal(38,0) — rescale")
     val limit = qLimit.min(BigInt(Long.MaxValue)).toLong
-    val q0 = floor(col(valueCol).cast("double") * scale).cast("long")
-    val q = when(abs(q0) <= limit, q0).otherwise(raise_error(concat(
-      lit(s"flagSeasonal: quantized |value| exceeds the decimal(38,0) " +
-        s"bound $limit — rescale: "), q0.cast("string"))))
+    val v0 = col(valueCol).cast("double")
+    val q0 = floor(v0 * scale).cast("long")
+    // null/NaN value ⇒ null q: no-evidence pass-through (guardedQ's
+    // contract — NaN CASTS to 0L, so isnan is checked explicitly),
+    // never the error branch — so the message suffix is always populated
+    val q = when(v0.isNull || isnan(v0), lit(null).cast("long"))
+      .when(abs(q0) <= limit, q0)
+      .otherwise(raise_error(concat(
+        lit(s"flagSeasonal: quantized |value| exceeds the decimal(38,0) " +
+          s"bound $limit — rescale: "), q0.cast("string"))))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val scored = events
       .select(col(keyCol), col(tsCol), col(tieCol),
@@ -168,7 +188,7 @@ object Anomaly {
         coalesce(col("ss"), lit(0L)).as("ss"))
     val dev = dec(col("n")) * dec(col("q")) - dec(col("s"))
     val disc = dec(col("n")) * dec(col("ss")) - dec(col("s")) * dec(col("s"))
-    scored.withColumn("is_outlier",
+    scored.withColumn("is_outlier", col("q").isNotNull &&
       col("n") >= minN && dev * dev > dec(lit(k.toLong * k)) * disc)
   }
 }

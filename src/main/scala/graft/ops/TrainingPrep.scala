@@ -425,6 +425,21 @@ object TrainingPrep {
     * (a silent zero/negative weight corrupts the estimator, the
     * weighted-PageRank posture). Output: (idCol, w, draw) of the k
     * selected rows. */
+  def prioritySample(df: DataFrame, k: Int, weight: Column,
+                     idCol: String = "doc_id",
+                     salt: String = "priority"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("prioritySample: weight must be positive, got "),
+        coalesce(weight.cast("string"), lit("null")))))
+    df.select(col(idCol), w.as("w"),
+      (pmod(hexDraw(saltedHex(col(idCol), salt)), lit(1000000L)) + 1L)
+        .as("draw"))
+      .orderBy((col("w") * 1000000.0 / col("draw")).desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic UNIFORM k-sample PER GROUP — the per-domain /
     * per-source subsampling step a mixing pipeline runs before heavier
     * scoring ("inspect 1000 random docs from every domain", "cap the
@@ -447,21 +462,6 @@ object TrainingPrep {
     Rank.topKPerGroup(
       df.withColumn("draw", hexDraw(saltedHex(col(idCol), salt))),
       keys, Seq("draw", idCol), k)
-  }
-
-  def prioritySample(df: DataFrame, k: Int, weight: Column,
-                     idCol: String = "doc_id",
-                     salt: String = "priority"): DataFrame = {
-    require(k > 0, s"sample size must be positive, got $k")
-    val w = when(weight.cast("double") > 0.0, weight.cast("double"))
-      .otherwise(raise_error(concat(
-        lit("prioritySample: weight must be positive, got "),
-        coalesce(weight.cast("string"), lit("null")))))
-    df.select(col(idCol), w.as("w"),
-      (pmod(hexDraw(saltedHex(col(idCol), salt)), lit(1000000L)) + 1L)
-        .as("draw"))
-      .orderBy((col("w") * 1000000.0 / col("draw")).desc, col(idCol))
-      .limit(k)
   }
 
   /** Deterministic global shuffle into shards (the pre-training shuffle:

@@ -60,6 +60,13 @@ object AnomalyStream {
         // the batch face's enforced overflow tripwire, shared column
         // (a wrap would silently flip flags here too)
         Anomaly.guardedQ(col("value"), scale, n, k).as("q"))
+      // null/NaN values quantize to null q ("no evidence" — guardedQ's
+      // null contract). The batch face emits such rows with
+      // is_outlier = false and excludes them from every window; here
+      // they are dropped BEFORE the non-nullable encoder (In.q: Long),
+      // so windows match the batch face row-for-row and only the
+      // no-evidence rows themselves are absent from the stream output.
+      .filter(col("q").isNotNull)
       .withWatermark("ts", watermark)
       .as[In]
       .groupByKey(_.user_id)

@@ -55,6 +55,37 @@ class AnomalySpec extends SparkSpec {
     assert((1L to 8L).forall(id => !got(id)))
   }
 
+  test("null and NaN values are no-evidence rows: never abort, never " +
+    "flag, never enter a window (cnt counts evidence only)") {
+    val ev = Seq(
+      (1L, ts(1), 1L, Some(10.0)), (2L, ts(2), 1L, Some(11.0)),
+      (3L, ts(3), 1L, None), // null value mid-history
+      (4L, ts(4), 1L, Some(Double.NaN)), // NaN quantizes to null q
+      (5L, ts(5), 1L, Some(10.0)), (6L, ts(6), 1L, Some(11.0)),
+      (7L, ts(7), 1L, Some(10.0)), (8L, ts(8), 1L, Some(11.0)),
+      (9L, ts(9), 1L, Some(10.0)), (10L, ts(10), 1L, Some(11.0)),
+      (11L, ts(11), 1L, Some(500.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Anomaly.flagOutliers(ev, n = 20, k = 3, minN = 8)
+      .select("event_id", "cnt", "is_outlier")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // is_outlier is a non-null false on the no-evidence rows themselves
+    assert(got(3L) == ((2L, false)) && got(4L) == ((2L, false)))
+    // the spike's window counts the 8 real observations, not 10 rows —
+    // with count(1) semantics cnt would be 10 and s/ss still 8 rows,
+    // biasing dev; with evidence-counting it flags cleanly at minN = 8
+    assert(got(11L) == ((8L, true)))
+    // seasonal face: same pass-through (no raise_error on null), flag false
+    val prof = Seq((1L, 0, 10L, 105000L, 1102550L))
+      .toDF("user_id", "hod", "n", "s", "ss")
+    val seas = Anomaly.flagSeasonal(
+      Seq((1L, ts(1), 1L, Option.empty[Double])).toDF("user_id", "ts", "event_id", "value"),
+      prof, keyCol = "user_id")
+      .select("is_outlier").as[Boolean].collect()
+    assert(seas.toSeq == Seq(false))
+  }
+
   test("batch: same-timestamp events order by the tie column") {
     val ev = Seq(
       (1L, ts(1), 1L, 10.0), (2L, ts(1), 1L, 10.0), (3L, ts(1), 1L, 99.0))
