@@ -33,15 +33,35 @@ import graft.core.Checkpoints
   * strictly shrinks and terminates in at most condensation-many rounds
   * (far fewer in practice: every locally-minimal SCC peels per round).
   *
+  * Each outer round first runs the TRIM step (Slota, Rajamanickam &
+  * Madduri, "BFS and coloring-based parallel algorithms for strongly
+  * connected components", IPDPS 2014): a node with no in-edge or no
+  * out-edge in the remaining subgraph cannot lie on a directed cycle,
+  * so it is its own singleton SCC — peel it in bulk, which may expose
+  * more; iterate to fixpoint. Production digraphs (web, citation,
+  * dependency) are tendril-heavy, and trim collapses the whole acyclic
+  * fringe for two semi-joins per round WITHOUT the min-label fixpoints —
+  * crucially including structures FW-BW handles badly: a deep singleton
+  * chain needs diameter-many one-hop propagation rounds (it would
+  * exhaust `maxInner`), while trim dissolves it in depth/2 cheap rounds
+  * before FW-BW ever runs. Trim rounds do not count against `maxOuter`
+  * (each is one edge-set pass; the FW-BW rounds they replace are many
+  * fixpoint iterations each); `maxTrim` caps them defensively, and a
+  * capped trim is safe — whatever remains just falls through to FW-BW.
+  *
   * Scale shape ([[Bfs]]/[[PageRank]] loop discipline): endpoints hash to
   * longs at entry and every in-loop exchange — the two min-propagation
-  * fixpoint joins/folds, the subgraph semi-joins, the F=B match — hashes
-  * on 8-byte keys; values decode ONCE at the rim (negligible-collision
-  * caveat as everywhere; nothing orders by id, so the hash encode
-  * suffices). Inner fixpoint detection compares exact decimal(38,0)
-  * label sums (labels are hashes spanning the full long range — a
-  * BIGINT sum would wrap and could in principle alias a change; the
-  * decimal sum cannot). Per-round frames are lineage-cut.
+  * fixpoint joins/folds, the subgraph semi-joins, the F=B match, the
+  * trim degree semi-joins — hashes on 8-byte keys; values decode ONCE
+  * at the rim (negligible-collision caveat as everywhere; nothing
+  * orders by id, so the hash encode suffices). Inner fixpoint detection
+  * compares exact decimal(38,0) label sums (labels are hashes spanning
+  * the full long range — a BIGINT sum would wrap and could in principle
+  * alias a change; the decimal sum cannot). Per-round frames are
+  * lineage-cut. Trim work scales with the acyclic fringe's DEPTH (one
+  * materialized edge pass per peeled layer), not its size — bushy
+  * tendrils cost a couple of rounds; the first step doubles as the
+  * detector, so a trim-free round wastes exactly one pass.
   *
   * Output: `(node, component)` for every node incident to a non-loop
   * edge — `component` is an internal long label shared exactly by the
@@ -52,9 +72,11 @@ import graft.core.Checkpoints
 object Scc {
 
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          maxOuter: Int = 50, maxInner: Int = 100): DataFrame = {
+          maxOuter: Int = 50, maxInner: Int = 100,
+          maxTrim: Int = 10000): DataFrame = {
     require(maxOuter >= 1 && maxInner >= 1,
       s"round caps must be positive, got maxOuter=$maxOuter maxInner=$maxInner")
+    require(maxTrim >= 0, s"maxTrim must be non-negative, got $maxTrim")
     val st = edges.schema(srcCol).dataType
     val dt = edges.schema(dstCol).dataType
     require(st == dt, s"scc: edge endpoint types differ ('$srcCol' is " +
@@ -82,30 +104,53 @@ object Scc {
     var acc: Option[DataFrame] = None
     var outer = 0
     while (remaining > 0 && outer < maxOuter) {
-      val fwd = minLabelFixpoint(adj, nodes, maxInner)
-        .withColumnRenamed("lab", "f")
-      val bwd = minLabelFixpoint(
-        adj.select(col("v").as("u"), col("u").as("v")), nodes, maxInner)
-        .withColumnRenamed("lab", "b")
-      val done = Checkpoints.cut(
-        fwd.join(bwd, Seq("node"))
-          .filter(col("f") === col("b"))
-          .select(col("node"), col("f").as("component"))).persist()
-      val labeled = Checkpoints.cut(
-        acc.map(_.unionByName(done)).getOrElse(done)).persist()
-      labeled.count()
-      acc.foreach(_.unpersist())
-      acc = Some(labeled)
-      val nextNodes = Checkpoints.cut(
-        nodes.join(done.select("node"), Seq("node"), "left_anti")).persist()
-      val nextAdj = Checkpoints.cut(adj
-        .join(nextNodes.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(nextNodes.select(col("node").as("v")), Seq("v"), "left_semi"))
-        .persist()
-      remaining = nextNodes.count()
-      nodes.unpersist(); adj.unpersist(); done.unpersist()
-      nodes = nextNodes
-      adj = nextAdj
+      // ---- Trim: bulk-peel the acyclic fringe (zero in/out degree,
+      // iterated — every trimmed node is provably its own singleton
+      // SCC; rationale + cost model in the object doc) ----
+      val tAdj = trimFixpoint(adj, maxTrim)
+      if (!(tAdj eq adj)) {
+        val tNodes = Checkpoints.cut(
+          tAdj.select(col("u").as("node"))
+            .unionByName(tAdj.select(col("v").as("node")))
+            .distinct()).persist()
+        val trimmed = nodes.join(tNodes, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component"))
+        val withTrim = Checkpoints.cut(
+          acc.map(_.unionByName(trimmed)).getOrElse(trimmed)).persist()
+        withTrim.count()
+        acc.foreach(_.unpersist())
+        acc = Some(withTrim)
+        nodes.unpersist(); adj.unpersist()
+        nodes = tNodes
+        adj = tAdj
+        remaining = nodes.count()
+      }
+      if (remaining > 0) {
+        val fwd = minLabelFixpoint(adj, nodes, maxInner)
+          .withColumnRenamed("lab", "f")
+        val bwd = minLabelFixpoint(
+          adj.select(col("v").as("u"), col("u").as("v")), nodes, maxInner)
+          .withColumnRenamed("lab", "b")
+        val done = Checkpoints.cut(
+          fwd.join(bwd, Seq("node"))
+            .filter(col("f") === col("b"))
+            .select(col("node"), col("f").as("component"))).persist()
+        val labeled = Checkpoints.cut(
+          acc.map(_.unionByName(done)).getOrElse(done)).persist()
+        labeled.count()
+        acc.foreach(_.unpersist())
+        acc = Some(labeled)
+        val nextNodes = Checkpoints.cut(
+          nodes.join(done.select("node"), Seq("node"), "left_anti")).persist()
+        val nextAdj = Checkpoints.cut(adj
+          .join(nextNodes.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(nextNodes.select(col("node").as("v")), Seq("v"), "left_semi"))
+          .persist()
+        remaining = nextNodes.count()
+        nodes.unpersist(); adj.unpersist(); done.unpersist()
+        nodes = nextNodes
+        adj = nextAdj
+      }
       outer += 1
     }
     require(remaining == 0,
@@ -152,6 +197,45 @@ object Scc {
       .filter(col("c_src") =!= col("c_dst"))
       .select("c_src", "c_dst")
       .distinct()
+  }
+
+  /** Zero-in/out-degree bulk trim to fixpoint over the encoded
+    * adjacency: one step keeps exactly the edges whose source has an
+    * in-edge and whose target has an out-edge — nodes failing either
+    * test cannot lie on a directed cycle, and removing them may expose
+    * more (the Slota et al. Trim step; rationale in the object doc).
+    * Cycle edges are never removed (every cycle node keeps in/out
+    * degree ≥ 1 by induction), so the survivors contain every
+    * non-singleton SCC. Each step is two degree semi-joins on 8-byte
+    * keys, lineage-cut (a step references its input three times — an
+    * un-cut composition would grow the plan 3^rounds). Returns `adj0`
+    * ITSELF (reference-equal, caller skips the bookkeeping) when the
+    * first step — the detector — removes nothing. A `maxTrim` cap-out
+    * is safe: the residue falls through to FW-BW, which handles it
+    * correctly, just slower. */
+  private def trimFixpoint(adj0: DataFrame, maxTrim: Int): DataFrame = {
+    def step(a: DataFrame): DataFrame = a
+      .join(a.select(col("v").as("u")).distinct(), Seq("u"), "left_semi")
+      .join(a.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+    var prev = adj0.count()
+    if (prev == 0) return adj0
+    var adj = adj0
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxTrim) {
+      val next = Checkpoints.cut(step(adj)).persist()
+      val n = next.count()
+      if (n == prev) {
+        next.unpersist()
+        done = true
+      } else {
+        if (!(adj eq adj0)) adj.unpersist()
+        adj = next
+        prev = n
+      }
+      rounds += 1
+    }
+    adj
   }
 
   /** Min-label propagation to fixpoint over the DIRECTED encoded

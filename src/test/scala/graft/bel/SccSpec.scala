@@ -130,6 +130,45 @@ class SccSpec extends SparkSpec {
     assert(Scc.condensation(ed).count() == 2)
   }
 
+  test("trim: a 1000-node shallow tendril fringe off one cycle peels in " +
+    "TWO outer rounds (trim + one FW-BW for the cycle)") {
+    // 100 tendril chains of depth 10 feeding a 4-cycle — the web-graph
+    // fringe shape the Slota trim exists for. maxOuter = 2 pins that
+    // the whole fringe fell to trim, not to FW-BW peeling rounds.
+    val cycle = Seq(("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0"))
+    val tendrils = for {
+      c <- 0 until 100
+      d <- 0 until 10
+    } yield {
+      val from = f"t$c%03d_$d%02d"
+      val to = if (d == 9) "c0" else f"t$c%03d_${d + 1}%02d"
+      (from, to)
+    }
+    val got = groupsOf(Scc.run((cycle ++ tendrils).toDF("src", "dst"),
+      maxOuter = 2))
+    assert(got.contains(Set("c0", "c1", "c2", "c3")))
+    assert(got.size == 1001) // 1000 tendril singletons + the cycle
+  }
+
+  test("trim rescues a chain whose diameter exceeds maxInner — the case " +
+    "FW-BW alone deterministically require-fails") {
+    // a 240-node directed chain: min-label propagation needs ~239
+    // one-hop rounds, far past maxInner = 100, so pre-trim this graph
+    // CANNOT finish regardless of maxOuter; trim dissolves it without
+    // running a single fixpoint (maxOuter = 1 pins that)
+    val chain = (0 until 239).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val got = groupsOf(Scc.run(chain.toDF("src", "dst"),
+      maxOuter = 1, maxInner = 100))
+    assert(got.size == 240 && got.forall(_.size == 1))
+    // and a capped-out trim is SAFE, not wrong: with maxTrim too small
+    // for the depth the residue falls through to FW-BW — here the
+    // remaining sub-chain is short enough for the fixpoints to finish
+    val short = (0 until 30).map(i => (f"m$i%02d", f"m${i + 1}%02d"))
+    val got2 = groupsOf(Scc.run(short.toDF("src", "dst"),
+      maxOuter = 50, maxInner = 100, maxTrim = 3))
+    assert(got2.size == 31 && got2.forall(_.size == 1))
+  }
+
   test("edgeless input returns an empty frame; bad params fail fast") {
     val empty = Scc.run(edgesOf())
     assert(empty.count() == 0)
