@@ -13,7 +13,8 @@ object SparkEntry {
       Round7Queries.queries ++ Round8Queries.queries ++
       Round8bQueries.queries ++ Round9Queries.queries ++
       Round10Queries.queries ++ Round11Queries.queries ++
-      Round11bQueries.queries ++ Round12Queries.queries
+      Round11bQueries.queries ++ Round12Queries.queries ++
+      Round13Queries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every registered query has an oracle: the
     * two approximate/engine-hash ops are gated via boolean invariant
@@ -24,5 +25,6 @@ object SparkEntry {
       Round7Queries.oracleSql ++ Round8Queries.oracleSql ++
       Round8bQueries.oracleSql ++ Round9Queries.oracleSql ++
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
-      Round11bQueries.oracleSql ++ Round12Queries.oracleSql
+      Round11bQueries.oracleSql ++ Round12Queries.oracleSql ++
+      Round13Queries.oracleSql
 }

@@ -273,8 +273,8 @@ object Dedup {
 
   /** Narrow (id, band, bucket) rows from an `(id, ..., sig)` frame —
     * shared by [[minHashPairs]] and the cross-snapshot probe. */
-  private def bandRows(sig: DataFrame, bands: Int,
-                       rowsPerBand: Int): DataFrame =
+  private[graft] def bandRows(sig: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame =
     sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
@@ -755,10 +755,20 @@ object Dedup {
                           bands: Int = 32, rowsPerBand: Int = 3,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val index = spark.read.parquet(indexPath)
     val staged = Checkpoints.cut(shingled(batch, n, idCol, textCol)
       .withColumn("sig",
         minHashSignature(col("shingles"), bands * rowsPerBand)))
+    probeNearDups(staged, spark.read.parquet(indexPath), threshold,
+      bands, rowsPerBand)
+  }
+
+  /** The probe core of [[incrementalNearDups]], over an ALREADY-staged
+    * `(id, shingles, sig)` frame — shared with the streaming face
+    * ([[graft.streaming.NearDupStream]]), which stages once per batch
+    * and probes/blankets/appends from the same frame. */
+  private[graft] def probeNearDups(staged: DataFrame, index: DataFrame,
+                                   threshold: Double, bands: Int,
+                                   rowsPerBand: Int): DataFrame = {
     val candidates = bandRows(staged, bands, rowsPerBand).alias("a")
       .join(bandRows(index, bands, rowsPerBand).alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
