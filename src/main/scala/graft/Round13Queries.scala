@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   *    vs the pure-SQL first-occurrence near-dup chain over the same
   *    two-batch split; replay idempotence is spec'd
   *    (NearDupStreamSpec).
+  *  - `w_stream_quantiles`: the KLL quantile face of
+  *    [[graft.streaming.ProfileStream]] — per-batch mergeable sketch
+  *    states folded at read, gated inside the a15 rank-error contract
+  *    vs exact percentiles of the whole feed (KLL merge preserves the
+  *    one-shot rank bound but not state identity, so the contract, not
+  *    face equality, is the gateable invariant). Completes the
+  *    fold-at-read sketch family (HLL, MG, Gram, CC, seasonal moments).
   */
 object Round13Queries {
 
@@ -90,6 +97,59 @@ object Round13Queries {
           s"$base/out"
         })
         ss.read.parquet(out).select("doc_id")
+      }),
+
+    // --- Streaming quantile profile (KLL fold-at-read) -----------------------
+    // Two time-split micro-batches land per-key KLL sketch states; the
+    // read-time merge must satisfy the a15 rank contract against the
+    // WHOLE feed: each returned percentile is an ELEMENT whose exact
+    // rank sits within 1% of the target (k = 2048 bounds normalized
+    // rank error well under that; ties handled with the standard
+    // [rank<, rank<=] interval). Counts must sum exactly.
+    "w_stream_quantiles" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .map(r => (r._1, r._4, r._5)) // (event_id, event_type, value)
+        val path = s"/tmp/graft_quantile_stream_${sfTag(d)}"
+        rmrf(ss, path)
+        val mem = MemoryStream[(Long, String, Double)]
+        val q = graft.streaming.ProfileStream.maintainQuantileStates(
+          mem.toDS().toDF("event_id", "event_type", "value"),
+          path, keyCol = "event_type", valueCol = "value")
+        try {
+          val (h1, h2) = rows.partition(_._1 % 2 == 0)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        val folded = graft.streaming.ProfileStream
+          .readQuantiles(ss, path, "event_type")
+        val ev = graft.core.Tables.events(ss, d)
+          .select(col("event_type"), col("value"))
+        def rankBand(p: org.apache.spark.sql.Column, target: Double) = {
+          // tie-safe: the element's rank INTERVAL [count(<)/n, count(<=)/n]
+          // must intersect [target - 0.01, target + 0.01]
+          val lo = coalesce(sum(when(col("value") < p, 1L)), lit(0L))
+            .cast("double") / count(lit(1))
+          val hi = coalesce(sum(when(col("value") <= p, 1L)), lit(0L))
+            .cast("double") / count(lit(1))
+          lo <= target + 0.01 && hi >= target - 0.01
+        }
+        ev.join(broadcast(folded), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(first("n").as("f_n"), count(lit(1)).as("e_n"),
+            rankBand(col("p50_approx"), 0.5).as("ok50"),
+            rankBand(col("p95_approx"), 0.95).as("ok95"))
+          .agg(
+            (count(lit(1)) > 0).as("nonempty"),
+            (coalesce(sum(when(col("f_n") =!= col("e_n"), 1L)), lit(0L))
+              === 0L).as("counts_exact"),
+            (coalesce(sum(when(!col("ok50"), 1L)), lit(0L)) === 0L)
+              .as("p50_within_rank_eps"),
+            (coalesce(sum(when(!col("ok95"), 1L)), lit(0L)) === 0L)
+              .as("p95_within_rank_eps"))
       })
   )
 
@@ -149,6 +209,10 @@ object Round13Queries {
         |SELECT id AS doc_id FROM acc1
         |UNION ALL
         |SELECT id AS doc_id FROM acc2
-        |""".stripMargin
+        |""".stripMargin,
+
+    "w_stream_quantiles" ->
+      ("SELECT true AS nonempty, true AS counts_exact, " +
+        "true AS p50_within_rank_eps, true AS p95_within_rank_eps")
   )
 }

@@ -61,6 +61,43 @@ object Profile {
         .as("n_distinct_approx"),
         sum("n").as("n"))
 
+  /** Persistable per-key KLL quantile sketch STATES (Apache DataSketches
+    * binary blobs, Spark's native `kll_sketch_agg_double`) — the
+    * quantile twin of [[hllStates]]: each snapshot/partition/micro-batch
+    * writes its own state table once, and corpus-wide percentiles then
+    * come from merging, without rescanning raw data. KLL is a MERGEABLE
+    * summary (Agarwal et al., "Mergeable summaries", PODS 2012; Karnin,
+    * Lang & Liberty, FOCS 2016): the merged sketch carries the same
+    * normalized rank-error bound as a one-shot sketch of the union —
+    * unlike HLL it is not bit-identical to the one-shot state (merge
+    * order shifts compaction), which is why its gates check the RANK
+    * CONTRACT, not state equality. `k` = 2048 bounds normalized rank
+    * error well under 1%. Output: (keyCol, kll_state: Binary, n). */
+  def kllStates(df: DataFrame, keyCol: String, valueCol: String,
+                k: Int = 2048): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(expr(s"kll_sketch_agg_double($valueCol, $k)").as("kll_state"),
+        count(lit(1)).as("n"))
+
+  /** Merge persisted KLL states back to per-key quantile estimates:
+    * one `kll_merge_agg_double` fold per key (associative/commutative —
+    * snapshot arrival order never matters), then one
+    * `kll_sketch_get_quantile_double` per requested rank. Counts sum
+    * exactly alongside. Output: (keyCol, p_<rank>…, n). */
+  def mergeKllStates(states: DataFrame, keyCol: String,
+                     quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantile ranks must be in (0, 1], got $quantiles")
+    val merged = states.groupBy(keyCol)
+      .agg(expr("kll_merge_agg_double(kll_state)").as("__m"),
+        sum("n").as("n"))
+    val qCols = quantiles.map(q =>
+      expr(s"kll_sketch_get_quantile_double(__m, $q)")
+        .as(s"p${(q * 100).round}_approx"))
+    merged.select(col(keyCol) +: qCols :+ col("n"): _*)
+  }
+
   /** Exact per-key heavy hitters: the k most frequent `valueCol` values
     * per `keyCol`, rank-ordered (count DESC, value ASC) — the "what
     * dominates each slice" profile question (top domains per language,

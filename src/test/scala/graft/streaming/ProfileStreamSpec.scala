@@ -36,4 +36,45 @@ class ProfileStreamSpec extends SparkSpec {
     ProfileStream.writeDelta(feed(b1: _*), path, 1L, "k", "id")
     assert(snap(ProfileStream.readEstimates(spark, path, "k")) == folded)
   }
+
+  test("per-batch KLL states fold at read within the rank-error " +
+    "contract of the WHOLE feed; counts sum; replay overwrites") {
+    // skewed-ish values so p50/p95 differ meaningfully per key
+    val all = (0 until 3000).map(i =>
+      (s"k${i % 3}", (i % 100) * (1.0 + (i % 3))))
+    val batches = all.grouped(800).toSeq
+    val path = tmpDir("profile_kll") + "/q"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ProfileStream.writeQuantileDelta(
+        b.toDF("k", "v"), path, i.toLong, "k", "v")
+    }
+    val folded = ProfileStream.readQuantiles(spark, path, "k")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // exact discrete order statistics of the full feed (the a15
+    // contract: the sketch returns an ELEMENT whose rank is within
+    // eps*n of the target; k=2048 puts eps well under 1%)
+    val exact = all.groupBy(_._1).map { case (k, xs) =>
+      val vs = xs.map(_._2).sorted
+      def at(q: Double) = vs(math.ceil(q * vs.length).toInt - 1)
+      k -> ((at(0.5), at(0.95), vs.length.toLong))
+    }
+    folded.foreach { case (k, (p50, p95, n)) =>
+      val (e50, e95, en) = exact(k)
+      assert(n == en, s"$k count")
+      // rank-contract check: the returned element's exact rank must sit
+      // within 1% of the target rank
+      val vs = all.filter(_._1 == k).map(_._2).sorted
+      def rankOf(v: Double) = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.01, s"$k p50 $p50 vs $e50")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.01, s"$k p95 $p95 vs $e95")
+    }
+    // replay of the last batch changes nothing
+    ProfileStream.writeQuantileDelta(batches.last.toDF("k", "v"), path,
+      (batches.length - 1).toLong, "k", "v")
+    val again = ProfileStream.readQuantiles(spark, path, "k")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == folded)
+  }
 }
