@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *    one-shot rank bound but not state identity, so the contract, not
   *    face equality, is the gateable invariant). Completes the
   *    fold-at-read sketch family (HLL, MG, Gram, CC, seasonal moments).
+  *  - `a48_cube` / `a49_grouping_sets`: the remaining multi-level SQL
+  *    family beside a24 ROLLUP and a25 PIVOT — all 2ⁿ CUBE levels and
+  *    an explicit non-hierarchical set list, integer-cents sums,
+  *    GROUPING() markers carried in the output so a subtotal NULL is
+  *    never confused with a NULL group value (the marker pin the
+  *    rollup gate only got implicitly from non-null dims). SQL over a
+  *    temp view — the DataFrame .cube/.rollup API after any join trips
+  *    Spark 4.1's ambiguous-self-join check (a24's finding).
   */
 object Round13Queries {
 
@@ -150,7 +158,46 @@ object Round13Queries {
               .as("p50_within_rank_eps"),
             (coalesce(sum(when(!col("ok95"), 1L)), lit(0L)) === 0L)
               .as("p95_within_rank_eps"))
-      })
+      }),
+
+    // --- CUBE multi-level aggregation -----------------------------------------
+    // Customer counts + balance cents across ALL 2² grouping levels of
+    // (nation, segment); GROUPING() markers ride along so NULL-marked
+    // subtotal rows stay distinguishable from null group values. The
+    // nation dim broadcasts; cents keep every sum integer-exact.
+    "a48_cube" -> ((s, d) => {
+      val cust = graft.core.Tables.load(s, d, "customer")
+      val nat = graft.core.Tables.load(s, d, "nation")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("graft_cube_in")
+      s.sql("""SELECT n_name, c_mktsegment,
+        CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        count(*) AS n_cust, sum(cents) AS bal_cents
+        FROM graft_cube_in GROUP BY CUBE (n_name, c_mktsegment)""")
+    }),
+
+    // --- Explicit GROUPING SETS -----------------------------------------------
+    // A non-hierarchical set list CUBE/ROLLUP cannot express: per-nation,
+    // per-segment, and grand-total — but NOT the (nation, segment)
+    // cross — in one pass over the fact side (one Expand, one shuffle;
+    // three separate GROUP BYs would scan and shuffle three times).
+    "a49_grouping_sets" -> ((s, d) => {
+      val cust = graft.core.Tables.load(s, d, "customer")
+      val nat = graft.core.Tables.load(s, d, "nation")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("graft_gsets_in")
+      s.sql("""SELECT n_name, c_mktsegment,
+        CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        count(*) AS n_cust, sum(cents) AS bal_cents
+        FROM graft_gsets_in
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -213,6 +260,28 @@ object Round13Queries {
 
     "w_stream_quantiles" ->
       ("SELECT true AS nonempty, true AS counts_exact, " +
-        "true AS p50_within_rank_eps, true AS p95_within_rank_eps")
+        "true AS p50_within_rank_eps, true AS p95_within_rank_eps"),
+
+    "a48_cube" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)
+        |""".stripMargin,
+
+    "a49_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |""".stripMargin
   )
 }
