@@ -77,4 +77,33 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("__partial_n")).as(outCol))
   }
+
+  /** The bot-key reject side of a per-key contract: keys whose row
+    * volume in `df` exceeds `maxPerKey`, with a STABLE machine-readable
+    * reason — what a per-key operator (funnel fold, sessionizer window)
+    * routes to a side-output instead of feeding a corpus-scale key into
+    * bounded per-key state at 100 TB. One map-side-combined count
+    * aggregation (constant per-key state — the same discipline as the
+    * dedup df-prune). Output: (keys…, n_events, reason). */
+  def overCapKeys(df: DataFrame, keys: Seq[String], maxPerKey: Long,
+                  reason: String = "events_per_key_cap"): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be positive, got $maxPerKey")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > maxPerKey)
+      .withColumn("reason", lit(reason))
+  }
+
+  /** Prune `df` to rows of keys at or under `maxPerKey` rows — the
+    * accept side of [[overCapKeys]]: one count aggregation + one
+    * left-anti join on the key; per-key state downstream is then
+    * ≤ maxPerKey by construction. `Long.MaxValue` (the callers'
+    * default) returns `df` unchanged — zero plan delta when the cap is
+    * off. */
+  def underCapOnly(df: DataFrame, keys: Seq[String],
+                   maxPerKey: Long): DataFrame =
+    if (maxPerKey == Long.MaxValue) df
+    else df.join(
+      overCapKeys(df, keys, maxPerKey).select(keys.map(col): _*),
+      keys, "left_anti")
 }

@@ -37,10 +37,21 @@ object Funnel {
   /** The per-user face: `(key, reach_ts: Array[ts], depth)` — the
     * per-stage first-reach timestamps (null = stage not reached) and the
     * deepest stage index reached; what a training pipeline joins back to
-    * label conversion windows. */
+    * label conversion windows.
+    *
+    * `maxEventsPerKey` hardens the documented per-key contract: the
+    * collected list is bounded by a key's own STAGE-event count, which a
+    * bot/runaway key can grow to executor-OOM scale at 100 TB. With a
+    * cap set, keys over it are pruned BEFORE the collect (one count
+    * aggregation + one anti-join — [[graft.core.Skew.underCapOnly]]),
+    * so the aggregation buffer is ≤ cap by construction; route the
+    * pruned keys to a side-output via [[rejectedKeys]] (stable reason
+    * column) instead of silently losing them. The default
+    * (`Long.MaxValue`) leaves the plan untouched. */
   def perUserReach(events: DataFrame, stages: Seq[String],
                    keyCol: String = "user_id", tsCol: String = "ts",
-                   typeCol: String = "event_type"): DataFrame = {
+                   typeCol: String = "event_type",
+                   maxEventsPerKey: Long = Long.MaxValue): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, "funnel stages must be distinct")
     val stageIdx: Column = stages.zipWithIndex.foldRight(lit(-1): Column) {
@@ -49,8 +60,9 @@ object Funnel {
     // the reach-state array carries the ts column's own type, so the
     // operator works over timestamps and numeric (µs-epoch) ts alike
     val tsType = events.schema(tsCol).dataType
-    events
-      .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull)
+    graft.core.Skew.underCapOnly(
+      events.filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull),
+      Seq(keyCol), maxEventsPerKey)
       .select(col(keyCol), struct(col(tsCol).as("ts"),
         stageIdx.as("stage")).as("ev"))
       .groupBy(keyCol)
@@ -79,6 +91,19 @@ object Funnel {
       .withColumn("depth", size(filter(col("reach_ts"), x => x.isNotNull)))
       .drop("evs")
   }
+
+  /** The reject side-output of [[perUserReach]]'s cap: keys whose
+    * STAGE-event volume exceeds `maxEventsPerKey`, with their counts and
+    * the stable reason `events_per_key_cap` — counted over the same
+    * filtered feed the accept side prunes, so accept ∪ reject covers
+    * every key exactly once. Output: (keyCol, n_events, reason). */
+  def rejectedKeys(events: DataFrame, stages: Seq[String],
+                   maxEventsPerKey: Long, keyCol: String = "user_id",
+                   tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame =
+    graft.core.Skew.overCapKeys(
+      events.filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull),
+      Seq(keyCol), maxEventsPerKey)
 
   /** Conversion-lag statistics per funnel transition: for every user who
     * reached stage i+1, the time from their stage-i reach to their

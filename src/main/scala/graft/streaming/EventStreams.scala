@@ -268,11 +268,22 @@ object EventStreams {
   /** Batch sessionization with identical semantics — lag/gap analysis via
     * window functions (SQL-oracle-checkable; also the cross-check for the
     * streaming path). Returns (user_id, session_start, n_events,
-    * total_value). */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    * total_value).
+    *
+    * `maxEventsPerKey` is the per-key contract hardener (the funnel's
+    * cap, applied to the window face): a bot key's whole history funnels
+    * through one window partition — spilling, not OOMing, but a single
+    * task still pays the full sort at 100 TB. With a cap set, over-cap
+    * keys are pruned before the window ([[graft.core.Skew
+    * .underCapOnly]]); surface them via [[graft.core.Skew.overCapKeys]]
+    * on the same feed. Default leaves the plan untouched. The STREAM
+    * face needs no cap: its state is session AGGREGATES (min/max/count/
+    * sum per open session), already O(open sessions), never per-event. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30,
+                      maxEventsPerKey: Long = Long.MaxValue): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val gapSec = gapMinutes * 60L
-    events
+    graft.core.Skew.underCapOnly(events, Seq("user_id"), maxEventsPerKey)
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||

@@ -177,6 +177,34 @@ class FunnelSpec extends SparkSpec {
     assert(rows.toSet == Set(("a", "b", 2L, 3L), ("a", "c", 1L, 3L)))
   }
 
+  test("maxEventsPerKey: a bot-sized key routes to the reject side " +
+    "with a stable reason; everyone else is untouched") {
+    // u1 converts normally (3 stage events); u99 is the bot — 500 stage
+    // events that would all land in one collect_list buffer
+    val normal = Seq((1L, 1L, "view"), (1L, 5L, "click"), (1L, 9L, "buy"))
+    val bot = (0 until 500).map(i =>
+      (99L, i.toLong, stages(i % stages.size)))
+    val noise = Seq((2L, 3L, "scroll")) // non-stage rows never count
+    val ev = (normal ++ bot ++ noise).toDF("user_id", "ts", "event_type")
+    val accepted = Funnel.perUserReach(ev, stages, maxEventsPerKey = 100)
+      .select("user_id").as[Long].collect().toSet
+    assert(accepted == Set(1L)) // bot pruned BEFORE the collect
+    val rejected = Funnel.rejectedKeys(ev, stages, maxEventsPerKey = 100)
+      .as[(Long, Long, String)].collect()
+    assert(rejected.toSeq == Seq((99L, 500L, "events_per_key_cap")))
+    // default cap: plan unchanged, bot processed as before
+    assert(Funnel.perUserReach(ev, stages)
+      .select("user_id").as[Long].collect().toSet == Set(1L, 99L))
+    // the batch sessionizer honors the same cap
+    val sev = (normal ++ bot).map { case (u, t, _) =>
+      (u, new java.sql.Timestamp(t * 60000L), 1.0)
+    }.toDF("user_id", "ts", "value")
+    val sGot = graft.streaming.EventStreams
+      .sessionizeBatch(sev, gapMinutes = 30, maxEventsPerKey = 100)
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(sGot == Set(1L))
+  }
+
   test("funnel counts are monotonically non-increasing") {
     val rnd = new scala.util.Random(23)
     val types = Seq("view", "click", "buy")
