@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *    rollup gate only got implicitly from non-null dims). SQL over a
   *    temp view — the DataFrame .cube/.rollup API after any join trips
   *    Spark 4.1's ambiguous-self-join check (a24's finding).
+  *  - `w_ewma`: per-key exponentially weighted mean/variance over event
+  *    time ([[graft.ops.Temporal.ewma]] — secondary-sort mapPartitions
+  *    scan, O(1) state per key). Decay is inherently float, so the pin
+  *    is ENGINE-DETERMINISM (single IEEE ops in a fixed order — the
+  *    o15 posture): the DuckDB oracle folds the identical recurrence
+  *    scalar-for-scalar (list_reduce; a struct-state fold is avoided —
+  *    DuckDB 1.0's list_reduce evaluates struct fields against an
+  *    in-place-updated accumulator, so m-then-v packing reads the NEW
+  *    m; two scalar folds sidestep the quirk), and the results
+  *    hash-match bit-for-bit.
   */
 object Round13Queries {
 
@@ -197,7 +207,19 @@ object Round13Queries {
         count(*) AS n_cust, sum(cents) AS bal_cents
         FROM graft_gsets_in
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
-    })
+    }),
+
+    // --- Time-decay (EWMA) rolling statistics ----------------------------------
+    // Per-user exponentially weighted mean/variance over (ts, event_id)
+    // order at alpha = 1/4 (binary-exact complement 3/4, so both
+    // engines' (1 - alpha) is the same double). Bit-exact vs the
+    // oracle's scalar folds of the same recurrence.
+    "w_ewma" -> ((s, d) =>
+      graft.ops.Temporal.ewma(
+        graft.core.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value")),
+        alpha = 0.25))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -282,6 +304,34 @@ object Round13Queries {
         |    AS bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |""".stripMargin,
+
+    "w_ewma" ->
+      """WITH l AS (
+        |  SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS xs,
+        |    list(ts ORDER BY ts, event_id) AS tss,
+        |    list(event_id ORDER BY ts, event_id) AS ids
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT user_id, xs, tss, ids, list_transform(xs, (e, i) ->
+        |    list_reduce(xs[1:i], (acc, x) -> acc + 0.25 * (x - acc)))
+        |    AS ms
+        |  FROM l
+        |), w AS (
+        |  SELECT user_id, xs, tss, ids, ms, list_transform(xs, (e, i) ->
+        |    CASE WHEN i = 1 THEN 0.0
+        |         ELSE (e - ms[i-1]) * (0.25 * (e - ms[i-1])) END) AS ws
+        |  FROM m
+        |), v AS (
+        |  SELECT user_id, xs, tss, ids, ms, list_transform(ws, (e, i) ->
+        |    list_reduce(list_prepend(0.0, ws[2:i]),
+        |      (acc, x) -> 0.75 * (acc + x))) AS vs
+        |  FROM w
+        |)
+        |SELECT user_id, unnest(tss) AS ts, unnest(ids) AS event_id,
+        |  unnest(xs) AS value, unnest(ms) AS ewma, unnest(vs) AS ewvar
+        |FROM v
         |""".stripMargin
   )
 }

@@ -566,4 +566,85 @@ object Temporal {
       .agg(count(lit(1)).as("n"), sum("q").as("s"),
         sum(col("q") * col("q")).as("ss"))
   }
+
+  /** Exponentially weighted moving mean AND variance per key over the
+    * event-time order — the time-decay rolling statistic beside the
+    * fixed-window faces (w_rolling_sum, flagOutliers): recent
+    * observations dominate, old ones decay geometrically. Recurrence
+    * (the standard incremental EW form — Finch, "Incremental
+    * calculation of weighted mean and variance", 2009):
+    *
+    *   diff = x − m;  incr = α·diff;
+    *   m' = m + incr;  v' = (1−α)·(v + diff·incr)
+    *
+    * seeded m₁ = x₁, v₁ = 0.
+    *
+    * EXACTNESS, stated honestly: decay is inherently float, so the
+    * contract is ENGINE-DETERMINISM, not integer exactness — every step
+    * is a fixed sequence of single IEEE-754 double ops (one subtract,
+    * two multiplies, one add for m; one add, one multiply, one multiply
+    * for v) applied in the per-key `(ts, tie)` order, so any
+    * IEEE-conformant engine folding the same recurrence in the same
+    * order reproduces the SAME BITS (the o15_pct_rank posture; the
+    * `w_ewma` gate's DuckDB oracle folds it scalar-for-scalar). No
+    * `exp`/`ln` — a half-life-parameterized weight would ride libm,
+    * whose rounding differs across engines (the prioritySample
+    * rationale).
+    *
+    * Scale shape: a sequential per-key recurrence has no windowable
+    * closed form that is both numerically sane and order-exact (the
+    * prefix-sum trick divides by (1−α)^i, which overflows at production
+    * history lengths), so this is the documented `mapPartitions` last
+    * resort — and the RIGHT one: one repartition on the key + one
+    * per-partition sort (the secondary-sort pattern), then a single
+    * streaming pass with O(1) state per key. No collect_list, no
+    * per-key buffer at ANY key volume — a bot key costs time, never
+    * memory (stronger than the funnel's cap-and-reject contract).
+    * Output: input columns + (ewma, ewvar). */
+  def ewma(events: DataFrame, alpha: Double,
+           keyCol: String = "user_id", tsCol: String = "ts",
+           valueCol: String = "value",
+           tieCol: String = "event_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"ewma needs alpha in (0, 1], got $alpha")
+    val compl = 1.0 - alpha
+    val proj = events.select(col(keyCol).as("__k"), col(tsCol),
+      col(tieCol), col(valueCol).cast("double").as("__x"))
+    val sorted = proj.repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col(tsCol), col(tieCol))
+    val outSchema = sorted.schema
+      .add("ewma", org.apache.spark.sql.types.DoubleType)
+      .add("ewvar", org.apache.spark.sql.types.DoubleType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var seeded = false
+      var m = 0.0
+      var v = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        if (!started || k != curKey) {
+          curKey = k; started = true; seeded = false; m = 0.0; v = 0.0
+        }
+        // null/NaN value: no evidence — emit null stats, state untouched
+        // (the Anomaly.guardedQ contract)
+        if (r.isNullAt(3) || r.getDouble(3).isNaN)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null :+ null)
+        else {
+          val x = r.getDouble(3)
+          if (!seeded) { seeded = true; m = x; v = 0.0 }
+          else {
+            val diff = x - m
+            val incr = alpha * diff
+            m = m + incr
+            v = compl * (v + diff * incr)
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m :+ v)
+        }
+      }
+    }(enc)
+      .withColumnRenamed("__k", keyCol)
+      .withColumnRenamed("__x", valueCol)
+  }
 }

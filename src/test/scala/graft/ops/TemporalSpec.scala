@@ -527,4 +527,52 @@ class RrfSpec extends SparkSpec {
     assert(!got.exists(_._4 > 82800L))
     intercept[IllegalArgumentException](Temporal.gaps(ev, 0L))
   }
+
+  test("ewma: bit-equal to the sequential reference fold per key, in " +
+    "(ts, tie) order, across any partitioning") {
+    val rnd = new scala.util.Random(1301)
+    val rows = (1 to 600).map(i => (i.toLong,
+      new java.sql.Timestamp(((i * 37) % 250) * 60000L),
+      (i % 7).toLong, rnd.nextInt(1000) / 10.0))
+    val got = Temporal.ewma(
+      rows.toDF("event_id", "ts", "user_id", "value"), alpha = 0.25,
+      keyCol = "user_id")
+      .select("event_id", "ewma", "ewvar")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: plain Scala fold in the same (ts, event_id) order
+    val expect = rows.groupBy(_._3).flatMap { case (_, evs) =>
+      var m = 0.0; var v = 0.0; var seeded = false
+      evs.sortBy(e => (e._2.getTime, e._1)).map { e =>
+        if (!seeded) { seeded = true; m = e._4; v = 0.0 }
+        else {
+          val diff = e._4 - m; val incr = 0.25 * diff
+          m = m + incr; v = 0.75 * (v + diff * incr)
+        }
+        e._1 -> ((m, v))
+      }
+    }
+    // BIT equality, not tolerance — the operator's whole contract
+    expect.foreach { case (id, mv) => assert(got(id) == mv, s"event $id") }
+  }
+
+  test("ewma: null and NaN values are no-evidence rows — null stats, " +
+    "state untouched; bad alpha fails fast") {
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1000L), 1L, Some(4.0)),
+      (2L, new java.sql.Timestamp(2000L), 1L, Option.empty[Double]),
+      (3L, new java.sql.Timestamp(3000L), 1L, Some(Double.NaN)),
+      (4L, new java.sql.Timestamp(4000L), 1L, Some(8.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Temporal.ewma(ev, alpha = 0.25, keyCol = "user_id")
+      .select("event_id", "ewma", "ewvar")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(1L).contains(4.0))
+    // event 4 folds against event 1's state, not the null rows
+    assert(got(4L).contains(4.0 + 0.25 * 4.0))
+    intercept[IllegalArgumentException](Temporal.ewma(ev, alpha = 0.0))
+    intercept[IllegalArgumentException](Temporal.ewma(ev, alpha = 1.5))
+  }
 }
