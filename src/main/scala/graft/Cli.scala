@@ -1076,6 +1076,49 @@ object Cli {
             .foreach(r => println(r.mkString("\t")))
           println(s"${g.count()} gaps")
         } finally g.unpersist()
+      case "neardup-ingest" => // streaming near-dup index fold (w_stream_neardup)
+        val batch = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(spark.read.parquet(docsPath))
+        val index = opts.getOrElse("index", "/tmp/graft_cli_mhidx")
+        val out = opts.getOrElse("out", "/tmp/graft_cli_neardup_out")
+        val n = graft.streaming.NearDupStream.nearDupBatch(
+          spark, index, out, batch,
+          batchId = opts.get("batch-id").map(_.toLong),
+          threshold = opts.getOrElse("threshold", "0.8").toDouble)
+        println(s"$n accepted (novel) documents; index: $index")
+      case "stream-quantiles" => // KLL fold-at-read profile (w_stream_quantiles)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val index = opts.getOrElse("index", "/tmp/graft_cli_kll")
+        opts.get("batch-id").foreach { bid =>
+          graft.streaming.ProfileStream.writeQuantileDelta(ev, index,
+            bid.toLong, opts.getOrElse("key", "event_type"),
+            opts.getOrElse("value", "value"))
+        }
+        graft.streaming.ProfileStream.readQuantiles(spark, index,
+            opts.getOrElse("key", "event_type")).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "cube" => // multi-level aggregation (a48_cube / a49_grouping_sets)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        val dims = opts.getOrElse("keys", "event_type,user_id").split(",")
+        ev.createOrReplaceTempView("graft_cli_cube_in")
+        spark.sql(s"""SELECT ${dims.mkString(", ")},
+            ${dims.map(d => s"grouping($d) AS g_$d").mkString(", ")},
+            count(*) AS n
+          FROM graft_cli_cube_in GROUP BY CUBE (${dims.mkString(", ")})""")
+          .orderBy(dims.map(col).toIndexedSeq: _*)
+          .limit(opts.getOrElse("top", "20").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
+      case "ewma" => // time-decay rolling stats (w_ewma)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.Temporal.ewma(ev,
+            alpha = opts.getOrElse("alpha", "0.25").toDouble,
+            keyCol = opts.getOrElse("key", "user_id"))
+          .orderBy(col(opts.getOrElse("key", "user_id")), col("ts"))
+          .limit(opts.getOrElse("top", "20").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
       case other =>
         println(s"unknown command: $other")
         println("commands: populate summarize drop actions sheet belns " +
@@ -1089,7 +1132,7 @@ object Cli {
           "pca sample transitions anomalies ktruss assortativity " +
           "wav-energy winsorize gram-maintain classify histogram " +
           "scc hits seasonal-anomalies heavy-hitters containment-pairs " +
-          "group-sample gaps")
+          "group-sample gaps neardup-ingest stream-quantiles cube ewma")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -320,4 +320,31 @@ class CliSpec extends SparkSpec {
       "--weight", "w"))
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("neardup-ingest / stream-quantiles / cube / ewma run over " +
+    "arbitrary inputs") {
+    val dir = tmpDir("clir13")
+    val docs = writeDocs(dir)
+    val idx = s"$dir/mhidx"
+    val out = s"$dir/ndout"
+    // two folds: the second batch re-ingests the same corpus and must
+    // accept nothing (every doc self-matches its indexed signature)
+    Cli.main(Array("neardup-ingest", "--input", docs, "--index", idx,
+      "--out", out, "--batch-id", "0"))
+    Cli.main(Array("neardup-ingest", "--input", docs, "--index", idx,
+      "--out", out, "--batch-id", "1"))
+    assert(spark.read.parquet(idx).count() > 0)
+    val ev = s"$dir/ev"
+    (1 to 200).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 60000L), (i % 4).toLong,
+      s"t${i % 3}", i / 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(ev)
+    Cli.main(Array("stream-quantiles", "--input", ev,
+      "--index", s"$dir/kll", "--batch-id", "0"))
+    Cli.main(Array("cube", "--input", ev, "--keys", "event_type",
+      "--top", "5"))
+    Cli.main(Array("ewma", "--input", ev, "--alpha", "0.25", "--top", "5"))
+    assert(!spark.sparkContext.isStopped)
+  }
 }
