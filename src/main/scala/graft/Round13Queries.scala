@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   *    in-place-updated accumulator, so m-then-v packing reads the NEW
   *    m; two scalar folds sidestep the quirk), and the results
   *    hash-match bit-for-bit.
+  *  - `w_stream_ewma`: the streaming face
+  *    ([[graft.streaming.EwmaStream]]) — the same recurrence folded
+  *    under the watermark seal (the AnomalyStream finality
+  *    discipline); sealed state is exactly two doubles per key, and
+  *    emitted rows are bit-equal to the batch oracle on the same
+  *    subset.
+  *  - `a50_topo_levels`: longest-path topological levels
+  *    ([[graft.bel.Scc.topoLevels]]) over the a45 condensation — the
+  *    scheduling consumer of the quotient DAG; cycle input fails fast
+  *    with a diagnosis. Oracle: the condensation CTE chain extended
+  *    with a recursive longest-path CTE (UNION-deduped, bounded by
+  *    nodes × depth).
   */
 object Round13Queries {
 
@@ -209,6 +221,31 @@ object Round13Queries {
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
     }),
 
+    // --- Topological levels of the condensation DAG -----------------------------
+    // The scheduling consumer of a45: SCC labels canonicalized to min
+    // member, quotient edges, then longest-path levels — everything at
+    // level L depends only on levels < L, so a pipeline runs the DAG in
+    // `depth` parallel waves. Oracle: the a45_condensation CTE chain
+    // extended with a recursive longest-path-from-sources CTE (UNION
+    // dedups (node, length) pairs, so enumeration is bounded by
+    // nodes × depth, never path-count).
+    "a50_topo_levels" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 53 === 0)
+        .select((col("l_partkey") % 500).as("src"),
+          ((col("l_partkey") * 7 + col("l_suppkey")) % 500).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val scc = graft.bel.Scc.run(edges)
+      val canon = scc.groupBy("component").agg(min("node").as("m"))
+      val labeled = scc.join(canon, "component")
+        .select(col("node"), col("m").as("component"))
+      val quotient = graft.bel.Scc.condensation(edges,
+        labels = Some(labeled))
+      graft.bel.Scc.topoLevels(quotient, srcCol = "c_src",
+          dstCol = "c_dst")
+        .select(col("node").cast("long").as("node"), col("level"))
+    }),
+
     // --- Time-decay (EWMA) rolling statistics ----------------------------------
     // Per-user exponentially weighted mean/variance over (ts, event_id)
     // order at alpha = 1/4 (binary-exact complement 3/4, so both
@@ -219,7 +256,46 @@ object Round13Queries {
         graft.core.Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"),
             col("value")),
-        alpha = 0.25))
+        alpha = 0.25)),
+
+    // --- EWMA, streaming face ----------------------------------------------------
+    // Same recurrence folded under the watermark seal (the
+    // AnomalyStream finality discipline): a row's stats are final when
+    // the watermark passes its timestamp, sealed state is exactly TWO
+    // doubles per key. Every-20th event keeps the feed micro-batch-
+    // sized; a far-future sentinel seals the tail; bit-equal to the
+    // batch oracle on the same subset.
+    "w_stream_ewma" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val rows = Round6Queries.eventsFeed(ss, d)
+          .filter(_._1 % 20 == 0)
+          .map(r => (r._1, r._2, r._3, r._5)) // (event_id, ts, user, value)
+        val mem =
+          MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+        val out = graft.streaming.EwmaStream.ewmaStream(
+          mem.toDS().toDF("event_id", "ts", "user_id", "value"),
+          alpha = 0.25)
+        val sink = s"w_stream_ewma_${sfTag(d)}"
+        ss.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val times = rows.map(_._2.getTime)
+          val cut = times.min + (times.max - times.min) / 2
+          mem.addData(rows.filter(_._2.getTime < cut): _*)
+          q.processAllAvailable()
+          mem.addData(rows.filter(_._2.getTime >= cut): _*)
+          q.processAllAvailable()
+          mem.addData((-1L,
+            new java.sql.Timestamp(times.max + 30L * 86400000L), -1L, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(sink).filter(col("user_id") =!= -1L)
+          .select("user_id", "event_id", "value", "ewma", "ewvar")
+      })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,32 +382,85 @@ object Round13Queries {
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         |""".stripMargin,
 
-    "w_ewma" ->
-      """WITH l AS (
-        |  SELECT user_id,
-        |    list(value ORDER BY ts, event_id) AS xs,
-        |    list(ts ORDER BY ts, event_id) AS tss,
-        |    list(event_id ORDER BY ts, event_id) AS ids
-        |  FROM events GROUP BY user_id
-        |), m AS (
-        |  SELECT user_id, xs, tss, ids, list_transform(xs, (e, i) ->
-        |    list_reduce(xs[1:i], (acc, x) -> acc + 0.25 * (x - acc)))
-        |    AS ms
-        |  FROM l
-        |), w AS (
-        |  SELECT user_id, xs, tss, ids, ms, list_transform(xs, (e, i) ->
-        |    CASE WHEN i = 1 THEN 0.0
-        |         ELSE (e - ms[i-1]) * (0.25 * (e - ms[i-1])) END) AS ws
-        |  FROM m
-        |), v AS (
-        |  SELECT user_id, xs, tss, ids, ms, list_transform(ws, (e, i) ->
-        |    list_reduce(list_prepend(0.0, ws[2:i]),
-        |      (acc, x) -> 0.75 * (acc + x))) AS vs
-        |  FROM w
+    "a50_topo_levels" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey % 500 AS src,
+        |    (l_partkey * 7 + l_suppkey) % 500 AS dst
+        |  FROM lineitem
+        |  WHERE l_orderkey % 53 = 0
+        |    AND l_partkey % 500 <> (l_partkey * 7 + l_suppkey) % 500
+        |), n AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |), r AS MATERIALIZED (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT src, dst FROM e
+        |    UNION
+        |    SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.b
+        |  ) SELECT a, b FROM reach
+        |), scc AS MATERIALIZED (
+        |  SELECT node, min(m) AS m FROM (
+        |    SELECT node, node AS m FROM n
+        |    UNION ALL
+        |    SELECT r1.a AS node, r1.b AS m
+        |    FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  ) GROUP BY 1
+        |), q AS MATERIALIZED (
+        |  SELECT DISTINCT sa.m AS c_src, sb.m AS c_dst
+        |  FROM e
+        |  JOIN scc sa ON sa.node = e.src
+        |  JOIN scc sb ON sb.node = e.dst
+        |  WHERE sa.m <> sb.m
+        |), p AS (
+        |  WITH RECURSIVE walk(node, l) AS (
+        |    SELECT c_src, 0 FROM q
+        |    WHERE c_src NOT IN (SELECT c_dst FROM q)
+        |    UNION
+        |    SELECT q.c_dst, walk.l + 1 FROM walk
+        |    JOIN q ON q.c_src = walk.node
+        |  ) SELECT node, max(l) AS level FROM walk GROUP BY 1
         |)
-        |SELECT user_id, unnest(tss) AS ts, unnest(ids) AS event_id,
-        |  unnest(xs) AS value, unnest(ms) AS ewma, unnest(vs) AS ewvar
-        |FROM v
-        |""".stripMargin
+        |SELECT CAST(node AS BIGINT) AS node, CAST(level AS BIGINT) AS level
+        |FROM p
+        |""".stripMargin,
+
+    "w_ewma" -> ewmaSql(filter = "", withTs = true),
+
+    "w_stream_ewma" ->
+      ewmaSql(filter = " WHERE event_id % 20 = 0", withTs = false)
   )
+
+  /** The scalar-fold EWMA oracle shared by the batch and stream faces
+    * (rationale for the scalar — not struct — folds in the object doc):
+    * the stream face emits no ts column and runs on the every-20th
+    * subset. */
+  private def ewmaSql(filter: String, withTs: Boolean): String = {
+    val tsOut = if (withTs) "unnest(tss) AS ts, " else ""
+    s"""WITH l AS (
+      |  SELECT user_id,
+      |    list(value ORDER BY ts, event_id) AS xs,
+      |    list(ts ORDER BY ts, event_id) AS tss,
+      |    list(event_id ORDER BY ts, event_id) AS ids
+      |  FROM events$filter GROUP BY user_id
+      |), m AS (
+      |  SELECT user_id, xs, tss, ids, list_transform(xs, (e, i) ->
+      |    list_reduce(xs[1:i], (acc, x) -> acc + 0.25 * (x - acc)))
+      |    AS ms
+      |  FROM l
+      |), w AS (
+      |  SELECT user_id, xs, tss, ids, ms, list_transform(xs, (e, i) ->
+      |    CASE WHEN i = 1 THEN 0.0
+      |         ELSE (e - ms[i-1]) * (0.25 * (e - ms[i-1])) END) AS ws
+      |  FROM m
+      |), v AS (
+      |  SELECT user_id, xs, tss, ids, ms, list_transform(ws, (e, i) ->
+      |    list_reduce(list_prepend(0.0, ws[2:i]),
+      |      (acc, x) -> 0.75 * (acc + x))) AS vs
+      |  FROM w
+      |)
+      |SELECT user_id, ${tsOut}unnest(ids) AS event_id,
+      |  unnest(xs) AS value, unnest(ms) AS ewma, unnest(vs) AS ewvar
+      |FROM v
+      |""".stripMargin
+  }
 }

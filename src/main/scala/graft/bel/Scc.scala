@@ -199,6 +199,80 @@ object Scc {
       .distinct()
   }
 
+  /** Longest-path topological LEVELS over a DAG — the scheduling
+    * consumer of [[condensation]]: `level(v)` = the length of the
+    * longest directed path ending at v (sources sit at 0), so
+    * everything at level L depends only on levels < L and a build/
+    * ingest/citation pipeline can run each level as one parallel wave
+    * with exactly `depth` barriers. On a DAG the longest path ending
+    * anywhere extends backward to a zero-in-degree source, so
+    * initializing every node at 0 and relaxing
+    * `level(v) = max(level(v), max over u→v of level(u) + 1)` to
+    * fixpoint computes it without identifying sources first.
+    *
+    * Scale shape: the [[run]] loop discipline — endpoints dict-encode
+    * to 8-byte keys, each round is one equi-join + one max-fold,
+    * lineage-cut; rounds = DAG depth. Fixpoint via the exact BIGINT
+    * level sum (monotone non-decreasing, fixed row count; bounded by
+    * n·depth ≪ 2⁶³, so no wrap). A CYCLE makes the relaxation diverge —
+    * levels grow every round — so `maxRounds` exhaustion fails fast
+    * with a cycle diagnosis instead of looping: run [[run]] +
+    * [[condensation]] first, levels belong on the quotient. Output:
+    * `(node, level)` for every node incident to an edge. */
+  def topoLevels(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", maxRounds: Int = 100): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val st = edges.schema(srcCol).dataType
+    val dt = edges.schema(dstCol).dataType
+    require(st == dt, s"topoLevels: edge endpoint types differ " +
+      s"('$srcCol' is ${st.sql}, '$dstCol' is ${dt.sql}) — cast upstream")
+    val adj = Checkpoints.cut(edges
+      .select(col(srcCol).as("nu"), col(dstCol).as("nv"))
+      .filter(col("nu").isNotNull && col("nv").isNotNull &&
+        col("nu") =!= col("nv"))
+      .select(xxhash64(col("nu")).as("u"), xxhash64(col("nv")).as("v"))
+      .distinct()).persist()
+    val dict = edges.select(col(srcCol).as("value"))
+      .unionByName(edges.select(col(dstCol).as("value")))
+      .filter(col("value").isNotNull)
+      .distinct()
+      .select(xxhash64(col("value")).as("id"), col("value"))
+    var lvl = Checkpoints.cut(
+      adj.select(col("u").as("node"))
+        .unionByName(adj.select(col("v").as("node")))
+        .distinct()
+        .select(col("node"), lit(0L).as("level"))).persist()
+    def levelSum(df: DataFrame): Long = {
+      val r = df.agg(coalesce(sum("level"), lit(0L))).head
+      r.getLong(0)
+    }
+    var prev = levelSum(lvl)
+    var converged = adj.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val relaxed = lvl.join(adj, lvl("node") === adj("u"))
+        .select(col("v").as("node"), (col("level") + 1L).as("level"))
+      val next = Checkpoints.cut(
+        lvl.unionByName(relaxed)
+          .groupBy("node").agg(max("level").as("level"))).persist()
+      val cur = levelSum(next)
+      lvl.unpersist()
+      lvl = next
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"topoLevels: levels still growing after " +
+      s"$maxRounds rounds — the graph has a directed cycle (or depth " +
+      "> maxRounds); run Scc.condensation first and compute levels on " +
+      "the quotient DAG")
+    val out = Checkpoints.cut(lvl
+      .join(dict.withColumnRenamed("id", "node"), Seq("node"))
+      .select(col("value").as("node"), col("level")))
+    adj.unpersist(); lvl.unpersist()
+    out
+  }
+
   /** Zero-in/out-degree bulk trim to fixpoint over the encoded
     * adjacency: one step keeps exactly the edges whose source has an
     * in-edge and whose target has an out-edge — nodes failing either

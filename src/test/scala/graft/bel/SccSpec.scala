@@ -169,6 +169,37 @@ class SccSpec extends SparkSpec {
     assert(got2.size == 31 && got2.forall(_.size == 1))
   }
 
+  test("topoLevels: longest-path waves on a diamond; cycle fails fast " +
+    "with a diagnosis; matches brute longest path on a random DAG") {
+    // diamond with a long arm: a→b→c→d plus a→d; d's level is 3, not 1
+    val lv = Scc.topoLevels(edgesOf(("a", "b"), ("b", "c"), ("c", "d"),
+      ("a", "d")))
+      .as[(String, Long)].collect().toMap
+    assert(lv == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // a cycle diverges — the require names the cause
+    val ex = intercept[IllegalArgumentException](
+      Scc.topoLevels(edgesOf(("x", "y"), ("y", "x")), maxRounds = 10))
+    assert(ex.getMessage.contains("cycle"))
+    // random DAG (edges only i → j for i < j): brute longest path
+    val rnd = new scala.util.Random(1307)
+    val es = (0 until 120).map { _ =>
+      val i = rnd.nextInt(13); val j = math.min(13, i + 1 + rnd.nextInt(5))
+      (f"n$i%02d", f"n$j%02d")
+    }.filter(p => p._1 != p._2).distinct
+    val got = Scc.topoLevels(es.toDF("src", "dst"))
+      .as[(String, Long)].collect().toMap
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      es.foreach { case (u, v) =>
+        if (brute(u) + 1 > brute(v)) { brute(v) = brute(u) + 1; changed = true }
+      }
+    }
+    assert(got == brute.toMap)
+  }
+
   test("edgeless input returns an empty frame; bad params fail fast") {
     val empty = Scc.run(edgesOf())
     assert(empty.count() == 0)
