@@ -182,6 +182,50 @@ object Round13Queries {
               .as("p95_within_rank_eps"))
       }),
 
+    // --- Stream-time quality band (the KLL index's consumer) -------------------
+    // The composition the r12 verdict motivated w_stream_quantiles
+    // with: per-batch KLL states of the n_chars distribution fold at
+    // read into [p25, p75] thresholds, and the corpus filters by the
+    // folded band — t_quality_band's invariant contract (thresholds
+    // inside the exact [p24,p26]/[p74,p76] rank neighborhoods, kept
+    // fraction near half), now derivable WHILE ingesting instead of
+    // from a batch scan.
+    "w_stream_band" -> ((s, d) =>
+      Round6Queries.withShufflePartitions(s, 8) { ss =>
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val docs = t(ss, d, "documents")
+        val rows = docs.select(col("doc_id"), col("n_chars").cast("double"))
+          .as[(Long, Double)].collect().sortBy(_._1)
+        val path = s"/tmp/graft_band_stream_${sfTag(d)}"
+        rmrf(ss, path)
+        val mem = MemoryStream[(Long, Double)]
+        val q = graft.streaming.ProfileStream.maintainQuantileStates(
+          mem.toDS().toDF("doc_id", "n_chars").withColumn("g", lit(1)),
+          path, keyCol = "g", valueCol = "n_chars")
+        try {
+          val (h1, h2) = rows.partition(_._1 % 2 == 0)
+          mem.addData(h1: _*); q.processAllAvailable()
+          mem.addData(h2: _*); q.processAllAvailable()
+        } finally q.stop()
+        val thr = graft.streaming.ProfileStream
+          .readQuantiles(ss, path, "g", Seq(0.25, 0.75)).head
+        val (lo, hi) = (thr.getDouble(1), thr.getDouble(2))
+        val row = docs.filter(col("n_chars").cast("double").between(lo, hi))
+          .agg(count(lit(1)).cast("double").as("kept"))
+          .crossJoin(docs.agg(count(lit(1)).cast("double").as("total"),
+            expr("percentile(n_chars, array(0.24, 0.26, 0.74, 0.76))")
+              .as("p")))
+          .collect().head
+        val ex = row.getSeq[Double](2)
+        val frac = row.getDouble(0) / row.getDouble(1)
+        Seq((lo >= ex(0) && lo <= ex(1), hi >= ex(2) && hi <= ex(3),
+          frac >= 0.45 && frac <= 0.56))
+          .toDF("lo_within_exact_neighborhood",
+            "hi_within_exact_neighborhood", "kept_fraction_near_half")
+      }),
+
     // --- CUBE multi-level aggregation -----------------------------------------
     // Customer counts + balance cents across ALL 2² grouping levels of
     // (nation, segment); GROUPING() markers ride along so NULL-marked
@@ -359,6 +403,11 @@ object Round13Queries {
     "w_stream_quantiles" ->
       ("SELECT true AS nonempty, true AS counts_exact, " +
         "true AS p50_within_rank_eps, true AS p95_within_rank_eps"),
+
+    "w_stream_band" ->
+      ("SELECT true AS lo_within_exact_neighborhood, " +
+        "true AS hi_within_exact_neighborhood, " +
+        "true AS kept_fraction_near_half"),
 
     "a48_cube" ->
       """SELECT n_name, c_mktsegment,
