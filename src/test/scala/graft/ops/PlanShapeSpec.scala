@@ -663,4 +663,26 @@ class PlanShapeSpec extends SparkSpec {
         s"projection gained a shuffle:\n$plan")
     }
   }
+
+  test("CUBE / GROUPING SETS: all levels in ONE Expand and ONE " +
+    "data-sized shuffle — never a scan per grouping set") {
+    withoutAqe {
+      docs.select(col("source"), (col("doc_id") % 3).as("bucket"),
+          col("doc_id"))
+        .createOrReplaceTempView("ps_cube_in")
+      for (sql <- Seq(
+        """SELECT source, bucket, count(*) AS n FROM ps_cube_in
+           GROUP BY CUBE (source, bucket)""",
+        """SELECT source, bucket, count(*) AS n FROM ps_cube_in
+           GROUP BY GROUPING SETS ((source), (bucket), ())""")) {
+        val plan = executed(spark.sql(sql))
+        val expands = plan.collect {
+          case e: org.apache.spark.sql.execution.ExpandExec => e }
+        assert(expands.size == 1, s"expected ONE Expand:\n$plan")
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size == 1,
+          s"expected ONE data-sized shuffle:\n$plan")
+      }
+    }
+  }
 }
