@@ -27,11 +27,13 @@ import graft.core.Checkpoints
 object ConnectedComponents {
 
   /** Undirected long-id edge set, self-loops dropped, canonical (max,min)
-    * orientation. NOT deduplicated and NOT cut: the first star round's
-    * `collect_set` dedupes per neighborhood anyway, so a pre-loop
-    * `distinct` would buy nothing but one extra full-edge-set shuffle and
-    * one extra materialization — the two most expensive jobs of the whole
-    * loop, since every later round runs on the (much smaller) star set. */
+    * orientation. NOT deduplicated and NOT cut: duplicate edges flow
+    * through the first round pair emitting one output row per copy (the
+    * window min is multiplicity-blind) and collapse at the pair-end
+    * `distinct`, so a pre-loop `distinct` would buy nothing but one
+    * extra full-edge-set shuffle and one extra materialization — the
+    * two most expensive jobs of the whole loop, since every later round
+    * runs on the (much smaller, exact-set) star frame. */
   private def hashedEdges(edges: DataFrame): DataFrame =
     canonicalize(edges
       .select(xxhash64(col("src")).as("u"), xxhash64(col("dst")).as("v")))
@@ -70,39 +72,65 @@ object ConnectedComponents {
     * Large-star: for each node u, connect every strictly-larger neighbor
     * to the minimum of N(u) ∪ {u}. Small-star: orient edges large→small;
     * connect every neighbor (and u itself) of each node u to the minimum
-    * of its ≤-neighborhood. No trailing distinct after large-star:
-    * small-star's collect_set dedupes anyway, so a distinct there would
-    * only add a third shuffle per round.
+    * of its ≤-neighborhood.
     *
-    * `dedup = false` also skips the trailing distinct after small-star:
-    * within a two-round pair the INNER round's output feeds straight into
-    * the outer round's large-star `collect_set`, which dedupes during
-    * map-side partial aggregation — the distinct shuffle would buy
-    * nothing. Only the pair's OUTER round dedups, because the cut frame
+    * ARRAY-FREE (r13): both half-rounds used to build per-node
+    * neighborhoods with `collect_set` — but at the fixpoint a
+    * component's root has degree = component size, so the giant
+    * component of a 100 TB graph materializes ONE component-sized array
+    * in a single aggregation task's IN-MEMORY buffer (the same
+    * unbounded per-key-state class as the dedup candidate generator's
+    * r12 weak). The vehicle is now a WINDOW: `min(v)` over the node
+    * partition rides WindowExec, whose per-partition-key buffer
+    * (ExternalAppendOnlyUnsafeRowArray) SPILLS to disk — a celebrity
+    * node costs time, never memory. Vehicles measured at sf0.1
+    * (a13_components / a13_graph_stats / a28_incremental_cc solo,
+    * min-of-3): collect_set array 1.19/1.83/2.35 s but OOM-class at
+    * scale; min-agg + equi-join back 2.4/4.9/14.0 s (the join's probe
+    * and the agg partial-aggregate produce DIFFERENT exchange subtrees
+    * — no ReuseExchange — so the un-cut inner round re-executes per
+    * consumer, compounding across the pair; an explicit shared
+    * repartition repairs reuse but the per-round join still lost);
+    * window 1.68/3.16/3.09 s — the keeper. The small-star window is
+    * ONE pass: with `orderBy(v)`, the running min over an ascending
+    * prefix IS the group minimum on every row, sharing the WindowExec
+    * with `row_number` (whose rn = 1 row emits the "u itself joins m"
+    * edge — no second aggregation, no union branch, exactly one output
+    * struct per input row).
+    *
+    * Duplicate handling moved with it: collect_set deduped neighbor
+    * multiplicity inside the aggregation, the window form instead lets
+    * duplicates FLOW (each copy emits at most one copy — the min is
+    * multiplicity-blind) and the pair-end `distinct` collapses them, so
+    * multiplicity never amplifies within a pair and resets at every
+    * cut. `dedup = false` skips the pair-INNER distinct exactly as
+    * before; only the pair's OUTER round dedups, because the cut frame
     * must be an exact set for [[isStarSet]] (a duplicate member would
     * read as a violation) and for the fixpoint star-count aggregates. */
   private def starRound(e: DataFrame, dedup: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("u")
+    val wuo = Window.partitionBy("u").orderBy("v")
     val nbrs = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val largeStar = nbrs
-      .groupBy("u")
-      .agg(collect_set(col("v")).as("ns"))
-      .select(col("u"),
-        least(col("u"), array_min(col("ns"))).as("m"),
-        filter(col("ns"), n => n > col("u")).as("bigger"))
-      .select(explode(col("bigger")).as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v"))
+      .withColumn("m", least(col("u"), min(col("v")).over(wu)))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
     val oriented = largeStar.select(
       greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
     val out = oriented
-      .groupBy("u")
-      .agg(array_min(collect_set(col("v"))).as("m"),
-        collect_set(col("v")).as("ns"))
-      .select(col("m"),
-        filter(array_union(col("ns"), array(col("u"))),
-          n => n =!= col("m")).as("others"))
-      .select(explode(col("others")).as("u"), col("m").as("v"))
+      .withColumn("rn", row_number().over(wuo))
+      // running min over the ascending order = the group minimum on
+      // EVERY row (prefix min of a sorted sequence), sharing wuo's one
+      // WindowExec pass with row_number
+      .withColumn("m", min(col("v")).over(wuo))
+      .select(when(col("rn") === 1, struct(col("u"), col("m").as("v")))
+        .otherwise(when(col("v") =!= col("m"),
+          struct(col("v").as("u"), col("m").as("v")))).as("o"))
+      .filter(col("o").isNotNull)
+      .select(col("o.u").as("u"), col("o.v").as("v"))
     if (dedup) out.distinct() else out
   }
 
@@ -112,14 +140,17 @@ object ConnectedComponents {
     * Two job-count fusions (the loop cost at toy/driver scale is jobs ×
     * fixed overhead; at cluster scale the same fusions remove full-edge-
     * set shuffles):
-    *  - NO pre-loop cut/fingerprint of the input: round 1's `collect_set`
-    *    dedupes the raw canonical edges, so the old distinct+materialize
-    *    of the FULL edge set — the two most expensive jobs, every later
-    *    round being star-set-sized — is fused into round 1's shuffle.
+    *  - NO pre-loop cut/fingerprint of the input: duplicates ride
+    *    through the first pair (multiplicity-blind window mins, one
+    *    output row per copy) and collapse at its trailing distinct, so
+    *    the old distinct+materialize of the FULL edge set — the two
+    *    most expensive jobs, every later round being star-set-sized —
+    *    is fused into round 1's shuffle.
     *  - TWO rounds per lineage cut, halving cut-job count; the inner
-    *    round skips its trailing distinct (outer collect_set dedupes
-    *    map-side). Within a pair the first round's self-union ends in an
-    *    exchange, which Spark's ReuseExchange deduplicates, not recomputes.
+    *    round skips its trailing distinct (the outer pair-end distinct
+    *    collapses everything at once). Within a pair the first round's
+    *    self-union ends in an exchange, which Spark's ReuseExchange
+    *    deduplicates, not recomputes.
     *  - Convergence is the STRUCTURAL [[isStarSet]] test on the cut frame,
     *    not compare-fingerprints-across-pairs: the old test could only
     *    observe the fixpoint by running one full extra (idempotent) star
