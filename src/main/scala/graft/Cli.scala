@@ -1110,6 +1110,16 @@ object Cli {
           .orderBy(dims.map(col).toIndexedSeq: _*)
           .limit(opts.getOrElse("top", "20").toInt).collect()
           .foreach(r => println(r.mkString("\t")))
+      case "downsample" => // OHLC time buckets (j23_downsample)
+        val ev = opts.get("input").map(spark.read.parquet(_))
+          .getOrElse(graft.core.Tables.events(spark, sfDir))
+        graft.ops.Temporal.downsample(ev,
+            bucketSeconds = opts.getOrElse("bucket", "3600").toLong,
+            keyCol = opts.getOrElse("key", "event_type"))
+          .orderBy(col(opts.getOrElse("key", "event_type")),
+            col("bucket_start"))
+          .limit(opts.getOrElse("top", "20").toInt).collect()
+          .foreach(r => println(r.mkString("\t")))
       case "ewma" => // time-decay rolling stats (w_ewma)
         val ev = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.events(spark, sfDir))
@@ -1132,7 +1142,8 @@ object Cli {
           "pca sample transitions anomalies ktruss assortativity " +
           "wav-energy winsorize gram-maintain classify histogram " +
           "scc hits seasonal-anomalies heavy-hitters containment-pairs " +
-          "group-sample gaps neardup-ingest stream-quantiles cube ewma")
+          "group-sample gaps neardup-ingest stream-quantiles cube ewma " +
+          "downsample")
         if (other != "help") sys.exit(2)
     }
     if (cmd != "help" && !preExisting) spark.stop()

@@ -290,6 +290,15 @@ object Round13Queries {
         .select(col("node").cast("long").as("node"), col("level"))
     }),
 
+    // --- OHLC time-bucket downsampling -------------------------------------------
+    // Hourly per-type bars over the event feed: open/close/high/low are
+    // SELECTIONS (first/last by (ts, event_id), extremes) so every
+    // double is engine-exact; volume sums the BIGINT quantization. One
+    // map-side-combinable aggregation — no window, no sort.
+    "j23_downsample" -> ((s, d) =>
+      graft.ops.Temporal.downsample(graft.core.Tables.events(s, d),
+        bucketSeconds = 3600L)),
+
     // --- Time-decay (EWMA) rolling statistics ----------------------------------
     // Per-user exponentially weighted mean/variance over (ts, event_id)
     // order at alpha = 1/4 (binary-exact complement 3/4, so both
@@ -471,6 +480,32 @@ object Round13Queries {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(level AS BIGINT) AS level
         |FROM p
+        |""".stripMargin,
+
+    "j23_downsample" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_start,
+        |    value, CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    row_number() OVER (
+        |      PARTITION BY event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          - CAST(floor(epoch(ts)) AS BIGINT) % 3600
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (
+        |      PARTITION BY event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          - CAST(floor(epoch(ts)) AS BIGINT) % 3600
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT event_type, bucket_start, CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(sum(q) AS BIGINT) AS sum_q
+        |FROM b GROUP BY 1, 2
         |""".stripMargin,
 
     "w_ewma" -> ewmaSql(filter = "", withTs = true),

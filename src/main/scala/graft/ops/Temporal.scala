@@ -567,6 +567,55 @@ object Temporal {
         sum(col("q") * col("q")).as("ss"))
   }
 
+  /** Fixed-bucket OHLC downsampling — the telemetry/metrics compaction
+    * step beside [[resample]]'s gap-filling: per (key, time bucket) one
+    * row with the bucket's first/last/extreme values and exact volume,
+    * the shape dashboards and coarse-grained feature stores store
+    * instead of raw events.
+    *
+    * Exactness: open/close/high/low are SELECTIONS of input doubles
+    * (no arithmetic — engine-exact); open/close order by the full
+    * `(ts, tie)` event order via the native `min/max(struct)` argmin
+    * idiom (the tie column makes same-second events deterministic in
+    * any engine); volume sums the `floor(value·scale)` BIGINT
+    * quantization (the anomaly discipline — a raw double sum is
+    * partition-order-dependent); counts exact. Bucket assignment is
+    * integer arithmetic on whole epoch seconds, so a sub-second ts
+    * truncation can never cross a bucket boundary.
+    *
+    * Scale shape: ONE map-side-combinable aggregation onto the
+    * (key × occupied-bucket) domain — no window, no shuffle beyond the
+    * aggregation's own; constant per-group state (four extremes + two
+    * sums). Struct-ordered `min_by`/`max_by` plans a SortAggregate
+    * (Spark sorts hash-agg-unsupported buffer types by the GROUP key
+    * per partition — a streaming, spillable sort, not a window funnel);
+    * the partial/final split still combines map-side, so only
+    * group-sized rows cross the exchange. Output: (keyCol,
+    * bucket_start: epoch s, n, open, high, low, close, sum_q). */
+  def downsample(events: DataFrame, bucketSeconds: Long,
+                 keyCol: String = "event_type", tsCol: String = "ts",
+                 valueCol: String = "value", tieCol: String = "event_id",
+                 scale: Long = 1000L): DataFrame = {
+    require(bucketSeconds >= 1,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val sec = unix_timestamp(col(tsCol))
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol),
+        (sec - pmod(sec, lit(bucketSeconds))).as("bucket_start"),
+        struct(col(tsCol), col(tieCol)).as("__ord"),
+        col(valueCol).cast("double").as("__v"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("__q"))
+      .groupBy(keyCol, "bucket_start")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("__v"), col("__ord")).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), col("__ord")).as("close"),
+        sum(col("__q")).as("sum_q"))
+  }
+
   /** Exponentially weighted moving mean AND variance per key over the
     * event-time order — the time-decay rolling statistic beside the
     * fixed-window faces (w_rolling_sum, flagOutliers): recent

@@ -528,6 +528,48 @@ class RrfSpec extends SparkSpec {
     intercept[IllegalArgumentException](Temporal.gaps(ev, 0L))
   }
 
+  test("downsample: OHLC selections per (key, bucket), ties broken by " +
+    "the tie column, volume integer-exact; ONE aggregation, no window") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // key A, bucket 0 (0..599): open = first by (ts, tie), and two
+      // rows share ts=10 so the tie column decides
+      (1L, ts(10), "A", 5.0), (2L, ts(10), "A", 7.0),
+      (3L, ts(400), "A", 1.5), (4L, ts(599), "A", 6.25),
+      // key A, bucket 600
+      (5L, ts(600), "A", 2.0),
+      // key B straddles nothing
+      (6L, ts(50), "B", 9.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = Temporal.downsample(ev, bucketSeconds = 600L)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getLong(7)))).toMap
+    assert(rows(("A", 0L)) ==
+      ((4L, 5.0, 7.0, 1.5, 6.25, (5000L + 7000L + 1500L + 6250L))))
+    assert(rows(("A", 600L)) == ((1L, 2.0, 2.0, 2.0, 2.0, 2000L)))
+    assert(rows(("B", 0L)) == ((1L, 9.0, 9.0, 9.0, 9.0, 9000L)))
+    // plan pin: one hash aggregation, no WindowExec, no Sort
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Temporal.downsample(ev, 600L)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"downsample gained a window:\n$plan")
+      // struct-ordered min_by/max_by plans SortAggregate, whose
+      // per-partition group-key sorts are streaming and spillable —
+      // the pin is the shuffle count and the map-side partial split
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size == 1, s"expected exactly one aggregation shuffle:\n$plan")
+      assert(plan.toString.contains("partial_"),
+        s"expected a map-side partial aggregation:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("ewma: bit-equal to the sequential reference fold per key, in " +
     "(ts, tie) order, across any partitioning") {
     val rnd = new scala.util.Random(1301)
