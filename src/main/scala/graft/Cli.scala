@@ -1095,9 +1095,17 @@ object Cli {
             bid.toLong, opts.getOrElse("key", "event_type"),
             opts.getOrElse("value", "value"))
         }
-        graft.streaming.ProfileStream.readQuantiles(spark, index,
-            opts.getOrElse("key", "event_type")).collect()
-          .foreach(r => println(r.mkString("\t")))
+        // fold-at-read needs at least one landed delta: without
+        // --batch-id on a fresh index, say so instead of dying with a
+        // raw PATH_NOT_FOUND from the parquet scan
+        if (!graft.core.Fs.exists(spark, index))
+          System.err.println(s"stream-quantiles: no KLL index at $index " +
+            "— pass --batch-id <id> to land this input's delta first " +
+            "(or --index <path> to read an existing one)")
+        else
+          graft.streaming.ProfileStream.readQuantiles(spark, index,
+              opts.getOrElse("key", "event_type")).collect()
+            .foreach(r => println(r.mkString("\t")))
       case "cube" => // multi-level aggregation (a48_cube / a49_grouping_sets)
         val ev = opts.get("input").map(spark.read.parquet(_))
           .getOrElse(graft.core.Tables.events(spark, sfDir))

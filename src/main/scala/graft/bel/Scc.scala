@@ -249,7 +249,12 @@ object Scc {
     var prev = levelSum(lvl)
     var converged = adj.isEmpty
     var round = 0
-    while (!converged && round < maxRounds) {
+    // maxRounds bounds the DAG DEPTH, not the iteration count:
+    // convergence takes depth relax rounds PLUS one no-change round to
+    // observe the fixpoint, so the loop allows maxRounds + 1 iterations
+    // — a DAG of depth exactly maxRounds converges instead of tripping
+    // the cycle diagnosis one round short
+    while (!converged && round <= maxRounds) {
       val relaxed = lvl.join(adj, lvl("node") === adj("u"))
         .select(col("v").as("node"), (col("level") + 1L).as("level"))
       val next = Checkpoints.cut(

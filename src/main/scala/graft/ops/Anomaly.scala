@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * (not null): a cold-start key is "no evidence", not "unknown", so
   * downstream filters need no null handling.
   *
+  * NULL/NaN CONTRACT (both directions): a null/NaN value is a
+  * no-evidence row — it contributes nothing to any window AND occupies
+  * no row slot in anyone's frame (the windows run over the evidence
+  * rows only, so a null row never displaces a real observation from a
+  * full n-row frame — exactly the stream face's windows, which seal
+  * evidence observations only). No-evidence rows themselves emit
+  * `(cnt, s, ss) = (0, 0, 0)` with `is_outlier = false`: there is no
+  * evidence ABOUT them and they ARE no evidence.
+  *
   * Streaming face: [[graft.streaming.AnomalyStream]] — same flags,
   * watermark-sealed, O(n + horizon) state per key.
   */
@@ -84,21 +93,33 @@ object Anomaly {
       .rowsBetween(-n, -1)
     val dev = col("cnt") * col("q") - col("s")
     val disc = col("cnt") * col("ss") - col("s") * col("s")
-    events
-      .select(col(keyCol), col(tsCol), col(tieCol),
-        guardedQ(col(valueCol), scale, n, k).as("q"))
+    val staged = events.select(col(keyCol), col(tsCol), col(tieCol),
+      guardedQ(col(valueCol), scale, n, k).as("q"))
+    // the window runs over EVIDENCE rows only (object-doc null
+    // contract): a null-q row in the partition would contribute nothing
+    // to s/ss yet still occupy a slot of the n-row frame, displacing a
+    // real observation and diverging from the stream face (which seals
+    // evidence observations only) whenever a null falls inside a full
+    // frame
+    val evidence = staged.filter(col("q").isNotNull)
       // qq staged BEFORE the window: a derived argument would split the
       // frame aggregates into a second WindowExec pass (plan-pinned)
       .withColumn("qq", col("q") * col("q"))
-      // count(q), not count(1): a null-q (null/NaN value) row carries no
-      // evidence — it must not inflate cnt while s/ss skip it, which
-      // would bias every window it precedes
       .withColumn("cnt", count(col("q")).over(w))
       .withColumn("s", coalesce(sum("q").over(w), lit(0L)))
       .withColumn("ss", coalesce(sum("qq").over(w), lit(0L)))
-      .withColumn("is_outlier", col("q").isNotNull &&
+      .withColumn("is_outlier",
         col("cnt") >= minN && dev * dev > lit(k.toLong * k) * disc)
       .drop("qq")
+    // no-evidence rows ride around the window (zero stats, never
+    // flagged) — narrow branch, no shuffle, unioned back for the
+    // one-row-per-input contract
+    val noEvidence = staged.filter(col("q").isNull)
+      .withColumn("cnt", lit(0L))
+      .withColumn("s", lit(0L))
+      .withColumn("ss", lit(0L))
+      .withColumn("is_outlier", lit(false))
+    evidence.unionByName(noEvidence)
   }
 
   /** The pure per-window test, shared verbatim with the streaming face

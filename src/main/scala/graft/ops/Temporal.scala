@@ -649,7 +649,10 @@ object Temporal {
     * streaming pass with O(1) state per key. No collect_list, no
     * per-key buffer at ANY key volume — a bot key costs time, never
     * memory (stronger than the funnel's cap-and-reject contract).
-    * Output: input columns + (ewma, ewvar). */
+    * Output: (keyCol, tsCol, tieCol, valueCol, ewma, ewvar) — ONLY the
+    * four ordering/identity columns are carried (the projection keeps
+    * the repartition + sort narrow); other input columns are dropped —
+    * join back on (keyCol, tsCol, tieCol) if they are needed. */
   def ewma(events: DataFrame, alpha: Double,
            keyCol: String = "user_id", tsCol: String = "ts",
            valueCol: String = "value",

@@ -61,11 +61,14 @@ object AnomalyStream {
         // (a wrap would silently flip flags here too)
         Anomaly.guardedQ(col("value"), scale, n, k).as("q"))
       // null/NaN values quantize to null q ("no evidence" — guardedQ's
-      // null contract). The batch face emits such rows with
-      // is_outlier = false and excludes them from every window; here
-      // they are dropped BEFORE the non-nullable encoder (In.q: Long),
-      // so windows match the batch face row-for-row and only the
-      // no-evidence rows themselves are absent from the stream output.
+      // null contract). The batch face emits such rows with zero stats
+      // and is_outlier = false, and its windows run over evidence rows
+      // only; here they are dropped BEFORE the non-nullable encoder
+      // (In.q: Long), so windows match the batch face row-for-row —
+      // a null row occupies no frame slot on either face — and only
+      // the no-evidence rows themselves are absent from the stream
+      // output (AnomalySpec pins face equality with a null inside a
+      // full frame).
       .filter(col("q").isNotNull)
       .withWatermark("ts", watermark)
       .as[In]

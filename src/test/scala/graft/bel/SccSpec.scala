@@ -180,6 +180,12 @@ class SccSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Scc.topoLevels(edgesOf(("x", "y"), ("y", "x")), maxRounds = 10))
     assert(ex.getMessage.contains("cycle"))
+    // maxRounds bounds DEPTH: a chain of depth EXACTLY maxRounds
+    // converges (depth relax rounds + the observe round fit the loop)
+    val chain = (0 until 5).map(i => (f"c$i%d", f"c${i + 1}%d"))
+    val atCap = Scc.topoLevels(chain.toDF("src", "dst"), maxRounds = 5)
+      .as[(String, Long)].collect().toMap
+    assert(atCap == (0 to 5).map(i => f"c$i%d" -> i.toLong).toMap)
     // random DAG (edges only i → j for i < j): brute longest path
     val rnd = new scala.util.Random(1307)
     val es = (0 until 120).map { _ =>

@@ -70,11 +70,12 @@ class AnomalySpec extends SparkSpec {
       .select("event_id", "cnt", "is_outlier")
       .as[(Long, Long, Boolean)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    // is_outlier is a non-null false on the no-evidence rows themselves
-    assert(got(3L) == ((2L, false)) && got(4L) == ((2L, false)))
+    // no-evidence rows emit zero stats and a non-null false — there is
+    // no evidence about them, and they are no evidence
+    assert(got(3L) == ((0L, false)) && got(4L) == ((0L, false)))
     // the spike's window counts the 8 real observations, not 10 rows —
     // with count(1) semantics cnt would be 10 and s/ss still 8 rows,
-    // biasing dev; with evidence-counting it flags cleanly at minN = 8
+    // biasing dev; with evidence-only windows it flags cleanly at minN = 8
     assert(got(11L) == ((8L, true)))
     // seasonal face: same pass-through (no raise_error on null), flag false
     val prof = Seq((1L, 0, 10L, 105000L, 1102550L))
@@ -84,6 +85,45 @@ class AnomalySpec extends SparkSpec {
       prof, keyCol = "user_id")
       .select("is_outlier").as[Boolean].collect()
     assert(seas.toSeq == Seq(false))
+  }
+
+  test("a null row inside a FULL n-row window occupies no frame slot: " +
+    "batch equals stream on the evidence rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // n = 4: four calm evidence rows, a null INSIDE the now-full frame,
+    // then a spike — with row-slot semantics the null would displace
+    // the first calm row from the spike's frame (cnt = 3); with
+    // evidence-only windows the spike sees all four (cnt = 4)
+    val rows = Seq(
+      (1L, ts(1), 1L, Some(10.0)), (2L, ts(2), 1L, Some(11.0)),
+      (3L, ts(3), 1L, Some(10.0)), (4L, ts(4), 1L, Some(11.0)),
+      (5L, ts(5), 1L, Option.empty[Double]),
+      (6L, ts(6), 1L, Some(500.0)))
+    val batch = Anomaly.flagOutliers(
+      rows.toDF("event_id", "ts", "user_id", "value"), n = 4, minN = 2)
+    val byId = batch.select("event_id", "cnt", "is_outlier")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(byId(6L) == ((6L, 4L, true)), "spike must see all 4 evidence rows")
+    assert(byId(5L) == ((5L, 0L, false)))
+    val batchEvidence = batch
+      .filter(col("q").isNotNull)
+      .select("user_id", "event_id", "q", "cnt", "s", "ss", "is_outlier")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Option[Double])]
+    val out = graft.streaming.AnomalyStream.flagOutliersStream(
+      mem.toDS().toDF("event_id", "ts", "user_id", "value"), n = 4, minN = 2)
+    val q = out.writeStream.format("memory").queryName("anom_null_face")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      mem.addData((-1L, ts(1000000L), -1L, Some(0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_null_face")
+      .filter(col("user_id") =!= -1L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batchEvidence)
   }
 
   test("batch: same-timestamp events order by the tie column") {
