@@ -719,20 +719,78 @@ object Dedup {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Bucket-partition count of the persisted BAND layout
+    * ([[bandLayoutPath]]): band rows land under `bp = pmod(bucket, NB)`
+    * directories so a probe's scan prunes to the batch's own buckets'
+    * partitions (the k15/a28 partition-discipline applied to the
+    * near-dup index — the fix for the full-index-rescan-per-probe
+    * scale class). 64 partitions keeps directory counts tame while a
+    * batch of any realistic size still touches a strict subset. */
+  private[graft] val BandIndexPartitions = 64
+
+  /** The persisted band layout lives BESIDE the signature layout (a
+    * sibling `<path>_bands` directory, partitioned by `bp`), not under
+    * it — a plain `spark.read.parquet(path)` of the signature rows must
+    * never pick up band rows via partition discovery. */
+  private[graft] def bandLayoutPath(indexPath: String): String =
+    s"${indexPath}_bands"
+
+  /** [[bandRows]] plus the persisted layout's partition column. */
+  private[graft] def bandRowsPartitioned(sig: DataFrame, bands: Int,
+                                         rowsPerBand: Int): DataFrame =
+    bandRows(sig, bands, rowsPerBand)
+      .withColumn("bp", pmod(col("bucket"), lit(BandIndexPartitions.toLong)))
+
+  /** Append `(id, shingles, sig)` rows to BOTH index layouts: band rows
+    * (bucket-partitioned, [[bandRowsPartitioned]]) FIRST, then the
+    * signature rows. The ordering closes the crash window: a doc whose
+    * signature row landed always has its band rows on disk too (band
+    * appends complete before the signature job starts), so a replay's
+    * probe self-matches it (Jaccard 1) and never re-appends — signature
+    * rows stay unique per id. The converse window (bands landed,
+    * signatures not) only re-appends band rows, and duplicate band rows
+    * are harmless: candidates are deduplicated on (id_a, id_b) before
+    * verification. */
+  private[graft] def appendMinHashIndexRows(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      rows: DataFrame, bands: Int, rowsPerBand: Int): Unit = {
+    bandRowsPartitioned(rows, bands, rowsPerBand)
+      .write.mode("append").partitionBy("bp")
+      .parquet(bandLayoutPath(indexPath))
+    rows.write.mode("append").parquet(indexPath)
+  }
+
   /** Persist the MinHash index of a corpus snapshot: per document its
     * shingle-hash set and MinHash signature (`(id, shingles, sig)`), the
     * cross-snapshot NEAR-dup substrate beside
     * [[writeFingerprintIndex]]'s exact one. Shingle sets ride along
     * because the probe verifies candidates with EXACT Jaccard — the
     * banding only generates candidates, so probe output carries no
-    * LSH false positives (same discipline as [[minHashPairs]]). */
+    * LSH false positives (same discipline as [[minHashPairs]]).
+    *
+    * TWO layouts land: the signature rows at `path`, and the narrow
+    * band rows `(id, band, bucket)` at [[bandLayoutPath]] partitioned
+    * by `pmod(bucket, NB)` — the posting-table side of the probe's
+    * partition-pruned equi-join, derived ONCE here instead of
+    * re-derived from every signature on every probe. `bands ×
+    * rowsPerBand` is the signature length; a probe must use the same
+    * split. Build is single-writer: a crash mid-build leaves the
+    * layouts inconsistent — re-run the build (overwrite semantics). */
   def writeMinHashIndex(docs: DataFrame, path: String, n: Int = 3,
-                        numHashes: Int = 96,
+                        bands: Int = 32, rowsPerBand: Int = 3,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): Unit =
-    shingled(docs, n, idCol, textCol)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-      .write.mode("overwrite").parquet(path)
+                        textCol: String = "text"): Unit = {
+    val sig = Checkpoints.cut(shingled(docs, n, idCol, textCol)
+      .withColumn("sig",
+        minHashSignature(col("shingles"), bands * rowsPerBand)))
+      .persist()
+    try {
+      bandRowsPartitioned(sig, bands, rowsPerBand)
+        .write.mode("overwrite").partitionBy("bp")
+        .parquet(bandLayoutPath(path))
+      sig.write.mode("overwrite").parquet(path)
+    } finally { sig.unpersist(); () }
+  }
 
   /** Cross-snapshot near-dup probe: every (batch doc, indexed doc) pair
     * with exact n-gram Jaccard ≥ `threshold`, found WITHOUT comparing
@@ -742,13 +800,18 @@ object Dedup {
     * verified exactly from the stored shingle sets. Output:
     * `(id, index_id, jaccard)`.
     *
-    * Scale shape: band rows are NARROW on both sides (id, band, bucket);
-    * the index's shingle arrays are touched only for verified candidate
-    * ids. The index is never self-joined — a probe is |batch| × bands
-    * rows against the index's banded posting table, so probing a small
-    * crawl against a 100 TB-corpus index moves batch-sized data plus the
-    * collided index rows only. `n`/`numHashes` must match the index
-    * build; bands × rowsPerBand must equal numHashes. */
+    * Scale shape: band rows are NARROW on both sides (id, band, bucket),
+    * and the index side comes from the PERSISTED band layout
+    * ([[bandLayoutPath]], written at build/append time) with the scan
+    * pruned to the batch's own `bp` partitions — per-probe cost scales
+    * with the batch's bucket collisions, not the index size (the
+    * k15 PartitionFilters discipline; an index written by an older
+    * build without the band layout falls back to deriving band rows
+    * from the full signature scan). The index's shingle arrays are
+    * touched only for collided candidate ids. The index is never
+    * self-joined — probing a small crawl against a 100 TB-corpus index
+    * moves batch-sized band rows plus the collided partitions' posting
+    * rows only. `n`/`bands`/`rowsPerBand` must match the index build. */
   def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, batch: DataFrame,
                           n: Int = 3, threshold: Double = 0.8,
@@ -758,19 +821,35 @@ object Dedup {
     val staged = Checkpoints.cut(shingled(batch, n, idCol, textCol)
       .withColumn("sig",
         minHashSignature(col("shingles"), bands * rowsPerBand)))
-    probeNearDups(staged, spark.read.parquet(indexPath), threshold,
-      bands, rowsPerBand)
+    probeNearDups(spark, staged, indexPath, threshold, bands, rowsPerBand)
   }
 
   /** The probe core of [[incrementalNearDups]], over an ALREADY-staged
     * `(id, shingles, sig)` frame — shared with the streaming face
     * ([[graft.streaming.NearDupStream]]), which stages once per batch
-    * and probes/blankets/appends from the same frame. */
-  private[graft] def probeNearDups(staged: DataFrame, index: DataFrame,
-                                   threshold: Double, bands: Int,
-                                   rowsPerBand: Int): DataFrame = {
-    val candidates = bandRows(staged, bands, rowsPerBand).alias("a")
-      .join(bandRows(index, bands, rowsPerBand).alias("b"),
+    * and probes/blankets/appends from the same frame. The batch's band
+    * rows are cut once (they are read twice: the distinct-`bp` driver
+    * list that prunes the index scan, and the candidate join). */
+  private[graft] def probeNearDups(
+      spark: org.apache.spark.sql.SparkSession, staged: DataFrame,
+      indexPath: String, threshold: Double, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val bandPath = bandLayoutPath(indexPath)
+    val batchBands = Checkpoints.cut(
+      bandRowsPartitioned(staged, bands, rowsPerBand))
+    val indexBands =
+      if (graft.core.Fs.exists(spark, bandPath)) {
+        // ≤ BandIndexPartitions longs to the driver, then an isin that
+        // lands in the scan's PartitionFilters: untouched partitions
+        // are never opened (plan-pinned by DedupIndexLayoutSpec)
+        val touched = batchBands.select("bp").distinct()
+          .collect().map(_.getLong(0)).sorted
+        spark.read.parquet(bandPath)
+          .filter(col("bp").isin(touched.toIndexedSeq: _*))
+      } else bandRows(index, bands, rowsPerBand) // pre-band-layout index
+    val candidates = batchBands.alias("a")
+      .join(indexBands.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

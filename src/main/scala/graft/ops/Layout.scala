@@ -84,6 +84,48 @@ object Layout {
     swapInto(spark, dir, tmp)
   }
 
+  /** Fold EVERY `batch_id=<k>` partition of a streaming-append corpus
+    * into ONE archive partition `batch_id=-1` (a batch id streaming
+    * never issues) of `numFiles` files, in-file sorted by `sortCol` —
+    * the root stays a pure partitioned layout, so post-compaction
+    * batches keep appending their own `batch_id=<k>` directories beside
+    * it. Staged through a sibling tmp + the checked [[swapInto]]; the
+    * single-writer constraint applies. Shared by the ingest compactors
+    * ([[graft.streaming.CuratePipeline.compactIngest]],
+    * [[graft.streaming.NearDupStream.compactIngest]]). */
+  private[graft] def foldCorpusPartitions(spark: SparkSession,
+                                          corpusPath: String,
+                                          numFiles: Int,
+                                          sortCol: String): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val tmp = s"${corpusPath}__fold_tmp"
+    graft.core.Fs.delete(spark, tmp)
+    spark.read.parquet(corpusPath).drop("batch_id")
+      .repartition(numFiles)
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch_id=-1")
+    swapInto(spark, corpusPath, tmp)
+  }
+
+  /** IN-PLACE compaction of a `bp`-partitioned layout (the persisted
+    * MinHash band index, [[graft.ops.Dedup.bandLayoutPath]]): rows
+    * re-cluster one-task-per-`bp` and land as ONE file per partition
+    * directory, in-file sorted by `sortCols` — partition pruning
+    * semantics are untouched (same `bp` values, same directory shape),
+    * only the file count folds from O(appends × partitions) to
+    * O(partitions). Staged through tmp + [[swapInto]]; single-writer. */
+  private[graft] def compactPartitionedInPlace(spark: SparkSession,
+                                               dir: String,
+                                               sortCols: Seq[String]): Unit = {
+    val tmp = s"${dir}__compact_tmp"
+    graft.core.Fs.delete(spark, tmp)
+    val df = spark.read.parquet(dir)
+    df.repartition(col("bp"))
+      .sortWithinPartitions(("bp" +: sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bp").parquet(tmp)
+    swapInto(spark, dir, tmp)
+  }
+
   /** Morton (Z-order) code: bit-interleave of two non-negative columns,
     * each truncated to `bits` low bits — the multi-dimensional
     * clustering key behind Z-ordered lakehouse layouts. Points close in

@@ -173,14 +173,9 @@ object CuratePipeline {
                     idCol: String = "doc_id"): (Long, Long) = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val corpusPath = s"$outPath/corpus"
-    val tmp = s"$outPath/.corpus_compact_tmp"
-    graft.core.Fs.delete(spark, tmp)
-    spark.read.parquet(corpusPath).drop("batch_id")
-      .repartition(numFiles)
-      .sortWithinPartitions(idCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch_id=-1")
-    // checked rename swap (rollback on failure, old copy deleted LAST)
-    graft.ops.Layout.swapInto(spark, corpusPath, tmp)
+    // checked rename swaps (rollback on failure, old copy deleted LAST)
+    graft.ops.Layout.foldCorpusPartitions(spark, corpusPath, numFiles,
+      idCol)
     graft.ops.Layout.compactInPlace(spark, indexPath, numFiles,
       Seq("fingerprint"))
     val fs = graft.core.Fs.fs(spark, corpusPath)

@@ -34,10 +34,15 @@ import graft.ops.Dedup
   * Jaccard 1), so nothing novel is recomputed and nothing re-appends —
   * the probe-before-append discipline closes the crash windows the same
   * way [[DedupStream]] does, with index membership tested on the doc id
-  * (the index row's id IS the accepted doc's id):
+  * (the index row's id IS the accepted doc's id). The index append is
+  * TWO layouts — band rows first, then signature rows
+  * ([[graft.ops.Dedup.appendMinHashIndexRows]]) — ordered so a landed
+  * signature always has its band rows on disk and therefore always
+  * self-matches on replay; the windows:
   *  - crash before any write → full recompute, identical survivors;
   *  - crash between the corpus write and the index append (possibly
-  *    with a SUBSET of signature files landed) → replay recomputes the
+  *    with a SUBSET of band files landed — duplicate band rows are
+  *    harmless, candidates dedup on the pair) → replay recomputes the
   *    not-yet-indexed survivors and unions them with the partition rows
   *    whose ids the index already holds, swapped in atomically
   *    ([[graft.ops.Layout.swapInto]]);
@@ -45,10 +50,16 @@ import graft.ops.Dedup
   *    the landed partition is KEPT and its true count returned.
   *
   * Scale: per batch the staging (shingle + signature) is narrow and
-  * batch-sized; band rows are (id, band, bucket) on both sides — the
-  * index's shingle arrays are touched only for collided candidate ids;
-  * the index grows by the novel-content rate only and is never
-  * self-joined or rescanned.
+  * batch-sized; band rows are (id, band, bucket) on both sides, and the
+  * index side reads the PERSISTED bucket-partitioned band layout with
+  * the scan pruned to the batch's own bp partitions — per-batch probe
+  * cost scales with the batch, not the index (the
+  * [[graft.ops.Dedup.probeNearDups]] contract); the index's shingle
+  * arrays are touched only for collided candidate ids; the index grows
+  * by the novel-content rate only and is never self-joined or fully
+  * rescanned. [[compactIndex]] is the small-file maintenance entry
+  * (thousands of micro-batches otherwise mean thousands of files on
+  * the hottest probe surface).
   */
 object NearDupStream {
 
@@ -91,10 +102,11 @@ object NearDupStream {
             .cast("double") >= threshold)
         .select(col("id_b").as("id")).distinct()
       val inBatch = staged.join(dominated, Seq("id"), "left_anti")
-      // (2) cross-index probe on the already-staged survivors
+      // (2) cross-index probe on the already-staged survivors —
+      // partition-pruned against the persisted band layout
       val fresh = (if (exists(spark, indexPath)) {
-        val hits = Dedup.probeNearDups(inBatch,
-            spark.read.parquet(indexPath), threshold, bands, rowsPerBand)
+        val hits = Dedup.probeNearDups(spark, inBatch,
+            indexPath, threshold, bands, rowsPerBand)
           .select("id").distinct()
         inBatch.join(hits, Seq("id"), "left_anti")
       } else inBatch).persist()
@@ -125,11 +137,13 @@ object NearDupStream {
                 .dropDuplicates(idCol)
                 .write.mode(SaveMode.Overwrite).parquet(tmp)
               graft.ops.Layout.swapInto(spark, part, tmp)
-              fresh.write.mode(SaveMode.Append).parquet(indexPath)
+              Dedup.appendMinHashIndexRows(spark, indexPath, fresh,
+                bands, rowsPerBand)
               spark.read.parquet(part).count()
             } else {
               docs.write.mode(SaveMode.Overwrite).parquet(part)
-              fresh.write.mode(SaveMode.Append).parquet(indexPath)
+              Dedup.appendMinHashIndexRows(spark, indexPath, fresh,
+                bands, rowsPerBand)
               nNew
             }
           } else if (exists(spark, part)) {
@@ -138,7 +152,8 @@ object NearDupStream {
         case None =>
           if (nNew > 0) {
             docs.write.mode(SaveMode.Append).parquet(outPath)
-            fresh.write.mode(SaveMode.Append).parquet(indexPath)
+            Dedup.appendMinHashIndexRows(spark, indexPath, fresh,
+              bands, rowsPerBand)
           }
           nNew
       }
@@ -147,20 +162,77 @@ object NearDupStream {
     } finally { staged.unpersist(); () }
   }
 
+  /** OPTIMIZE-style maintenance for the near-dup index pair — the
+    * signature-index twin of
+    * [[CuratePipeline.compactIngest]]'s exact-index rewrite: every
+    * micro-batch appends one small file set to the signature layout AND
+    * one per touched `bp` partition to the band layout, so after 10⁴
+    * batches the hottest probe surface pays more in file opens than in
+    * bytes. This rewrite:
+    *
+    *  - compacts the SIGNATURE layout to `numFiles` files, in-file
+    *    sorted by `id` (tight row-group min/max for the candidate-id
+    *    shingle fetch);
+    *  - compacts the BAND layout to ONE file per `bp` partition, rows
+    *    sorted by (bucket, band, id) — partition-pruning semantics are
+    *    untouched (same directories), and any crash-window duplicate
+    *    band rows are carried verbatim (content-preserving rewrite;
+    *    they stay harmless — candidates dedup on the pair).
+    *
+    * Probe results are IDENTICAL before and after (same rows, tighter
+    * files — spec-pinned), and a replayed pre-compaction batch still
+    * self-matches everything it appended (every signature and band row
+    * survives the fold), so it lands nothing. Single-writer: run with
+    * the stream quiesced, or from the serial `foreachBatch` thread
+    * (the [[CuratePipeline.run]] in-line analysis applies verbatim). */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   numFiles: Int = 8): Unit = {
+    graft.ops.Layout.compactInPlace(spark, indexPath, numFiles, Seq("id"))
+    val bandPath = graft.ops.Dedup.bandLayoutPath(indexPath)
+    if (exists(spark, bandPath))
+      graft.ops.Layout.compactPartitionedInPlace(spark, bandPath,
+        Seq("bucket", "band", "id"))
+  }
+
+  /** Full ingest maintenance: fold the corpus's per-batch partitions
+    * into the `batch_id=-1` archive (the [[CuratePipeline.compactIngest]]
+    * corpus discipline — replayed pre-compaction batches probe to zero
+    * and land nothing) and compact both index layouts
+    * ([[compactIndex]]). */
+  def compactIngest(spark: SparkSession, indexPath: String,
+                    outPath: String, numFiles: Int = 8,
+                    idCol: String = "doc_id"): Unit = {
+    graft.ops.Layout.foldCorpusPartitions(spark, outPath, numFiles, idCol)
+    compactIndex(spark, indexPath, numFiles)
+  }
+
   /** Stream face: `foreachBatch` wiring of [[nearDupBatch]], batch ids
     * threaded through for the replay-exact corpus layout. */
   def run(stream: DataFrame, indexPath: String, outPath: String,
           checkpoint: String, n: Int = 3, threshold: Double = 0.8,
           bands: Int = 32, rowsPerBand: Int = 3,
           idCol: String = "doc_id",
-          textCol: String = "text"): StreamingQuery =
+          textCol: String = "text",
+          compactEveryBatches: Option[Int] = None,
+          compactFiles: Int = 8): StreamingQuery = {
+    compactEveryBatches.foreach(nb => require(nb > 0,
+      s"compactEveryBatches must be positive, got $nb"))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // maintenance FIRST, on the serial foreachBatch thread — the
+        // CuratePipeline.run single-writer/commit-horizon analysis
+        compactEveryBatches.foreach { nb =>
+          if (id > 0 && id % nb == 0 &&
+              exists(batch.sparkSession, indexPath))
+            compactIngest(batch.sparkSession, indexPath, outPath,
+              compactFiles, idCol)
+        }
         nearDupBatch(batch.sparkSession, indexPath, outPath, batch,
           Some(id), n, threshold, bands, rowsPerBand, idCol, textCol)
         ()
       }
       .start()
+  }
 }
