@@ -46,7 +46,7 @@ object KTruss {
     // live frames); trussness keeps it for the dropped-edge anti-join.
     val survivors =
       if (k == 2) oriented
-      else peelFixpoint(oriented, k, maxRounds, releaseInput = true)
+      else peelFixpoint(oriented, k, maxRounds, releaseInput = true)._1
     val out = graft.core.Checkpoints.cut(decode(survivors, nodes)
       .select(col("a"), col("b")))
     survivors.unpersist()
@@ -73,16 +73,21 @@ object KTruss {
     * a measurement (the bounded-round a37 discipline, made visible in
     * the output).
     *
-    * `maxRounds` caveat at the boundary: the maxK+1 peel is itself
-    * bounded by `maxRounds`. Drops stay exact measurements even if
-    * that peel is truncated (peeling is monotone — an edge dropped at
-    * ANY round is definitively outside the (maxK+1)-truss, so
-    * "exactly maxK" holds), but a truncated peel's SURVIVORS may
-    * include exactly-maxK edges still awaiting their drop:
-    * `capped = true` is then the honest weaker claim "trussness ≥
-    * maxK" (always true) rather than "in the (maxK+1)-truss". Raise
-    * `maxRounds` if the distinction matters at the boundary.
-    * Output: (a, b, trussness, capped). */
+    * `maxRounds` caveat at the boundary — MACHINE-READABLE via
+    * `cap_converged`: the maxK+1 peel is itself bounded by `maxRounds`.
+    * Drops stay exact measurements even if that peel is truncated
+    * (peeling is monotone — an edge dropped at ANY round is
+    * definitively outside the (maxK+1)-truss, so "exactly maxK"
+    * holds), but a truncated peel's SURVIVORS may include exactly-maxK
+    * edges still awaiting their drop. [[peelFixpoint]] therefore
+    * RETURNS its convergence, folded into the output:
+    * `capped ∧ cap_converged` = "in the (maxK+1)-truss — trussness
+    * strictly exceeds maxK; raise maxK to measure";
+    * `capped ∧ ¬cap_converged` = the honest weaker claim "trussness ≥
+    * maxK — raise maxRounds to tighten". Measured rows (capped =
+    * false) always carry `cap_converged = true`, so downstream can
+    * filter on ONE column pair instead of reading scaladoc.
+    * Output: (a, b, trussness, capped, cap_converged). */
   def trussness(edges: DataFrame, maxK: Int = 16,
                 maxRounds: Int = 50): DataFrame = {
     require(maxK >= 3, s"trussness needs maxK >= 3, got $maxK")
@@ -93,7 +98,7 @@ object KTruss {
     var acc: Option[DataFrame] = None
     var remaining = current.count()
     while (remaining > 0 && k <= maxK) {
-      val next = peelFixpoint(current, k, maxRounds)
+      val (next, _) = peelFixpoint(current, k, maxRounds)
       val dropped = current
         .join(next.select("x", "y"), Seq("x", "y"), "left_anti")
         .select(col("x"), col("y"), lit(k - 1).as("trussness"),
@@ -112,13 +117,20 @@ object KTruss {
     // "≥ maxK" (capped), its drops are exactly maxK (measured) — peeling
     // past an empty survivor set is skipped, nothing there to label
     var beyondHandle: Option[DataFrame] = None
+    var capConverged = true
     val atCap =
       if (remaining == 0)
         current.select(col("x"), col("y"), lit(maxK).as("trussness"),
           lit(false).as("capped"))
       else {
-        val beyond = peelFixpoint(current, maxK + 1, maxRounds)
+        val (beyond, beyondConverged) =
+          peelFixpoint(current, maxK + 1, maxRounds)
         beyondHandle = Some(beyond)
+        // fold the peel's convergence into the cap: survivors of a
+        // CONVERGED peel are in the (maxK+1)-truss (trussness > maxK);
+        // of a truncated one, only "≥ maxK" — cap_converged carries
+        // the distinction (scaladoc contract)
+        capConverged = beyondConverged
         current.join(
             beyond.select(col("x"), col("y"), lit(true).as("__cap")),
             Seq("x", "y"), "left")
@@ -126,9 +138,10 @@ object KTruss {
             coalesce(col("__cap"), lit(false)).as("capped"))
       }
     val all = acc.map(_.unionByName(atCap)).getOrElse(atCap)
+      .withColumn("cap_converged", !col("capped") || lit(capConverged))
     val out = graft.core.Checkpoints.cut(
       decode(all, nodes).select(col("a"), col("b"), col("trussness"),
-        col("capped")))
+        col("capped"), col("cap_converged")))
     beyondHandle.foreach(_.unpersist())
     current.unpersist(); acc.foreach(_.unpersist())
     nodes.unpersist(); und.unpersist()
@@ -185,8 +198,13 @@ object KTruss {
     * released as they are superseded; the INPUT is released after
     * round 1 only when `releaseInput` — callers that still need it
     * (trussness's dropped-edge anti-join) keep ownership. */
+  /** Returns (survivors, converged): `converged = false` means the
+    * round cap truncated the peel — survivors then over-approximate
+    * the k-truss (drops are always exact; peeling is monotone).
+    * [[trussness]] folds the flag into its `cap_converged` column. */
   private def peelFixpoint(oriented0: DataFrame, k: Int, maxRounds: Int,
-                           releaseInput: Boolean = false): DataFrame = {
+                           releaseInput: Boolean = false)
+      : (DataFrame, Boolean) = {
     var oriented = oriented0
     var round = 0
     var done = false
@@ -201,7 +219,7 @@ object KTruss {
       nEdges = n2
       round += 1
     }
-    oriented
+    (oriented, done)
   }
 
   /** Map encoded survivor endpoints back to canonical VALUE pairs,

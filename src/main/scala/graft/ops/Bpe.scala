@@ -49,7 +49,7 @@ object Bpe {
 
   /** Escape character appended inside the `<` symbol (a NUL — legal in
     * corpus text, which is why it is escaped by doubling too). */
-  private val Esc = '\u0000'
+  private[ops] val Esc = '\u0000'
 
   /** Escaped text of a word: what `concat` of its char-level symbols
     * yields. One symbol per character, so `escape(w).length >= w.length`
@@ -66,8 +66,11 @@ object Bpe {
     sb.toString
   }
 
-  /** A word as its current symbol sequence (escape-aware; see [[Eow]]). */
-  private def symsOf(word: String): Vector[String] = {
+  /** A word as its current symbol sequence (escape-aware; see [[Eow]]).
+    * Shared with [[Unigram]] — both tokenizer families segment the SAME
+    * atomic-symbol stream, so their decode/round-trip contracts are one
+    * escape discipline. */
+  private[ops] def symsOf(word: String): Vector[String] = {
     val b = Vector.newBuilder[String]
     word.foreach { c =>
       if (c == '<' || c == Esc) b += new String(Array(c, Esc))

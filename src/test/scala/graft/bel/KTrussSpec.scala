@@ -140,6 +140,35 @@ class KTrussSpec extends SparkSpec {
     assert(got == Set((5, false)))
   }
 
+  test("a round-capped maxK+1 peel is machine-readable: cap_converged " +
+    "distinguishes '>= maxK (truncated)' from 'in the (maxK+1)-truss'") {
+    // the bowtie's 4-peel needs TWO rounds (hub edge survives round 1,
+    // peels in round 2 — the cascade test above); maxRounds = 1
+    // truncates it with the hub edge still standing. The k = 3 peel
+    // itself converges in its one round (no drops), so only the
+    // beyond-peel is truncated.
+    val bowtie = Seq(("p", "q"), ("p", "r"), ("q", "r"), ("p", "s"),
+      ("q", "s"))
+    def run(rounds: Int) = KTruss.trussness(edgesOf(bowtie: _*),
+        maxK = 3, maxRounds = rounds)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getInt(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val truncated = run(1)
+    // the truncated beyond-peel leaves the hub edge: capped = true with
+    // cap_converged = false — "at least maxK, raise maxRounds"
+    assert(truncated(("p", "q")) == ((3, true, false)), s"$truncated")
+    assert(bowtie.filterNot(_ == (("p", "q")))
+      .forall(e => truncated(e) == ((3, false, true))), s"$truncated")
+    // with enough rounds the bowtie dissolves at k=4: every edge is an
+    // exact measurement, cap_converged = true across the board
+    val full = run(50)
+    assert(full.values.forall(v => v == ((3, false, true))), s"full: $full")
+    // drops are exact in BOTH runs (peeling is monotone): every edge
+    // measured below the cap agrees between the two runs
+    val measuredT = truncated.filter(!_._2._2).view.mapValues(_._1).toMap
+    assert(measuredT.forall { case (e, k) => full(e)._1 == k })
+  }
+
   test("bad params fail fast") {
     intercept[IllegalArgumentException](KTruss.run(edgesOf(("a", "b")), 1))
     intercept[IllegalArgumentException](
