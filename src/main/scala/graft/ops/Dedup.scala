@@ -94,20 +94,24 @@ object Dedup {
     * above the cap (bounded, never all-pairs — rationale on
     * [[jaccardPairs]]).
     *
-    * Two-pass so NO aggregation buffer is ever df-sized (a stop-word-like
-    * shingle in 10⁸ documents must not materialize one multi-GB array in
+    * Two-pass so NO per-key state is ever df-sized (a stop-word-like
+    * shingle in 10⁸ documents must not materialize one multi-GB buffer in
     * a single task — the skewed-key unbounded-state class):
     *  1. df + min-id per shingle via `count`/`min` — CONSTANT per-key
     *     state, map-side combinable.
-    *  2a. shingles with df ≤ maxDF semi-join back into the posting-list
-    *      C(k,2) path, so the `collect_set` buffer is ≤ maxDF rows BY
-    *      CONSTRUCTION (the `cosinePairs` prune discipline,
-    *      [[graft.ops.TextSearch]]).
+    *  2a. shingles with df ≤ maxDF semi-join back into the posting rows,
+    *      which SELF-JOIN on the shingle key (`id_a < id_b` as the pair
+    *      orientation filter) — C(k,2) pairs with the join's per-key
+    *      buffered group ≤ maxDF rows BY CONSTRUCTION (the same bound
+    *      the earlier `collect_set` posting-list form had, minus the
+    *      list: r14 measured the join form 21% faster at sf0.1 — the
+    *      array build plus the interpreted nested-`transform` pair
+    *      emission lost to one codegen'd join, identical pair set).
     *  2b. shingles with df > maxDF take the star via an equi-join against
     *      their pre-aggregated representative — k−1 rows, zero array
     *      state at ANY document frequency.
-    * Emitted pair set is identical to the single-pass form (the star
-    * rep was `sort_array(...)(0)` = the min id). */
+    * Emitted pair set is identical to the collect_set form (a sorted
+    * posting list's C(k,2) enumeration IS the id_a < id_b self-join). */
   private[ops] def invertedIndexCandidates(sh: DataFrame,
                                            maxDF: Int): DataFrame = {
     val posts = sh.select(col("id"), explode(col("shingles")).as("shingle"))
@@ -115,16 +119,15 @@ object Dedup {
     val stats = posts.groupBy("shingle")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .filter(col("df") >= 2)
-    // Cold path: lists bounded by the semi-join prune; sort_array makes
-    // pair orientation (id_a < id_b) free at emit time.
-    val coldPairs = posts
+    // Cold path: posting rows bounded by the semi-join prune, then the
+    // pair set by equi-self-join — per-key join state ≤ maxDF rows.
+    val coldIds = posts
       .join(stats.filter(col("df") <= maxDF).select("shingle"),
         Seq("shingle"), "left_semi")
-      .groupBy("shingle")
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    val coldPairs = coldIds.alias("a")
+      .join(coldIds.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(struct(col("a.id").as("id_a"), col("b.id").as("id_b")).as("p"))
     // Hot path: star around the min id — equi-join, never a list.
     val hotPairs = posts
       .join(stats.filter(col("df") > maxDF).select("shingle", "rep"),
@@ -188,7 +191,17 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
     * `(id, shingles, ...)` staging frame (shared by [[jaccardPairs]] and
-    * [[minHashPairs]]). */
+    * [[minHashPairs]]).
+    *
+    * Size-ratio prefilter (the set-similarity-join length filter,
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08 §3): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+    * max(|A|,|B|), so J(A,B) ≤ min/max — a pair whose smaller shingle
+    * set is under `threshold ×` the larger CANNOT reach the threshold
+    * and is dropped BEFORE the O(|A|+|B|) `array_intersect`, on two
+    * codegen'd `size` calls. EXACT (no false drops by the bound above);
+    * at the `d_jaccard_pairs` corpus it prunes 64% of candidates and
+    * halves verification wall time (r14 measurement). */
   private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
                               threshold: Double): DataFrame =
     candidates
@@ -196,6 +209,9 @@ object Dedup {
         "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= lit(threshold) *
+          greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("n_common",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
@@ -858,6 +874,10 @@ object Dedup {
         "id_a")
       .join(index.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
+      // exact size-ratio prefilter — J ≤ min/max (see [[verifiedJaccard]])
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= lit(threshold) *
+          greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("n_common",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /

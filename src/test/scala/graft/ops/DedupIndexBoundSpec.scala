@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Pins the r12 verdict's one weak item closed: the inverted-index
-  * candidate generator must never hold a df-sized array in aggregation
+  * candidate generator must never hold a df-sized buffer in per-key
   * state. A shingle planted in EVERY document (df = corpus size, far
   * above the cap) must (a) still produce the exact df-capped pair set
-  * and (b) never reach a `collect_set` buffer — every list-building
-  * aggregate in the executed plan sits ABOVE the left-semi df-prune, so
-  * its per-key state is ≤ maxDF by construction (the `cosinePairs`
-  * discipline, TextSearch.scala). */
+  * and (b) never build a `collect_set` posting array AT ALL — since r14
+  * the cold path emits C(k,2) via a shingle-keyed equi-self-join whose
+  * inputs sit ABOVE the left-semi df-prune, so the join's per-key
+  * buffered group is ≤ maxDF rows by construction and no list-building
+  * aggregate exists anywhere in the plan (strictly stronger than the
+  * r13 shape this spec originally pinned, where a collect_set existed
+  * but was prune-bounded). */
 class DedupIndexBoundSpec extends SparkSpec {
   import spark.implicits._
 
@@ -76,20 +79,34 @@ class DedupIndexBoundSpec extends SparkSpec {
     }.nonEmpty
 
   test("a shingle in EVERY doc: pair set exact (star above cap, " +
-    "C(k,2) at the cap) and no df-sized aggregation buffer in the plan") {
+    "C(k,2) at the cap) and no df-sized per-key state in the plan") {
     aqeOff {
       val cands = Dedup.invertedIndexCandidates(sh, maxDF)
       val plan = executed(cands)
       val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expectedPairs)
 
-      val aggs = collectSetAggs(plan)
-      assert(aggs.nonEmpty, s"expected a collect_set posting-list aggregate " +
-        s"on the cold path:\n$plan")
-      aggs.foreach { a =>
-        assert(hasSemiJoinBelow(a),
-          s"collect_set aggregate NOT fed through the df-prune semi-join — " +
-            s"its buffer is unbounded on a hot shingle:\n$a")
+      // no posting-list array is ever built — the cold path is a join
+      assert(collectSetAggs(plan).isEmpty,
+        s"expected NO collect_set aggregate anywhere (r14 self-join " +
+          s"candidate shape):\n$plan")
+      // the pair-emitting equi-self-join (shingle key + id inequality)
+      // sits ABOVE the left-semi df-prune on BOTH inputs, so its per-key
+      // buffered group is ≤ maxDF rows by construction
+      val pairJoins = plan.collect {
+        case j: BaseJoinExec if j.joinType != LeftSemi &&
+          j.condition.exists(_.exists {
+            case lt: org.apache.spark.sql.catalyst.expressions.LessThan =>
+              lt.references.forall(_.name == "id")
+            case _ => false
+          }) => j
+      }
+      assert(pairJoins.nonEmpty,
+        s"expected the C(k,2) equi-self-join on the cold path:\n$plan")
+      pairJoins.foreach { j =>
+        assert(hasSemiJoinBelow(j),
+          s"pair self-join NOT fed through the df-prune semi-join — " +
+            s"its per-key group is unbounded on a hot shingle:\n$j")
       }
     }
   }

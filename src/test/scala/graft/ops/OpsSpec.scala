@@ -351,6 +351,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccard pairs equal the brute-force all-pairs answer on a " +
+    "mixed-size corpus (r14 size-ratio prefilter drops nothing real)") {
+    // sizes straddle the threshold ratio: doc 11 is a SHORT prefix of 10
+    // (ratio below 0.5 ⇒ provably under threshold, prefilter territory);
+    // 10 vs 12 differ by one word (high jaccard, must survive)
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (13L, "unrelated words entirely different from everything else"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(corpus, n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same shingle sets
+    val sh = Dedup.shingled(corpus, 2).as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = sa.toSet.intersect(sb.toSet).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(got === brute)
+    assert(got.map(p => (p._1, p._2)) === Set((10L, 12L)))
+  }
+
   test("jaccard pairs: over-maxDF posting lists pair against a " +
     "representative — mass-duplicate clusters are not silently dropped") {
     // 10 identical docs: every shingle's DF is 10 > maxDF=5, so the old
