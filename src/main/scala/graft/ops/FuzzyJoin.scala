@@ -62,9 +62,15 @@ object FuzzyJoin {
     val d = maxDist
     val k = d + 1 // segments; pigeonhole: ≤ d edits leave one untouched
 
-    val rows = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("s")).filter(col("s").isNotNull)
-      .withColumn("n", length(col("s")))
+    // Materialized ONCE (lineage cut): the narrow (id, s, n) frame is
+    // referenced four times below (index side, probe side, both short-
+    // bucket sides) — un-cut, each reference re-scans the input and
+    // re-evaluates the projection, i.e. four full corpus passes for one
+    // logical read (r14; the Dedup.jaccardPairs staging discipline).
+    val rows = graft.core.Checkpoints.cut(
+      df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s")).filter(col("s").isNotNull)
+        .withColumn("n", length(col("s"))))
 
     // Even segment split of a length-n string: l = n div k short segments
     // first, the n mod k longer ones (l+1) last. Start/len of segment i
