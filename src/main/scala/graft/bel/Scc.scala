@@ -126,11 +126,23 @@ object Scc {
         remaining = nodes.count()
       }
       if (remaining > 0) {
-        val fwd = minLabelFixpoint(adj, nodes, maxInner)
-          .withColumnRenamed("lab", "f")
-        val bwd = minLabelFixpoint(
+        // F and B are INDEPENDENT fixpoint job chains over the same
+        // persisted subgraph — submit them from two driver threads so
+        // each chain's scheduling/fixpoint-probe gaps back-fill with the
+        // other's tasks (the overlap-independent-jobs discipline; Spark's
+        // scheduler runs concurrent jobs FIFO, which is exactly the
+        // fill-the-tail behavior wanted). Results are unchanged: each
+        // fixpoint is a deterministic function of (adj, nodes).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fwdF = Future(minLabelFixpoint(adj, nodes, maxInner)
+          .withColumnRenamed("lab", "f"))
+        val bwdF = Future(minLabelFixpoint(
           adj.select(col("v").as("u"), col("u").as("v")), nodes, maxInner)
-          .withColumnRenamed("lab", "b")
+          .withColumnRenamed("lab", "b"))
+        val fwd = Await.result(fwdF, Duration.Inf)
+        val bwd = Await.result(bwdF, Duration.Inf)
         val done = Checkpoints.cut(
           fwd.join(bwd, Seq("node"))
             .filter(col("f") === col("b"))
@@ -257,9 +269,12 @@ object Scc {
     while (!converged && round <= maxRounds) {
       val relaxed = lvl.join(adj, lvl("node") === adj("u"))
         .select(col("v").as("node"), (col("level") + 1L).as("level"))
-      val next = Checkpoints.cut(
+      // lazy cut + levelSum = one job per round (the minLabelFixpoint
+      // rationale); the sum is a lone full-scan aggregate, so it
+      // materializes every checkpoint block it measures
+      val next = Checkpoints.cutLazy(
         lvl.unionByName(relaxed)
-          .groupBy("node").agg(max("level").as("level"))).persist()
+          .groupBy("node").agg(max("level").as("level")))
       val cur = levelSum(next)
       lvl.unpersist()
       lvl = next
@@ -302,7 +317,9 @@ object Scc {
     var done = false
     var rounds = 0
     while (!done && rounds < maxTrim) {
-      val next = Checkpoints.cut(step(adj)).persist()
+      // lazy cut + count = one job per trim round (minLabelFixpoint
+      // rationale; the count materializes what it measures)
+      val next = Checkpoints.cutLazy(step(adj)).persist()
       val n = next.count()
       if (n == prev) {
         next.unpersist()
@@ -340,7 +357,13 @@ object Scc {
     while (!converged && inner < maxInner) {
       val relaxed = lab.join(adj, lab("node") === adj("u"))
         .select(col("v").as("node"), col("lab"))
-      val next = Checkpoints.cut(
+      // LAZY cut: the footprint aggregation is the round's first action
+      // and reads every row single-branch, so it both materializes the
+      // checkpoint blocks and measures progress in ONE job — the eager
+      // cut spent a separate job per round on materialization alone
+      // (cutLazy's documented hazard — concurrent first reads through a
+      // self-union — does not apply to a lone full-scan aggregate)
+      val next = Checkpoints.cutLazy(
         lab.unionByName(relaxed)
           .groupBy("node").agg(min("lab").as("lab")))
       val cur = footprint(next)
