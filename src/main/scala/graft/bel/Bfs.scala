@@ -121,12 +121,17 @@ object Bfs {
       val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    var dist = Checkpoints.cut(dist0)
+    // LAZY cuts materialized by the footprint aggregate — one job per
+    // relax round instead of cut-then-measure two (the Scc
+    // minLabelFixpoint discipline: the footprint is the round's FIRST
+    // action and a lone single-branch full scan, so it caches every
+    // block it reads; the next round's two-branch read hits cache)
+    var dist = Checkpoints.cutLazy(dist0)
     var prev = footprint(dist)
     var converged = false
     var depth = 0
     while (!converged && depth < maxDepth) {
-      val next = Checkpoints.cut(relaxOnce(adj, dist, keyCols, inc))
+      val next = Checkpoints.cutLazy(relaxOnce(adj, dist, keyCols, inc))
       val cur = footprint(next)
       converged = cur == prev
       prev = cur

@@ -103,7 +103,7 @@ object KTruss {
         .join(next.select("x", "y"), Seq("x", "y"), "left_anti")
         .select(col("x"), col("y"), lit(k - 1).as("trussness"),
           lit(false).as("capped"))
-      val labeled = graft.core.Checkpoints.cut(
+      val labeled = graft.core.Checkpoints.cutLazy(
         acc.map(_.unionByName(dropped)).getOrElse(dropped)).persist()
       labeled.count()
       acc.foreach(_.unpersist())
@@ -210,7 +210,11 @@ object KTruss {
     var done = false
     var nEdges = oriented.count()
     while (!done && round < maxRounds) {
-      val next = graft.core.Checkpoints.cut(peelOnce(oriented, k))
+      // lazy cut materialized by the survivor count — one job per peel
+      // round instead of two (the Scc minLabelFixpoint discipline: the
+      // count is the round's first action and single-branch; the next
+      // round's three-branch read hits the persisted blocks)
+      val next = graft.core.Checkpoints.cutLazy(peelOnce(oriented, k))
         .persist()
       val n2 = next.count()
       if (!(oriented eq oriented0) || releaseInput) oriented.unpersist()
