@@ -82,15 +82,22 @@ final class NamespaceStore(spark: SparkSession, path: String,
     * identifier, skip entries with null names; returns (new, skipped). */
   private def update(spec: NamespaceSpec, models: DataFrame): (Long, Long) = {
     val existing = entries(spec.url).select(col("identifier"))
+    // persisted: the un-cached form evaluated the anti-join (one full
+    // models pass + entry-table scan) THREE times — skipped count, added
+    // count, append write; both counts now fold into ONE conditional
+    // aggregation over the cached frame (r14)
     val fresh = models.join(existing, Seq("identifier"), "left_anti")
-    val newEntries = fresh.filter(col("name").isNotNull)
-    val skipped = fresh.filter(col("name").isNull).count()
-    val added = newEntries.count()
-    newEntries
-      .select(lit(spec.url).as("namespace_url"), col("identifier"),
-        col("name"), col("encoding"))
-      .write.mode(SaveMode.Append).parquet(entryPath)
-    (added, skipped)
+      .persist()
+    try {
+      val r = fresh.agg(
+        count(when(col("name").isNotNull, 1)).as("added"),
+        count(when(col("name").isNull, 1)).as("skipped")).head
+      fresh.filter(col("name").isNotNull)
+        .select(lit(spec.url).as("namespace_url"), col("identifier"),
+          col("name"), col("encoding"))
+        .write.mode(SaveMode.Append).parquet(entryPath)
+      (r.getLong(0), r.getLong(1))
+    } finally { fresh.unpersist(); () }
   }
 
   /** upload_bel_namespace (namespace_manager.py:315-332). */
