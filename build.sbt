@@ -30,6 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The full query suite JIT-compiles thousands of generated classes
   // (one whole-stage-codegen class per stage per query); the JVM default
   // 240m code cache fills near the end of the run, the JIT shuts off,
-  // and later CPU-bound work runs interpreted ~10x slower.
-  "-XX:ReservedCodeCacheSize=512m",
+  // and later CPU-bound work runs interpreted ~10x slower. 512m (sized
+  // in an earlier round) saturated again once the suite grew past ~280
+  // queries: r14 measured the alphabetical-tail streaming family at
+  // 42.9 s run alone vs 127.3 s at the end of a full bench — the same
+  // JIT-off signature, gone at 1g.
+  "-XX:ReservedCodeCacheSize=1g",
 )
