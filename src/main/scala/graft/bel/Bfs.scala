@@ -322,23 +322,36 @@ object Bfs {
     var frontier = visited
     var depth = 0
     var exhausted = false
+    // ONE job per BFS round (r14, the relaxLoop discipline): the frontier
+    // cut is LAZY and the emptiness probe is a count() — the round's first
+    // action and a lone single-branch scan, so it materializes the new
+    // frontier's blocks (and, through the anti-join it reads, the previous
+    // round's lazy visited union). The visited union is lazy too: its
+    // first reader is the NEXT round's count job (single branch; the
+    // union's own re-read of it comes later, off cached blocks). The
+    // eager-cut epilogue below covers the multi-branch readers
+    // (landmarkBetweenness fans visited into va/vb/δ-levels).
     while (!exhausted && depth < maxDepth) {
       val contrib = frontier.join(adj, frontier("node") === adj("u"))
         .groupBy(col("seed"), col("v").as("node"))
         .agg(sum("sigma").as("sigma"))
-      val nxt = Checkpoints.cut(contrib
+      val nxt = Checkpoints.cutLazy(contrib
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"),
           lit(depth + 1).as("hops"), col("sigma")))
-      if (nxt.isEmpty) exhausted = true
+      if (nxt.count() == 0L) exhausted = true
       else {
-        visited = Checkpoints.cut(visited.unionByName(nxt))
+        visited = Checkpoints.cutLazy(visited.unionByName(nxt))
         frontier = nxt
         depth += 1
       }
     }
-    (adj, visited)
+    // One eager sweep of the (cheap, block-concatenating) union chain so
+    // callers can fan out over the result without the concurrent-first-
+    // read hazard. When the loop ended by exhaustion the chain is already
+    // cached and this job is a copy of cached blocks only.
+    (adj, Checkpoints.cut(visited))
   }
 
   /** Landmark (source-sampled, depth-bounded) BETWEENNESS centrality —
@@ -486,8 +499,10 @@ object Bfs {
     val dist0 = seeds.select(col(seedCol).as("nv")).distinct()
       .select(xxhash64(col("nv")).as("seed"))
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
-    val cost = Checkpoints.cut(
-      relaxLoop(adj, dist0, Seq("seed", "node"), rounds, col("w")))
+    // relaxLoop already returns a lineage-cut frame whose blocks its own
+    // footprint aggregate materialized — re-wrapping in an eager cut paid
+    // one full copy job for blocks that were already cached (r14).
+    val cost = relaxLoop(adj, dist0, Seq("seed", "node"), rounds, col("w"))
     // equal-cost predecessor DAG: v → w within a seed iff stepping the
     // edge preserves shortest-path optimality — ONE 3-way equi-join
     // keyed on cost instead of level
@@ -501,16 +516,25 @@ object Bfs {
       .join(cb, col("sb") === col("seed") && col("w") === col("av") &&
         col("cw") === col("cv") + col("ew"))
       .select(col("seed"), col("v"), col("w")))
-    // 2. σ fixpoint (recompute-from-predecessors)
+    // 2. σ fixpoint (recompute-from-predecessors). Each round's frame is
+    // read EXACTLY once (by the next round's join), so the cuts are LAZY
+    // and the whole chain materializes in the final round's one eager job
+    // — 1 job for the fixpoint instead of `rounds` (r14; the relaxLoop
+    // one-job-per-round discipline taken to its no-progress-check limit).
+    // The LAST round stays eager: the rdag build below reads it through
+    // TWO branches (sv, sw) — the documented cutLazy concurrent-first-read
+    // hazard.
     val sig0 = dist0.select(col("seed"), col("node"), lit(1L).as("sigma"))
     var sig = sig0
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val prop = dag.as("g")
         .join(sig.as("s"), col("g.seed") === col("s.seed") &&
           col("g.v") === col("s.node"))
         .groupBy(col("g.seed").as("seed"), col("g.w").as("node"))
         .agg(sum("sigma").as("sigma"))
-      sig = Checkpoints.cut(sig0.unionByName(prop))
+      val next = sig0.unionByName(prop)
+      sig = if (r == rounds) Checkpoints.cut(next)
+            else Checkpoints.cutLazy(next)
     }
     // ratio-bearing DAG: σ(v)/σ(w) rides each DAG edge
     val sv = sig.select(col("seed"), col("node").as("v"),
@@ -528,13 +552,16 @@ object Bfs {
     val reached = cost.select(col("seed"), col("node"))
     var del = reached.select(col("seed"), col("node"),
       lit(0.0).as("delta"))
+    // δ rounds are read exactly once each — by the next round's join, and
+    // the final one by the output fold — so EVERY cut is lazy and the
+    // whole fixpoint rides the caller's action as one job chain (r14).
     for (_ <- 1 to rounds) {
       val contrib = rdag.as("g")
         .join(del.as("p"), col("g.seed") === col("p.seed") &&
           col("g.w") === col("p.node"))
         .groupBy(col("g.seed").as("seed"), col("g.v").as("node"))
         .agg(sum(col("ratio") * (lit(1.0) + col("delta"))).as("delta"))
-      del = Checkpoints.cut(reached
+      del = Checkpoints.cutLazy(reached
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           coalesce(col("delta"), lit(0.0)).as("delta")))

@@ -18,15 +18,21 @@ object Exporters {
     * .gz file would bottleneck on one writer at 100 TB; readers take the
     * directory transparently). Node ids are the canonical term strings. */
   def nodelink(edges: DataFrame, directory: String): Unit = {
-    Graph.nodesOf(edges)
-      .select(col("node").as("id"))
-      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
-      .json(s"$directory/nodes")
-    edges
-      .select(col("src").as("source"), col("dst").as("target"),
-        col("relation"))
-      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
-      .json(s"$directory/links")
+    // The input plan is evaluated THREE times as written — nodesOf reads
+    // it through both union branches and the links write reads it again.
+    // One persist makes every read after the first hit cache (r14); at
+    // 100 TB this is two corpus passes saved per export.
+    val e = edges.persist()
+    try {
+      Graph.nodesOf(e)
+        .select(col("node").as("id"))
+        .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+        .json(s"$directory/nodes")
+      e.select(col("src").as("source"), col("dst").as("target"),
+          col("relation"))
+        .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+        .json(s"$directory/links")
+    } finally { e.unpersist() }
   }
 
   /** K8 edge-list + node-list export (bel_manager.py:145-162): dense

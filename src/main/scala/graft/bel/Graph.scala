@@ -126,7 +126,13 @@ object Graph {
     * task at 10M+ nodes). */
   def indexedEdgeList(edges: DataFrame): (DataFrame, DataFrame) = {
     val spark = edges.sparkSession
-    val nodes = nodesOf(edges)
+    // The edge plan is read three times (both nodesOf union branches +
+    // the index-rewrite join) — cut it once so the dedup/concat work
+    // upstream runs a single time (r14). Lineage cut rather than
+    // cache: both returned frames are consumed after this call returns,
+    // so there is no scope to unpersist a cache safely.
+    val e = graft.core.Checkpoints.cut(edges)
+    val nodes = nodesOf(e)
     // orderBy = range partition + local sort; zipWithIndex assigns globally
     // contiguous indices per partition-prefix without collapsing to 1 task.
     // The sorted RDD is cached first: zipWithIndex runs a per-partition
@@ -142,7 +148,7 @@ object Graph {
         nodes.schema.fields :+
           org.apache.spark.sql.types.StructField("node_index",
             org.apache.spark.sql.types.LongType, nullable = false)))
-    val el = edges.alias("e")
+    val el = e.alias("e")
       .join(idx.alias("s"), col("e.src") === col("s.node"))
       .join(idx.alias("d"), col("e.dst") === col("d.node"))
       .select(col("s.node_index").as("src_index"),

@@ -113,7 +113,31 @@ object Dedup {
     * Emitted pair set is identical to the collect_set form (a sorted
     * posting list's C(k,2) enumeration IS the id_a < id_b self-join). */
   private[ops] def invertedIndexCandidates(sh: DataFrame,
-                                           maxDF: Int): DataFrame = {
+                                           maxDF: Int): DataFrame =
+    coCountedCandidates(sh, maxDF)._1.select("id_a", "id_b")
+
+  /** [[invertedIndexCandidates]] with the generator's own evidence kept
+    * instead of thrown away (r14): returns
+    *
+    *  1. candidate pairs `(id_a, id_b, c_cold)` where `c_cold` is the
+    *     EXACT number of below-cap shingles the two documents share —
+    *     the cold path emits one row per shared cold shingle, so the
+    *     count that dedups the pair set IS that co-occurrence count
+    *     (star/hot emissions contribute the pair but count 0: a hot
+    *     emission does witness a shared shingle, but only rep-anchored
+    *     ones, so counting them would make the bound's split ambiguous);
+    *  2. per-document hot-shingle counts `(id, n_hot)` — how many of the
+    *     document's shingles have df > maxDF (absent id ⇒ 0).
+    *
+    * Together they give an exact upper bound on ANY pair's true overlap:
+    * `n_common ≤ c_cold + min(n_hot_a, n_hot_b)` — every shared shingle
+    * is either below the cap (counted exactly by c_cold) or above it
+    * (shared ⇒ in both documents' hot sets, so at most min(n_hot)).
+    * [[containmentPairs]] prunes on this bound BEFORE touching the
+    * shingle arrays. The aggregation replaces the old
+    * `dropDuplicates` with a same-shuffle `sum` — identical pair set. */
+  private[ops] def coCountedCandidates(sh: DataFrame,
+                                       maxDF: Int): (DataFrame, DataFrame) = {
     val posts = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     // Pass 1: (shingle, df, rep). Pure count/min — no collection state.
     val stats = posts.groupBy("shingle")
@@ -127,16 +151,22 @@ object Dedup {
     val coldPairs = coldIds.alias("a")
       .join(coldIds.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(struct(col("a.id").as("id_a"), col("b.id").as("id_b")).as("p"))
+      .select(struct(col("a.id").as("id_a"), col("b.id").as("id_b")).as("p"),
+        lit(1L).as("cold"))
     // Hot path: star around the min id — equi-join, never a list.
+    val hotShingles = stats.filter(col("df") > maxDF)
     val hotPairs = posts
-      .join(stats.filter(col("df") > maxDF).select("shingle", "rep"),
-        Seq("shingle"))
+      .join(hotShingles.select("shingle", "rep"), Seq("shingle"))
       .filter(col("id") =!= col("rep"))
-      .select(struct(col("rep").as("id_a"), col("id").as("id_b")).as("p"))
-    coldPairs.union(hotPairs)
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(struct(col("rep").as("id_a"), col("id").as("id_b")).as("p"),
+        lit(0L).as("cold"))
+    val pairs = coldPairs.union(hotPairs)
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(sum(col("cold")).as("c_cold"))
+    val hotCounts = posts
+      .join(hotShingles.select("shingle"), Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hot"))
+    (pairs, hotCounts)
   }
 
   /** Exact n-gram CONTAINMENT near-superset pairs — the dedup face
@@ -174,7 +204,31 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val sh = Checkpoints.cut(shingled(docs, n, idCol, textCol))
-    invertedIndexCandidates(sh, maxDF)
+    // Exact co-count prefilter (r14; the generator-evidence bound on
+    // [[coCountedCandidates]]): max containment = n_common / min(|A|,|B|)
+    // and n_common ≤ c_cold + min(n_hot_a, n_hot_b), so a candidate whose
+    // BOUND ratio misses the threshold can never pass the final filter —
+    // drop it on narrow (id, size, n_hot) dims BEFORE the wide shingle
+    // arrays join in (IEEE division is monotone in an integer numerator
+    // over the same denominator, so bound ≥ true ratio holds in double
+    // arithmetic exactly as it does over the rationals; containment has
+    // no Jaccard-style size-ratio bound — overlap/min is scale-free in
+    // the sizes — which is why the bound comes from the generator's own
+    // co-occurrence evidence instead).
+    val (cand, hotCounts) = coCountedCandidates(sh, maxDF)
+    val dims = sh.select(col("id"), size(col("shingles")).cast("long")
+        .as("sz"))
+      .join(hotCounts, Seq("id"), "left")
+      .select(col("id"), col("sz"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+    cand
+      .join(dims.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("n_hot").as("nh_a")), "id_a")
+      .join(dims.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("n_hot").as("nh_b")), "id_b")
+      .filter((col("c_cold") + least(col("nh_a"), col("nh_b")))
+        .cast("double") / least(col("sz_a"), col("sz_b")).cast("double")
+        >= threshold)
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
         "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
