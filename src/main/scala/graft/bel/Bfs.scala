@@ -552,19 +552,25 @@ object Bfs {
     val reached = cost.select(col("seed"), col("node"))
     var del = reached.select(col("seed"), col("node"),
       lit(0.0).as("delta"))
-    // δ rounds are read exactly once each — by the next round's join, and
-    // the final one by the output fold — so EVERY cut is lazy and the
-    // whole fixpoint rides the caller's action as one job chain (r14).
-    for (_ <- 1 to rounds) {
+    // δ rounds 1..n−1 are read exactly once each — by the next round's
+    // join — so those cuts are lazy and the fixpoint rides one job chain
+    // (r14). The LAST round mirrors the σ loop and stays EAGER (r15,
+    // ADVICE): the returned frame's first action is the CALLER's, and a
+    // caller that fans it into multiple branches in one job would hit
+    // the documented cutLazy concurrent-first-read hazard and recompute
+    // the whole delta fixpoint once per branch.
+    for (r <- 1 to rounds) {
       val contrib = rdag.as("g")
         .join(del.as("p"), col("g.seed") === col("p.seed") &&
           col("g.w") === col("p.node"))
         .groupBy(col("g.seed").as("seed"), col("g.v").as("node"))
         .agg(sum(col("ratio") * (lit(1.0) + col("delta"))).as("delta"))
-      del = Checkpoints.cutLazy(reached
+      val next = reached
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
-          coalesce(col("delta"), lit(0.0)).as("delta")))
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+      del = if (r == rounds) Checkpoints.cut(next)
+            else Checkpoints.cutLazy(next)
     }
     del.filter(col("node") =!= col("seed"))
       .groupBy("node").agg(sum("delta").as("betweenness"))

@@ -21,8 +21,12 @@ object Exporters {
     // The input plan is evaluated THREE times as written — nodesOf reads
     // it through both union branches and the links write reads it again.
     // One persist makes every read after the first hit cache (r14); at
-    // 100 TB this is two corpus passes saved per export.
-    val e = edges.persist()
+    // 100 TB this is two corpus passes saved per export. Persist a
+    // method-local NARROW projection, not the caller's frame (r15,
+    // ADVICE): only src/dst/relation are read, so the cached footprint
+    // drops the citation/evidence/annotations payload — and unpersist
+    // can never clobber a cache the caller holds on `edges` itself.
+    val e = edges.select(col("src"), col("dst"), col("relation")).persist()
     try {
       Graph.nodesOf(e)
         .select(col("node").as("id"))

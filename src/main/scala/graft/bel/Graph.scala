@@ -130,8 +130,12 @@ object Graph {
     // the index-rewrite join) — cut it once so the dedup/concat work
     // upstream runs a single time (r14). Lineage cut rather than
     // cache: both returned frames are consumed after this call returns,
-    // so there is no scope to unpersist a cache safely.
-    val e = graft.core.Checkpoints.cut(edges)
+    // so there is no scope to unpersist a cache safely. The cut frame is
+    // the NARROW (src, dst) projection (r15, ADVICE): both outputs read
+    // only the endpoints, so the localCheckpoint copies two columns per
+    // row instead of the full edge payload (citation/evidence/
+    // annotations) — smaller copy job, smaller executor storage.
+    val e = graft.core.Checkpoints.cut(edges.select(col("src"), col("dst")))
     val nodes = nodesOf(e)
     // orderBy = range partition + local sort; zipWithIndex assigns globally
     // contiguous indices per partition-prefix without collapsing to 1 task.

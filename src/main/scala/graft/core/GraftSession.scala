@@ -34,6 +34,16 @@ object GraftSession {
       // long nanos; Tables.events re-derives a proper timestamp column
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reclaims out-of-scope localCheckpoint/persist
+      // blocks and shuffle files only after a DRIVER GC exposes the weak
+      // refs; an idle 8g+ heap can go 30+ min (the default interval)
+      // without one, so a long many-query session accumulates dead blocks
+      // until memory pressure forces the collection at the worst time.
+      // 2 min bounds the dead-block inventory at ~zero measured cost
+      // (full-bench instrumentation: storage stays <200 MB either way);
+      // override via SPARK_GRAFT_PERIODIC_GC for cluster tuning.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
 
   /** Production streaming posture: RocksDB-backed state stores. The
     * default HDFS-backed provider keeps every key's state resident in
