@@ -11,6 +11,30 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The suite is ~620 specs over dozens of independent Spark suites, each
+// mostly idle on a 32-core box when run sequentially in one JVM (the
+// r14 driver's test phase overran its budget). Run suites in N forked
+// groups, each its own JVM with its own SharedSpark local[4] session —
+// process isolation (no shared catalog/temp views/conf), 8 groups x
+// local[4] = the 32 cores. Suites hash to groups by name (stable).
+val testGroups = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "8").toInt
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val env = (Test / envVars).value
+  tests.groupBy(t => math.abs(t.name.hashCode) % testGroups).toSeq
+    .sortBy(_._1)
+    .map { case (i, group) =>
+      Tests.Group(s"g$i", group, Tests.SubProcess(
+        ForkOptions().withRunJVMOptions(opts).withEnvVars(env)))
+    }
+}
+// allow the groups to actually run concurrently (default forked-test
+// tag limit is 1)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroups),
+  Tags.limitAll(math.max(testGroups, 4)),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

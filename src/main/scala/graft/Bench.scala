@@ -42,6 +42,22 @@ object Bench {
   private def heapUsed: Long =
     java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
 
+  /** (steal, total) cumulative CPU ticks across all cores from /proc/stat.
+    * This box is a VM under a contended host: r14/r15 full-run
+    * measurements showed uniform 1.5-3x inflation windows (light and
+    * heavy keys alike) that no JVM-internal metric explained; hypervisor
+    * CPU steal is the remaining suspect and this column attributes it
+    * per key (interval steal% = d(steal)/d(total)). Linux-only; (0, 0)
+    * where /proc/stat is absent. */
+  private def cpuSteal: (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f(7), f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,7 +80,7 @@ object Bench {
     catch { case _: Throwable => () }
     val instrPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_INSTRUMENT", "bench_instrument.log")
     val instr = new java.io.PrintWriter(new java.io.FileWriter(instrPath, false))
-    instr.println("idx\tquery\tsec\tsec_max\tgc_ms_total\tcode_cache_mb\theap_mb\trdds_persisted\tstorage_mem_mb\tstorage_disk_mb")
+    instr.println("idx\tquery\tsec\tsec_max\tgc_ms_total\tcode_cache_mb\theap_mb\trdds_persisted\tstorage_mem_mb\tstorage_disk_mb\tsteal_ticks\tcpu_ticks")
     val results = sorted.zipWithIndex.map { case ((name, fn), idx) =>
       val timings = (1 to math.max(1, runs)).map { _ =>
         val t0 = System.nanoTime()
@@ -83,7 +99,8 @@ object Bench {
         .reduceOption(_ max _).getOrElse(0.0)
       val sc = spark.sparkContext
       val storage = sc.getRDDStorageInfo
-      val line = f"$idx%d\t$name%s\t$best%.3f\t$worst%.3f\t$gcMillis%d\t${codeCacheUsed / 1e6}%.1f\t${heapUsed / 1e6}%.0f\t${sc.getPersistentRDDs.size}%d\t${storage.map(_.memSize).sum / 1e6}%.1f\t${storage.map(_.diskSize).sum / 1e6}%.1f"
+      val (steal, ticks) = cpuSteal
+      val line = f"$idx%d\t$name%s\t$best%.3f\t$worst%.3f\t$gcMillis%d\t${codeCacheUsed / 1e6}%.1f\t${heapUsed / 1e6}%.0f\t${sc.getPersistentRDDs.size}%d\t${storage.map(_.memSize).sum / 1e6}%.1f\t${storage.map(_.diskSize).sum / 1e6}%.1f\t$steal%d\t$ticks%d"
       instr.println(line); instr.flush()
       if (idx % 25 == 0) System.err.println(s"[bench-instr] $line")
       (name, best, err)
